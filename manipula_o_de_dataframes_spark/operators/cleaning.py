@@ -1,0 +1,97 @@
+"""Cleaning pipeline (SURVEY.md §2.2 P6–P8, §2.12 Q2).
+
+The reference's ``limpar_dataframe`` (manipulacao-analise-comercial.py:
+560-634) is a fixed sequence: prune junk columns → dedupe column names →
+drop all-null-key rows → fill defaults → parse dates → drop duplicate
+rows by key. Column-name work is driver-side (schema ops, not data ops);
+row work is lazy DataFrame transforms that fuse into one scan.
+
+Determinism note: pandas ``drop_duplicates`` keeps the *first* row in
+file order (MAC:604-605). Spark has no row order, so ``dedupe_rows``
+demands an explicit ordering and implements keep-first with
+``row_number() == 1`` — same semantics, reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exact(name: str) -> F.Column:
+    """Column by exact name — backtick-escaped so dots ("UF.1") are not
+    parsed as struct field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def prune_unnamed(df: DataFrame, pattern: str = r"^Unnamed") -> DataFrame:
+    """P6: drop columns whose name matches the junk pattern (MAC:569)."""
+    rx = re.compile(pattern)
+    return df.select(*[_exact(c) for c in df.columns if not rx.match(c)])
+
+
+def dedupe_column_names(df: DataFrame) -> DataFrame:
+    """P7: rename ``col.N`` → ``col`` when the base name is free (MAC:574-584)."""
+    out, taken = [], set(df.columns)
+    for c in df.columns:
+        base = re.sub(r"\.\d+$", "", c)
+        if base != c and base not in taken:
+            taken.add(base)
+            out.append(_exact(c).alias(base))
+        else:
+            out.append(_exact(c))
+    return df.select(*out)
+
+
+def backfill_columns(df: DataFrame, expected: dict[str, object]) -> DataFrame:
+    """P8: add expected-but-absent columns with a default (MAC:1085-1088)."""
+    missing = {c: v for c, v in expected.items() if c not in df.columns}
+    return df.withColumns({c: F.lit(v) for c, v in missing.items()}) if missing else df
+
+
+def drop_all_null_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """F7: drop rows where every key column is null (MAC:590)."""
+    return df.na.drop(how="all", subset=keys)
+
+
+def dedupe_rows(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
+    """U3 (deterministic): keep the first row per key under an explicit order.
+
+    Reference drop_duplicates keeps first-in-file-order (MAC:604-605);
+    Spark's ``dropDuplicates`` keeps an *arbitrary* row, so when the kept
+    row matters we pin it with row_number over ``order_by``. One shuffle
+    on the keys; at scale AQE handles skewed keys.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def clean(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list | None = None,
+    fill_zero: list[str] | None = None,
+    date_cols: list[str] | None = None,
+) -> DataFrame:
+    """Q2: the full reference cleaning pipeline as one fused transform.
+
+    prune junk cols → dedupe col names → drop all-null-key rows →
+    fillna(0) on numerics (MAC:593-597) → lenient date parse (MAC:601)
+    → deterministic dedupe on keys (MAC:604-605).
+    """
+    out = dedupe_column_names(prune_unnamed(df))
+    out = drop_all_null_keys(out, [k for k in keys if k in out.columns])
+    if fill_zero:
+        out = out.na.fill(0, subset=[c for c in fill_zero if c in out.columns])
+    for c in date_cols or []:
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).cast("timestamp"))
+    if order_by:
+        out = dedupe_rows(out, keys, order_by)
+    return out

@@ -1,0 +1,149 @@
+"""Deduplication operators (north-star LLM-pipeline surface).
+
+No reference counterpart — these are the dedup primitives a training-data
+pipeline needs at 100 TB. Everything is expression-level (no Python in
+the hot path) and engine-portable: hashing is md5 (identical output in
+any engine), minhash is the lexicographic MIN of seeded md5 digests
+(uniform over hex strings, so a perfectly valid min-wise hash), and the
+pairwise stage only ever runs on LSH-pruned candidates — never all
+pairs. Scale shape:
+
+    scan → per-doc signature (one pass, no shuffle)
+         → explode bands → shuffle by band bucket (tiny rows)
+         → within-bucket pair join → exact Jaccard verify on candidates
+
+which is the standard MinHash-LSH plan: the only quadratic work happens
+inside hash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+SHINGLE_K = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per identical text.
+
+    Hash-groupBy on md5(text) — one shuffle of (hash, id) pairs, never
+    the payload; min() is partial-aggregable map-side.
+    """
+    key = F.md5(F.col(text_col))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(col, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles as strings; whole text if fewer than k tokens."""
+    toks = tokens(col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(sh)
+
+
+def minhash(col, seed: int, k: int = SHINGLE_K) -> Column:
+    """One min-wise hash: MIN of seed-prefixed md5 over the shingle set."""
+    return F.array_min(
+        F.transform(shingles(col, k), lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 4) -> DataFrame:
+    """Per-document MinHash signature (n_hashes min-wise hashes).
+
+    Single scan, single pass, no shuffle — the signature is ~n_hashes×32
+    bytes per doc regardless of document size, which is what makes LSH
+    dedup feasible at 100 TB (downstream stages never touch the text).
+    """
+    return df.select(
+        F.col(id_col),
+        *[minhash(F.col(text_col), s).alias(f"mh{s}") for s in range(n_hashes)],
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 4,
+    min_matches: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (bands of 1 row) + signature agreement.
+
+    Explode each signature into (band, value) keys, shuffle by band
+    bucket, pair up within buckets (a.id < b.id), then score each pair by
+    the fraction of agreeing hashes (the MinHash Jaccard estimate).
+    """
+    sig = minhash_signature(df, text_col, id_col, n_hashes)
+    bands = sig.select(
+        F.col(id_col),
+        *[F.col(f"mh{s}") for s in range(n_hashes)],
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{s}|"), F.col(f"mh{s}")) for s in range(n_hashes)
+            ])
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.band") == F.col(f"b.band")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[
+                (F.col(f"a.mh{s}") == F.col(f"b.mh{s}")).cast("int").alias(f"eq{s}")
+                for s in range(n_hashes)
+            ],
+        )
+        .distinct()
+    )
+    agree = sum(F.col(f"eq{s}") for s in range(n_hashes))
+    return (
+        pairs.withColumn("n_agree", agree.cast("long"))
+        .filter(F.col("n_agree") >= min_matches)
+        .select("id_a", "id_b", "n_agree")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, candidates: DataFrame
+) -> DataFrame:
+    """Exact n-gram Jaccard, verified only on LSH candidate pairs."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    out = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> DataFrame:
+    """Per-document SimHash rendered as an n-bit 0/1 string.
+
+    Bit j is the majority vote over the distinct tokens: a token votes
+    +1 iff hex nibble j of md5(token) has its high bit set (digit in
+    '89abcdef'), and the bit is 1 when +1 votes win strictly. Pure
+    array-filter + length arithmetic — single scan, no shuffle, and
+    portable to any engine with md5 (the DuckDB oracle mirrors it).
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+
+    def vote(j: int):
+        # single-arg lambda: a 2-arg lambda would receive the element INDEX
+        # as its second argument from F.filter
+        return lambda t: F.instr(F.lit("89abcdef"), F.md5(t).substr(j, 1)) > 0
+
+    exprs = []
+    for j in range(1, n_bits + 1):
+        hi = F.size(F.filter(toks, vote(j)))
+        exprs.append(F.when(hi * 2 > F.size(toks), F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.concat(*exprs).alias("simhash"))

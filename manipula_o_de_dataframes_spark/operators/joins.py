@@ -1,0 +1,76 @@
+"""Joins (SURVEY.md §2.4, J1–J5).
+
+Scale posture: the reference's dimensions are small (10k rows) — every
+enrichment join here takes an explicit ``broadcast()`` hint so the plan
+is a BroadcastHashJoin with zero shuffle of the fact side, which is the
+correct physical strategy at 100 TB of facts too (dim stays ≤ MBs).
+Catalyst would often pick this anyway under the 10 MB auto-broadcast
+threshold, but the hint pins it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def inner(facts: DataFrame, dim: DataFrame, on, broadcast_dim: bool = True) -> DataFrame:
+    """J1: equi inner join (pd.merge(..., how='inner'), APC:180, MAC:35-41)."""
+    return facts.join(F.broadcast(dim) if broadcast_dim else dim, on, "inner")
+
+
+def left(facts: DataFrame, dim: DataFrame, on, broadcast_dim: bool = True) -> DataFrame:
+    """J2: equi left outer join (pd.merge(..., how='left'), APC:162-167)."""
+    return facts.join(F.broadcast(dim) if broadcast_dim else dim, on, "left")
+
+
+def left_unique(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    order_by: list,
+    attrs: list[str],
+) -> DataFrame:
+    """J3: dedupe-then-left-join (enrich with exactly one row per key).
+
+    Reference dedups the build side with drop_duplicates (keeps first in
+    row order, APC:109); Spark pins "first" with row_number over
+    ``order_by`` for determinism, then broadcast-left-joins.
+    """
+    w = Window.partitionBy(key).orderBy(*order_by)
+    one = (
+        dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, *attrs)
+    )
+    return facts.join(F.broadcast(one), key, "left")
+
+
+def enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    defaults: dict[str, object],
+) -> DataFrame:
+    """J4: broadcast enrichment with defaults for unmatched keys.
+
+    The reference hand-rolls this as a python dict build + per-row probe
+    with fallback attrs (build MAC:284-290, probe MAC:323-348, defaults
+    ABC='C'/empty strings MAC:345-348). In Spark it is a broadcast LEFT
+    join + coalesce(col, default) — left-join-plus-fill, not inner.
+    """
+    joined = facts.join(F.broadcast(dim), key, "left")
+    return joined.withColumns(
+        {c: F.coalesce(F.col(c), F.lit(d)) for c, d in defaults.items() if c in joined.columns}
+    )
+
+
+def unmatched_keys(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """J5/Q3: anti-join diagnostic — fact keys absent from the dimension.
+
+    Reference: set(facts.key) - set(dim.key) → count/pct (MAC:746-755).
+    Distinct-then-anti keeps the shuffle on the (small) distinct key set.
+    """
+    return (
+        facts.select(key).distinct().join(F.broadcast(dim.select(key).distinct()), key, "left_anti")
+    )

@@ -1,0 +1,98 @@
+"""Multimodal (binary) column plumbing (north-star surface).
+
+Images/audio/video are opaque ``binary`` payload columns with a typed
+metadata struct alongside. The Spark-side plumbing — schema, Arrow batch
+shape, ``mapInPandas`` signatures, partition sizing — is real and
+tested; the actual media decode is STUBBED (the container ships no
+image/audio libs): ``decode_features`` computes deterministic
+pseudo-features from the bytes, and ``decode_real`` raises
+NotImplementedError where a PIL/ffmpeg call would go.
+
+Scale shape: payloads stay in executor-side Arrow batches end-to-end
+(never collected), metadata-only queries prune the payload column at the
+parquet scan, and per-batch work is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = "id long, payload binary, meta struct<n_bytes:long, digest:string, format:string>"
+FEATURE_SCHEMA = "id long, n_bytes long, digest string, width long, height long"
+
+
+def as_blob_table(df: DataFrame, id_col: str, bytes_src_col: str, fmt: str = "raw") -> DataFrame:
+    """Wrap a source column as (id, payload binary, meta struct).
+
+    In production the payload comes from ``spark.read.format
+    ("binaryFile")`` or a parquet binary column; here any string/binary
+    column becomes the payload so the plumbing is exercised on testdata.
+    """
+    payload = F.col(bytes_src_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+            F.lit(fmt).alias("format"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched pseudo-decode: bytes → deterministic fake features.
+
+    The real decode (PIL.Image.open / av.open) is stubbed; width/height
+    are fixed arithmetic on the byte length so the full mapInPandas
+    pipeline — schema in, Arrow batches through, schema out — runs and
+    verifies against a SQL oracle.
+    """
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n.astype("int64"),
+                    "digest": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+                    "width": (n % 640).astype("int64"),
+                    "height": ((n * 7) % 480).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def decode_real(blobs: DataFrame) -> DataFrame:  # pragma: no cover
+    """Where the real media decode goes (PIL / torchaudio / PyAV).
+
+    Kept as an explicit stub: the execution container has no media
+    libraries; swap ``decode_features``'s batch fn for one that opens
+    each payload when they are available.
+    """
+    raise NotImplementedError(
+        "media decode libs (PIL/av) are not installed in this container; "
+        "use decode_features (deterministic stub) — the Spark plumbing is identical"
+    )
+
+
+def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan* shape: explode K pseudo-frames per blob.
+
+    Demonstrates the fan-out pattern (one blob row → many frame rows)
+    with deterministic fakes standing in for actual frame extraction.
+    """
+    n_frames = (F.col("meta.n_bytes") % 30 + 1).cast("int")
+    return blobs.select(
+        "id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_f"),
+    ).filter(F.col("frame_idx") % every_n == 0).select("id", "frame_idx")

@@ -1,0 +1,353 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per query in queries.py.
+
+The driver runs each Spark query AND its oracle on the same parquet
+tables (views: region nation customer supplier part orders lineitem
+events documents embeddings) and compares row count + schema +
+order-insensitive value hash. Parity rules mirrored from queries.py:
+decimal sums, explicit tie-breaks, BIGINT counts, string-rendered
+timestamps, md5-based hashing (engine-portable by construction).
+"""
+
+from __future__ import annotations
+
+__all__ = ["ORACLES"]
+
+
+def _brl(expr: str) -> str:
+    """Mirror of functions.formatting.brl: exact-decimal '{:,.2f}'."""
+    d = f"CAST({expr} AS DECIMAL(18,2))"
+    return (
+        f"'R$ ' || (CASE WHEN {d} < 0 THEN '-' ELSE '' END"
+        f" || format('{{:,}}', CAST(trunc(abs({d})) AS BIGINT))"
+        f" || '.' || lpad(CAST(CAST(abs({d}) * 100 % 100 AS BIGINT) AS VARCHAR), 2, '0'))"
+    )
+
+
+def _pct(expr: str) -> str:
+    """Mirror of functions.formatting.pct."""
+    d = f"CAST({expr} AS DECIMAL(18,2))"
+    return (
+        f"(CASE WHEN {d} < 0 THEN '-' ELSE '' END"
+        f" || format('{{:,}}', CAST(trunc(abs({d})) AS BIGINT))"
+        f" || '.' || lpad(CAST(CAST(abs({d}) * 100 % 100 AS BIGINT) AS VARCHAR), 2, '0')) || '%'"
+    )
+
+
+def _dot(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dims}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"round({_dot(a, b, dims)} / "
+        f"(sqrt({_dot(a, a, dims)}) * sqrt({_dot(b, b, dims)})), 9)"
+    )
+
+
+def _sign_bucket(vec: str, n_bits: int = 6) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
+    )
+    return f"({bits})"
+
+
+# Shared CTEs: word 3-shingles + 4-hash MinHash signature (mirror of
+# operators.dedup.shingles/minhash: lexicographic MIN of seeded md5).
+_SHINGLES_CTE = """
+shing AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
+    i -> array_to_string((str_split(text, ' '))[i:i+2], ' ')
+  )) AS sh
+  FROM documents
+)"""
+
+_SIG_CTE = (
+    _SHINGLES_CTE
+    + """,
+sig AS (
+  SELECT doc_id,
+    list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+    list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+    list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+    list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+  FROM shing
+)"""
+)
+
+_STOPWORDS_SQL = "('the','a','and','of','to','in','is')"
+
+_UNION_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS data
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def _simhash_bits(n_bits: int = 16) -> str:
+    parts = [
+        f"(CASE WHEN 2 * len(list_filter(toks, t -> strpos('89abcdef', substr(md5(t), {j}, 1)) > 0)) > len(toks) THEN '1' ELSE '0' END)"
+        for j in range(1, n_bits + 1)
+    ]
+    return " || ".join(parts)
+
+
+def _lang_hits(markers: tuple[str, ...]) -> str:
+    inlist = ",".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(str_split(text, ' '), t -> t IN ({inlist})))"
+
+
+_H_EN = _lang_hits(("the", "a", "and"))
+_H_ES = _lang_hits(("el", "la", "de"))
+_H_DE = _lang_hits(("der", "die", "und"))
+
+
+ORACLES: dict[str, str] = {
+    # --- reference surface --------------------------------------------------
+    "abc_classification": """
+WITH fact AS (
+  SELECT o.o_custkey AS cliente, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS val
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), tot AS (
+  SELECT cliente, SUM(val) AS total_dec FROM fact GROUP BY cliente
+), w AS (
+  SELECT cliente, total_dec,
+    CAST(SUM(total_dec) OVER () AS DOUBLE) AS grand,
+    CAST(SUM(total_dec) OVER (ORDER BY total_dec DESC, cliente
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+    CAST(RANK() OVER (ORDER BY total_dec DESC) AS BIGINT) AS ranking
+  FROM tot
+)
+SELECT w.cliente, c.c_name AS nome_cliente,
+  CAST(total_dec AS DOUBLE) AS valor_total,
+  CAST(total_dec AS DOUBLE) / grand * 100 AS percentual,
+  cum / grand * 100 AS percentual_acumulado,
+  CASE WHEN cum / grand * 100 <= 80 THEN 'A'
+       WHEN cum / grand * 100 <= 95 THEN 'B' ELSE 'C' END AS abc,
+  ranking
+FROM w JOIN customer c ON w.cliente = c.c_custkey
+""",
+    "pending_by_week": """
+SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS semana,
+  CAST(COUNT(*) AS BIGINT) AS n_pendentes,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_clientes,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+""",
+    "product_client_history": """
+WITH fact AS (
+  SELECT p.p_brand AS subgrupo, l.l_partkey AS produto, o.o_custkey AS cliente,
+         strftime(l.l_shipdate, '%Y-%m-%d') AS dt,
+         l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY subgrupo, produto, cliente
+            ORDER BY dt DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM fact
+)
+SELECT subgrupo, produto, cliente,
+  string_agg(dt, ',' ORDER BY dt, l_orderkey, l_linenumber) AS datas,
+  string_agg(CAST(l_quantity AS VARCHAR), ',' ORDER BY dt, l_orderkey, l_linenumber) AS quantidades,
+  MAX(dt) AS ultima_data,
+  MAX(CASE WHEN rn = 1 THEN l_returnflag END) AS ultimo_consultor,
+  CAST(COUNT(*) AS BIGINT) AS n_interacoes,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qtd
+FROM ranked GROUP BY subgrupo, produto, cliente
+""",
+    "customer_multi_agg": """
+SELECT c_mktsegment AS segmento,
+  CAST(COUNT(*) AS BIGINT) AS n_clientes,
+  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_paises,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS saldo_total,
+  MIN(c_acctbal) AS saldo_min,
+  MAX(c_acctbal) AS saldo_max,
+  min_by(c_name, c_custkey) AS primeiro_cliente
+FROM customer GROUP BY 1
+""",
+    "first_order_per_customer": """
+SELECT cliente, primeira_data, primeiro_pedido FROM (
+  SELECT o_custkey AS cliente,
+         strftime(o_orderdate, '%Y-%m-%d') AS primeira_data,
+         o_orderkey AS primeiro_pedido,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    "dedup_keep_first": """
+SELECT l_partkey, l_suppkey, dt, l_orderkey, l_linenumber FROM (
+  SELECT l_partkey, l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS dt,
+         l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+           ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+    "anti_join_unmatched": """
+SELECT DISTINCT l_partkey FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)
+""",
+    "enrich_left_join": """
+SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
+  COALESCE(p.p_brand, 'SEM CADASTRO') AS marca,
+  COALESCE(p.p_type, '') AS tipo
+FROM lineitem l
+LEFT JOIN (SELECT p_partkey, p_brand, p_type FROM part WHERE p_size <= 25) p
+  ON l.l_partkey = p.p_partkey
+""",
+    "dynamic_filters": """
+SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS data,
+       o.o_totalprice, c.c_name AS nome_cliente
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F' AND c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate BETWEEN '1996-01-01' AND '1997-12-31'
+""",
+    "paginate_orders": """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn > 50 AND rn <= 75
+""",
+    "top_k_customers": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+""",
+    "union_by_name": _UNION_SQL,
+    "null_diagnostics": f"""
+WITH u AS ({_UNION_SQL})
+SELECT CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT) AS o_totalprice_nulls,
+       CAST(COUNT(CASE WHEN data IS NULL THEN 1 END) AS BIGINT) AS data_nulls,
+       CAST(COUNT(*) AS BIGINT) AS total_rows
+FROM u
+""",
+    "all_equal_collapse": """
+SELECT l_orderkey AS pedido,
+  CASE WHEN COUNT(DISTINCT l_returnflag) = 1 THEN MIN(l_returnflag) END AS flag_unico,
+  string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""",
+    "format_currency": f"""
+SELECT c_custkey,
+  {_brl("c_acctbal")} AS saldo_brl,
+  {_pct("c_acctbal / 100")} AS saldo_pct
+FROM customer WHERE c_custkey <= 50
+""",
+    "distinct_combinations": """
+SELECT DISTINCT p_brand AS marca, p_type AS tipo FROM part
+""",
+    "sorted_distinct_weeks": """
+SELECT DISTINCT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS semana
+FROM orders ORDER BY semana
+""",
+    "projection_ops": f"""
+SELECT p_partkey, p_name AS nome,
+  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 11 AS DOUBLE) / 10 AS preco_com_taxa,
+  {_brl("p_retailprice")} AS preco_brl
+FROM part
+""",
+    "events_summary": """
+SELECT event_type AS tipo,
+  CAST(COUNT(*) AS BIGINT) AS n_eventos,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_usuarios,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor_total,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS primeiro,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ultimo
+FROM events GROUP BY 1
+""",
+    # --- north-star LLM-pipeline surface -------------------------------------
+    "text_stats": f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_char,
+    CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS DOUBLE) AS n_stop,
+    {_H_EN} AS h_en, {_H_ES} AS h_es, {_H_DE} AS h_de
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  round(least(
+      least((n_char - (n_tok - 1.0)) / n_tok / 8.0, 1.0) * 0.4
+      + n_stop / n_tok * 2.0 * 0.3
+      + least(n_char / 500.0, 1.0) * 0.3,
+    1.0), 9) AS qualidade,
+  CASE WHEN greatest(h_de, h_en, h_es) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es THEN 'de'
+       WHEN h_en >= h_es THEN 'en'
+       ELSE 'es' END AS idioma_pred,
+  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint
+FROM t
+""",
+    "doc_dedup_exact": """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+    "minhash_signatures": f"""
+WITH {_SIG_CTE}
+SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig
+""",
+    "near_dup_jaccard": f"""
+WITH {_SIG_CTE},
+bands AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3,
+         unnest(['0|' || mh0, '1|' || mh1, '2|' || mh2, '3|' || mh3]) AS band
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT)
+       + CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT) AS BIGINT) AS n_agree
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, p.n_agree,
+  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 9) AS jaccard
+FROM pairs p
+JOIN shing sa ON sa.doc_id = p.id_a
+JOIN shing sb ON sb.doc_id = p.id_b
+""",
+    "simhash": f"""
+WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents)
+SELECT doc_id, {_simhash_bits(16)} AS simhash FROM t
+""",
+    "embedding_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, {_cos("e.embedding", "q.qv")} AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+    "embedding_lsh_buckets": f"""
+SELECT {_sign_bucket("embedding")} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings GROUP BY 1
+""",
+    "embedding_lsh_topk": f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket("embedding")} AS bucket FROM embeddings
+), q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, {_cos("e.embedding", "q.qv")} AS cos_sim
+  FROM b e, q WHERE e.bucket = q.qb AND e.vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+    "multimodal_features": """
+SELECT doc_id AS id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS digest,
+  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+FROM documents
+""",
+}

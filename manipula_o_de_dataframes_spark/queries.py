@@ -1,0 +1,311 @@
+"""The engine's query surface — one callable per SURVEY.md §2 operator.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame on
+the driver's TPC-H-ish testdata (FIXTURES.md §4 mapping). Every computed
+column is aliased to match the DuckDB oracle in ``oracles.py`` exactly
+(the driver's compare sorts columns by name before value-hashing).
+
+Determinism rules used throughout (SURVEY §7 "hard" list):
+- money/quantity sums go through DECIMAL(18,2) (exact ⇒ partitioning-
+  independent) and come back as double;
+- every first/last/keep-first pins an explicit total order;
+- counts/ranks are cast to long (BIGINT in the oracle);
+- timestamps are rendered as strings at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.formatting import MONEY, brl, dsum, pct
+from .functions.text import fingerprint, lang_id, quality_score, token_count
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators.aggregates import all_equal_collapse, first_by
+from .operators.cleaning import dedupe_rows
+from .operators.filters import dynamic as dynamic_filter
+from .operators.joins import enrich, unmatched_keys
+from .operators.sets import union_by_name
+from .operators.sorting import paginate, sorted_distinct, top_k
+from .plans.abc import abc_classification
+from .plans.history import product_client_history
+from .plans.pending import pending_by_week
+from .sources.io import read_table
+
+__all__ = ["QUERIES"]
+
+
+# --- reference-surface queries (SURVEY §2) ---------------------------------
+
+
+def q_customer_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4/A5/A6 + deterministic pandas-'first' (min_by on explicit order)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segmento")).agg(
+        F.count(F.lit(1)).alias("n_clientes"),
+        F.countDistinct("c_nationkey").alias("n_paises"),
+        dsum("c_acctbal").alias("saldo_total"),
+        F.min("c_acctbal").alias("saldo_min"),
+        F.max("c_acctbal").alias("saldo_max"),
+        F.min_by("c_name", F.col("c_custkey")).alias("primeiro_cliente"),
+    )
+
+
+def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/J3: deterministic keep-first — earliest order per customer."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"), "o_orderkey"
+    )
+    return o.groupBy(F.col("o_custkey").alias("cliente")).agg(
+        first_by("dt", ["dt", "o_orderkey"]).alias("primeira_data"),
+        first_by("o_orderkey", ["dt", "o_orderkey"]).alias("primeiro_pedido"),
+    )
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 (deterministic): one lineitem per (partkey, suppkey), first by ship order."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("dt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return dedupe_rows(li, ["l_partkey", "l_suppkey"], ["dt", "l_orderkey", "l_linenumber"])
+
+
+def q_anti_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/U2: distinct fact keys absent from a (filtered) dimension."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return unmatched_keys(li, dim.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
+
+
+def q_enrich_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4: broadcast left enrich with defaults for unmatched keys."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    dim = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select(
+            F.col("p_partkey").alias("l_partkey"),
+            F.col("p_brand").alias("marca"),
+            F.col("p_type").alias("tipo"),
+        )
+    )
+    return enrich(li, dim, "l_partkey", {"marca": "SEM CADASTRO", "tipo": ""})
+
+
+def q_dynamic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: sidebar-style spec filters + date range, pushed to the scan."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    filtered = dynamic_filter(
+        joined,
+        {"o_orderstatus": "F", "c_mktsegment": "BUILDING", "o_orderpriority": "Todos"},
+    ).filter(F.col("o_orderdate").between("1996-01-01", "1997-12-31"))
+    return filtered.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("data"),
+        "o_totalprice",
+        F.col("c_name").alias("nome_cliente"),
+    )
+
+
+def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: page 3 (size 25) under the stable order (totalprice desc, key)."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return paginate(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], page=3, page_size=25)
+
+
+def q_top_k_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-k: 10 richest customers, tie-broken by key."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return top_k(c, [F.col("c_acctbal").desc(), F.col("c_custkey")], 10)
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: by-name union of frames with different column sets (null fill)."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("data"),
+    )
+    return union_by_name(a, b)
+
+
+def q_null_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/F6: per-column null counts in one pass (over the U1 union)."""
+    u = q_union_by_name(spark, sf_dir)
+    return u.agg(
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("o_totalprice_nulls"),
+        F.count(F.when(F.col("data").isNull(), 1)).alias("data_nulls"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+def q_all_equal_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: scalar-or-list collapse — scalar iff the group is uniform."""
+    li = read_table(spark, sf_dir, "lineitem")
+    collapsed, full = all_equal_collapse("l_returnflag")
+    return li.groupBy(F.col("l_orderkey").alias("pedido")).agg(
+        collapsed.alias("flag_unico"),
+        F.array_join(full, ",").alias("flags"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_format_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: BRL currency + percent rendering (exact-decimal grouping)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.select(
+        "c_custkey",
+        brl("c_acctbal").alias("saldo_brl"),
+        pct(F.col("c_acctbal") / 100).alias("saldo_pct"),
+    )
+
+
+def q_distinct_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/O4: distinct (brand, type) combinations, plus sorted distinct check."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(F.col("p_brand").alias("marca"), F.col("p_type").alias("tipo")).distinct()
+
+
+def q_sorted_distinct_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: sorted distinct values (the AP:95 'semanas' dropdown)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("semana")
+    )
+    return sorted_distinct(o, "semana")
+
+
+def q_projection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P5: select/rename/computed column in one projection."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").alias("nome"),
+        ((F.col("p_retailprice").cast(MONEY) * 11).cast("double") / 10).alias("preco_com_taxa"),
+        brl("p_retailprice").alias("preco_brl"),
+    )
+
+
+def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rollup: per-type counts, distinct users, exact value sum."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("tipo")).agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.countDistinct("user_id").alias("n_usuarios"),
+        dsum("value").alias("valor_total"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("primeiro"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("ultimo"),
+    )
+
+
+# --- north-star LLM-pipeline queries ----------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, quality score, language-ID, fingerprint."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 9).alias("qualidade"),
+        lang_id("text").alias("idioma_pred"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 min-wise hashes over 3-word shingles)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.minhash_signature(d, "text", "doc_id", n_hashes=4)
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact n-gram Jaccard verify on candidates."""
+    d = read_table(spark, sf_dir, "documents")
+    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=4, min_matches=1)
+    jac = dd.jaccard_pairs(d, "text", "doc_id", cands.select("id_a", "id_b", "n_agree"))
+    return cands.join(jac, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit fingerprints over distinct tokens."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.simhash(d, "text", "doc_id", n_bits=16)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (exact ANN baseline)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, "embedding", "vec_id", query_id=0, k=10)
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket occupancy (the ANN selectivity/recall view)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim.bucket_histogram(e, "embedding", n_bits=6)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: search only the query's sign-LSH bucket."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(e, "embedding", "vec_id", query_id=0, k=10, n_bits=6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: blob wrap → Arrow-batched pseudo-decode."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = mm.as_blob_table(d, "doc_id", "text")
+    return mm.decode_features(blobs)
+
+
+QUERIES = {
+    "abc_classification": abc_classification,
+    "pending_by_week": pending_by_week,
+    "product_client_history": product_client_history,
+    "customer_multi_agg": q_customer_multi_agg,
+    "first_order_per_customer": q_first_order_per_customer,
+    "dedup_keep_first": q_dedup_keep_first,
+    "anti_join_unmatched": q_anti_join_unmatched,
+    "enrich_left_join": q_enrich_left_join,
+    "dynamic_filters": q_dynamic_filters,
+    "paginate_orders": q_paginate_orders,
+    "top_k_customers": q_top_k_customers,
+    "union_by_name": q_union_by_name,
+    "null_diagnostics": q_null_diagnostics,
+    "all_equal_collapse": q_all_equal_collapse,
+    "format_currency": q_format_currency,
+    "distinct_combinations": q_distinct_combinations,
+    "sorted_distinct_weeks": q_sorted_distinct_weeks,
+    "projection_ops": q_projection_ops,
+    "events_summary": q_events_summary,
+    "text_stats": q_text_stats,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}

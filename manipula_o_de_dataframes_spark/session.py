@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow the public Spark guidance: shuffle partitions
+sized to cores (not the 200 default), AQE enabled for runtime coalescing
+and skew-join handling, Arrow enabled for the pandas-UDF slow path, and a
+UTC session timezone so timestamp rendering matches a UTC-naive oracle
+(DuckDB) bit-for-bit.
+
+At cluster scale the same builder applies minus ``master``; AQE +
+broadcast thresholds are the knobs that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "manipula_o_de_dataframes_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    parts = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,139 @@
+"""Sources & sinks (SURVEY.md §2.1, S1–S9).
+
+Parquet is the scale path (the driver's testdata is parquet); the Excel
+surface of the reference (``pd.read_excel`` at AP:12 / APC:37 / MAC:210)
+is an edge adapter: reference inputs are ≤ tens of MB, so an Excel read
+happens driver-side via pandas → ``createDataFrame`` and immediately
+becomes a distributed DataFrame. Everything downstream is engine-agnostic.
+
+Reference parity citations (files under
+``/root/reference/Manipulação de Dataframes/``):
+
+- S1 plain scan          — analise_pendentes.py:12, análise_produtos_clientes.py:37
+- S2 sheet-name scan     — análise_produtos_clientes.py:150
+- S3 header-row select   — manipulacao-analise-comercial.py:149-158
+- S4 header-only probe   — manipulacao-analise-comercial.py:142
+- S5 preview scan        — manipulacao-analise-comercial.py:174
+- S6 ordered multi-file  — analise_pendentes.py:29-48
+- S8 Excel sink          — analise_pendentes.py:110-114
+- S9 in-memory records   — análise_produtos_clientes.py:301
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: scan one parquet table from a scale-factor directory.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects; read it with ``nanosAsLong`` and convert to a
+    microsecond TIMESTAMP_NTZ (truncating like DuckDB does). NTZ keeps
+    rendering independent of the session timezone.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Scan several tables at once (all lazy — no I/O until an action)."""
+    return {n: read_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | int = 0,
+    header: int = 0,
+) -> DataFrame:
+    """S1/S2/S3: Excel scan with sheet + header-row selection.
+
+    Reference: pd.read_excel(file) AP:12; sheet name APC:150; header row
+    MAC:149-158 (user-selectable 0–10 — "row N becomes the schema").
+    Driver-side pandas read, then distributed. Gated behind an import-try
+    because openpyxl may be absent in the execution container.
+    """
+    try:
+        import pandas as pd  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pandas unavailable for the Excel edge adapter") from exc
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name, header=header)
+    except ImportError as exc:  # openpyxl missing
+        raise NotImplementedError(
+            "Excel engine (openpyxl) not installed in this container; "
+            "use parquet (the scale path)"
+        ) from exc
+    pdf.columns = [str(c) for c in pdf.columns]
+    return spark.createDataFrame(pdf)
+
+
+def header_probe(df: DataFrame) -> list[str]:
+    """S4: column names without reading data (pd.read_excel(nrows=0), MAC:142)."""
+    return list(df.columns)
+
+
+def preview(df: DataFrame, n: int = 5) -> DataFrame:
+    """S5: first-n preview scan (MAC:174)."""
+    return df.limit(n)
+
+
+def read_ordered_snapshots(
+    spark: SparkSession,
+    paths: list[str],
+    label_col: str = "semana",
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """S6: ordered multi-file scan with a position-derived label column.
+
+    Reference: analise_pendentes.py:29-48 — file position idx becomes a
+    "Semana" column (idx 0 → "Semana Atual", idx N → "Semana -N"), then
+    all frames concat by NAME with missing columns null-filled (AP:48).
+
+    Spark shape: per-file read + explicit file→label map + unionByName
+    (allowMissingColumns=True). The label must come from the *user's file
+    order*, which input_file_name() cannot provide — hence per-file reads.
+    At scale each read is still a distributed parquet scan; the union is
+    a zero-shuffle plan node.
+    """
+    if labels is None:
+        labels = ["Semana Atual"] + [f"Semana -{i}" for i in range(1, len(paths))]
+    frames = [
+        spark.read.parquet(p).withColumn(label_col, F.lit(lab))
+        for p, lab in zip(paths, labels)
+    ]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def write_excel(df: DataFrame, path: str) -> str:
+    """S8: Excel sink for small (post-aggregation) results (AP:110-114).
+
+    Driver-side: collect → pandas → xlsx. Guarded for missing engine.
+    """
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, index=False)
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("Excel writer (openpyxl) not installed") from exc
+    return path
+
+
+def from_records(spark: SparkSession, records: list[dict], schema=None) -> DataFrame:
+    """S9: in-memory record source (pd.DataFrame(list_of_dicts), APC:301)."""
+    return spark.createDataFrame(records, schema=schema)

@@ -1,0 +1,102 @@
+"""Unit tests for the LLM-pipeline operators: dedup, similarity,
+multimodal plumbing, text analytics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.functions.text import lang_id, token_count
+from manipula_o_de_dataframes_spark.operators import multimodal as mm
+from manipula_o_de_dataframes_spark.operators import similarity as sim
+from manipula_o_de_dataframes_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    near_dup_pairs,
+    shingles,
+)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 2]
+
+
+def test_shingles_short_text_fallback(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(shingles("text").alias("sh")).collect()[0]["sh"]
+    assert out == ["a b"]
+
+
+def test_near_dup_finds_near_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = near_dup_pairs(df, "text", "doc_id").collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "text", "doc_id",
+            near_dup_pairs(df, "text", "doc_id").select("id_a", "id_b", "n_agree"),
+        ).collect()
+    }
+    assert jac[(1, 2)] > 0.8
+
+
+def test_cosine_self_similarity_is_one(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["cos_sim"] for r in
+           sim.brute_force_topk(df, "embedding", "vec_id", 0, k=2).collect()}
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(-1.0)
+
+
+def test_sign_bucket_groups_same_orthant(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -1.0, 1.0]), (1, [2.0, -0.5, 3.0]), (2, [-1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.lsh_topk(df, "embedding", "vec_id", 0, k=5, n_bits=3).collect()
+    assert [r["vec_id"] for r in out] == [1]  # vec 2 is in another bucket
+
+
+def test_multimodal_decode_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    blobs = mm.as_blob_table(df, "doc_id", "text")
+    feats = mm.decode_features(blobs).collect()[0]
+    assert feats["n_bytes"] == 11
+    assert feats["width"] == 11 and feats["height"] == 77
+    assert blobs.schema["meta"].dataType.fieldNames() == ["n_bytes", "digest", "format"]
+
+
+def test_multimodal_decode_real_is_explicit_stub(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(mm.as_blob_table(df, "doc_id", "text"))
+
+
+def test_frame_sample_plan_fanout(spark):
+    df = spark.createDataFrame([(1, "x" * 35)], "doc_id long, text string")
+    blobs = mm.as_blob_table(df, "doc_id", "text")
+    frames = mm.frame_sample_plan(blobs, every_n=2).collect()
+    # 35 bytes → 35 % 30 + 1 = 6 frames → sampled idx 0,2,4
+    assert [r["frame_idx"] for r in frames] == [0, 2, 4]
+
+
+def test_lang_id_and_tokens(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("el perro la casa de",), ("xyz qrs",)],
+        "text string",
+    )
+    rows = df.select(lang_id("text").alias("l"), token_count("text").alias("n")).collect()
+    assert [r["l"] for r in rows] == ["en", "es", "und"]
+    assert rows[0]["n"] == 5

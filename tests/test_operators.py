@@ -1,0 +1,167 @@
+"""Unit tests for the semantic trap cases flagged in SURVEY.md §2/§7:
+deterministic keep-first, by-name union alignment, rank ties, ABC
+threshold edges, all-equal collapse, currency rendering, enrich
+defaults, pagination disjointness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.functions.formatting import brl, pct, week_label
+from manipula_o_de_dataframes_spark.operators.aggregates import (
+    all_equal_collapse,
+    first_by,
+    last_by,
+    ordered_list,
+)
+from manipula_o_de_dataframes_spark.operators.cleaning import (
+    backfill_columns,
+    clean,
+    dedupe_column_names,
+    dedupe_rows,
+    prune_unnamed,
+)
+from manipula_o_de_dataframes_spark.operators.joins import enrich, left_unique
+from manipula_o_de_dataframes_spark.operators.sets import union_by_name
+from manipula_o_de_dataframes_spark.operators.sorting import paginate
+from manipula_o_de_dataframes_spark.operators.windows import abc_bucket
+
+
+def test_prune_and_dedupe_column_names(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)], ["Unnamed: 0", "UF", "UF.1", "Cidade"]
+    )
+    out = dedupe_column_names(prune_unnamed(df))
+    # Unnamed dropped; UF.1 NOT renamed (UF taken); order preserved
+    assert out.columns == ["UF", "UF.1", "Cidade"]
+    df2 = spark.createDataFrame([(1, 2)], ["Valor.1", "Cidade"])
+    assert dedupe_column_names(df2).columns == ["Valor", "Cidade"]
+
+
+def test_backfill_columns(spark):
+    df = spark.createDataFrame([(1,)], ["a"])
+    out = backfill_columns(df, {"a": "", "b": "", "c": 0})
+    assert set(out.columns) == {"a", "b", "c"}
+    row = out.collect()[0]
+    assert row["b"] == "" and row["c"] == 0
+
+
+def test_dedupe_rows_keeps_first_in_explicit_order(spark):
+    df = spark.createDataFrame(
+        [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("j", 9, "z")],
+        ["key", "ord", "val"],
+    )
+    out = dedupe_rows(df, ["key"], [F.col("ord")]).orderBy("key").collect()
+    assert [(r["key"], r["val"]) for r in out] == [("j", "z"), ("k", "a")]
+
+
+def test_clean_pipeline(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", "p1", "2024-01-02", 5.0, "x"),
+            ("c1", "p1", "2024-01-02", 7.0, "y"),  # dup key, later order
+            (None, None, None, None, "junk"),  # all-null keys
+        ],
+        ["Cliente", "Produto", "Dt", "Valor", "Unnamed: 9"],
+    )
+    out = clean(
+        df,
+        keys=["Cliente", "Produto", "Dt"],
+        order_by=[F.col("Valor")],
+        fill_zero=["Valor"],
+        date_cols=["Dt"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["Valor"] == 5.0
+    assert "Unnamed: 9" not in out.columns
+
+
+def test_union_by_name_null_fill(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2, 9.5)], ["id", "only_b"])
+    out = union_by_name(a, b).orderBy("id").collect()
+    assert out[0]["only_b"] is None and out[1]["only_a"] is None
+
+
+def test_first_last_by_with_ties(spark):
+    df = spark.createDataFrame(
+        [("g", "2024-01-01", 2, "b"), ("g", "2024-01-01", 1, "a"), ("g", "2024-02-01", 3, "c")],
+        ["g", "dt", "seq", "v"],
+    )
+    out = df.groupBy("g").agg(
+        first_by("v", ["dt", "seq"]).alias("first"),
+        last_by("v", ["dt", "seq"]).alias("last"),
+    ).collect()[0]
+    assert out["first"] == "a" and out["last"] == "c"
+
+
+def test_ordered_list_is_order_stable(spark):
+    df = spark.createDataFrame(
+        [("g", 3, "c"), ("g", 1, "a"), ("g", 2, "b")], ["g", "ord", "v"]
+    ).repartition(4)
+    out = df.groupBy("g").agg(ordered_list("v", ["ord"]).alias("xs")).collect()[0]
+    assert out["xs"] == ["a", "b", "c"]
+
+
+def test_all_equal_collapse(spark):
+    df = spark.createDataFrame(
+        [("u", "same"), ("u", "same"), ("m", "x"), ("m", "y")], ["g", "v"]
+    )
+    collapsed, full = all_equal_collapse("v")
+    out = {
+        r["g"]: (r["c"], r["xs"])
+        for r in df.groupBy("g").agg(collapsed.alias("c"), full.alias("xs")).collect()
+    }
+    assert out["u"] == ("same", ["same", "same"])
+    assert out["m"][0] is None and out["m"][1] == ["x", "y"]
+
+
+def test_abc_bucket_threshold_edges(spark):
+    df = spark.createDataFrame(
+        [(79.99,), (80.0,), (80.01,), (95.0,), (95.01,)], ["cum"]
+    )
+    got = [r["b"] for r in df.select(abc_bucket("cum").alias("b")).collect()]
+    assert got == ["A", "A", "B", "B", "C"]
+
+
+def test_brl_pct_rendering(spark):
+    df = spark.createDataFrame([(1234567.891,), (-0.5,), (None,)], "v double")
+    rows = df.select(brl("v").alias("b"), pct("v").alias("p")).collect()
+    assert rows[0]["b"] == "R$ 1,234,567.89"
+    assert rows[1]["b"] == "R$ -0.50"
+    assert rows[2]["b"] == ""
+    assert rows[0]["p"] == "1,234,567.89%"
+
+
+def test_week_label(spark):
+    df = spark.createDataFrame([(0,), (3,)], "idx int")
+    got = [r["w"] for r in df.select(week_label("idx").alias("w")).collect()]
+    assert got == ["Semana Atual", "Semana -3"]
+
+
+def test_enrich_defaults_unmatched(spark):
+    facts = spark.createDataFrame([(1,), (2,)], "k long")
+    dim = spark.createDataFrame([(1, "A")], "k long, abc string")
+    out = {r["k"]: r["abc"] for r in enrich(facts, dim, "k", {"abc": "C"}).collect()}
+    assert out == {1: "A", 2: "C"}
+
+
+def test_left_unique_picks_deterministic_row(spark):
+    facts = spark.createDataFrame([(1,)], "k long")
+    dim = spark.createDataFrame(
+        [(1, "late", 2), (1, "early", 1)], "k long, uf string, ord long"
+    )
+    out = left_unique(facts, dim, "k", [F.col("ord")], ["uf"]).collect()[0]
+    assert out["uf"] == "early"
+
+
+def test_paginate_pages_are_disjoint_and_ordered(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    order = [F.col("id")]
+    p1 = {r["id"] for r in paginate(df, order, 1, 30).collect()}
+    p2 = {r["id"] for r in paginate(df, order, 2, 30).collect()}
+    p4 = {r["id"] for r in paginate(df, order, 4, 30).collect()}
+    assert p1 == set(range(30)) and p2 == set(range(30, 60))
+    assert p4 == set(range(90, 100))  # last partial page

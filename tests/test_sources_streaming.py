@@ -1,0 +1,66 @@
+"""Ordered multi-file ingest (S6) and the Structured Streaming variant."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from manipula_o_de_dataframes_spark.sources.io import read_ordered_snapshots
+from manipula_o_de_dataframes_spark.streaming.pending_stream import (
+    pending_stream,
+    run_available_now,
+)
+
+
+def _write_snapshots(tmp_path):
+    """Three weekly snapshot files; file 3 lacks a column (AP:48 concat-by-name)."""
+    p1 = tmp_path / "w0.parquet"
+    p2 = tmp_path / "w1.parquet"
+    p3 = tmp_path / "w2.parquet"
+    pd.DataFrame(
+        {"proposta": [1, 2], "status": ["PENDENTE", "OK"], "valor": [10.0, 20.0]}
+    ).to_parquet(p1)
+    pd.DataFrame(
+        {"proposta": [1, 3], "status": ["PENDENTE", "PENDENTE"], "valor": [10.0, 30.0]}
+    ).to_parquet(p2)
+    pd.DataFrame({"proposta": [9], "status": ["PENDENTE"]}).to_parquet(p3)
+    return [str(p1), str(p2), str(p3)]
+
+
+def test_read_ordered_snapshots_labels_and_alignment(spark, tmp_path):
+    paths = _write_snapshots(tmp_path)
+    df = read_ordered_snapshots(spark, paths)
+    rows = df.collect()
+    labels = {r["semana"] for r in rows}
+    assert labels == {"Semana Atual", "Semana -1", "Semana -2"}
+    # missing 'valor' column in file 3 → null-filled by-name union
+    w2 = [r for r in rows if r["semana"] == "Semana -2"][0]
+    assert w2["valor"] is None and w2["proposta"] == 9
+
+
+def test_pending_stream_available_now(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "o_orderstatus": ["P", "P", "O"],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03"]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [10.0, 20.0, 99.0],
+            "o_custkey": [1, 2, 3],
+        }
+    ).to_parquet(src / "snap1.parquet")
+
+    schema = (
+        "o_orderstatus string, o_orderdate timestamp, o_totalprice double, o_custkey long"
+    )
+    result = pending_stream(spark, str(src), schema)
+    seen: list = []
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt")
+    )
+    run_available_now(result, lambda df, epoch: seen.extend(df.collect()))
+    assert seen, "stream produced no batches"
+    total = sum(r["n_pendentes"] for r in seen)
+    assert total == 2  # only the two PENDENTE rows
+    assert all(r["snapshot"] == "snap1.parquet" for r in seen)
