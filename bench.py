@@ -33,8 +33,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, codegen, parquet footer caches (small SF, not timed)
+    # warm-up: JVM, codegen, parquet footer caches, and the Python worker
+    # daemons used by mapInPandas (small SF, not timed)
     materialize(QUERIES["abc_classification"](spark, "/root/testdata/sf0.001"))
+    materialize(QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -58,13 +58,35 @@ def minhash(col, seed: int, k: int = SHINGLE_K) -> Column:
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 4) -> DataFrame:
     """Per-document MinHash signature (n_hashes min-wise hashes).
 
-    Single scan, single pass, no shuffle — the signature is ~n_hashes×32
+    ONE md5 per shingle: hash function i is the i-th disjoint 8-hex-char
+    (32-bit) slice of that digest — each slice is an independent uniform
+    hash of the shingle, so "min of slice i" is a valid min-wise family
+    at a quarter of the hashing cost of seed-prefixed digests (md5
+    dominates this operator's runtime). n_hashes ≤ 4 with md5's 32 hex
+    chars.
+
+    Single scan, single pass, no shuffle — the signature is ~n_hashes×8
     bytes per doc regardless of document size, which is what makes LSH
     dedup feasible at 100 TB (downstream stages never touch the text).
     """
-    return df.select(
+    assert n_hashes <= 4, "md5 yields 4 disjoint 32-bit slices"
+
+    def slice_of(s: int):
+        # single-arg lambda: a 2-arg lambda would receive the element index
+        return lambda h: h.substr(1 + 8 * s, 8)
+
+    # materialize the digest array in its own projection so the shingle
+    # md5s are computed once per row, not once per signature column
+    staged = df.select(
         F.col(id_col),
-        *[minhash(F.col(text_col), s).alias(f"mh{s}") for s in range(n_hashes)],
+        F.transform(shingles(F.col(text_col)), lambda s: F.md5(s)).alias("__hs"),
+    )
+    return staged.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("__hs"), slice_of(s))).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ],
     )
 
 
@@ -115,7 +137,12 @@ def near_dup_pairs(
 def jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, candidates: DataFrame
 ) -> DataFrame:
-    """Exact n-gram Jaccard, verified only on LSH candidate pairs."""
+    """Exact n-gram Jaccard, verified only on LSH candidate pairs.
+
+    Carries every candidate column through (e.g. n_agree) so the caller
+    gets one plan — no re-join against the candidate subtree, which
+    would execute the LSH stage twice.
+    """
     sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
     out = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -123,7 +150,7 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return out.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    return out.select(*candidates.columns, (inter / union).alias("jaccard"))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> DataFrame:
@@ -135,15 +162,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> Data
     array-filter + length arithmetic — single scan, no shuffle, and
     portable to any engine with md5 (the DuckDB oracle mirrors it).
     """
-    toks = F.array_distinct(tokens(F.col(text_col)))
-
     def vote(j: int):
         # single-arg lambda: a 2-arg lambda would receive the element INDEX
         # as its second argument from F.filter
-        return lambda t: F.instr(F.lit("89abcdef"), F.md5(t).substr(j, 1)) > 0
+        return lambda h: F.instr(F.lit("89abcdef"), h.substr(j, 1)) > 0
 
+    # hash each token ONCE in a staged projection; the per-bit votes read
+    # nibbles of the cached digests (md5 inside the bit loop would hash
+    # every token n_bits times)
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    staged = df.select(
+        F.col(id_col), F.transform(toks, lambda t: F.md5(t)).alias("__hs")
+    )
+    n = F.size(F.col("__hs"))
     exprs = []
     for j in range(1, n_bits + 1):
-        hi = F.size(F.filter(toks, vote(j)))
-        exprs.append(F.when(hi * 2 > F.size(toks), F.lit("1")).otherwise(F.lit("0")))
-    return df.select(F.col(id_col), F.concat(*exprs).alias("simhash"))
+        hi = F.size(F.filter(F.col("__hs"), vote(j)))
+        exprs.append(F.when(hi * 2 > n, F.lit("1")).otherwise(F.lit("0")))
+    return staged.select(F.col(id_col), F.concat(*exprs).alias("simhash"))

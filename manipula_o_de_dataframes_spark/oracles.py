@@ -65,16 +65,21 @@ shing AS (
   FROM documents
 )"""
 
+# Mirror of operators.dedup.minhash_signature: ONE md5 per shingle,
+# hash function i = i-th disjoint 8-hex-char slice of the digest.
 _SIG_CTE = (
     _SHINGLES_CTE
     + """,
+hashed AS (
+  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shing
+),
 sig AS (
   SELECT doc_id,
-    list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
-    list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
-    list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
-    list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
-  FROM shing
+    list_min(list_transform(hs, h -> substr(h, 1, 8))) AS mh0,
+    list_min(list_transform(hs, h -> substr(h, 9, 8))) AS mh1,
+    list_min(list_transform(hs, h -> substr(h, 17, 8))) AS mh2,
+    list_min(list_transform(hs, h -> substr(h, 25, 8))) AS mh3
+  FROM hashed
 )"""
 )
 
@@ -90,7 +95,7 @@ FROM orders WHERE o_orderstatus = 'F'
 
 def _simhash_bits(n_bits: int = 16) -> str:
     parts = [
-        f"(CASE WHEN 2 * len(list_filter(toks, t -> strpos('89abcdef', substr(md5(t), {j}, 1)) > 0)) > len(toks) THEN '1' ELSE '0' END)"
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> strpos('89abcdef', substr(h, {j}, 1)) > 0)) > len(hs) THEN '1' ELSE '0' END)"
         for j in range(1, n_bits + 1)
     ]
     return " || ".join(parts)
@@ -253,6 +258,49 @@ SELECT p_partkey, p_name AS nome,
   {_brl("p_retailprice")} AS preco_brl
 FROM part
 """,
+    "join_compatibility": """
+WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+dim AS (SELECT DISTINCT p_partkey FROM part WHERE p_size <= 25)
+SELECT CAST(COUNT(*) AS BIGINT) AS fact_keys,
+  CAST(COUNT(CASE WHEN d.p_partkey IS NULL THEN 1 END) AS BIGINT) AS unmatched,
+  CAST(COUNT(CASE WHEN d.p_partkey IS NULL THEN 1 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) * 100 AS unmatched_pct
+FROM keys k LEFT JOIN dim d ON k.l_partkey = d.p_partkey
+""",
+    "sessionize_events": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sessao
+  FROM flagged
+)
+SELECT user_id AS usuario, sessao,
+  CAST(COUNT(*) AS BIGINT) AS n_eventos,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS inicio,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS fim,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM sess GROUP BY usuario, sessao
+""",
+    "events_pivot": """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
+  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+""",
+    "sales_cube": """
+SELECT l_returnflag, l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qtd
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
     "events_summary": """
 SELECT event_type AS tipo,
   CAST(COUNT(*) AS BIGINT) AS n_eventos,
@@ -317,7 +365,11 @@ JOIN shing sa ON sa.doc_id = p.id_a
 JOIN shing sb ON sb.doc_id = p.id_b
 """,
     "simhash": f"""
-WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents)
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(str_split(text, ' ')), t -> md5(t)) AS hs
+  FROM documents
+)
 SELECT doc_id, {_simhash_bits(16)} AS simhash FROM t
 """,
     "embedding_topk": f"""

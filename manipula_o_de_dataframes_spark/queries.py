@@ -199,6 +199,85 @@ def q_projection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_compatibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: join-compatibility report — unmatched-key count and percentage.
+
+    Lazy single-DataFrame version of the reference's diagnostic
+    (MAC:726-774): distinct fact keys broadcast-left-joined to the dim's
+    distinct keys, then one aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select(F.col("p_partkey").alias("l_partkey"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    keys = li.select("l_partkey").distinct()
+    joined = keys.join(F.broadcast(dim), "l_partkey", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("fact_keys"),
+        F.count(F.when(F.col("__hit").isNull(), 1)).alias("unmatched"),
+        (
+            F.count(F.when(F.col("__hit").isNull(), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 100
+        ).alias("unmatched_pct"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream at >30-min gaps.
+
+    lag → gap flag → running sum (the classic session-window decompose);
+    one shuffle on user_id, windows stay inside each user partition. The
+    streaming twin is session_window() in streaming/.
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flag = F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+    sess = e.withColumn(
+        "sessao",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return sess.groupBy(F.col("user_id").alias("usuario"), "sessao").agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("inicio"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("fim"),
+        dsum("value").alias("valor_total"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-week event counts, one column per event type.
+
+    Explicit value list keeps the pivot a single pass (no extra distinct
+    job) and pins the output schema.
+    """
+    e = read_table(spark, sf_dir, "events")
+    sem = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("semana")
+    piv = e.groupBy(sem).pivot("event_type", EVENT_TYPES).count()
+    return piv.select(
+        "semana",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all subtotal combinations in
+    one pass (the OLAP rollup surface the reference lacked)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("total_qtd"),
+    )
+
+
 def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events rollup: per-type counts, distinct users, exact value sum."""
     e = read_table(spark, sf_dir, "events")
@@ -214,9 +293,23 @@ def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- north-star LLM-pipeline queries ----------------------------------------
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across all cores.
+
+    The testdata ships documents as one small parquet file → one input
+    partition, which would serialize the md5/Pandas-UDF-heavy operators
+    onto a single core. An explicit repartition(N) survives AQE (user-
+    specified partitioning is not coalesced) and costs one tiny shuffle
+    of the text column. On a real 100 TB table the scan is already
+    thousands of splits and this repartition would be dropped.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, quality score, language-ID, fingerprint."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -234,23 +327,21 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 min-wise hashes over 3-word shingles)."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     return dd.minhash_signature(d, "text", "doc_id", n_hashes=4)
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact n-gram Jaccard verify on candidates."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=4, min_matches=1)
-    jac = dd.jaccard_pairs(d, "text", "doc_id", cands.select("id_a", "id_b", "n_agree"))
-    return cands.join(jac, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard")
-    )
+    jac = dd.jaccard_pairs(d, "text", "doc_id", cands)
+    return jac.select("id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit fingerprints over distinct tokens."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     return dd.simhash(d, "text", "doc_id", n_bits=16)
 
 
@@ -274,7 +365,7 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob wrap → Arrow-batched pseudo-decode."""
-    d = read_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     blobs = mm.as_blob_table(d, "doc_id", "text")
     return mm.decode_features(blobs)
 
@@ -298,6 +389,10 @@ QUERIES = {
     "distinct_combinations": q_distinct_combinations,
     "sorted_distinct_weeks": q_sorted_distinct_weeks,
     "projection_ops": q_projection_ops,
+    "join_compatibility": q_join_compatibility,
+    "sessionize_events": q_sessionize_events,
+    "events_pivot": q_events_pivot,
+    "sales_cube": q_sales_cube,
     "events_summary": q_events_summary,
     "text_stats": q_text_stats,
     "doc_dedup_exact": q_doc_dedup_exact,
