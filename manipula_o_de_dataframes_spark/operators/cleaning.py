@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,14 +61,23 @@ def dedupe_rows(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
 
     Reference drop_duplicates keeps first-in-file-order (MAC:604-605);
     Spark's ``dropDuplicates`` keeps an *arbitrary* row, so when the kept
-    row matters we pin it with row_number over ``order_by``. One shuffle
-    on the keys; at scale AQE handles skewed keys.
+    row matters we pin it explicitly. Implemented as
+    ``min_by(struct(payload), struct(order))`` — a hash aggregate with
+    map-side partial combine, so duplicates collapse *before* the
+    shuffle and no per-group sort happens (a row_number window would
+    shuffle every row and sort each partition). Order columns must be
+    non-null for deterministic struct comparison.
     """
-    w = Window.partitionBy(*keys).orderBy(*order_by)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    payload = [c for c in df.columns if c not in keys]
+    order_key = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_by])
+    kept = df.groupBy(*keys).agg(
+        F.min_by(F.struct(*payload), order_key).alias("__kept")
+    )
+    return kept.select(
+        *[
+            F.col(c) if c in keys else F.col("__kept").getField(c).alias(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -127,11 +127,16 @@ def near_dup_pairs(
         .distinct()
     )
     agree = sum(F.col(f"eq{s}") for s in range(n_hashes))
-    return (
-        pairs.withColumn("n_agree", agree.cast("long"))
-        .filter(F.col("n_agree") >= min_matches)
-        .select("id_a", "id_b", "n_agree")
-    )
+    out = pairs.withColumn("n_agree", agree.cast("long"))
+    if min_matches > 1:
+        # Only filter when it prunes: a band match already implies
+        # n_agree >= 1, and a redundant filter here is poison — Catalyst
+        # folds it into the join condition, infers isnotnull() on every
+        # signature column, and pushes those below the repartition into
+        # the (single-split) scan, re-evaluating the whole minhash
+        # pipeline serially per predicate (~5× slower end-to-end).
+        out = out.filter(F.col("n_agree") >= min_matches)
+    return out.select("id_a", "id_b", "n_agree")
 
 
 def jaccard_pairs(
