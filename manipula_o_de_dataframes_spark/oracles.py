@@ -295,6 +295,22 @@ SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
   CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
 """,
+    "tuple_render": """
+SELECT l_orderkey, l_linenumber,
+  concat_ws(' | ',
+    strftime(l_shipdate, '%Y-%m-%d'),
+    CAST(l_discount AS VARCHAR),
+    l_returnflag,
+    CASE WHEN l_returnflag = 'R' THEN 'DEVOLUCAO-' || l_linestatus END
+  ) AS tupla
+FROM lineitem
+""",
+    "group_median_pandas": """
+SELECT event_type AS tipo,
+  round(median(value), 6) AS mediana,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
     "sales_cube": """
 SELECT l_returnflag, l_linestatus,
   CAST(COUNT(*) AS BIGINT) AS n,

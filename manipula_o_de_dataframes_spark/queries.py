@@ -278,6 +278,53 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tuple_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13/D2/X5: the variable-arity tuple, rendered.
+
+    Reference builds Tupla_Dados = (date, prob, consultant[, reason]) —
+    arity 3 when the no-sale reason is absent (APC:213-221) — and joins
+    it for display (APC:311). concat_ws skips NULLs, which reproduces
+    the variable arity in one expression (no UDF).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    motivo = F.when(
+        F.col("l_returnflag") == "R", F.concat(F.lit("DEVOLUCAO-"), F.col("l_linestatus"))
+    )
+    tupla = F.concat_ws(
+        " | ",
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+        F.col("l_discount").cast("string"),
+        F.col("l_returnflag"),
+        motivo,
+    )
+    return li.select("l_orderkey", "l_linenumber", tupla.alias("tupla"))
+
+
+def q_group_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/A13: the applyInPandas UDAF escape hatch, oracle-checked.
+
+    Per-event-type median via an Arrow-batched grouped-map program —
+    the surface for per-group logic that genuinely can't decompose into
+    built-ins. One shuffle on the group key; pandas inside the executor.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tipo": [pdf["event_type"].iloc[0]],
+                "mediana_raw": [pdf["value"].median()],
+                "n": [len(pdf)],
+            }
+        )
+
+    e = read_table(spark, sf_dir, "events")
+    out = e.groupBy("event_type").applyInPandas(
+        med, schema="tipo string, mediana_raw double, n long"
+    )
+    return out.select("tipo", F.round("mediana_raw", 6).alias("mediana"), "n")
+
+
 def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events rollup: per-type counts, distinct users, exact value sum."""
     e = read_table(spark, sf_dir, "events")
@@ -393,6 +440,8 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "events_pivot": q_events_pivot,
     "sales_cube": q_sales_cube,
+    "tuple_render": q_tuple_render,
+    "group_median_pandas": q_group_median_pandas,
     "events_summary": q_events_summary,
     "text_stats": q_text_stats,
     "doc_dedup_exact": q_doc_dedup_exact,
