@@ -109,3 +109,102 @@ def bucket_histogram(df: DataFrame, vec_col: str, n_bits: int = 6) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs embedding near-dup: id_a < id_b, cosine ≥ threshold.
+
+    The O(n²) correctness baseline. Norms are computed once per row
+    *before* the pair join (n norm folds, not 2n²), then each pair costs
+    one dot product; the build side is broadcast so the probe side never
+    shuffles. At 100 TB swap in blocking: join on ``sign_bucket`` (or an
+    IVF cell column) first so only same-bucket pairs are scored — the
+    scoring expression is unchanged, the candidate set shrinks ~2^bits.
+    Precomputing norms does not change the float result: the per-pair
+    expression round(dot/(na*nb), 9) performs the identical operations.
+    """
+    withn = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
+    )
+    a = withn.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = withn.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 9
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_cell(vec, centroids: list[tuple[int, list[float]]]) -> Column:
+    """IVF cell id: argmax-cosine centroid, ties broken to the lowest cid.
+
+    Centroids are a driver-side model artifact (k rows by construction —
+    the output of k-means training), inlined as literal arrays so that
+    assignment is a pure map-side expression: zero shuffle, inside
+    whole-stage codegen, and file-prunable once the cell is written as a
+    partition column at ingest. Implemented as a running ``greatest``
+    over (cosine, -cid) structs — struct comparison is lexicographic, so
+    max cosine wins and the smaller cid wins ties.
+    """
+    best = None
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        cand = F.struct(
+            cosine(vec, lit_vec).alias("cc"), F.lit(-cid).alias("neg_cid")
+        )
+        best = cand if best is None else F.greatest(best, cand)
+    return (-best["neg_cid"]).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to a cell, search only the
+    query's cell.
+
+    Deterministic stand-in for k-means training: the vectors with
+    id < n_centroids serve as centroids (a bounded driver-side collect,
+    exactly how trained centroids would arrive). Search touches ~1/k of
+    the data; the exact baseline is ``brute_force_topk``.
+    """
+    cents = [
+        (r[0], list(r[1]))
+        for r in df.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    cells = df.withColumn("__cell", ivf_cell(F.col(vec_col), cents))
+    q = cells.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"), F.col("__cell").alias("__qc")
+    )
+    scored = (
+        cells.crossJoin(F.broadcast(q))
+        .filter((F.col("__cell") == F.col("__qc")) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

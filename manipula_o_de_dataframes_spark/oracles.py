@@ -418,4 +418,60 @@ SELECT doc_id AS id,
   CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
 FROM documents
 """,
+    "clean_pipeline": """
+WITH dirty AS (
+  SELECT CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 14 <> 0 THEN o_orderdate END AS o_orderdate,
+         CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END AS o_totalprice,
+         o_orderkey, o_orderstatus
+  FROM orders
+),
+kept AS (SELECT * FROM dirty WHERE o_custkey IS NOT NULL OR o_orderdate IS NOT NULL),
+filled AS (
+  SELECT o_custkey, o_orderdate, COALESCE(o_totalprice, 0) AS o_totalprice,
+         o_orderkey, o_orderstatus
+  FROM kept
+),
+dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+    ORDER BY o_orderkey) AS rn
+  FROM filled
+)
+SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS data, o_totalprice,
+       o_orderkey, o_orderstatus AS status
+FROM dedup WHERE rn = 1
+""",
+    "embedding_near_dup": f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_dot("embedding", "embedding")}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) AS cos_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+""",
+    "ivf_topk": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_cos("e.embedding", "c.cemb")} AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv, cell AS qc FROM cells WHERE vec_id = 0)
+SELECT c.vec_id, {_cos("c.embedding", "q.qv")} AS cos_sim
+FROM cells c, q
+WHERE c.cell = q.qc AND c.vec_id <> 0
+ORDER BY cos_sim DESC, c.vec_id
+LIMIT 10
+""",
 }

@@ -24,7 +24,7 @@ from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators.aggregates import all_equal_collapse, first_by
-from .operators.cleaning import dedupe_rows
+from .operators.cleaning import clean, dedupe_rows
 from .operators.filters import dynamic as dynamic_filter
 from .operators.joins import enrich, unmatched_keys
 from .operators.sets import union_by_name
@@ -417,6 +417,72 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: the full limpar_dataframe pipeline (MAC:560-634), oracle-checked.
+
+    Builds a deliberately dirty frame from orders — a junk 'Unnamed: 0'
+    column (MAC:569), a dotted duplicate name 'o_orderstatus.1'
+    (MAC:574-584), keys nulled on different cadences (so how='all'
+    drops only rows where BOTH keys are null, MAC:590), nulled prices —
+    then runs the fused clean(): prune → rename → drop all-null-key
+    rows → fillna(0) (MAC:593-597) → deterministic keep-first dedup
+    (MAC:604-605). All row work fuses into one scan + one aggregate.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    dirty = o.select(
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey")).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 14 != 0, F.col("o_orderdate")).alias("o_orderdate"),
+        F.when(F.col("o_orderkey") % 10 != 0, F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("o_orderkey"),
+        F.lit(0).alias("Unnamed: 0"),
+        F.col("o_orderstatus").alias("o_orderstatus.1"),
+    )
+    cleaned = clean(
+        dirty,
+        keys=["o_custkey", "o_orderdate"],
+        order_by=["o_orderkey"],
+        fill_zero=["o_totalprice"],
+    )
+    return cleaned.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("data"),
+        "o_totalprice",
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact all pairs with cosine ≥ 0.4.
+
+    The O(n²) correctness baseline (norms precomputed per row, build
+    side broadcast, probe side never shuffles); the scale path swaps in
+    sign-bucket/IVF-cell blocking with the same scoring expression —
+    see operators.similarity.cosine_near_dup_pairs.
+    """
+    e = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return sim.cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.4)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN: centroid-literal cell assignment, search one cell.
+
+    Cell assignment is a pure map-side expression (centroids inlined as
+    literals — zero shuffle); only the query's cell is scored, touching
+    ~1/8 of the data. Exact counterpart: embedding_topk.
+    """
+    e = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return sim.ivf_topk(e, "embedding", "vec_id", query_id=0, k=10, n_centroids=8)
+
+
 QUERIES = {
     "abc_classification": abc_classification,
     "pending_by_week": pending_by_week,
@@ -452,4 +518,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "clean_pipeline": q_clean_pipeline,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ivf_topk": q_ivf_topk,
 }
