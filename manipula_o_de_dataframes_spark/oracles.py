@@ -418,6 +418,16 @@ SELECT doc_id AS id,
   CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
 FROM documents
 """,
+    "pending_stream": """
+SELECT 'orders.parquet' AS snapshot,
+  strftime(make_timestamp(CAST(floor(epoch(o_orderdate) / 604800) * 604800 AS BIGINT)
+    * 1000000), '%Y-%m-%d') AS semana_inicio,
+  CAST(COUNT(*) AS BIGINT) AS n_pendentes,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM orders
+WHERE o_orderstatus = 'P'
+GROUP BY 2
+""",
     "clean_pipeline": """
 WITH dirty AS (
   SELECT CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END AS o_custkey,

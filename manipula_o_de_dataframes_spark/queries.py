@@ -417,6 +417,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_pending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: the EP2 pipeline as Structured Streaming, oracle-checked.
+
+    File source → filter → epoch-aligned weekly tumbling window →
+    aggregate, drained with trigger availableNow into a memory sink.
+    Event time is TIMESTAMP_NTZ so the window boundaries (and thus the
+    oracle) are timezone-independent.
+    """
+    from .streaming.pending_stream import pending_stream_weekly  # noqa: PLC0415
+
+    return pending_stream_weekly(spark, sf_dir)
+
+
 def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: the full limpar_dataframe pipeline (MAC:560-634), oracle-checked.
 
@@ -518,6 +531,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "pending_stream": q_pending_stream,
     "clean_pipeline": q_clean_pipeline,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,

@@ -51,6 +51,63 @@ def pending_stream(
     )
 
 
+def pending_stream_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable streaming run: drain one snapshot, return the result.
+
+    The streaming pipeline (file source → filter → epoch-aligned 7-day
+    tumbling window → aggregate) executed with trigger availableNow into
+    a memory sink, so a batch DataFrame of the final state comes back.
+    Event time is TIMESTAMP_NTZ (o_orderdate's parquet type) — window
+    boundaries are then pure wall-clock epoch arithmetic, identical
+    under any session timezone, which is what makes a DuckDB oracle
+    possible at all. No watermark on this path: Spark only accepts
+    watermarks on TIMESTAMP, and for a drain-everything availableNow
+    trigger in complete mode a watermark would do nothing anyway; the
+    live-feed variant (``pending_stream``) keeps one on a TIMESTAMP
+    event-time column.
+    """
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    # The file source watches a *directory*; stage the snapshot into a
+    # fresh one (symlink — no copy) as a live feed would drop it there.
+    watch_dir = tempfile.mkdtemp(prefix="manipula_stream_in_")
+    os.symlink(os.path.join(sf_dir, "orders.parquet"),
+               os.path.join(watch_dir, "orders.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    pending = (
+        stream.filter(F.col("o_orderstatus") == "P")
+        .withColumn("snapshot", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    )
+    agg = pending.groupBy(
+        "snapshot", F.window(F.col("o_orderdate"), "7 days").alias("semana")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pendentes"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("valor_total"),
+    )
+    out = agg.select(
+        "snapshot",
+        F.date_format(F.col("semana.start"), "yyyy-MM-dd").alias("semana_inicio"),
+        "n_pendentes",
+        "valor_total",
+    )
+    name = "pending_stream_" + uuid.uuid4().hex
+    import tempfile  # noqa: PLC0415
+
+    (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="manipula_stream_ckpt_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 def run_available_now(result: DataFrame, sink_fn, checkpoint_dir: str | None = None) -> None:
     """Drain everything currently in the source dir through foreachBatch.
 
