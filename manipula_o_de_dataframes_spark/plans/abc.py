@@ -25,12 +25,17 @@ from pyspark.sql import functions as F
 
 from ..functions.formatting import MONEY
 from ..operators.windows import abc_bucket, with_pct_and_cum
-from ..sources.io import read_table
+from ..sources.io import read_table, read_table_parallel
 
 
 def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # Fan the fact scan out across cores (single-row-group testdata);
+    # orders broadcasts, so the join + partial sum run fully parallel
+    # and only tiny per-customer partials reach the second exchange.
+    lineitem = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice"
+    )
     customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
 
     fact = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(

@@ -22,11 +22,14 @@ from pyspark.sql import functions as F
 
 from ..functions.formatting import dsum
 from ..operators.aggregates import last_by, ordered_list_str
-from ..sources.io import read_table
+from ..sources.io import read_table, read_table_parallel
 
 
 def product_client_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = read_table(spark, sf_dir, "lineitem")
+    # Hash-repartition the fact by l_partkey (a subset of the group
+    # keys): one shuffle unlocks all cores for the joins + partial agg
+    # AND satisfies the aggregate's distribution, so no second exchange.
+    lineitem = read_table_parallel(spark, sf_dir, "lineitem", by=("l_partkey",))
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
 

@@ -32,7 +32,7 @@ from .operators.sorting import paginate, sorted_distinct, top_k
 from .plans.abc import abc_classification
 from .plans.history import product_client_history
 from .plans.pending import pending_by_week
-from .sources.io import read_table
+from .sources.io import read_table, read_table_parallel
 
 __all__ = ["QUERIES"]
 
@@ -66,7 +66,7 @@ def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 (deterministic): one lineitem per (partkey, suppkey), first by ship order."""
-    li = read_table(spark, sf_dir, "lineitem").select(
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_partkey", "l_suppkey")).select(
         "l_partkey",
         "l_suppkey",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("dt"),
@@ -155,7 +155,7 @@ def q_null_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_all_equal_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: scalar-or-list collapse — scalar iff the group is uniform."""
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
     collapsed, full = all_equal_collapse("l_returnflag")
     return li.groupBy(F.col("l_orderkey").alias("pedido")).agg(
         collapsed.alias("flag_unico"),

@@ -51,6 +51,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """S1 + explicit fan-out — the single-row-group testdata workaround.
+
+    The driver's parquet files hold ONE row group each, so a scan can
+    never parallelize past one task regardless of split settings: every
+    map-side join / partial aggregate downstream serializes onto a
+    single core. An explicit ``repartition`` (user-specified N, which
+    AQE will not coalesce) unlocks all cores for one narrow shuffle of
+    the scan output.
+
+    When ``by`` names a subset of the downstream aggregation keys, the
+    hash partitioning also satisfies the aggregate's
+    ClusteredDistribution, so the aggregate's own ENSURE_REQUIREMENTS
+    exchange disappears — net shuffle count unchanged, map parallelism
+    ×cores. On a real multi-file / multi-row-group table (any table at
+    cluster scale) plain ``read_table`` is the right call: the scan
+    already yields thousands of splits and this extra shuffle would be
+    pure cost.
+    """
+    df = read_table(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in by]
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Scan several tables at once (all lazy — no I/O until an action)."""
     return {n: read_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
