@@ -62,3 +62,91 @@ def with_pct_and_cum(
             cum_col: cum.cast("double") / grand.cast("double") * 100,
         }
     )
+
+
+def with_pct_and_cum_scaled(
+    df: DataFrame,
+    value_dec: str,
+    pct_col: str = "percentual",
+    cum_col: str = "percentual_acumulado",
+    tiebreak: str | None = None,
+    n_buckets: int = 32,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """A7 scale-out: the two-pass cumulative sum (SURVEY §7 hard-4).
+
+    The plain version runs one global single-partition window — safe on
+    a post-aggregation customer table, a straggler when the windowed
+    input itself is huge. This variant removes the single partition:
+
+    1. range-bucket the descending order key at approximate quantiles
+       (boundary ties all land in the upper bucket, so rows with equal
+       values never split across buckets and the tie-break stays local);
+    2. per-bucket decimal sums → driver (≤ n_buckets rows);
+    3. exact prefix offsets broadcast back as literals;
+    4. per-bucket windows run in parallel; cum = within-bucket cum +
+       bucket offset.
+
+    Because every sum is DECIMAL (exact, association-independent), the
+    result is bit-identical to the single-window version — the oracle
+    for ``abc_classification`` verifies this variant unchanged. The
+    quantile approximation only shifts bucket *sizes* (skew), never
+    values. Requires non-null ``value_dec``.
+
+    When ``rank_col`` is given, the global SQL RANK() over the
+    descending value is computed the same two-pass way: within-bucket
+    rank + preceding-bucket row counts. Exact because value ties never
+    cross a bucket boundary.
+    """
+    from decimal import Decimal  # noqa: PLC0415
+
+    vals = df.select(F.col(value_dec).cast("double").alias("__v"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(vals.stat.approxQuantile("__v", probs, 0.01)), reverse=True)
+
+    # bucket 0 holds the largest values; a row equal to a boundary stays
+    # in the bucket above it (v < b, strict), keeping ties together.
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(value_dec) < F.lit(b)).cast("int")
+    bucketed = df.withColumn("__bucket", bucket)
+
+    stats = {
+        r["__bucket"]: (r["__s"], r["__c"])
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.sum(value_dec).alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    grand = sum((s for s, _ in stats.values()), Decimal(0))
+    sum_off, cnt_off = {}, {}
+    acc_s, acc_c = Decimal(0), 0
+    for i in sorted(stats):
+        sum_off[i], cnt_off[i] = acc_s, acc_c
+        acc_s += stats[i][0]
+        acc_c += stats[i][1]
+
+    def _per_bucket(mapping, zero, sql_type):
+        expr = F.lit(zero).cast(sql_type)
+        for i, v in mapping.items():
+            expr = F.when(F.col("__bucket") == i, F.lit(v).cast(sql_type)).otherwise(expr)
+        return expr
+
+    offset_expr = _per_bucket(sum_off, Decimal(0), "decimal(28,2)")
+    order = [F.col(value_dec).desc()] + ([F.col(tiebreak)] if tiebreak else [])
+    w_cum = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(value_dec).over(w_cum) + offset_expr
+    grand_lit = F.lit(grand).cast("decimal(28,2)")
+    cols = {
+        pct_col: F.col(value_dec).cast("double") / grand_lit.cast("double") * 100,
+        cum_col: cum.cast("double") / grand_lit.cast("double") * 100,
+    }
+    if rank_col:
+        w_rank = Window.partitionBy("__bucket").orderBy(F.col(value_dec).desc())
+        cols[rank_col] = (
+            F.rank().over(w_rank) + _per_bucket(cnt_off, 0, "bigint")
+        ).cast("long")
+    return bucketed.withColumns(cols).drop("__bucket")

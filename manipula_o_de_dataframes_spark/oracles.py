@@ -485,3 +485,7 @@ ORDER BY cos_sim DESC, c.vec_id
 LIMIT 10
 """,
 }
+
+# The two-pass (bucketed) cumulative-sum variant is bit-identical to the
+# single-window flagship by construction — it shares the same oracle.
+ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]

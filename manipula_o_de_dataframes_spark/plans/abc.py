@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.formatting import MONEY
-from ..operators.windows import abc_bucket, with_pct_and_cum
+from ..operators.windows import abc_bucket, with_pct_and_cum, with_pct_and_cum_scaled
 from ..sources.io import read_table, read_table_parallel
 
 
@@ -44,13 +44,41 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = fact.groupBy("cliente").agg(F.sum("val").alias("total_dec"))
 
-    with_pct = with_pct_and_cum(totals, "total_dec", tiebreak="cliente")
-    ranked = with_pct.withColumns(
-        {
-            "abc": abc_bucket("percentual_acumulado"),
-            "ranking": F.rank().over(Window.orderBy(F.col("total_dec").desc())).cast("long"),
-        }
+    return _finish_abc(with_pct_and_cum(totals, "total_dec", tiebreak="cliente"), customer)
+
+
+def abc_classification_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with the two-pass cumulative sum — no global window.
+
+    Same semantics, bit-identical output (exact decimal arithmetic), so
+    it shares abc_classification's oracle. This is the plan to run when
+    the windowed input itself is huge (SURVEY §7 hard-4): range-bucketed
+    parallel windows + broadcast prefix offsets instead of one
+    single-partition sort.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice"
     )
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    fact = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
+        F.col("o_custkey").alias("cliente"),
+        F.col("l_extendedprice").cast(MONEY).alias("val"),
+    )
+    totals = fact.groupBy("cliente").agg(F.sum("val").alias("total_dec"))
+    return _finish_abc(
+        with_pct_and_cum_scaled(
+            totals, "total_dec", tiebreak="cliente", rank_col="ranking"
+        ),
+        customer,
+    )
+
+
+def _finish_abc(with_pct: DataFrame, customer: DataFrame) -> DataFrame:
+    cols = {"abc": abc_bucket("percentual_acumulado")}
+    if "ranking" not in with_pct.columns:
+        cols["ranking"] = F.rank().over(Window.orderBy(F.col("total_dec").desc())).cast("long")
+    ranked = with_pct.withColumns(cols)
     return ranked.join(F.broadcast(customer), ranked.cliente == customer.c_custkey).select(
         "cliente",
         F.col("c_name").alias("nome_cliente"),

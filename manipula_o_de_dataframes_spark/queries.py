@@ -29,7 +29,7 @@ from .operators.filters import dynamic as dynamic_filter
 from .operators.joins import enrich, unmatched_keys
 from .operators.sets import union_by_name
 from .operators.sorting import paginate, sorted_distinct, top_k
-from .plans.abc import abc_classification
+from .plans.abc import abc_classification, abc_classification_scaled
 from .plans.history import product_client_history
 from .plans.pending import pending_by_week
 from .sources.io import read_table, read_table_parallel
@@ -498,6 +498,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "abc_classification": abc_classification,
+    "abc_classification_scaled": abc_classification_scaled,
     "pending_by_week": pending_by_week,
     "product_client_history": product_client_history,
     "customer_multi_agg": q_customer_multi_agg,
