@@ -165,3 +165,33 @@ def test_paginate_pages_are_disjoint_and_ordered(spark):
     p4 = {r["id"] for r in paginate(df, order, 4, 30).collect()}
     assert p1 == set(range(30)) and p2 == set(range(30, 60))
     assert p4 == set(range(90, 100))  # last partial page
+
+
+def test_results_invariant_under_shuffle_partitioning(spark):
+    """The determinism rules must make results identical under ANY
+    partitioning — the distributed-correctness claim. Re-run three
+    partitioning-sensitive queries (global window, keep-first dedup,
+    two-pass bucketed cumsum) with a different shuffle-partition count
+    and compare full sorted outputs."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    names = ["abc_classification", "abc_classification_scaled", "dedup_keep_first"]
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
+
+    def snapshot(name):
+        df = QUERIES[name](spark, sf)
+        pdf = df.toPandas()
+        return pdf[sorted(pdf.columns)].sort_values(
+            by=sorted(pdf.columns)).reset_index(drop=True)
+
+    base = {n: snapshot(n) for n in names}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in names:
+            again = snapshot(n)
+            assert base[n].equals(again), f"{n} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
