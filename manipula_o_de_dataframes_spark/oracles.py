@@ -489,3 +489,16 @@ LIMIT 10
 # The two-pass (bucketed) cumulative-sum variant is bit-identical to the
 # single-window flagship by construction — it shares the same oracle.
 ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]
+
+# Dashboard serve path = filter → stable sort → page 2 (rows 51-100)
+# over the product_client_history result (CTE-wrapped reuse).
+ORACLES["dashboard_serve"] = f"""
+WITH hist AS ({ORACLES["product_client_history"]}),
+paged AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_interacoes DESC, produto, cliente) AS pg
+  FROM hist WHERE ultimo_consultor = 'R'
+)
+SELECT subgrupo, produto, cliente, datas, quantidades, ultima_data,
+       ultimo_consultor, n_interacoes, total_qtd
+FROM paged WHERE pg > 50 AND pg <= 100
+"""

@@ -417,6 +417,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_dashboard_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 step 5: the dashboard serve path as one composed lazy plan.
+
+    Reference: every Streamlit interaction reruns filtrar_dataframe →
+    ordenar_dataframe → paginar_dataframe over the session-state
+    materialized view (MAC:417-437, 512-516). Here: dynamic filter →
+    stable-order pagination over the history query. In the dashboard the
+    history frame would be .cache()d once (the session_state analog) and
+    each interaction stays lazy; pagination pins a total order so pages
+    are disjoint and reproducible — pandas got that from its row index.
+    """
+    hist = product_client_history(spark, sf_dir)
+    filtered = dynamic_filter(hist, {"ultimo_consultor": "R"})
+    order = [F.col("n_interacoes").desc(), F.col("produto"), F.col("cliente")]
+    return paginate(filtered, order, page=2, page_size=50)
+
+
 def q_pending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: the EP2 pipeline as Structured Streaming, oracle-checked.
 
@@ -532,6 +549,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "dashboard_serve": q_dashboard_serve,
     "pending_stream": q_pending_stream,
     "clean_pipeline": q_clean_pipeline,
     "embedding_near_dup": q_embedding_near_dup,
