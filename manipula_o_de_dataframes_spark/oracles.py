@@ -490,6 +490,17 @@ LIMIT 10
 # single-window flagship by construction — it shares the same oracle.
 ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]
 
+ORACLES["weekly_snapshots"] = """
+SELECT CASE o_orderkey % 3 WHEN 0 THEN 'Semana Atual'
+                           WHEN 1 THEN 'Semana -1'
+                           ELSE 'Semana -2' END AS semana,
+  CAST(COUNT(*) AS BIGINT) AS n_pendentes,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_clientes,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM orders WHERE o_orderstatus = 'P'
+GROUP BY 1
+"""
+
 # Dashboard serve path = filter → stable sort → page 2 (rows 51-100)
 # over the product_client_history result (CTE-wrapped reuse).
 ORACLES["dashboard_serve"] = f"""

@@ -417,6 +417,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_weekly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/EP2 verbatim: ordered multi-file ingest with positional labels.
+
+    The reference's only multi-file construct: N user-ordered weekly
+    uploads, file position idx → 'Semana Atual'/'Semana -N' label,
+    PENDENTE filter per file, concat by name, per-week metrics
+    (AP:17-51, 80-95). Stages orders into three snapshot files (split
+    deterministically by o_orderkey % 3 — the stand-in for three
+    uploads), then runs the exact pipeline via read_ordered_snapshots:
+    per-file reads (the label comes from *user order*, which
+    input_file_name cannot give), zero-shuffle unionByName, one hash
+    aggregate.
+    """
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from .sources.io import read_ordered_snapshots  # noqa: PLC0415
+
+    stage = tempfile.mkdtemp(prefix="manipula_snapshots_")
+    orders = read_table(spark, sf_dir, "orders")
+    paths = []
+    for i in range(3):
+        p = os.path.join(stage, f"snap{i}.parquet")
+        orders.filter(F.col("o_orderkey") % 3 == i).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    snaps = read_ordered_snapshots(spark, paths)
+    pending = snaps.filter(F.col("o_orderstatus") == "P")
+    return pending.groupBy("semana").agg(
+        F.count(F.lit(1)).alias("n_pendentes"),
+        F.countDistinct("o_custkey").alias("n_clientes"),
+        dsum("o_totalprice").alias("valor_total"),
+    )
+
+
 def q_dashboard_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 step 5: the dashboard serve path as one composed lazy plan.
 
@@ -549,6 +583,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "weekly_snapshots": q_weekly_snapshots,
     "dashboard_serve": q_dashboard_serve,
     "pending_stream": q_pending_stream,
     "clean_pipeline": q_clean_pipeline,
