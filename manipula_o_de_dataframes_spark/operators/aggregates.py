@@ -97,6 +97,46 @@ def distinct_combinations(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.select(*cols).distinct()
 
 
+def ordered_list_str_salted(
+    df: DataFrame,
+    keys: list[str],
+    value,
+    order_by: list,
+    salt_expr: Column,
+    n_salts: int = 16,
+    sep: str = ",",
+) -> DataFrame:
+    """A9 under key skew: two-phase salted ordered collect.
+
+    A hot grouping key funnels every row through one reducer — at scale
+    a single collect_list OOMs it. Phase 1 groups by (key, salt) so the
+    hot key's rows spread over ``n_salts`` reducers, each building a
+    partial struct list; phase 2 merges the partials per key with
+    ``flatten`` + one final ``sort_array`` (sorting structs restores the
+    exact global order, so the result is identical to the unsalted
+    ``ordered_list_str`` — the oracle need not know about salting).
+    The phase-2 shuffle moves one packed array per (key, salt), not one
+    row per input record.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    packed = F.struct(*_cols(order_by), v.alias("__v"))
+    salt = F.pmod(salt_expr, F.lit(n_salts)).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(
+        F.collect_list(packed).alias("__partial"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    merged = partial.groupBy(*keys).agg(
+        F.sort_array(F.flatten(F.collect_list("__partial"))).alias("__all"),
+        F.sum("__n").alias("__n_total"),
+    )
+    rendered = F.array_join(
+        F.transform(F.col("__all"), lambda s: s["__v"].cast("string")), sep
+    )
+    return merged.select(
+        *keys, rendered.alias("__rendered"), F.col("__n_total").cast("long").alias("__count")
+    )
+
+
 def group_apply(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
     """A13/D3 escape hatch: per-group custom program via applyInPandas.
 

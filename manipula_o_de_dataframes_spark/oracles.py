@@ -490,6 +490,18 @@ LIMIT 10
 # single-window flagship by construction — it shares the same oracle.
 ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]
 
+# Salting is invisible to semantics: the oracle is the naive ordered
+# string_agg; the Spark side must reproduce it exactly post-merge.
+ORACLES["skewed_flag_history"] = """
+SELECT l_returnflag AS flag,
+  md5(string_agg(
+        strftime(l_shipdate, '%Y-%m-%d') || '/' || l_orderkey || '/' || l_linenumber,
+        ','
+        ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_orderkey, l_linenumber)) AS historia_md5,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
 ORACLES["weekly_snapshots"] = """
 SELECT CASE o_orderkey % 3 WHEN 0 THEN 'Semana Atual'
                            WHEN 1 THEN 'Semana -1'

@@ -417,6 +417,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_skewed_flag_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 at pathological skew: ordered collect on a 3-value hot key.
+
+    l_returnflag has 3 values over all of lineitem — the worst grouping
+    key possible: an unsalted collect funnels ~N/3 rows through each of
+    3 reducers no matter the cluster size. The salted two-phase collect
+    (see ordered_list_str_salted) spreads phase 1 over 16 sub-keys per
+    flag and merges packed partials in phase 2; the final sort_array
+    restores exact global order so the result — and the oracle — are
+    identical to the naive version.
+    """
+    from .operators.aggregates import ordered_list_str_salted  # noqa: PLC0415
+
+    li = read_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("dt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    out = ordered_list_str_salted(
+        li,
+        keys=["l_returnflag"],
+        value=F.concat_ws(
+            "/", F.col("dt"), F.col("l_orderkey"), F.col("l_linenumber")
+        ),
+        order_by=["dt", "l_orderkey", "l_linenumber"],
+        salt_expr=F.col("l_orderkey"),
+    )
+    return out.select(
+        F.col("l_returnflag").alias("flag"),
+        F.md5("__rendered").alias("historia_md5"),
+        F.col("__count").alias("n"),
+    )
+
+
 def q_weekly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/EP2 verbatim: ordered multi-file ingest with positional labels.
 
@@ -583,6 +618,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "skewed_flag_history": q_skewed_flag_history,
     "weekly_snapshots": q_weekly_snapshots,
     "dashboard_serve": q_dashboard_serve,
     "pending_stream": q_pending_stream,
