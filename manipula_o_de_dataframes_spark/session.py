@@ -25,12 +25,20 @@ def get_spark(
 
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
     """
+    import tempfile  # noqa: PLC0415
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     parts = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", parts)
+        # saveAsTable targets (bucketed tables) land in a temp warehouse,
+        # never in the repo working tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "manipula_spark_warehouse"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -195,3 +195,34 @@ def test_results_invariant_under_shuffle_partitioning(spark):
             assert base[n].equals(again), f"{n} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both join sides on the join key co-locates them: the
+    sort-merge join must plan with ZERO Exchange nodes — the 100 TB
+    strategy for repeated big-to-big joins (pay one bucketed write,
+    join shuffle-free forever after)."""
+    from tests.conftest import SF_SMOKE
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    orders = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "orders_b")).saveAsTable("orders_b"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_b")).saveAsTable("li_b"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("orders_b"), spark.table("li_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        n = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
