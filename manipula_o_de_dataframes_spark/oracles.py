@@ -490,6 +490,20 @@ LIMIT 10
 # single-window flagship by construction — it shares the same oracle.
 ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]
 
+# NOTE: events_sketches has NO oracle by design — approx_count_distinct
+# and percentile_approx are implementation-defined sketches; the driver
+# records the weaker rows-only check for it.
+ORACLES["date_slice_metrics"] = """
+SELECT strftime(l_shipdate, '%Y-%m') AS mes,
+  CAST(COUNT(*) AS BIGINT) AS n_linhas,
+  CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS BIGINT)
+    AS fornecedores_devolucao,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate <= TIMESTAMP '1994-12-31'
+GROUP BY 1
+"""
+
 # Salting is invisible to semantics: the oracle is the naive ordered
 # string_agg; the Spark side must reproduce it exactly post-merge.
 ORACLES["skewed_flag_history"] = """

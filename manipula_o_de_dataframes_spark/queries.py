@@ -34,7 +34,11 @@ from .plans.history import product_client_history
 from .plans.pending import pending_by_week
 from .sources.io import read_table, read_table_parallel
 
-__all__ = ["QUERIES"]
+__all__ = ["NO_ORACLE", "QUERIES"]
+
+# Queries with no DuckDB oracle BY DESIGN (sketch outputs are
+# implementation-defined); the driver runs its weaker rows-only check.
+NO_ORACLE = frozenset({"events_sketches"})
 
 
 # --- reference-surface queries (SURVEY §2) ---------------------------------
@@ -417,6 +421,49 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_date_slice_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F8+X7: date-range slice, per-month metrics, conditional distinct.
+
+    Reference: the notebook's parsed-date range filter (APC:261-267)
+    feeding grouped metrics, and the conditional distinct count
+    (len(df[df.ABC=='A'].Cliente.unique()), MAC:1099). The range filter
+    pushes to the parquet scan; countDistinct(when(...)) reproduces the
+    masked-unique pattern null-skippingly.
+    """
+    from .operators.filters import date_range  # noqa: PLC0415
+
+    li = read_table_parallel(spark, sf_dir, "lineitem")
+    sliced = date_range(li, "l_shipdate", "1994-01-01", "1994-12-31")
+    return sliced.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("mes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_linhas"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("fornecedores_devolucao"),
+        dsum("l_extendedprice").alias("valor_total"),
+    )
+
+
+def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB cardinality/quantile path.
+
+    approx_count_distinct (HyperLogLog++) and percentile_approx
+    (KLL-style) replace exact distinct/median when the key space no
+    longer fits a reducer. No DuckDB oracle on purpose: sketch outputs
+    are implementation-defined, so the driver records the weaker
+    rows-only check; the exact counterparts (events_summary,
+    group_median_pandas) stay hash-verified.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("tipo")).agg(
+        F.approx_count_distinct("user_id").alias("usuarios_hll"),
+        F.percentile_approx("value", 0.5).alias("mediana_aprox"),
+        F.percentile_approx("value", 0.95).alias("p95_aprox"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_skewed_flag_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 at pathological skew: ordered collect on a 3-value hot key.
 
@@ -618,6 +665,8 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "date_slice_metrics": q_date_slice_metrics,
+    "events_sketches": q_events_sketches,
     "skewed_flag_history": q_skewed_flag_history,
     "weekly_snapshots": q_weekly_snapshots,
     "dashboard_serve": q_dashboard_serve,
