@@ -493,6 +493,19 @@ ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]
 # NOTE: events_sketches has NO oracle by design — approx_count_distinct
 # and percentile_approx are implementation-defined sketches; the driver
 # records the weaker rows-only check for it.
+ORACLES["top_bigrams"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigrama
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigrama, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigrama
+LIMIT 20
+"""
+
 ORACLES["date_slice_metrics"] = """
 SELECT strftime(l_shipdate, '%Y-%m') AS mes,
   CAST(COUNT(*) AS BIGINT) AS n_linhas,

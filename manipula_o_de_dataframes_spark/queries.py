@@ -421,6 +421,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text n-gram extraction: corpus-wide top-20 bigrams.
+
+    The explode/generator plan shape (no reference counterpart; a
+    training-data-pipeline staple): per-doc bigram array built JVM-side
+    (sequence + element_at — no UDF), explode, hash-aggregate counts,
+    TakeOrderedAndProject for the top-k with a pinned tie-break. At
+    100 TB the explode multiplies rows ~token-count× but stays inside
+    one map stage; only (bigram, partial count) pairs shuffle.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigrama"))
+        .groupBy("bigrama")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigrama"))
+        .limit(20)
+    )
+
+
 def q_date_slice_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3+F8+X7: date-range slice, per-month metrics, conditional distinct.
 
@@ -665,6 +695,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "top_bigrams": q_top_bigrams,
     "date_slice_metrics": q_date_slice_metrics,
     "events_sketches": q_events_sketches,
     "skewed_flag_history": q_skewed_flag_history,
