@@ -100,6 +100,10 @@ def with_pct_and_cum_scaled(
     """
     from decimal import Decimal  # noqa: PLC0415
 
+    # Two-pass algorithm = the input is read three times (quantile probe,
+    # bucket stats, final plan). Persist it so the upstream join/agg
+    # computes once; Spark evicts LRU if memory is tight.
+    df = df.persist()
     vals = df.select(F.col(value_dec).cast("double").alias("__v"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(vals.stat.approxQuantile("__v", probs, 0.01)), reverse=True)
