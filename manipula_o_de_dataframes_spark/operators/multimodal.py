@@ -85,6 +85,34 @@ def decode_real(blobs: DataFrame) -> DataFrame:  # pragma: no cover
     )
 
 
+RESIZE_SCHEMA = "id long, payload_out binary, n_out long"
+
+
+def resize_stub(blobs: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Image-resize plumbing: binary in → binary out through Arrow batches.
+
+    The pixel resample (PIL ``Image.resize``) is stubbed as a
+    deterministic byte crop to ``target_bytes`` so the binary→binary
+    mapInPandas path — the exact shape a real resize kernel uses — is
+    exercised and oracle-checkable. Swap the batch body for
+    ``Image.open(BytesIO(b)).resize(...)`` when media libs exist.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf["payload"].map(lambda b: bytes(b)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload_out": out,
+                    "n_out": out.map(len).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: explode K pseudo-frames per blob.
 

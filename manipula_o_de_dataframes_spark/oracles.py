@@ -493,6 +493,26 @@ ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]
 # NOTE: events_sketches has NO oracle by design — approx_count_distinct
 # and percentile_approx are implementation-defined sketches; the driver
 # records the weaker rows-only check for it.
+# DuckDB md5/substring only take VARCHAR; documents.text is pure ASCII
+# at every SF (verified: octet_length(encode(text)) == length(text)),
+# so the char crop hashes the same bytes as Spark's binary crop.
+ORACLES["multimodal_resize"] = """
+SELECT doc_id AS id,
+  md5(substring(text, 1, 64)) AS digest_out,
+  CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_out
+FROM documents
+"""
+
+ORACLES["multimodal_frames"] = """
+WITH blobs AS (
+  SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes FROM documents
+)
+SELECT id, frame_idx FROM (
+  SELECT id, CAST(unnest(generate_series(0, n_bytes % 30)) AS INT) AS frame_idx
+  FROM blobs
+) WHERE frame_idx % 10 = 0
+"""
+
 ORACLES["top_bigrams"] = """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 bg AS (

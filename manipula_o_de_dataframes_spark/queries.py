@@ -421,6 +421,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→binary mapInPandas (the image-resize plumbing), verified.
+
+    The resize kernel is a deterministic byte crop (media libs absent —
+    see operators.multimodal.resize_stub); the md5 of the output binary
+    is compared against the SQL oracle, proving payload bytes survive
+    the Arrow round-trip intact.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    blobs = mm.as_blob_table(d, "doc_id", "text")
+    out = mm.resize_stub(blobs, target_bytes=64)
+    return out.select("id", F.md5("payload_out").alias("digest_out"), "n_out")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one blob row fans out to frame rows.
+
+    Deterministic pseudo-frames (n_bytes % 30 + 1 per blob, keep every
+    10th) stand in for real frame extraction; the explode fan-out and
+    the sampled-index arithmetic are the plan shape a real sampler uses.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    blobs = mm.as_blob_table(d, "doc_id", "text")
+    return mm.frame_sample_plan(blobs, every_n=10)
+
+
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text n-gram extraction: corpus-wide top-20 bigrams.
 
@@ -695,6 +721,8 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "top_bigrams": q_top_bigrams,
     "date_slice_metrics": q_date_slice_metrics,
     "events_sketches": q_events_sketches,
