@@ -493,6 +493,20 @@ ORACLES["abc_classification_scaled"] = ORACLES["abc_classification"]
 # NOTE: events_sketches has NO oracle by design — approx_count_distinct
 # and percentile_approx are implementation-defined sketches; the driver
 # records the weaker rows-only check for it.
+ORACLES["revenue_by_nation"] = """
+SELECT n.n_name AS nacao,
+  CAST(COUNT(*) AS BIGINT) AS n_itens,
+  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_clientes,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
 # DuckDB md5/substring only take VARCHAR; documents.text is pure ASCII
 # at every SF (verified: octet_length(encode(text)) == length(text)),
 # so the char crop hashes the same bytes as Spark's binary crop.

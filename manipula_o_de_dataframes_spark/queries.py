@@ -421,6 +421,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join: lineitem⋈orders⋈customer⋈nation⋈region.
+
+    The multi-dimension join shape (TPC-H Q5's skeleton). The region
+    filter prunes nation rows *before* any fact row is touched; every
+    dimension broadcasts, so the fact table crosses the wire exactly
+    once — for the final per-nation aggregate.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    dims = c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+                  c.c_nationkey == n.n_nationkey)
+    fact = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return fact.groupBy(F.col("n_name").alias("nacao")).agg(
+        F.count(F.lit(1)).alias("n_itens"),
+        F.countDistinct("o_custkey").alias("n_clientes"),
+        dsum("l_extendedprice").alias("valor_total"),
+    )
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary→binary mapInPandas (the image-resize plumbing), verified.
 
@@ -721,6 +750,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "revenue_by_nation": q_revenue_by_nation,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "top_bigrams": q_top_bigrams,
