@@ -148,6 +148,35 @@ def read_ordered_snapshots(
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
 
+def structure_probe(df: DataFrame, n_rows: int = 5) -> dict:
+    """S7: raw structure probe + header-row heuristic (MAC:662-691).
+
+    Driver-side diagnostic (not a distributed op): row/column counts,
+    the first ``n_rows`` as a matrix, and the suggested header row —
+    the first previewed row containing no all-numeric cells, mirroring
+    the reference's "a header row has no numbers" heuristic.
+    """
+
+    def _numeric(x) -> bool:
+        try:
+            float(str(x))
+            return True
+        except (TypeError, ValueError):
+            return False
+
+    rows = [list(r) for r in df.limit(n_rows).collect()]
+    suggested = next(
+        (i for i, r in enumerate(rows) if r and not any(_numeric(c) for c in r)),
+        0,
+    )
+    return {
+        "n_columns": len(df.columns),
+        "columns": list(df.columns),
+        "preview": rows,
+        "suggested_header_row": suggested,
+    }
+
+
 def write_excel(df: DataFrame, path: str) -> str:
     """S8: Excel sink for small (post-aggregation) results (AP:110-114).
 

@@ -64,3 +64,17 @@ def test_pending_stream_available_now(spark, tmp_path):
     total = sum(r["n_pendentes"] for r in seen)
     assert total == 2  # only the two PENDENTE rows
     assert all(r["snapshot"] == "snap1.parquet" for r in seen)
+
+
+def test_structure_probe_header_heuristic(spark):
+    """S7: the 'header row has no numeric cells' suggestion (MAC:683-691)."""
+    from manipula_o_de_dataframes_spark.sources.io import structure_probe
+
+    df = spark.createDataFrame(
+        [("1", "2.5", "3"), ("a", "b", "c"), ("x", "9", "z")],
+        ["c1", "c2", "c3"],
+    )
+    probe = structure_probe(df)
+    assert probe["n_columns"] == 3
+    assert len(probe["preview"]) == 3
+    assert probe["suggested_header_row"] == 1  # first all-non-numeric row
