@@ -175,6 +175,46 @@ def ivf_cell(vec, centroids: list[tuple[int, list[float]]]) -> Column:
     return (-best["neg_cid"]).cast("int")
 
 
+def kmeans_lite(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, Spark-iteration style.
+
+    The iterative-algorithm pattern: each round is one distributed pass
+    (assign via centroid-literal expression — zero shuffle) plus one
+    small aggregate (per-cell mean → driver, k×dims values), and the
+    loop lives on the driver. Init = the first k vectors by id
+    (deterministic). This is the training step that produces real IVF
+    centroids for ``ivf_topk``; row-level float averaging is
+    reassociation-sensitive, so cluster *quality* is stable but exact
+    assignments near boundaries may differ across partitionings — hence
+    no value-hash oracle (rows-only check).
+    """
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.filter(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
+    ]
+    dims = len(cents[0][1])
+    for _ in range(iters):
+        assigned = df.withColumn("__cell", ivf_cell(F.col(vec_col), cents))
+        means = assigned.groupBy("__cell").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"d{d}")
+                for d in range(dims)
+            ]
+        ).collect()
+        cents = sorted(
+            (int(r["__cell"]), [float(r[f"d{d}"]) for d in range(dims)]) for r in means
+        )
+    return df.withColumn("cell", ivf_cell(F.col(vec_col), cents)).select(
+        F.col(id_col), F.col("cell")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

@@ -38,7 +38,7 @@ __all__ = ["NO_ORACLE", "QUERIES"]
 
 # Queries with no DuckDB oracle BY DESIGN (sketch outputs are
 # implementation-defined); the driver runs its weaker rows-only check.
-NO_ORACLE = frozenset({"events_sketches"})
+NO_ORACLE = frozenset({"events_sketches", "kmeans_cells"})
 
 
 # --- reference-surface queries (SURVEY §2) ---------------------------------
@@ -421,6 +421,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm surface: 3 Lloyd rounds over embeddings.
+
+    Driver-looped distributed passes (assign = centroid-literal map
+    expression; recenter = one small aggregate per round) — the
+    training step that yields real IVF centroids. Float averaging is
+    reassociation-sensitive, so this is a rows-only query (NO_ORACLE):
+    cell occupancy comes back, 8 rows, stable schema.
+    """
+    e = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cells = sim.kmeans_lite(e, "embedding", "vec_id", k=8, iters=3)
+    return cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vetores"))
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-table star join: lineitem⋈orders⋈customer⋈nation⋈region.
 
@@ -750,6 +768,7 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_features": q_multimodal_features,
+    "kmeans_cells": q_kmeans_cells,
     "revenue_by_nation": q_revenue_by_nation,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
