@@ -61,24 +61,26 @@ def dedupe_rows(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
 
     Reference drop_duplicates keeps first-in-file-order (MAC:604-605);
     Spark's ``dropDuplicates`` keeps an *arbitrary* row, so when the kept
-    row matters we pin it explicitly. Implemented as
-    ``min_by(struct(payload), struct(order))`` — a hash aggregate with
-    map-side partial combine, so duplicates collapse *before* the
-    shuffle and no per-group sort happens (a row_number window would
-    shuffle every row and sort each partition). Order columns must be
-    non-null for deterministic struct comparison.
+    row matters we pin it explicitly. Implemented as one ``min_by`` per
+    payload column over the same order key — an aggregate with map-side
+    partial combine, so duplicates collapse before the shuffle (a
+    row_number window would shuffle every row and sort each partition).
+    String-typed buffers keep the physical plan a SortAggregate (UnsafeRow
+    aggregate buffers must be fixed-size mutable types), but the partial/
+    final split and early combine still apply. ``order_by`` must be a
+    *total* order within each key group (non-null, no duplicates) — that
+    is what makes keep-first deterministic at all, and it also guarantees
+    all the per-column min_bys pick the same row.
     """
     payload = [c for c in df.columns if c not in keys]
-    order_key = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_by])
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    # A bare scalar order key is cheaper to compare in the sort-based
+    # fallback than a 1-field struct; composite orders need the struct.
+    order_key = order_cols[0] if len(order_cols) == 1 else F.struct(*order_cols)
     kept = df.groupBy(*keys).agg(
-        F.min_by(F.struct(*payload), order_key).alias("__kept")
+        *[F.min_by(_exact(c), order_key).alias(c) for c in payload]
     )
-    return kept.select(
-        *[
-            F.col(c) if c in keys else F.col("__kept").getField(c).alias(c)
-            for c in df.columns
-        ]
-    )
+    return kept.select(*[_exact(c) for c in df.columns])
 
 
 def clean(
