@@ -226,3 +226,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_cached_history_serves_interactions_from_memory(spark):
+    """Q5: the dashboard's session_state/TTL-cache analog — once the
+    working set is cached, per-interaction filter/sort/page plans read
+    InMemoryTableScan, not the parquet sources."""
+    from manipula_o_de_dataframes_spark.plans.history import product_client_history
+    from manipula_o_de_dataframes_spark.operators.filters import dynamic
+    from tests.conftest import SF_SMOKE
+
+    hist = product_client_history(spark, SF_SMOKE).cache()
+    try:
+        hist.count()  # materialize once (the "process" button)
+        page = dynamic(hist, {"ultimo_consultor": "R"}).orderBy("produto").limit(20)
+        plan = page._jdf.queryExecution().executedPlan().toString()
+        # (the InMemoryRelation node still *prints* its stored parquet
+        # plan, so we assert the memory scan is present, not that the
+        # string "Scan parquet" is absent)
+        assert "InMemoryTableScan" in plan
+        assert page.count() > 0
+    finally:
+        hist.unpersist()
