@@ -527,6 +527,35 @@ SELECT id, frame_idx FROM (
 ) WHERE frame_idx % 10 = 0
 """
 
+# ln() on integer-derived ratios, rounded to 9 dp on both sides before
+# the argmax comparison and output.
+ORACLES["tfidf_top_term"] = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM terms GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS idf
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(CAST(tf.tf AS DOUBLE) * idf.idf, 9) AS score
+  FROM tf JOIN idf USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term DESC) AS rn
+  FROM scored
+)
+SELECT doc_id, term AS termo_top, score AS score_top
+FROM ranked WHERE rn = 1
+"""
+
 ORACLES["top_bigrams"] = """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 bg AS (

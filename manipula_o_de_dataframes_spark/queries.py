@@ -494,6 +494,38 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(blobs, every_n=10)
 
 
+def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: each document's highest-scoring term.
+
+    Classic two-aggregate text pipeline: explode tokens → per-(doc,term)
+    TF → per-term document frequency → broadcast-join IDF back → argmax
+    per doc via max_by with a term tie-break. ln() on integer-derived
+    ratios, rounded to 9 dp, keeps float parity with the oracle. At
+    scale the DF table is ~|vocabulary| rows (broadcastable by
+    construction); the token explode stays inside one map stage.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    terms = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_counts.select(
+        "term", F.log(F.lit(float(n_docs)) / F.col("df").cast("double")).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf").cast("double") * F.col("idf"), 9).alias("score"),
+    )
+    # max of struct(score, term): highest score, ties to the
+    # lexicographically largest term — mirrored in the oracle's
+    # ORDER BY score DESC, term DESC.
+    return scored.groupBy("doc_id").agg(
+        F.max_by("term", F.struct(F.col("score"), F.col("term"))).alias("termo_top"),
+        F.max("score").alias("score_top"),
+    )
+
+
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text n-gram extraction: corpus-wide top-20 bigrams.
 
@@ -772,6 +804,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "tfidf_top_term": q_tfidf_top_term,
     "top_bigrams": q_top_bigrams,
     "date_slice_metrics": q_date_slice_metrics,
     "events_sketches": q_events_sketches,
