@@ -18,7 +18,7 @@ inside hash buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -29,12 +29,18 @@ SHINGLE_K = 3
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per identical text.
 
-    Hash-groupBy on md5(text) — one shuffle of (hash, id) pairs, never
-    the payload; min() is partial-aggregable map-side.
+    groupBy(md5(text)) + per-column min_by over the id — an aggregate
+    with map-side partial combine, so duplicate rows collapse inside
+    each map task and at most one survivor per (key, map partition)
+    reaches the shuffle. (A row_number window would shuffle and sort
+    every payload row.) Same shape as cleaning.dedupe_rows.
     """
-    key = F.md5(F.col(text_col))
-    w = Window.partitionBy(key).orderBy(F.col(id_col))
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    others = [c for c in df.columns if c != id_col]
+    kept = df.groupBy(F.md5(F.col(text_col)).alias("__key")).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        *[F.min_by(F.col(c), F.col(id_col)).alias(c) for c in others],
+    )
+    return kept.select(*df.columns)
 
 
 def shingles(col, k: int = SHINGLE_K) -> Column:

@@ -12,8 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .joins import unmatched_keys
-
 
 def null_report(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Q1: per-column null counts in one pass (MAC:531)."""
@@ -31,12 +29,22 @@ def required_columns_check(df: DataFrame, required: list[str]) -> dict[str, bool
 
 
 def join_compatibility(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
-    """Q3: unmatched-key count and percentage (MAC:726-774)."""
-    total = facts.select(key).distinct().count()
-    missing = unmatched_keys(facts, dim, key).count()
-    spark = facts.sparkSession
-    pct = (100.0 * missing / total) if total else 0.0
-    return spark.createDataFrame(
-        [(key, total, missing, pct)],
-        "key string, fact_keys long, unmatched long, unmatched_pct double",
+    """Q3: unmatched-key count and percentage (MAC:726-774).
+
+    One lazy plan, no driver actions: distinct fact keys broadcast-left-
+    joined to the dim's distinct keys, then a single aggregate. (An
+    earlier eager variant ran two .count() actions; one code path now —
+    VERDICT r1 #8.)
+    """
+    dkeys = dim.select(key).distinct().withColumn("__hit", F.lit(1))
+    keys = facts.select(key).distinct()
+    joined = keys.join(F.broadcast(dkeys), key, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("fact_keys"),
+        F.count(F.when(F.col("__hit").isNull(), 1)).alias("unmatched"),
+        (
+            F.count(F.when(F.col("__hit").isNull(), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 100
+        ).alias("unmatched_pct"),
     )

@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 from ..functions.formatting import MONEY
 
 
-def rank_desc(value, tiebreak: list | None = None) -> Column:
-    """W1: SQL RANK() ≡ pandas rank(ascending=False, method='min') (APC:103)."""
+def rank_desc(value) -> Column:
+    """W1: SQL RANK() ≡ pandas rank(ascending=False, method='min') (APC:103).
+
+    No tie-break parameter on purpose: RANK's whole contract is that
+    value ties share a rank (method='min'); an extra ORDER BY column
+    would silently turn it into ROW_NUMBER.
+    """
     order = [F.col(value).desc() if isinstance(value, str) else value.desc()]
     return F.rank().over(Window.orderBy(*order)).cast("long")
 
@@ -100,9 +105,12 @@ def with_pct_and_cum_scaled(
     """
     from decimal import Decimal  # noqa: PLC0415
 
-    # Two-pass algorithm = the input is read three times (quantile probe,
-    # bucket stats, final plan). Persist it so the upstream join/agg
-    # computes once; Spark evicts LRU if memory is tight.
+    # The input is read three times (quantile probe, bucket stats, final
+    # plan). Persist it so the two eager probes share one compute, then
+    # unpersist before returning: a leaked cache pinned for the session
+    # outlives its value (VERDICT r1 #7). The final (caller-materialized)
+    # pass recomputes the upstream once — bounded, post-aggregation-sized
+    # work, while cache ownership stays entirely inside this function.
     df = df.persist()
     vals = df.select(F.col(value_dec).cast("double").alias("__v"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -121,6 +129,7 @@ def with_pct_and_cum_scaled(
         .agg(F.sum(value_dec).alias("__s"), F.count(F.lit(1)).alias("__c"))
         .collect()
     }
+    df.unpersist()
     grand = sum((s for s, _ in stats.values()), Decimal(0))
     sum_off, cnt_off = {}, {}
     acc_s, acc_c = Decimal(0), 0

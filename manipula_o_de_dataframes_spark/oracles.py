@@ -14,22 +14,27 @@ __all__ = ["ORACLES"]
 
 
 def _brl(expr: str) -> str:
-    """Mirror of functions.formatting.brl: exact-decimal '{:,.2f}'."""
+    """Mirror of functions.formatting.brl: exact-decimal '{:,.2f}'.
+
+    COALESCE(..., '') mirrors brl()'s null_as_empty=True default — a NULL
+    money value renders as '' on both sides (ADVICE r1: parity previously
+    held only because the probed columns happen to be non-null).
+    """
     d = f"CAST({expr} AS DECIMAL(18,2))"
     return (
-        f"'R$ ' || (CASE WHEN {d} < 0 THEN '-' ELSE '' END"
+        f"COALESCE('R$ ' || (CASE WHEN {d} < 0 THEN '-' ELSE '' END"
         f" || format('{{:,}}', CAST(trunc(abs({d})) AS BIGINT))"
-        f" || '.' || lpad(CAST(CAST(abs({d}) * 100 % 100 AS BIGINT) AS VARCHAR), 2, '0'))"
+        f" || '.' || lpad(CAST(CAST(abs({d}) * 100 % 100 AS BIGINT) AS VARCHAR), 2, '0')), '')"
     )
 
 
 def _pct(expr: str) -> str:
-    """Mirror of functions.formatting.pct."""
+    """Mirror of functions.formatting.pct (null → '', like _brl)."""
     d = f"CAST({expr} AS DECIMAL(18,2))"
     return (
-        f"(CASE WHEN {d} < 0 THEN '-' ELSE '' END"
+        f"COALESCE((CASE WHEN {d} < 0 THEN '-' ELSE '' END"
         f" || format('{{:,}}', CAST(trunc(abs({d})) AS BIGINT))"
-        f" || '.' || lpad(CAST(CAST(abs({d}) * 100 % 100 AS BIGINT) AS VARCHAR), 2, '0')) || '%'"
+        f" || '.' || lpad(CAST(CAST(abs({d}) * 100 % 100 AS BIGINT) AS VARCHAR), 2, '0')) || '%', '')"
     )
 
 

@@ -210,25 +210,15 @@ def q_join_compatibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MAC:726-774): distinct fact keys broadcast-left-joined to the dim's
     distinct keys, then one aggregate.
     """
+    from .operators.quality import join_compatibility  # noqa: PLC0415
+
     li = read_table(spark, sf_dir, "lineitem")
     dim = (
         read_table(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 25)
         .select(F.col("p_partkey").alias("l_partkey"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
     )
-    keys = li.select("l_partkey").distinct()
-    joined = keys.join(F.broadcast(dim), "l_partkey", "left")
-    return joined.agg(
-        F.count(F.lit(1)).alias("fact_keys"),
-        F.count(F.when(F.col("__hit").isNull(), 1)).alias("unmatched"),
-        (
-            F.count(F.when(F.col("__hit").isNull(), 1)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-            * 100
-        ).alias("unmatched_pct"),
-    )
+    return join_compatibility(li, dim, "l_partkey")
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,32 +624,44 @@ def q_skewed_flag_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_snapshot_paths(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Stage the three weekly-snapshot files ONCE per sf_dir.
+
+    The snapshot files (orders split by o_orderkey % 3 — the stand-in
+    for three user uploads) are fixture data, not query work: staging
+    them inside the query distorted the bench and leaked a mkdtemp per
+    invocation (VERDICT r1 #4). They now live at a deterministic temp
+    location keyed by sf_dir; a _SUCCESS marker in every part makes
+    re-staging a no-op across processes.
+    """
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "manipula_snapshots", sf_dir.strip("/").replace("/", "_")
+    )
+    paths = [os.path.join(stage, f"snap{i}.parquet") for i in range(3)]
+    if not all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths):
+        orders = read_table(spark, sf_dir, "orders")
+        for i, p in enumerate(paths):
+            orders.filter(F.col("o_orderkey") % 3 == i).write.mode("overwrite").parquet(p)
+    return paths
+
+
 def q_weekly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/EP2 verbatim: ordered multi-file ingest with positional labels.
 
     The reference's only multi-file construct: N user-ordered weekly
     uploads, file position idx → 'Semana Atual'/'Semana -N' label,
     PENDENTE filter per file, concat by name, per-week metrics
-    (AP:17-51, 80-95). Stages orders into three snapshot files (split
-    deterministically by o_orderkey % 3 — the stand-in for three
-    uploads), then runs the exact pipeline via read_ordered_snapshots:
-    per-file reads (the label comes from *user order*, which
-    input_file_name cannot give), zero-shuffle unionByName, one hash
-    aggregate.
+    (AP:17-51, 80-95). Snapshot files are staged once per sf_dir (see
+    _staged_snapshot_paths); the query itself is read-only — per-file
+    reads (the label comes from *user order*, which input_file_name
+    cannot give), zero-shuffle unionByName, one hash aggregate.
     """
-    import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
-
     from .sources.io import read_ordered_snapshots  # noqa: PLC0415
 
-    stage = tempfile.mkdtemp(prefix="manipula_snapshots_")
-    orders = read_table(spark, sf_dir, "orders")
-    paths = []
-    for i in range(3):
-        p = os.path.join(stage, f"snap{i}.parquet")
-        orders.filter(F.col("o_orderkey") % 3 == i).write.mode("overwrite").parquet(p)
-        paths.append(p)
-    snaps = read_ordered_snapshots(spark, paths)
+    snaps = read_ordered_snapshots(spark, _staged_snapshot_paths(spark, sf_dir))
     pending = snaps.filter(F.col("o_orderstatus") == "P")
     return pending.groupBy("semana").agg(
         F.count(F.lit(1)).alias("n_pendentes"),

@@ -39,6 +39,11 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "manipula_spark_warehouse"),
         )
+        # events.parquet stores TIMESTAMP(NANOS), which the parquet reader
+        # rejects without this legacy flag; declared here (session scope)
+        # rather than mutated mid-read. read_table keeps a fallback set
+        # for driver-owned sessions built without this factory.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

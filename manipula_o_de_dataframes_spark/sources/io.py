@@ -41,7 +41,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rendering independent of the session timezone.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.get_spark declares this at build time; driver-owned
+        # sessions may lack it. Setting it is idempotent (always "true",
+        # never toggled back), so no cross-query surprise.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

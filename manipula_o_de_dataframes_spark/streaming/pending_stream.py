@@ -67,45 +67,56 @@ def pending_stream_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time column.
     """
     import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
     import uuid  # noqa: PLC0415
 
     # The file source watches a *directory*; stage the snapshot into a
     # fresh one (symlink — no copy) as a live feed would drop it there.
+    # Every resource (watch dir, checkpoint, memory-sink table) is torn
+    # down before returning — repeated runs leave nothing behind
+    # (ADVICE r1); the small final aggregate is re-hosted in a local
+    # DataFrame that outlives the sink table.
     watch_dir = tempfile.mkdtemp(prefix="manipula_stream_in_")
-    os.symlink(os.path.join(sf_dir, "orders.parquet"),
-               os.path.join(watch_dir, "orders.parquet"))
-    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(watch_dir)
-    pending = (
-        stream.filter(F.col("o_orderstatus") == "P")
-        .withColumn("snapshot", F.element_at(F.split(F.input_file_name(), "/"), -1))
-    )
-    agg = pending.groupBy(
-        "snapshot", F.window(F.col("o_orderdate"), "7 days").alias("semana")
-    ).agg(
-        F.count(F.lit(1)).alias("n_pendentes"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("valor_total"),
-    )
-    out = agg.select(
-        "snapshot",
-        F.date_format(F.col("semana.start"), "yyyy-MM-dd").alias("semana_inicio"),
-        "n_pendentes",
-        "valor_total",
-    )
+    ckpt_dir = tempfile.mkdtemp(prefix="manipula_stream_ckpt_")
     name = "pending_stream_" + uuid.uuid4().hex
-    import tempfile  # noqa: PLC0415
-
-    (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="manipula_stream_ckpt_"))
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    try:
+        os.symlink(os.path.join(sf_dir, "orders.parquet"),
+                   os.path.join(watch_dir, "orders.parquet"))
+        schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+        stream = spark.readStream.schema(schema).parquet(watch_dir)
+        pending = (
+            stream.filter(F.col("o_orderstatus") == "P")
+            .withColumn("snapshot", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        )
+        agg = pending.groupBy(
+            "snapshot", F.window(F.col("o_orderdate"), "7 days").alias("semana")
+        ).agg(
+            F.count(F.lit(1)).alias("n_pendentes"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("valor_total"),
+        )
+        out = agg.select(
+            "snapshot",
+            F.date_format(F.col("semana.start"), "yyyy-MM-dd").alias("semana_inicio"),
+            "n_pendentes",
+            "valor_total",
+        )
+        (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+            .awaitTermination()
+        )
+        sink = spark.table(name)
+        result = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
 
 
 def run_available_now(result: DataFrame, sink_fn, checkpoint_dir: str | None = None) -> None:

@@ -228,6 +228,32 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_b")
 
 
+def test_exact_dedup_plans_as_aggregate_not_window(spark):
+    """exact_dedup must collapse duplicates with a map-side-combinable
+    aggregate (min_by), never a row_number window that shuffles and
+    sorts every payload row — the 100 TB dedup shape (VERDICT r1 #5)."""
+    from manipula_o_de_dataframes_spark.operators.dedup import exact_dedup
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    out = exact_dedup(d, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"exact_dedup still plans a window:\n{plan}"
+    assert "Aggregate" in plan
+
+
+def test_scaled_cumsum_leaves_no_persistent_rdds(spark):
+    """with_pct_and_cum_scaled owns its cache: after the query is built
+    and materialized, nothing stays pinned in the session (VERDICT r1 #7)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    QUERIES["abc_classification_scaled"](spark, SF_SMOKE).count()
+    n_leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_leaked == 0, f"{n_leaked} persistent RDDs leaked"
+
+
 def test_cached_history_serves_interactions_from_memory(spark):
     """Q5: the dashboard's session_state/TTL-cache analog — once the
     working set is cached, per-interaction filter/sort/page plans read
