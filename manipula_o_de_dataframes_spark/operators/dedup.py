@@ -64,34 +64,48 @@ def minhash(col, seed: int, k: int = SHINGLE_K) -> Column:
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 4) -> DataFrame:
     """Per-document MinHash signature (n_hashes min-wise hashes).
 
-    ONE md5 per shingle: hash function i is the i-th disjoint 8-hex-char
-    (32-bit) slice of that digest — each slice is an independent uniform
-    hash of the shingle, so "min of slice i" is a valid min-wise family
-    at a quarter of the hashing cost of seed-prefixed digests (md5
-    dominates this operator's runtime). n_hashes ≤ 4 with md5's 32 hex
-    chars.
+    Hash function i is the (i % 4)-th disjoint 8-hex-char (32-bit) slice
+    of digest group i // 4 — each slice is an independent uniform hash
+    of the shingle, so "min of slice i" is a valid min-wise family at a
+    quarter of the hashing cost of one digest per hash (md5 dominates
+    this operator's runtime). Digest group 0 is the plain md5 (kept
+    un-prefixed for signature stability); group g ≥ 1 is md5('g:' ||
+    shingle) — a seeded, independent digest — so n_hashes is unbounded
+    at ceil(n/4) md5s per shingle.
 
     Single scan, single pass, no shuffle — the signature is ~n_hashes×8
     bytes per doc regardless of document size, which is what makes LSH
     dedup feasible at 100 TB (downstream stages never touch the text).
     """
-    assert n_hashes <= 4, "md5 yields 4 disjoint 32-bit slices"
+    n_groups = (n_hashes + 3) // 4
+
+    def digest_of(g: int):
+        # single-arg lambda: a 2-arg lambda would receive the element index
+        if g == 0:
+            return lambda s: F.md5(s)
+        return lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
 
     def slice_of(s: int):
-        # single-arg lambda: a 2-arg lambda would receive the element index
         return lambda h: h.substr(1 + 8 * s, 8)
 
-    # materialize the digest array in its own projection so the shingle
-    # md5s are computed once per row, not once per signature column
-    staged = df.select(
-        F.col(id_col),
-        F.transform(shingles(F.col(text_col)), lambda s: F.md5(s)).alias("__hs"),
-    )
-    return staged.select(
+    # stage shingles once, then materialize each digest array in its own
+    # projection so shingle md5s are computed once per row per group,
+    # not once per signature column
+    staged = df.select(F.col(id_col), shingles(F.col(text_col)).alias("__sh"))
+    digests = staged.select(
         F.col(id_col),
         *[
-            F.array_min(F.transform(F.col("__hs"), slice_of(s))).alias(f"mh{s}")
-            for s in range(n_hashes)
+            F.transform(F.col("__sh"), digest_of(g)).alias(f"__hs{g}")
+            for g in range(n_groups)
+        ],
+    )
+    return digests.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(F.col(f"__hs{i // 4}"), slice_of(i % 4))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
         ],
     )
 
@@ -102,22 +116,37 @@ def near_dup_pairs(
     id_col: str,
     n_hashes: int = 4,
     min_matches: int = 1,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (bands of 1 row) + signature agreement.
+    """MinHash-LSH candidate pairs (b bands × r rows) + signature agreement.
 
-    Explode each signature into (band, value) keys, shuffle by band
-    bucket, pair up within buckets (a.id < b.id), then score each pair by
-    the fraction of agreeing hashes (the MinHash Jaccard estimate).
+    Explode each signature into b = n_hashes / rows_per_band band keys
+    (band j concatenates hashes j·r … j·r+r−1), shuffle by band bucket,
+    pair up within buckets (a.id < b.id), then score each pair by the
+    number of agreeing hashes (the MinHash Jaccard estimate).
+
+    rows_per_band is the precision knob: with r = 1 a single colliding
+    hash admits a candidate pair (P[candidate] = 1−(1−j)^b for Jaccard
+    j — far too permissive at 100 TB); with r ≥ 2 a band only fires
+    when r hashes agree *jointly* (P = 1−(1−j^r)^b), the classic LSH
+    S-curve that crushes low-similarity collisions. n_hashes must be a
+    multiple of rows_per_band.
     """
+    assert n_hashes % rows_per_band == 0, "n_hashes must be a multiple of rows_per_band"
+    n_bands = n_hashes // rows_per_band
     sig = minhash_signature(df, text_col, id_col, n_hashes)
+    band_keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(j)),
+            *[F.col(f"mh{j * rows_per_band + k}") for k in range(rows_per_band)],
+        )
+        for j in range(n_bands)
+    ]
     bands = sig.select(
         F.col(id_col),
         *[F.col(f"mh{s}") for s in range(n_hashes)],
-        F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{s}|"), F.col(f"mh{s}")) for s in range(n_hashes)
-            ])
-        ).alias("band"),
+        F.explode(F.array(*band_keys)).alias("band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (

@@ -122,11 +122,11 @@ def cosine_near_dup_pairs(
     The O(n²) correctness baseline. Norms are computed once per row
     *before* the pair join (n norm folds, not 2n²), then each pair costs
     one dot product; the build side is broadcast so the probe side never
-    shuffles. At 100 TB swap in blocking: join on ``sign_bucket`` (or an
-    IVF cell column) first so only same-bucket pairs are scored — the
-    scoring expression is unchanged, the candidate set shrinks ~2^bits.
-    Precomputing norms does not change the float result: the per-pair
-    expression round(dot/(na*nb), 9) performs the identical operations.
+    shuffles. At 100 TB use ``cosine_near_dup_blocked`` — same scoring
+    expression, candidates from sign-bucket equality, candidate set
+    shrinks ~2^bits. Precomputing norms does not change the float
+    result: the per-pair expression round(dot/(na*nb), 9) performs the
+    identical operations.
     """
     withn = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
@@ -150,6 +150,57 @@ def cosine_near_dup_pairs(
                 dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 9
             ).alias("cos_sim"),
         )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def cosine_near_dup_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_bits: int = 6,
+) -> DataFrame:
+    """Blocked embedding near-dup: candidates from sign-LSH bucket
+    equality, scored with the EXACT same expression as the all-pairs
+    baseline (round(dot/(na·nb), 9) ≥ threshold).
+
+    This is the 100 TB shape the baseline's docstring promises: instead
+    of an O(n²) cartesian, pairs join on the sign_bucket key — an
+    equi-join that shuffles each (id, vec, norm, bucket) row once and
+    scores only within-bucket pairs, ~n²/2^bits of the pair space.
+    Recall < 1 by construction (a near-dup pair split across buckets is
+    never scored — that is the deal LSH makes); precision is exact
+    because surviving pairs are scored with the full cosine. Norms are
+    computed once per row before the pair join, identical to the
+    baseline, so matched pairs carry bit-identical cos_sim.
+    """
+    withb = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
+        sign_bucket(F.col(vec_col), n_bits).alias("__b"),
+    )
+    a = withb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__b").alias("__ba"),
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__b").alias("__bb"),
+    )
+    scored = a.join(
+        b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 9
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 

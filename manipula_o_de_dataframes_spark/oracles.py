@@ -88,6 +88,30 @@ sig AS (
 )"""
 )
 
+# Mirror of minhash_signature at n_hashes=8: digest group 0 is the
+# plain md5, group 1 is md5('1:' || shingle); hash i = slice i % 4 of
+# group i // 4.
+_SIG8_CTE = (
+    _SHINGLES_CTE
+    + """,
+hashed8 AS (
+  SELECT doc_id,
+    list_transform(sh, x -> md5(x)) AS hs0,
+    list_transform(sh, x -> md5('1:' || x)) AS hs1
+  FROM shing
+),
+sig8 AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"    list_min(list_transform(hs{i // 4}, h -> substr(h, {1 + 8 * (i % 4)}, 8))) AS mh{i}"
+        for i in range(8)
+    )
+    + """
+  FROM hashed8
+)"""
+)
+
 _STOPWORDS_SQL = "('the','a','and','of','to','in','is')"
 
 _UNION_SQL = """
@@ -559,6 +583,47 @@ ranked AS (
 )
 SELECT doc_id, term AS termo_top, score AS score_top
 FROM ranked WHERE rn = 1
+"""
+
+# Blocked near-dup: candidates restricted to equal sign-LSH buckets,
+# scoring expression identical to embedding_near_dup.
+ORACLES["embedding_near_dup_blocked"] = f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_dot("embedding", "embedding")}) AS nrm,
+         {_sign_bucket("embedding")} AS b
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) AS cos_sim
+  FROM n a JOIN n b ON a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+"""
+
+# Banded LSH (8 hashes, 4 bands × 2 rows): a band key fires only when
+# both of its hashes agree; band-key strings match Spark's
+# concat_ws('|', band_idx, mh_a, mh_b) byte-for-byte.
+ORACLES["near_dup_jaccard_banded"] = f"""
+WITH {_SIG8_CTE},
+bands AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+    unnest(['0|' || mh0 || '|' || mh1,
+            '1|' || mh2 || '|' || mh3,
+            '2|' || mh4 || '|' || mh5,
+            '3|' || mh6 || '|' || mh7]) AS band
+  FROM sig8
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(8))} AS BIGINT) AS n_agree
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, p.n_agree,
+  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 9) AS jaccard
+FROM pairs p
+JOIN shing sa ON sa.doc_id = p.id_a
+JOIN shing sb ON sb.doc_id = p.id_b
 """
 
 ORACLES["top_bigrams"] = """

@@ -751,6 +751,38 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.4)
 
 
+def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, blocked: sign-LSH bucket candidates, exact scoring.
+
+    The coded 100 TB twin of embedding_near_dup (VERDICT r1 #1a): the
+    candidate join is an equi-join on the 6-bit sign bucket instead of
+    an all-pairs cartesian, and surviving pairs carry bit-identical
+    cos_sim (same round(dot/(na*nb), 9) expression, mirrored in the
+    DuckDB oracle with the same bucket predicate).
+    """
+    e = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return sim.cosine_near_dup_blocked(e, "embedding", "vec_id", threshold=0.4, n_bits=6)
+
+
+def q_near_dup_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH (8 hashes, 4 bands × 2 rows) + exact Jaccard.
+
+    The scale-precision variant of near_dup_jaccard (VERDICT r1 #1b):
+    a band fires only when BOTH of its hashes agree, so the candidate
+    admission curve is 1-(1-j^2)^4 instead of r=1's 1-(1-j)^8 — low-
+    similarity pairs are crushed before the (quadratic-within-bucket)
+    pair join. Candidates then get the exact shingle-Jaccard verify.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=8, rows_per_band=2)
+    jac = dd.jaccard_pairs(d, "text", "doc_id", cands)
+    return jac.select("id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard"))
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN: centroid-literal cell assignment, search one cell.
 
@@ -816,5 +848,7 @@ QUERIES = {
     "pending_stream": q_pending_stream,
     "clean_pipeline": q_clean_pipeline,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
+    "near_dup_jaccard_banded": q_near_dup_jaccard_banded,
     "ivf_topk": q_ivf_topk,
 }
