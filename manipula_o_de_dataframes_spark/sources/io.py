@@ -87,6 +87,16 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
 
 
+def _cell_str(v) -> str | None:
+    """Render a mixed-type cell for a string column (integral floats
+    drop the '.0', matching how the reference's IDs display)."""
+    if v is None:
+        return None
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
@@ -96,23 +106,53 @@ def read_excel(
     """S1/S2/S3: Excel scan with sheet + header-row selection.
 
     Reference: pd.read_excel(file) AP:12; sheet name APC:150; header row
-    MAC:149-158 (user-selectable 0–10 — "row N becomes the schema").
-    Driver-side pandas read, then distributed. Gated behind an import-try
-    because openpyxl may be absent in the execution container.
+    MAC:149-158 (user-selectable 0–10 — "row N becomes the schema", rows
+    above it dropped). Driver-side read, then distributed — reference
+    inputs are ≤ tens of MB, the scale path is parquet. Prefers
+    pandas+openpyxl; falls back to the stdlib xlsx codec
+    (sources.xlsx_lite) when the Excel engine is not installed, so the
+    reference's only input format works in a bare container.
     """
     try:
         import pandas as pd  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("pandas unavailable for the Excel edge adapter") from exc
-    try:
+
         pdf = pd.read_excel(path, sheet_name=sheet_name, header=header)
-    except ImportError as exc:  # openpyxl missing
-        raise NotImplementedError(
-            "Excel engine (openpyxl) not installed in this container; "
-            "use parquet (the scale path)"
-        ) from exc
-    pdf.columns = [str(c) for c in pdf.columns]
-    return spark.createDataFrame(pdf)
+        pdf.columns = [str(c) for c in pdf.columns]
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        pass  # openpyxl (or pandas) missing → stdlib fallback
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from . import xlsx_lite  # noqa: PLC0415
+
+    rows = xlsx_lite.read_rows(path, sheet_name)
+    if header >= len(rows):
+        raise ValueError(f"header row {header} beyond sheet ({len(rows)} rows)")
+    cols = [_cell_str(c) if c is not None else f"Unnamed: {i}"
+            for i, c in enumerate(rows[header])]
+    width = len(cols)
+    data = [(r + [None] * width)[:width] for r in rows[header + 1 :]]
+    is_num = [
+        bool(nn := [r[ci] for r in data if r[ci] is not None])
+        and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn)
+        for ci in range(width)
+    ]
+    recs = [
+        tuple(
+            (float(v) if v is not None else None) if is_num[ci] else _cell_str(v)
+            for ci, v in enumerate(r)
+        )
+        for r in data
+    ]
+    schema = StructType(
+        [StructField(c, DoubleType() if n else StringType()) for c, n in zip(cols, is_num)]
+    )
+    return spark.createDataFrame(recs, schema)
 
 
 def header_probe(df: DataFrame) -> list[str]:
@@ -181,17 +221,43 @@ def structure_probe(df: DataFrame, n_rows: int = 5) -> dict:
     }
 
 
-def write_excel(df: DataFrame, path: str) -> str:
+def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> str:
     """S8: Excel sink for small (post-aggregation) results (AP:110-114).
 
-    Driver-side: collect → pandas → xlsx. Guarded for missing engine.
+    Driver-side: collect → xlsx. pandas+openpyxl when installed, else
+    the stdlib codec (sources.xlsx_lite) — same file either way.
     """
     pdf = df.toPandas()
     try:
-        pdf.to_excel(path, index=False)
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("Excel writer (openpyxl) not installed") from exc
-    return path
+        pdf.to_excel(path, index=False, sheet_name=sheet_name)
+        return path
+    except ImportError:
+        pass  # openpyxl missing → stdlib fallback
+    from . import xlsx_lite  # noqa: PLC0415
+
+    def _plain(v):
+        if v is None or (isinstance(v, float) and v != v):  # None/NaN
+            return None
+        if hasattr(v, "item"):  # numpy scalar
+            v = v.item()
+        return v if isinstance(v, (bool, int, float)) else str(v)
+
+    rows = [[str(c) for c in pdf.columns]] + [
+        [_plain(v) for v in row] for row in pdf.itertuples(index=False)
+    ]
+    return xlsx_lite.write_sheets(path, {sheet_name: rows})
+
+
+def timestamped_export_name(stem: str, ext: str = "xlsx", now=None) -> str:
+    """X8: timestamped export filename (AP:110-111).
+
+    Reference: f"propostas_pendentes_{now:%Y%m%d_%H%M%S}.xlsx". ``now``
+    is injectable for deterministic tests.
+    """
+    from datetime import datetime  # noqa: PLC0415
+
+    ts = (now or datetime.now()).strftime("%Y%m%d_%H%M%S")
+    return f"{stem}_{ts}.{ext}"
 
 
 def from_records(spark: SparkSession, records: list[dict], schema=None) -> DataFrame:

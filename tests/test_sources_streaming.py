@@ -66,6 +66,68 @@ def test_pending_stream_available_now(spark, tmp_path):
     assert all(r["snapshot"] == "snap1.parquet" for r in seen)
 
 
+def test_excel_roundtrip_write_then_read(spark, tmp_path):
+    """S8 → S1: write_excel a small aggregate, read_excel it back.
+
+    Runs on the stdlib xlsx codec when openpyxl is absent (this
+    container) and on pandas+openpyxl when present — same assertion
+    either way, so the edge adapter is proven end-to-end, not gated.
+    """
+    from manipula_o_de_dataframes_spark.sources.io import read_excel, write_excel
+
+    df = spark.createDataFrame(
+        [("BUILDING", 3, 1234.5), ("AUTO", 1, -7.25)],
+        "segmento string, n long, total double",
+    )
+    path = str(tmp_path / "resumo.xlsx")
+    write_excel(df, path, sheet_name="Resumo")
+    back = read_excel(spark, path, sheet_name="Resumo")
+    rows = {r["segmento"]: (r["n"], r["total"]) for r in back.collect()}
+    assert rows == {"BUILDING": (3.0, 1234.5), "AUTO": (1.0, -7.25)}
+
+
+def test_excel_sheet_and_header_row_selection(spark, tmp_path):
+    """S2/S3: sheet select by name (APC:150) + header-row-N semantics
+    (MAC:149-158 — row N becomes the schema, rows above are dropped)."""
+    from manipula_o_de_dataframes_spark.sources import xlsx_lite
+    from manipula_o_de_dataframes_spark.sources.io import read_excel
+
+    path = str(tmp_path / "multi.xlsx")
+    xlsx_lite.write_sheets(
+        path,
+        {
+            "Capa": [["relatorio comercial"], ["gerado em", "2024-01-01"]],
+            "Base": [
+                ["ignore this banner row"],
+                ["Cliente", "Valor Orçado"],
+                ["c1", 10.0],
+                ["c2", 20.5],
+            ],
+        },
+    )
+    assert xlsx_lite.sheet_names(path) == ["Capa", "Base"]
+    df = read_excel(spark, path, sheet_name="Base", header=1)
+    assert df.columns == ["Cliente", "Valor Orçado"]
+    got = {r["Cliente"]: r["Valor Orçado"] for r in df.collect()}
+    assert got == {"c1": 10.0, "c2": 20.5}
+    # header=0 on the same sheet: the banner row becomes the (ragged) schema
+    banner = read_excel(spark, path, sheet_name="Base", header=0)
+    assert banner.columns[0] == "ignore this banner row"
+
+
+def test_timestamped_export_name():
+    """X8: f'{stem}_{%Y%m%d_%H%M%S}.xlsx' (AP:110-111)."""
+    from datetime import datetime
+
+    from manipula_o_de_dataframes_spark.sources.io import timestamped_export_name
+
+    fixed = datetime(2024, 3, 1, 13, 5, 9)
+    assert (
+        timestamped_export_name("propostas_pendentes", now=fixed)
+        == "propostas_pendentes_20240301_130509.xlsx"
+    )
+
+
 def test_structure_probe_header_heuristic(spark):
     """S7: the 'header row has no numeric cells' suggestion (MAC:683-691)."""
     from manipula_o_de_dataframes_spark.sources.io import structure_probe
