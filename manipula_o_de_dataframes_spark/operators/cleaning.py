@@ -96,13 +96,17 @@ def clean(
     fillna(0) on numerics (MAC:593-597) → lenient date parse (MAC:601)
     → deterministic dedupe on keys (MAC:604-605).
     """
+    from ..functions.formatting import parse_date  # noqa: PLC0415
+
     out = dedupe_column_names(prune_unnamed(df))
     out = drop_all_null_keys(out, [k for k in keys if k in out.columns])
     if fill_zero:
         out = out.na.fill(0, subset=[c for c in fill_zero if c in out.columns])
     for c in date_cols or []:
         if c in out.columns:
-            out = out.withColumn(c, F.col(c).cast("timestamp"))
+            # lenient parse: malformed strings → NULL (errors='coerce',
+            # APC:261/MAC:270) — a plain cast would throw under ANSI mode
+            out = out.withColumn(c, parse_date(F.col(c)))
     if order_by:
         out = dedupe_rows(out, keys, order_by)
     return out

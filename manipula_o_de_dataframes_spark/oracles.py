@@ -235,6 +235,33 @@ FROM lineitem l
 LEFT JOIN (SELECT p_partkey, p_brand, p_type FROM part WHERE p_size <= 25) p
   ON l.l_partkey = p.p_partkey
 """,
+    "enrich_unique_left": """
+WITH one AS (
+  SELECT cliente, primeira_data, prioridade FROM (
+    SELECT o_custkey AS cliente,
+           strftime(o_orderdate, '%Y-%m-%d') AS primeira_data,
+           o_orderpriority AS prioridade,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey AS cliente, c.c_name AS nome_cliente,
+       c.c_mktsegment AS segmento, one.primeira_data, one.prioridade
+FROM customer c LEFT JOIN one ON c.c_custkey = one.cliente
+""",
+    "lenient_dates": """
+WITH dirty AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'not a date'
+         WHEN o_orderkey % 5 = 1 THEN '2024-13-45'
+         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_dt
+  FROM orders
+)
+SELECT o_orderkey, raw_dt,
+       strftime(try_cast(raw_dt AS TIMESTAMP), '%Y-%m-%d') AS data
+FROM dirty
+""",
     "dynamic_filters": """
 SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS data,
        o.o_totalprice, c.c_name AS nome_cliente

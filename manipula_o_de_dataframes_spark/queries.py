@@ -26,7 +26,7 @@ from .operators import similarity as sim
 from .operators.aggregates import all_equal_collapse, first_by
 from .operators.cleaning import clean, dedupe_rows
 from .operators.filters import dynamic as dynamic_filter
-from .operators.joins import enrich, unmatched_keys
+from .operators.joins import enrich, left_unique, unmatched_keys
 from .operators.sets import union_by_name
 from .operators.sorting import paginate, sorted_distinct, top_k
 from .plans.abc import abc_classification, abc_classification_scaled
@@ -102,6 +102,57 @@ def q_enrich_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enrich(li, dim, "l_partkey", {"marca": "SEM CADASTRO", "tipo": ""})
+
+
+def q_enrich_unique_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: dedup-then-left-join enrich (APC:109 verbatim shape).
+
+    Reference: pd.merge(df_clientes, df[['Cliente','UF','Cidade']]
+    .drop_duplicates(subset=['Cliente']), how='left') — the build side
+    is deduped to one row per key (pandas keeps first-in-file-order;
+    here "first" is pinned by (primeira_data, o_orderkey)), then
+    broadcast-left-joined onto the customer frame. Customers with no
+    orders keep NULL attrs (left semantics).
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cliente"),
+        F.col("c_name").alias("nome_cliente"),
+        F.col("c_mktsegment").alias("segmento"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cliente"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("primeira_data"),
+        F.col("o_orderpriority").alias("prioridade"),
+        "o_orderkey",
+    )
+    return left_unique(
+        c, o, "cliente",
+        [F.col("primeira_data"), F.col("o_orderkey")],
+        ["primeira_data", "prioridade"],
+    )
+
+
+def q_lenient_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: lenient date parse on dirty strings (errors='coerce').
+
+    Reference: pd.to_datetime(..., errors='coerce') (APC:261, MAC:270)
+    — malformed inputs become NaT, never an error. Builds a dirty
+    string column from orders (a non-date, an impossible month/day, and
+    valid renders), routes it through clean(date_cols=...) — which
+    parses with try_to_timestamp — and renders the result; bad dates
+    are NULL exactly as DuckDB's try_cast.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("not a date"))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("2024-13-45"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    dirty = o.select("o_orderkey", raw.alias("raw_dt"), raw.alias("dt"))
+    cleaned = clean(dirty, keys=["o_orderkey"], date_cols=["dt"])
+    return cleaned.select(
+        "o_orderkey", "raw_dt", F.date_format("dt", "yyyy-MM-dd").alias("data")
+    )
 
 
 def q_dynamic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +859,8 @@ QUERIES = {
     "dedup_keep_first": q_dedup_keep_first,
     "anti_join_unmatched": q_anti_join_unmatched,
     "enrich_left_join": q_enrich_left_join,
+    "enrich_unique_left": q_enrich_unique_left,
+    "lenient_dates": q_lenient_dates,
     "dynamic_filters": q_dynamic_filters,
     "paginate_orders": q_paginate_orders,
     "top_k_customers": q_top_k_customers,
