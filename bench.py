@@ -44,6 +44,23 @@ def main() -> None:
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # dashboard_serve above is the COLD number (recomputes the history
+    # frame). The real dashboard caches the working set once (Q5
+    # posture) and serves every interaction from memory — time that too
+    # so round-over-round regressions are attributable to the right
+    # layer (history build vs serve plan).
+    from manipula_o_de_dataframes_spark.plans.history import product_client_history  # noqa: E402,PLC0415
+    from manipula_o_de_dataframes_spark.queries import dashboard_page  # noqa: E402,PLC0415
+
+    hist = product_client_history(spark, sf_dir).cache()
+    try:
+        hist.count()  # materialize the working set (the "process" click)
+        t0 = time.perf_counter()
+        materialize(dashboard_page(hist))
+        timings["dashboard_serve_warm"] = round(time.perf_counter() - t0, 3)
+    finally:
+        hist.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -732,7 +732,13 @@ def q_dashboard_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     each interaction stays lazy; pagination pins a total order so pages
     are disjoint and reproducible — pandas got that from its row index.
     """
-    hist = product_client_history(spark, sf_dir)
+    return dashboard_page(product_client_history(spark, sf_dir))
+
+
+def dashboard_page(hist: DataFrame) -> DataFrame:
+    """The per-interaction serve plan over a (possibly cached) history
+    frame — shared by q_dashboard_serve (cold) and bench.py's warm
+    variant, so both time the identical plan."""
     filtered = dynamic_filter(hist, {"ultimo_consultor": "R"})
     order = [F.col("n_interacoes").desc(), F.col("produto"), F.col("cliente")]
     return paginate(filtered, order, page=2, page_size=50)
