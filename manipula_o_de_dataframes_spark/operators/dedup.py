@@ -193,30 +193,179 @@ def jaccard_pairs(
     return out.select(*candidates.columns, (inter / union).alias("jaccard"))
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 16) -> DataFrame:
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    features: str = "shingles",
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates + exact Hamming verify.
+
+    Pigeonhole blocking: split the n_bits fingerprint into n_bands
+    contiguous slices — any pair with Hamming distance ≤ n_bands − 1
+    shares at least one intact band, so banding with max_hamming ≤
+    n_bands − 1 has PERFECT recall (unlike MinHash banding, which is
+    probabilistic). Candidates join on (band_idx, band_bits) equality;
+    survivors get the exact bitwise Hamming count. Same scale shape as
+    MinHash-LSH: signatures are bytes per doc, only within-bucket pairs
+    are scored. Defaults are the discriminative setup: 32 bits (8-bit
+    bands = 256 buckets each) over shingle features — unigram-token
+    SimHash collapses on template corpora where docs share vocabulary.
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole recall needs max_hamming < n_bands"
+    assert n_bits % n_bands == 0
+    width = n_bits // n_bands
+    sig = simhash(df, text_col, id_col, n_bits, features=features)
+    band_keys = [
+        F.concat_ws("|", F.lit(str(j)), F.substring("simhash", 1 + j * width, width))
+        for j in range(n_bands)
+    ]
+    bands = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_keys)).alias("band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        (F.substring("__sa", i, 1) != F.substring("__sb", i, 1)).cast("int")
+        for i in range(1, n_bits + 1)
+    )
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-dup clustering: connected components over verified pairs,
+    canonical doc = the component's minimum id.
+
+    The step real dedup pipelines run after pair generation: pairwise
+    near-dups are transitive in intent (A≈B, B≈C ⇒ one cluster), so
+    keep-one-per-cluster needs components, not pairs. Edges = banded
+    MinHash-LSH candidates verified by exact Jaccard ≥ threshold;
+    components by iterative min-label propagation — each round joins
+    labels across edges and keeps the elementwise min, converging in
+    O(cluster diameter) rounds (near-dup clusters are shallow, 2-3).
+
+    Spark-iteration shape (same posture as kmeans_lite but with fully
+    distributed state): the per-round state (node, label) is
+    localCheckpoint'd so lineage stays O(1) instead of growing a join
+    per round, edges are checkpointed once and re-read every round, and
+    the driver only ever sees the scalar changed-count. Deterministic
+    integer output — unlike float k-means this IS oracle-checkable
+    (DuckDB mirrors it with a recursive transitive closure).
+    """
+    cands = near_dup_pairs(df, text_col, id_col, n_hashes, rows_per_band=rows_per_band)
+    edges = (
+        jaccard_pairs(df, text_col, id_col, cands)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = labels.alias("l").join(
+            neigh.alias("n"), F.col("l.node") == F.col("n.u"), "left"
+        )
+        new = merged.select(
+            F.col("l.node").alias("node"),
+            F.least(
+                F.col("l.label"), F.coalesce(F.col("n.nlabel"), F.col("l.label"))
+            ).alias("label"),
+            F.col("l.label").alias("__old"),
+        ).localCheckpoint()
+        changed = new.filter(F.col("label") != F.col("__old")).count()
+        labels = new.drop("__old")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 16,
+    features: str = "tokens",
+) -> DataFrame:
     """Per-document SimHash rendered as an n-bit 0/1 string.
 
-    Bit j is the majority vote over the distinct tokens: a token votes
-    +1 iff hex nibble j of md5(token) has its high bit set (digit in
-    '89abcdef'), and the bit is 1 when +1 votes win strictly. Pure
-    array-filter + length arithmetic — single scan, no shuffle, and
-    portable to any engine with md5 (the DuckDB oracle mirrors it).
-    """
-    def vote(j: int):
-        # single-arg lambda: a 2-arg lambda would receive the element INDEX
-        # as its second argument from F.filter
-        return lambda h: F.instr(F.lit("89abcdef"), h.substr(j, 1)) > 0
+    Bit j is the majority vote over the feature set: a feature votes +1
+    iff hex nibble j of its md5 has the high bit set (digit in
+    '89abcdef'), and the bit is 1 when +1 votes win strictly.
+    ``features`` picks the feature set: 'tokens' (distinct words — the
+    classic Charikar setup; weak on template corpora where docs share
+    vocabulary) or 'shingles' (3-word shingles — order-sensitive, the
+    discriminative choice for near-dup detection).
 
-    # hash each token ONCE in a staged projection; the per-bit votes read
-    # nibbles of the cached digests (md5 inside the bit loop would hash
-    # every token n_bits times)
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    staged = df.select(
-        F.col(id_col), F.transform(toks, lambda t: F.md5(t)).alias("__hs")
+    One fold over the digest array: each digest contributes an n_bits-
+    wide ±1 vote vector, summed elementwise (zip_with inside aggregate)
+    — a single pass regardless of n_bits, vs n_bits filter scans. Bit j
+    = votes[j] > 0, which equals the 2·hi > n majority rule. Integer
+    adds ⇒ fold-order-independent; single scan, no shuffle; portable
+    to any engine with md5 (the DuckDB oracle mirrors it).
+    """
+    assert features in ("tokens", "shingles")
+    feats = (
+        F.array_distinct(tokens(F.col(text_col)))
+        if features == "tokens"
+        else shingles(F.col(text_col))
     )
-    n = F.size(F.col("__hs"))
-    exprs = []
-    for j in range(1, n_bits + 1):
-        hi = F.size(F.filter(F.col("__hs"), vote(j)))
-        exprs.append(F.when(hi * 2 > n, F.lit("1")).otherwise(F.lit("0")))
-    return staged.select(F.col(id_col), F.concat(*exprs).alias("simhash"))
+    staged = df.select(
+        F.col(id_col), F.transform(feats, lambda t: F.md5(t)).alias("__hs")
+    )
+
+    def vote_vec(h):
+        # h.substr needs Column args for a dynamic position; contains()
+        # accepts a Column needle
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n_bits)),
+            lambda i: F.when(
+                F.lit("89abcdef").contains(h.substr(i, F.lit(1))), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(
+        F.col("__hs"),
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(acc, vote_vec(h), lambda a, b: a + b),
+    )
+    staged = staged.select(F.col(id_col), votes.alias("__votes"))
+    bits = [
+        F.when(F.element_at(F.col("__votes"), j) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(1, n_bits + 1)
+    ]
+    return staged.select(F.col(id_col), F.concat(*bits).alias("simhash"))

@@ -653,6 +653,69 @@ JOIN shing sa ON sa.doc_id = p.id_a
 JOIN shing sb ON sb.doc_id = p.id_b
 """
 
+# SimHash near-dup: 4 pigeonhole bands (8 bits each) over the 32-bit
+# SHINGLE-feature fingerprint, exact Hamming verify ≤ 3 (bands match
+# Spark's concat_ws bytes).
+_HAM32 = " + ".join(
+    f"CASE WHEN substr(sa, {i}, 1) <> substr(sb, {i}, 1) THEN 1 ELSE 0 END"
+    for i in range(1, 33)
+)
+ORACLES["simhash_near_dup"] = f"""
+WITH {_SHINGLES_CTE},
+t AS (
+  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shing
+),
+sh AS (SELECT doc_id, {_simhash_bits(32)} AS simhash FROM t),
+bands AS (
+  SELECT doc_id, simhash, unnest([
+    '0|' || substr(simhash, 1, 8), '1|' || substr(simhash, 9, 8),
+    '2|' || substr(simhash, 17, 8), '3|' || substr(simhash, 25, 8)]) AS band
+  FROM sh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({_HAM32} AS BIGINT) AS hamming
+FROM pairs
+WHERE {_HAM32} <= 3
+"""
+
+# Connected-components dedup: edges = banded-LSH pairs verified at
+# Jaccard >= 0.5; cluster label = min id reachable through the
+# transitive closure (mirrors Spark's min-label propagation fixpoint).
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_SIG8_CTE},
+bands AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+    unnest(['0|' || mh0 || '|' || mh1,
+            '1|' || mh2 || '|' || mh3,
+            '2|' || mh4 || '|' || mh5,
+            '3|' || mh6 || '|' || mh7]) AS band
+  FROM sig8
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
+"""
+
 ORACLES["top_bigrams"] = """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 bg AS (

@@ -437,6 +437,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(d, "text", "doc_id", n_bits=16)
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole-banded candidates, exact
+    Hamming ≤ 3 verify — the perfect-recall counterpart to MinHash
+    banding (any pair within Hamming 3 of a 4-band fingerprint shares
+    an intact band). 32-bit fingerprints over SHINGLE features: unigram
+    SimHash collapses on this template-y corpus (docs share vocabulary
+    → 10⁵-pair blowup); shingles are order-sensitive and cut the
+    output to genuine near-dups.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    return dd.simhash_near_dup(
+        d, "text", "doc_id", n_bits=32, max_hamming=3, n_bands=4, features="shingles"
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components: one cluster label per doc,
+    canonical = min id. The distributed iterative-algorithm surface
+    with an exact oracle (min-label propagation vs DuckDB's recursive
+    transitive closure) — integer-deterministic, unlike kmeans."""
+    d = _docs_parallel(spark, sf_dir)
+    return dd.dedup_clusters(d, "text", "doc_id")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against vec_id=0 (exact ANN baseline)."""
     e = read_table(spark, sf_dir, "embeddings")
@@ -889,6 +913,8 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "near_dup_jaccard": q_near_dup_jaccard,
     "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,

@@ -49,6 +49,48 @@ def test_near_dup_finds_near_identical_docs(spark):
     assert jac[(1, 2)] > 0.8
 
 
+def test_simhash_near_dup_finds_shifted_copy(spark):
+    """A doc with one word changed stays within Hamming ≤ 3 of the
+    original's shingle SimHash; an unrelated doc does not pair."""
+    from manipula_o_de_dataframes_spark.operators.dedup import simhash_near_dup
+
+    base = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " appended"),
+            (3, "entirely unrelated content about database query optimization plans"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_dup(df, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_dedup_clusters_merges_transitive_chain(spark):
+    """A≈B and B≈C must land in ONE cluster labeled min(id) even if
+    A and C are not direct near-dups — the transitivity that makes
+    components, not pairs, the keep-one-per-group unit."""
+    from manipula_o_de_dataframes_spark.operators.dedup import dedup_clusters
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+    a = " ".join(words)
+    b = " ".join(words[:16] + ["uniform", "victor", "whiskey", "xray"])
+    c = " ".join(words[:12] + ["uniform", "victor", "whiskey", "xray",
+                               "yankee", "zulu", "one", "two"])
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "separate island of completely different text here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cluster"] for r in
+           dedup_clusters(df, "text", "doc_id", jaccard_threshold=0.3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[9] == 9
+
+
 def test_banded_lsh_prunes_candidates(spark):
     """b×r banding with r=2 must admit far fewer candidate pairs than
     r=1 banding on the same corpus (VERDICT r1 #1): a band fires only

@@ -128,6 +128,28 @@ def test_timestamped_export_name():
     )
 
 
+def test_wrapper_surfaces(spark):
+    """S4/S5/S9/O5: the thin driver-side adapters — header probe,
+    preview scan, in-memory records, dev-mode head — exercised so no
+    inventory row stays 'implemented but never run'."""
+    from manipula_o_de_dataframes_spark.operators.sorting import head, sort
+    from manipula_o_de_dataframes_spark.sources.io import (
+        from_records,
+        header_probe,
+        preview,
+    )
+
+    df = from_records(
+        spark,
+        [{"Cliente": "c1", "Valor": 10.0}, {"Cliente": "c2", "Valor": 5.0}],
+    )
+    assert sorted(header_probe(df)) == ["Cliente", "Valor"]
+    assert preview(df, 1).count() == 1
+    assert head(df, 1).count() == 1
+    got = [r["Cliente"] for r in sort(df, "Valor", ascending=False).collect()]
+    assert got == ["c1", "c2"]
+
+
 def test_structure_probe_header_heuristic(spark):
     """S7: the 'header row has no numeric cells' suggestion (MAC:683-691)."""
     from manipula_o_de_dataframes_spark.sources.io import structure_probe
