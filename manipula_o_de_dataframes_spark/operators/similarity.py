@@ -20,7 +20,7 @@ Two strategies, as the north star asks:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,6 +65,42 @@ def brute_force_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"))
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def batch_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Multi-probe exact ANN: per-query cosine top-k in ONE scan.
+
+    The real serving shape — Q probes at once, not one query per job.
+    The probe set broadcasts (Q rows); each data row scores against all
+    Q probes inside one map stage. The Q× fan-out exists only as
+    (query_id, id, score) triples — the shuffle for the per-probe
+    top-k carries ~24-byte tuples, never vectors, and the window
+    partitions by query_id so the k-selection runs Q-wide in parallel.
+    """
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def sign_bucket(vec, n_bits: int = 6) -> Column:

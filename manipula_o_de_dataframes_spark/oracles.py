@@ -466,6 +466,22 @@ scored AS (
 )
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 """,
+    "embedding_batch_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos("e.embedding", "q.qv")} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= 10
+""",
     "multimodal_features": """
 SELECT doc_id AS id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -610,6 +626,18 @@ ranked AS (
 )
 SELECT doc_id, term AS termo_top, score AS score_top
 FROM ranked WHERE rn = 1
+"""
+
+# The admission gate reuses the text_stats mirror wholesale; winners =
+# lowest id per exact-text group (the doc_dedup_exact canonical rule).
+ORACLES["corpus_filter"] = f"""
+WITH stats AS ({ORACLES["text_stats"]}),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT s.doc_id, s.idioma_pred AS idioma, s.n_tokens, s.qualidade
+FROM stats s JOIN winners w ON s.doc_id = w.doc_id
+WHERE s.idioma_pred IN ('en', 'es')
+  AND s.n_tokens BETWEEN 5 AND 500
+  AND s.qualidade >= 0.3
 """
 
 # Blocked near-dup: candidates restricted to equal sign-LSH buckets,

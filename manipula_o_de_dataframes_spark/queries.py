@@ -479,6 +479,42 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(e, "embedding", "vec_id", query_id=0, k=10, n_bits=6)
 
 
+def q_embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe exact ANN: top-10 for four probes in one scan —
+    the real serving shape (Q queries per job, not one)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim.batch_topk(e, "embedding", "vec_id", query_ids=[0, 1, 2, 3], k=10)
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data admission gate, as one lazy plan.
+
+    What an LLM-pipeline actually runs per corpus snapshot: language
+    whitelist + token-count range + quality threshold + exact-dedup
+    canonical-only (a doc passes only as the lowest-id copy of its
+    text). All stats are codegen expressions over one scan; the
+    canonical check is a (hash → min id) aggregate + semi join that
+    shuffles (hash, id) pairs, never text.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    stats = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 9).alias("qualidade"),
+        lang_id("text").alias("idioma"),
+    )
+    winners = d.groupBy(F.md5("text").alias("__k")).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        stats.join(winners.select("doc_id"), "doc_id", "left_semi")
+        .filter(
+            F.col("idioma").isin("en", "es")
+            & F.col("n_tokens").between(5, 500)
+            & (F.col("qualidade") >= 0.3)
+        )
+        .select("doc_id", "idioma", "n_tokens", "qualidade")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob wrap → Arrow-batched pseudo-decode."""
     d = _docs_parallel(spark, sf_dir)
@@ -918,6 +954,8 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_batch_topk": q_embedding_batch_topk,
+    "corpus_filter": q_corpus_filter,
     "multimodal_features": q_multimodal_features,
     "kmeans_cells": q_kmeans_cells,
     "revenue_by_nation": q_revenue_by_nation,
