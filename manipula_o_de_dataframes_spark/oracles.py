@@ -342,6 +342,40 @@ SELECT user_id AS usuario, sessao,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
 FROM sess GROUP BY usuario, sessao
 """,
+    "sessionize_native": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sessao
+  FROM flagged
+)
+SELECT user_id AS usuario,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS inicio,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS fim,
+  CAST(COUNT(*) AS BIGINT) AS n_eventos,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM sess GROUP BY user_id, sessao
+""",
+    "weekly_deltas": """
+WITH wk AS (
+  SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS semana,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders GROUP BY 1
+)
+SELECT semana,
+  CAST(tot AS DOUBLE) AS valor_total,
+  CAST(tot - LAG(tot) OVER (ORDER BY semana) AS DOUBLE) AS delta_semana,
+  CAST(SUM(tot) OVER (ORDER BY semana ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(COUNT(*) OVER (ORDER BY semana ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS media_movel_4s,
+  CAST(NTILE(10) OVER (ORDER BY tot DESC, semana) AS BIGINT) AS decil
+FROM wk
+""",
     "events_pivot": """
 SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
   CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
@@ -350,6 +384,22 @@ SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
   CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
   CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
+""",
+    "events_unpivot": """
+WITH piv AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
+    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+    CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+    CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+    CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+  FROM events GROUP BY 1
+)
+SELECT semana, 'click' AS tipo, n_click AS n FROM piv
+UNION ALL SELECT semana, 'error', n_error FROM piv
+UNION ALL SELECT semana, 'purchase', n_purchase FROM piv
+UNION ALL SELECT semana, 'signup', n_signup FROM piv
+UNION ALL SELECT semana, 'view', n_view FROM piv
 """,
     "tuple_render": """
 SELECT l_orderkey, l_linenumber,

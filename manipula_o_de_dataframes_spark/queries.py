@@ -295,7 +295,75 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the Catalyst-native session_window operator.
+
+    Same 30-minute-gap semantics as sessionize_events but expressed as
+    ONE groupBy over F.session_window — Spark plans a merging-sessions
+    aggregate instead of lag → flag → running-sum windows (and the same
+    expression is streaming-ready). Boundary note: the native operator
+    starts a NEW session at a gap of exactly 30 min (an event at
+    last+30min falls outside [start, last+30)), where the lag variant
+    merges it — the oracle mirrors the native (>=) rule. Sessions are
+    identified by time range, not ordinal, so the output compares on
+    (usuario, inicio, fim, metrics).
+    """
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.col("user_id").alias("usuario"),
+        F.session_window("ts", "30 minutes"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("inicio"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("fim"),
+        dsum("value").alias("valor_total"),
+    )
+    return agg.select("usuario", "inicio", "fim", "n_eventos", "valor_total")
+
+
+def q_weekly_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window staples the reference lacks: week-over-week
+    delta (lag), 4-week moving average, revenue decile (ntile).
+
+    All run on the post-aggregation weekly table (~|weeks| rows), so
+    the global windows are safe (same posture as the ABC cumsum). The
+    moving average is sum/count over the frame — decimal window sum
+    cast to double, then one double division, bit-reproducible against
+    the oracle (a native avg() would return engine-specific decimal
+    scales).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("semana")
+    ).agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("__dec"))
+    w = Window.orderBy("semana")
+    wma = w.rowsBetween(-3, 0)
+    return wk.select(
+        "semana",
+        F.col("__dec").cast("double").alias("valor_total"),
+        (F.col("__dec") - F.lag("__dec").over(w)).cast("double").alias("delta_semana"),
+        (
+            F.sum("__dec").over(wma).cast("double")
+            / F.count(F.lit(1)).over(wma).cast("double")
+        ).alias("media_movel_4s"),
+        F.ntile(10).over(Window.orderBy(F.col("__dec").desc(), F.col("semana")))
+        .cast("long")
+        .alias("decil"),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of events_pivot via
+    stack(): one generator expression, no shuffle beyond the pivot's
+    own aggregate, zero-count cells kept (deterministic long shape)."""
+    piv = q_events_pivot(spark, sf_dir)
+    pairs = ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+    return piv.select(
+        "semana", F.expr(f"stack({len(EVENT_TYPES)}, {pairs}) AS (tipo, n)")
+    )
 
 
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,7 +1007,10 @@ QUERIES = {
     "projection_ops": q_projection_ops,
     "join_compatibility": q_join_compatibility,
     "sessionize_events": q_sessionize_events,
+    "sessionize_native": q_sessionize_native,
+    "weekly_deltas": q_weekly_deltas,
     "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
     "sales_cube": q_sales_cube,
     "tuple_render": q_tuple_render,
     "group_median_pandas": q_group_median_pandas,

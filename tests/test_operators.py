@@ -249,9 +249,12 @@ def test_scaled_cumsum_leaves_no_persistent_rdds(spark):
     from manipula_o_de_dataframes_spark.queries import QUERIES
     from tests.conftest import SF_SMOKE
 
+    # delta, not absolute: other operators (dedup_clusters) legitimately
+    # hold localCheckpoint RDDs until GC — this query must add none.
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     QUERIES["abc_classification_scaled"](spark, SF_SMOKE).count()
-    n_leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert n_leaked == 0, f"{n_leaked} persistent RDDs leaked"
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"persistent RDDs grew: {before} -> {after}"
 
 
 def test_cached_history_serves_interactions_from_memory(spark):
