@@ -113,6 +113,46 @@ def resize_stub(blobs: DataFrame, target_bytes: int = 64) -> DataFrame:
     return blobs.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+def embed_stub(blobs: DataFrame, dims: int = 8) -> DataFrame:
+    """Embedding-encoder plumbing: binary → fixed-width float vector.
+
+    The exact shape a CLIP/wav2vec featurizer uses — mapInPandas over
+    Arrow batches, payload in, ``dims`` doubles out — with the model
+    forward pass stubbed deterministically: dimension c is the sum of
+    payload bytes at positions ≡ c (mod dims), L2-normalized. Integer
+    byte sums are exact, the norm is one sqrt of an exact integer, and
+    each output is one double division — so the result is bit-portable
+    and the SQL oracle can mirror it (rounding is left to the CALLER as
+    a Spark-side expression: F.round is HALF_UP like DuckDB's round,
+    while numpy/python round are HALF_EVEN).
+    Output columns: id, d0 … d{dims-1}.
+    """
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def embed(b: bytes) -> list[float]:
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        sums = [int(arr[c::dims].sum()) for c in range(dims)]
+        ss = sum(s * s for s in sums)
+        if ss == 0:
+            return [0.0] * dims
+        norm = math.sqrt(ss)
+        return [s / norm for s in sums]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = pdf["payload"].map(embed)
+            out = {"id": pdf["id"]}
+            for c in range(dims):
+                out[f"d{c}"] = vecs.map(lambda v, c=c: v[c])
+            yield pd.DataFrame(out)
+
+    schema = "id long, " + ", ".join(f"d{c} double" for c in range(dims))
+    return blobs.mapInPandas(batches, schema=schema)
+
+
 def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: explode K pseudo-frames per blob.
 

@@ -540,6 +540,23 @@ SELECT doc_id AS id,
   CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
 FROM documents
 """,
+    "lsh_recall": f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sign_bucket("embedding")} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+exact AS (
+  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY {_cos("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10
+),
+approx AS (
+  SELECT e.vec_id FROM b e, q WHERE e.bucket = q.qb AND e.vec_id <> 0
+  ORDER BY {_cos("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+FROM exact JOIN approx USING (vec_id)
+""",
     "pending_stream": """
 SELECT 'orders.parquet' AS snapshot,
   strftime(make_timestamp(CAST(floor(epoch(o_orderdate) / 604800) * 604800 AS BIGINT)
@@ -637,6 +654,32 @@ SELECT doc_id AS id,
   md5(substring(text, 1, 64)) AS digest_out,
   CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_out
 FROM documents
+"""
+
+# Pseudo-embedding mirror: dim c = sum of byte values at 1-based
+# positions c+1, c+9, ... (text is pure ASCII at every SF, so ascii()
+# on chars equals the byte values Spark's numpy path sums); the norm is
+# one sqrt of an exact integer sum of squares.
+_EMB_SUMS = ",\n".join(
+    f"  COALESCE(list_sum(list_transform(generate_series({c + 1}, length(text), 8), "
+    f"j -> ascii(substr(text, j, 1)))), 0) AS s{c}"
+    for c in range(8)
+)
+_EMB_SS = " + ".join(f"s{c} * s{c}" for c in range(8))
+_EMB_OUT = ",\n".join(
+    f"  CASE WHEN ss = 0 THEN 0.0 ELSE round(CAST(s{c} AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)), 9) END AS d{c}"
+    for c in range(8)
+)
+ORACLES["multimodal_embed"] = f"""
+WITH sums AS (
+  SELECT doc_id AS id,
+{_EMB_SUMS}
+  FROM documents
+),
+withss AS (SELECT *, {_EMB_SS} AS ss FROM sums)
+SELECT id,
+{_EMB_OUT}
+FROM withss
 """
 
 ORACLES["multimodal_frames"] = """

@@ -590,6 +590,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(blobs)
 
 
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoder plumbing: blob → 8-dim L2-normalized pseudo-embedding.
+
+    The multimodal→similarity bridge: payload bytes go through the
+    Arrow-batched featurizer shape a real CLIP/wav2vec deployment uses
+    (mapInPandas, vector out); rounding happens Spark-side (HALF_UP,
+    matching DuckDB round) so the oracle hashes bit-for-bit.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    blobs = mm.as_blob_table(d, "doc_id", "text")
+    emb = mm.embed_stub(blobs, dims=8)
+    return emb.select("id", *[F.round(f"d{c}", 9).alias(f"d{c}") for c in range(8)])
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality view: recall@10 of sign-LSH vs the exact baseline.
+
+    The tuning loop a production ANN deployment runs before picking
+    n_bits: semi-join the approximate top-k against the exact top-k and
+    measure overlap. One row out; both sides share scoring expressions
+    so the number is a pure blocking-recall measurement.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    exact = sim.brute_force_topk(e, "embedding", "vec_id", query_id=0, k=10).select("vec_id")
+    approx = sim.lsh_topk(e, "embedding", "vec_id", query_id=0, k=10, n_bits=6).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm surface: 3 Lloyd rounds over embeddings.
 
@@ -1028,6 +1060,8 @@ QUERIES = {
     "embedding_batch_topk": q_embedding_batch_topk,
     "corpus_filter": q_corpus_filter,
     "multimodal_features": q_multimodal_features,
+    "multimodal_embed": q_multimodal_embed,
+    "lsh_recall": q_lsh_recall,
     "kmeans_cells": q_kmeans_cells,
     "revenue_by_nation": q_revenue_by_nation,
     "multimodal_resize": q_multimodal_resize,
