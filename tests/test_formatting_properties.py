@@ -45,3 +45,38 @@ def test_null_renders_empty(spark):
     df = spark.createDataFrame([(1, None)], "i int, v decimal(18,2)")
     row = df.select(brl("v").alias("b"), pct("v").alias("p")).collect()[0]
     assert row["b"] == "" and row["p"] == ""
+
+
+# XML-hostile strings: markup chars, quotes, unicode, whitespace runs.
+# (Control chars < 0x20 are excluded — raw XML cannot carry them and
+# the codec targets tabular exports, not binary payloads.)
+_cell_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), min_codepoint=0x20
+    ),
+    max_size=40,
+)
+_num = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+
+@given(
+    st.lists(
+        st.tuples(_cell_text, _num, st.booleans()), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_xlsx_lite_roundtrip_property(tmp_path_factory, rows):
+    """write_sheets → read_rows is identity for strings (incl. XML
+    markup and unicode), finite floats, and booleans."""
+    from manipula_o_de_dataframes_spark.sources import xlsx_lite
+
+    path = str(tmp_path_factory.mktemp("xlsx") / "prop.xlsx")
+    data = [["s", "x", "b"]] + [list(r) for r in rows]
+    xlsx_lite.write_sheets(path, {"T": data})
+    back = xlsx_lite.read_rows(path, "T")
+    assert back[0] == ["s", "x", "b"]
+    for want, got in zip(rows, back[1:]):
+        s, x, b = want
+        # empty-string cells round-trip as missing (None) — same as Excel
+        assert (got[0] or "") == s
+        assert got[1] == x and got[2] is b

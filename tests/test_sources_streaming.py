@@ -128,6 +128,45 @@ def test_timestamped_export_name():
     )
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-key state ACROSS micro-batches:
+    with maxFilesPerTrigger=1 the two snapshot files arrive as two
+    batches, and the second batch's emission must include the first
+    batch's counts — proving real state, not per-batch aggregation."""
+    from manipula_o_de_dataframes_spark.streaming.stateful import running_totals_stream
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    pd.DataFrame({"cliente": ["a", "a", "b"], "valor": [1.5, 2.5, 10.0]}).to_parquet(
+        src / "f1.parquet"
+    )
+    pd.DataFrame({"cliente": ["a", "c"], "valor": [4.0, 7.25]}).to_parquet(
+        src / "f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("cliente string, valor double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    result = running_totals_stream(stream, "cliente", "valor")
+    emissions: list = []
+    (
+        result.writeStream.outputMode("update")
+        .foreachBatch(lambda df, epoch: emissions.append((epoch, df.collect())))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_stateful"))
+        .start()
+        .awaitTermination()
+    )
+    batches = [b for _, rows in emissions for b in [rows] if b]
+    assert len(batches) >= 2, f"expected >=2 micro-batches, got {len(batches)}"
+    final = {r["key"]: (r["n"], r["total"]) for _, rows in emissions for r in rows}
+    # final state equals the batch ground truth — totals accumulated
+    assert final["a"] == (3, 8.0)  # 1.5+2.5 in batch 1, +4.0 in batch 2
+    assert final["b"] == (1, 10.0)
+    assert final["c"] == (1, 7.25)
+
+
 def test_wrapper_surfaces(spark):
     """S4/S5/S9/O5: the thin driver-side adapters — header probe,
     preview scan, in-memory records, dev-mode head — exercised so no
