@@ -733,6 +733,27 @@ WHERE s.idioma_pred IN ('en', 'es')
   AND s.qualidade >= 0.3
 """
 
+# Deterministic md5-prefix split (operators/sampling.py): fixed-width
+# hex compare ≡ numeric bucket compare, identical in any engine.
+ORACLES["train_split"] = """
+SELECT
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       ELSE 'test' END AS split,
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+ORACLES["stratified_docs"] = """
+SELECT doc_id, lang, source FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= 20
+"""
+
 # Blocked near-dup: candidates restricted to equal sign-LSH buckets,
 # scoring expression identical to embedding_near_dup.
 ORACLES["embedding_near_dup_blocked"] = f"""

@@ -22,6 +22,7 @@ from .functions.formatting import MONEY, brl, dsum, pct
 from .functions.text import fingerprint, lang_id, quality_score, token_count
 from .operators import dedup as dd
 from .operators import multimodal as mm
+from .operators import sampling as smp
 from .operators import similarity as sim
 from .operators.aggregates import all_equal_collapse, first_by
 from .operators.cleaning import clean, dedupe_rows
@@ -583,6 +584,31 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit: docs + chars per cell.
+
+    The split column is a pure md5-prefix projection (zero shuffle,
+    fuses into the scan at 100 TB); the audit aggregate shuffles only
+    (lang, split, partial counts) — the canonical 'freeze the split and
+    prove the proportions' query a corpus owner runs per snapshot.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        smp.hash_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sample: 20 docs per language by md5 order."""
+    d = read_table(spark, sf_dir, "documents")
+    return smp.stratified_sample(d, "lang", "doc_id", 20).select("doc_id", "lang", "source")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob wrap → Arrow-batched pseudo-decode."""
     d = _docs_parallel(spark, sf_dir)
@@ -1059,6 +1085,8 @@ QUERIES = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_batch_topk": q_embedding_batch_topk,
     "corpus_filter": q_corpus_filter,
+    "train_split": q_train_split,
+    "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,
     "multimodal_embed": q_multimodal_embed,
     "lsh_recall": q_lsh_recall,

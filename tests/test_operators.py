@@ -277,3 +277,44 @@ def test_cached_history_serves_interactions_from_memory(spark):
         assert page.count() > 0
     finally:
         hist.unpersist()
+
+
+def test_hash_split_is_pure_and_proportional(spark):
+    """Sampling: split assignment is a pure function of the id (stable
+    under repartitioning and corpus growth) and lands near 80/10/10."""
+    from manipula_o_de_dataframes_spark.operators.sampling import hash_split
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+    from tests.conftest import SF_CORRECT
+
+    d = read_table(spark, SF_CORRECT, "documents")
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(d.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(v == "train" for v in a.values()) / n
+    assert 0.7 < frac_train < 0.9
+    # growth stability: the sf0.001 subset keeps its sf0.01 assignments
+    from tests.conftest import SF_SMOKE
+
+    small = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(read_table(spark, SF_SMOKE, "documents"), "doc_id").collect()
+    }
+    assert all(a[k] == v for k, v in small.items() if k in a)
+
+
+def test_stratified_sample_size_and_determinism(spark):
+    from manipula_o_de_dataframes_spark.operators.sampling import stratified_sample
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+    from tests.conftest import SF_CORRECT
+
+    d = read_table(spark, SF_CORRECT, "documents")
+    s1 = stratified_sample(d, "lang", "doc_id", 5)
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values())
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(d.repartition(7), "lang", "doc_id", 5).collect())
+    assert ids1 == ids2
