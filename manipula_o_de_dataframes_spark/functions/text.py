@@ -78,6 +78,26 @@ def lang_id(col) -> Column:
     return F.when(scored["hits"] > 0, scored["code"]).otherwise(F.lit("und"))
 
 
+def mean_token_len(col) -> Column:
+    """Mean token length in chars (separator chars excluded).
+
+    Integer-derived double (chars and tokens are exact counts), so the
+    division is bit-reproducible across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    return (F.length(c).cast("double") - (n_tok - F.lit(1.0))) / n_tok
+
+
+def dup_token_ratio(col) -> Column:
+    """Fraction of tokens that repeat an earlier token — the Gopher-style
+    repetition signal (a high ratio marks template/boilerplate text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks).cast("double")
+    return (n - F.size(F.array_distinct(toks)).cast("double")) / n
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set.
 

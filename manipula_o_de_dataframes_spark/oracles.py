@@ -747,6 +747,44 @@ FROM documents
 GROUP BY 1, 2
 """
 
+# Gopher-style rule mirror: same integer-derived doubles, same
+# division order, round 9 before comparison on both sides.
+ORACLES["gopher_quality"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_char,
+    CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) AS n_uniq,
+    CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS BIGINT) AS stop_hits
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(n_tok AS BIGINT) AS n_tokens,
+    round((n_char - (n_tok - 1.0)) / n_tok, 9) AS mean_tok_len,
+    round((n_tok - n_uniq) / n_tok, 9) AS dup_ratio,
+    stop_hits
+  FROM t
+)
+SELECT *,
+  n_tokens BETWEEN 10 AND 1000 AS ok_tokens,
+  mean_tok_len BETWEEN 2.0 AND 10.0 AS ok_mean_len,
+  dup_ratio <= 0.6 AS ok_repetition,
+  stop_hits >= 2 AS ok_stopwords,
+  (n_tokens BETWEEN 10 AND 1000) AND (mean_tok_len BETWEEN 2.0 AND 10.0)
+    AND dup_ratio <= 0.6 AND stop_hits >= 2 AS passes
+FROM m
+"""
+
+ORACLES["fingerprint_dedup"] = """
+SELECT
+  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint,
+  MIN(doc_id) AS canonical_id,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
 ORACLES["stratified_docs"] = """
 SELECT doc_id, lang, source FROM documents
 QUALIFY ROW_NUMBER() OVER (

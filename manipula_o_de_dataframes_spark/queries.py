@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.formatting import MONEY, brl, dsum, pct
-from .functions.text import fingerprint, lang_id, quality_score, token_count
+from .functions.text import (
+    STOPWORDS,
+    dup_token_ratio,
+    fingerprint,
+    lang_id,
+    mean_token_len,
+    quality_score,
+    token_count,
+)
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import sampling as smp
@@ -584,6 +592,58 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule flags per document (Rae et al. 2021
+    repetition/length heuristics, re-expressed as codegen expressions).
+
+    Four rules — token-count range, mean-token-length range, repetition
+    (duplicate-token ratio) cap, ≥2 stopword hits — plus the combined
+    admission verdict. One scan, zero shuffle, zero UDFs: at 100 TB
+    this is a map-only pass that fuses into the parquet read.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    n_tok = token_count("text")
+    mean_len = F.round(mean_token_len("text"), 9)
+    dup_ratio = F.round(dup_token_ratio("text"), 9)
+    stop_hits = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    flags = {
+        "ok_tokens": n_tok.between(10, 1000),
+        "ok_mean_len": mean_len.between(2.0, 10.0),
+        "ok_repetition": dup_ratio <= 0.6,
+        "ok_stopwords": stop_hits >= 2,
+    }
+    out = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        dup_ratio.alias("dup_ratio"),
+        stop_hits.alias("stop_hits"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    verdict = F.col("ok_tokens") & F.col("ok_mean_len") & F.col("ok_repetition") & F.col("ok_stopwords")
+    return out.withColumn("passes", verdict)
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/repetition-insensitive dedup rollup: group by the sorted-
+    distinct-token fingerprint, keep the lowest id as canonical.
+
+    The cheap 'exact-ish' near-dup layer between md5-exact and MinHash:
+    shuffles only (fingerprint, id, count) pairs — never text — with
+    map-side partial min/count, the same 100 TB shape as exact_dedup.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    return (
+        d.groupBy(fingerprint("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split audit: docs + chars per cell.
 
@@ -1086,6 +1146,8 @@ QUERIES = {
     "embedding_batch_topk": q_embedding_batch_topk,
     "corpus_filter": q_corpus_filter,
     "train_split": q_train_split,
+    "gopher_quality": q_gopher_quality,
+    "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,
     "multimodal_embed": q_multimodal_embed,
