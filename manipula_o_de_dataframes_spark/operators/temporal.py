@@ -1,0 +1,125 @@
+"""Temporal joins the reference (eager pandas) has no counterpart for,
+but any time-series user of the engine needs: as-of join and bounded
+interval (range) join. North-star surface (SURVEY §2.13).
+
+Scale posture — both avoid the naive O(n·m) expansion:
+
+- ``asof_join`` is the union-merge shape (the kdb/Flink temporal-join
+  plan): tag both sides, union, one shuffle on the key, and a running
+  ``last(ignorenulls)`` inside each key partition carries the most
+  recent right-side row forward onto every left row. Cost is one sort
+  per key partition — linear, no candidate pairs ever materialize.
+- ``interval_neighbors`` is the bucketed interval join (the streaming-
+  systems shape): quantize time into buckets the width of the lookback,
+  replicate the build side into (bucket, bucket+1), and equi-join on
+  (key, bucket) with the exact interval predicate as a residual filter.
+  Each build row is probed by at most two buckets, so the join stays a
+  hash join on a compound key instead of a per-key cross product.
+
+Time arithmetic uses ``timestampdiff`` against a fixed NTZ literal, so
+bucket boundaries are session-timezone-proof (the driver's tz is
+unknown; TIMESTAMP_NTZ never passes through an epoch conversion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed NTZ origin for tz-proof second arithmetic. Any constant works;
+# this predates every testdata timestamp.
+_EPOCH = "TIMESTAMP_NTZ'1990-01-01 00:00:00'"
+
+
+def seconds_since_origin(ts_col: str) -> F.Column:
+    """Seconds between a fixed NTZ origin and ``ts_col`` (bigint).
+
+    ``unix_timestamp``/casts on TIMESTAMP_NTZ are either rejected or
+    session-tz-dependent; ``timestampdiff`` on two NTZ values is pure
+    wall-clock arithmetic.
+    """
+    return F.expr(f"timestampdiff(SECOND, {_EPOCH}, {ts_col})")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    attrs: dict[str, str],
+    right_order: str,
+) -> DataFrame:
+    """For each left row, attach attrs of the latest right row with
+    ``right_ts <= left_ts`` for the same ``key`` (NULLs when none).
+
+    ``attrs`` maps output name -> right column. Ties on ``right_ts``
+    are broken by the largest ``right_order`` (must be unique within
+    (key, right_ts) for a deterministic result).
+
+    Plan: union the tagged sides, shuffle once on ``key``, and run
+    ``last(attr, ignorenulls=True)`` over rows-unbounded-preceding in
+    (ts, side, order) order — right rows sort before left rows at equal
+    ts, which yields the at-or-before (<=) semantics. Left rows carry
+    NULL attrs so the running last skips them; no pair expansion, no
+    range predicate, one sort per key partition.
+    """
+    out_names = list(attrs)
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_order).cast("long").alias("__ord"),
+        *[F.col(src).alias(out) for out, src in attrs.items()],
+    )
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__side", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumns({out: F.last(out, ignorenulls=True).over(w) for out in out_names})
+    return u.filter(F.col("__side") == 1).drop("__t", "__side", "__ord")
+
+
+def interval_neighbors(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    lookback_secs: int,
+) -> DataFrame:
+    """Per row: count of same-``key`` rows strictly earlier within
+    ``(ts - lookback, ts)`` — the bounded-interval self-join.
+
+    Build side is replicated into its own bucket and the next one
+    (a row at time t can only precede probes in buckets b(t) and
+    b(t)+1 when the bucket width equals the lookback), probe joins on
+    its single bucket, and the exact interval predicate filters the
+    at-most-two candidate buckets. The two copies of a build row live
+    in different buckets, so no pair is counted twice.
+    """
+    secs = seconds_since_origin(ts)
+    bucket = F.floor(secs / F.lit(lookback_secs))
+    build = df.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__bts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("__bbucket"),
+    )
+    probe = df.withColumn("__bucket", bucket)
+    joined = probe.join(
+        build,
+        on=[
+            probe[key] == build["__k"],
+            probe["__bucket"] == build["__bbucket"],
+            build["__bts"] < probe[ts],
+            build["__bts"] >= probe[ts] - F.expr(f"INTERVAL {lookback_secs} SECONDS"),
+        ],
+        how="left",
+    )
+    group_cols = [probe[c] for c in df.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.count(build["__bts"]).alias("__n"))
+        .withColumnRenamed("__n", "n_vizinhos")
+    )

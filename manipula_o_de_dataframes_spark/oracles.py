@@ -955,3 +955,90 @@ SELECT subgrupo, produto, cliente, datas, quantidades, ultima_data,
        ultimo_consultor, n_interacoes, total_qtd
 FROM paged WHERE pg > 50 AND pg <= 100
 """
+
+# As-of join mirror: deliberately a different algorithm (nested-loop
+# inequality join + rank) than the engine's union-merge plan, so the
+# check is independent. Tie order (vts DESC, vid DESC) mirrors the
+# engine's (ts, side, event_id) running-last pick.
+ORACLES["event_attribution"] = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.event_id AS compra, p.user_id AS usuario, p.ts AS pts, p.value AS valor,
+         v.event_id AS vid, v.ts AS vts
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY compra ORDER BY vts DESC NULLS LAST, vid DESC) AS rn
+  FROM j
+)
+SELECT compra, usuario, strftime(pts, '%Y-%m-%d %H:%M:%S') AS ts_compra, valor,
+       vid AS view_asof, strftime(vts, '%Y-%m-%d %H:%M:%S') AS ts_view
+FROM r WHERE rn = 1
+"""
+
+# Interval self-join mirror: plain inequality join (no bucketing) —
+# independent of the engine's bucket-replicated plan.
+ORACLES["neighbor_counts"] = """
+SELECT p.event_id AS evento, p.user_id AS usuario,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS quando,
+       COUNT(b.event_id) AS n_vizinhos
+FROM events p
+LEFT JOIN events b
+  ON b.user_id = p.user_id AND b.ts < p.ts AND b.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+# Hourly continuous-aggregate mirror: same fixed-origin bucket key and
+# integer RANGE frame; decimal sums / double division per the recipe.
+ORACLES["events_rollup"] = """
+WITH g AS (
+  SELECT CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', ts) / 3600) AS BIGINT) AS hb,
+         event_type AS tipo,
+         CAST(COUNT(*) AS BIGINT) AS n_eventos,
+         SUM(CAST(value AS DECIMAL(18,2))) AS tot
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(TIMESTAMP '1990-01-01' + to_hours(hb), '%Y-%m-%d %H:%M:%S') AS hora,
+       tipo, n_eventos,
+       CAST(tot AS DOUBLE) AS valor_total,
+       CAST(SUM(tot) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS media_movel_3h
+FROM g
+WINDOW w AS (PARTITION BY tipo ORDER BY hb RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+# BPE-ish token profile: same first-char-disjoint regex on both engines.
+ORACLES["token_profile"] = """
+SELECT doc_id,
+  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
+  round(CAST(length(text) AS DOUBLE)
+        / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]')) AS DOUBLE),
+        9) AS chars_per_token
+FROM documents
+"""
+
+# Decontamination mirror: unnest-based 8-gram expansion + join against
+# the benchmark gram set (doc_id % 97 = 0).
+ORACLES["decontaminate"] = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT gr.doc_id, CAST(COUNT(DISTINCT gr.g) AS BIGINT) AS n_overlap
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 97 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminado
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+"""

@@ -32,6 +32,7 @@ from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import sampling as smp
 from .operators import similarity as sim
+from .operators import temporal as tmp
 from .operators.aggregates import all_equal_collapse, first_by
 from .operators.cleaning import clean, dedupe_rows
 from .operators.filters import dynamic as dynamic_filter
@@ -1101,6 +1102,166 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(e, "embedding", "vec_id", query_id=0, k=10, n_centroids=8)
 
 
+# --- temporal joins / time-bucket rollups (SURVEY §2.13) --------------------
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: each purchase picks the user's most recent
+    view at-or-before it (kdb ``aj`` / Flink temporal-join semantics).
+
+    Union-merge plan (operators/temporal.py): one shuffle on user, a
+    running last(ignorenulls) inside each user partition — no candidate
+    pairs, no range predicate, linear at 100 TB. Ties at equal ts break
+    to the highest view event_id, mirrored in the oracle's rank order.
+    """
+    e = read_table(spark, sf_dir, "events")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("compra"),
+        F.col("user_id").alias("usuario"),
+        "ts",
+        F.col("value").alias("valor"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("usuario"), "ts", "event_id"
+    )
+    out = tmp.asof_join(
+        buys,
+        views,
+        key="usuario",
+        left_ts="ts",
+        right_ts="ts",
+        attrs={"view_asof": "event_id", "__vts": "ts"},
+        right_order="event_id",
+    )
+    return out.select(
+        "compra",
+        "usuario",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_compra"),
+        "valor",
+        F.col("view_asof").cast("long").alias("view_asof"),
+        F.date_format("__vts", "yyyy-MM-dd HH:mm:ss").alias("ts_view"),
+    )
+
+
+def q_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval self-join: per event, how many same-user events
+    landed strictly within the preceding hour.
+
+    Bucketed plan (operators/temporal.py): build side replicated into
+    two lookback-width buckets, hash join on (user, bucket), exact
+    interval predicate as residual — never a per-user cross product.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = tmp.interval_neighbors(e, key="user_id", ts="ts", lookback_secs=3600)
+    return out.select(
+        F.col("event_id").alias("evento"),
+        F.col("user_id").alias("usuario"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("quando"),
+        F.col("n_vizinhos").cast("long").alias("n_vizinhos"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly buckets per event
+    type with a 3-bucket RANGE moving average.
+
+    Bucket key is seconds-since-a-fixed-NTZ-origin / 3600 — pure
+    wall-clock arithmetic, so boundaries are session-tz-proof. The
+    moving average runs RANGE BETWEEN 2 PRECEDING on the integer bucket
+    (gaps in the hour sequence are honored, unlike a ROWS frame), with
+    the decimal-sum/double-division recipe for engine parity. Windows
+    run on the post-aggregation table (|hours|×|types| rows) — safe.
+    """
+    e = read_table(spark, sf_dir, "events")
+    hb = F.floor(tmp.seconds_since_origin("ts") / F.lit(3600))
+    g = e.groupBy(hb.alias("__hb"), F.col("event_type").alias("tipo")).agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.sum(F.col("value").cast(MONEY)).alias("__dec"),
+    )
+    w = Window.partitionBy("tipo").orderBy("__hb").rangeBetween(-2, 0)
+    return g.select(
+        F.date_format(
+            F.expr("timestampadd(HOUR, CAST(__hb AS INT), TIMESTAMP_NTZ'1990-01-01 00:00:00')"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("hora"),
+        "tipo",
+        F.col("n_eventos"),
+        F.col("__dec").cast("double").alias("valor_total"),
+        (
+            F.sum("__dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("media_movel_3h"),
+    )
+
+
+# BPE-ish tokenizer: letter runs, 1-3 digit groups, single punctuation
+# marks. Alternatives are first-char-disjoint so Java (Spark) and RE2
+# (DuckDB) agree regardless of alternation strategy.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
+
+def q_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the north star names: whitespace split
+    and a BPE-ish regex (letter runs / short digit groups / punct).
+
+    Pure codegen expressions (regexp_count), one scan, zero shuffle —
+    a map-only pass that fuses into the parquet read at 100 TB.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).cast("long")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.round(F.length("text").cast("double") / n_bpe.cast("double"), 9).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    8-gram (token shingle) with a held-out benchmark set — the standard
+    train/test-overlap scrub before LLM training.
+
+    Benchmark = docs with doc_id % 97 == 0 (deterministic stand-in for
+    an external eval set). Plan: explode distinct 8-grams, broadcast
+    the benchmark gram set (eval suites are tiny vs the corpus), hash
+    join + countDistinct per doc, left join back to keep zero-overlap
+    docs. The corpus side never shuffles its text — only (doc_id, gram)
+    pairs flow, and the broadcast keeps the probe map-side at 100 TB.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = 8
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_grams = (
+        d.filter(is_bench).select(F.explode(grams).alias("g")).distinct()
+    )
+    rest = d.filter(~is_bench)
+    hits = (
+        rest.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("__n"))
+    )
+    return (
+        rest.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminado"),
+        )
+    )
+
+
 QUERIES = {
     "abc_classification": abc_classification,
     "abc_classification_scaled": abc_classification_scaled,
@@ -1147,6 +1308,11 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "train_split": q_train_split,
     "gopher_quality": q_gopher_quality,
+    "event_attribution": q_event_attribution,
+    "neighbor_counts": q_neighbor_counts,
+    "events_rollup": q_events_rollup,
+    "token_profile": q_token_profile,
+    "decontaminate": q_decontaminate,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,

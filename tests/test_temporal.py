@@ -1,0 +1,109 @@
+"""Temporal operators: as-of join and bounded interval join.
+
+The oracle queries already hash-check both against DuckDB at sf0.01;
+these tests pin the semantic edges (ties, empty matches, bucket
+boundaries) on hand-built frames where every expected row is knowable
+by eye.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.operators.temporal import (
+    asof_join,
+    interval_neighbors,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a"),
+         (1, _ts("2024-01-01T12:00:00"), "b"),
+         (2, _ts("2024-01-01T09:00:00"), "c")],
+        "k long, ts timestamp_ntz, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), 100),
+         (1, _ts("2024-01-01T11:00:00"), 101),
+         (2, _ts("2024-01-01T09:30:00"), 102)],  # after the only left row
+        "k long, ts timestamp_ntz, rid long",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_asof": "rid"}, right_order="rid",
+    )
+    got = {r["payload"]: r["rid_asof"] for r in out.collect()}
+    assert got == {"a": 100, "b": 101, "c": None}
+
+
+def test_asof_join_equal_ts_and_tie_semantics(spark):
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t, "x")], "k long, ts timestamp_ntz, payload string")
+    right = spark.createDataFrame(
+        [(1, t, 7), (1, t, 9), (1, _ts("2024-01-01T09:00:00"), 5)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_asof": "rid"}, right_order="rid",
+    )
+    # at-or-before includes equal ts; ties at equal ts break to max rid
+    assert out.collect()[0]["rid_asof"] == 9
+
+
+def test_interval_neighbors_matches_naive_join(spark):
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    e = read_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    fast = interval_neighbors(e, key="user_id", ts="ts", lookback_secs=3600)
+
+    a, b = e.alias("a"), e.alias("b")
+    naive = (
+        a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("b.ts") < F.col("a.ts"),
+                F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"),
+            ],
+            how="left",
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.col("b.ts")).alias("n_naive"))
+    )
+    diff = (
+        fast.select("event_id", "n_vizinhos")
+        .join(naive, "event_id")
+        .filter(F.col("n_vizinhos") != F.col("n_naive"))
+    )
+    assert diff.count() == 0
+    # the events table genuinely exercises the operator
+    assert fast.filter(F.col("n_vizinhos") > 0).count() > 0
+
+
+def test_interval_neighbors_bucket_boundary(spark):
+    # neighbor exactly lookback seconds earlier is INCLUDED (>=); one
+    # second past it is not; same-instant rows are not (strict <).
+    base = _ts("2024-01-01T12:00:00")
+    rows = [
+        (1, 10, base - dt.timedelta(seconds=3601)),  # too old
+        (2, 10, base - dt.timedelta(seconds=3600)),  # boundary: counts
+        (3, 10, base - dt.timedelta(seconds=1)),     # counts
+        (4, 10, base),                               # probe
+        (5, 10, base),                               # same instant: no
+        (6, 11, base - dt.timedelta(seconds=5)),     # other key
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    out = {r["event_id"]: r["n_vizinhos"] for r in
+           interval_neighbors(df, "user_id", "ts", 3600).collect()}
+    assert out[4] == 2 and out[5] == 2
+    assert out[6] == 0
