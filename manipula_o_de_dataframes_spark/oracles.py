@@ -1042,3 +1042,15 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % 97 <> 0
 """
+
+# Stream-stream interval join mirror: the drained pair set equals the
+# batch inequality join (half-open hour window, at-or-before end).
+ORACLES["attribution_stream"] = """
+SELECT p.event_id AS compra, v.event_id AS visita, p.user_id AS usuario,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS quando_compra,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS quando_view
+FROM events p JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+"""

@@ -1102,6 +1102,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(e, "embedding", "vec_id", query_id=0, k=10, n_centroids=8)
 
 
+def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained over one snapshot: each
+    purchase paired with the same user's views in the preceding hour
+    (streaming/joins.py — the streaming twin of event_attribution).
+    """
+    from .streaming.joins import attribution_pairs_stream  # noqa: PLC0415
+
+    return attribution_pairs_stream(spark, sf_dir)
+
+
 # --- temporal joins / time-bucket rollups (SURVEY §2.13) --------------------
 
 
@@ -1309,6 +1319,7 @@ QUERIES = {
     "train_split": q_train_split,
     "gopher_quality": q_gopher_quality,
     "event_attribution": q_event_attribution,
+    "attribution_stream": q_attribution_stream,
     "neighbor_counts": q_neighbor_counts,
     "events_rollup": q_events_rollup,
     "token_profile": q_token_profile,

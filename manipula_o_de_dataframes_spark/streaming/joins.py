@@ -1,0 +1,111 @@
+"""Stream-stream time-bounded join — the streaming twin of the batch
+as-of/interval attribution (queries.q_event_attribution).
+
+Two live feeds (purchases, views) joined on user with a bounded time
+window: each purchase pairs with every view of the same user in the
+preceding hour. In production both sides carry watermarks so Spark can
+evict join state; the oracle-checkable drain below runs availableNow
+with no watermark (event time is TIMESTAMP_NTZ, which ``withWatermark``
+rejects, and a drain-everything trigger needs no state eviction — the
+same trade documented in pending_stream).
+
+Scale posture: stream-stream joins shuffle both sides on the join key
+and keep only the in-window rows in state; with watermarked feeds the
+state is bounded by (watermark + window) per key, the standard Flink/
+Spark interval-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the scan
+# yields bigint nanos, converted to micro TIMESTAMP_NTZ exactly like
+# sources.io.read_table (tz-proof rendering).
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_NTZ_TS = "convert_timezone('UTC', timestamp_micros(ts div 1000))"
+
+
+def _events_stream(spark: SparkSession, watch_dir: str) -> DataFrame:
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(watch_dir)
+    return stream.withColumn("ts", F.expr(_NTZ_TS))
+
+
+def attribution_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the purchase×view interval join over one events snapshot.
+
+    Purchases and views are two independent file-source streams over
+    the same watched directory (no self-join restrictions), inner-joined
+    on user with ``view.ts in (purchase.ts - 1h, purchase.ts]``. The
+    availableNow trigger drains everything into an append-mode memory
+    sink; the result is re-hosted in a local DataFrame and every staged
+    resource (watch dir, checkpoint, sink table) is torn down.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    watch_dir = tempfile.mkdtemp(prefix="manipula_stream_join_in_")
+    ckpt_dir = tempfile.mkdtemp(prefix="manipula_stream_join_ckpt_")
+    name = "attribution_stream_" + uuid.uuid4().hex
+    try:
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(watch_dir, "events.parquet"),
+        )
+        buys = (
+            _events_stream(spark, watch_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("compra"),
+                F.col("user_id").alias("usuario"),
+                F.col("ts").alias("ts_compra"),
+            )
+        )
+        views = (
+            _events_stream(spark, watch_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("visita"),
+                F.col("user_id").alias("v_usuario"),
+                F.col("ts").alias("ts_view"),
+            )
+        )
+        pairs = buys.join(
+            views,
+            on=[
+                buys["usuario"] == views["v_usuario"],
+                views["ts_view"] <= buys["ts_compra"],
+                views["ts_view"] > buys["ts_compra"] - F.expr("INTERVAL 1 HOUR"),
+            ],
+            how="inner",
+        ).select(
+            "compra",
+            "visita",
+            "usuario",
+            F.date_format("ts_compra", "yyyy-MM-dd HH:mm:ss").alias("quando_compra"),
+            F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss").alias("quando_view"),
+        )
+        (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+            .awaitTermination()
+        )
+        sink = spark.table(name)
+        result = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
