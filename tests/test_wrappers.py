@@ -1,0 +1,39 @@
+"""Edge-adapter wrappers (S4/S5/S9, O5) — trivial by design, but each
+one is reference surface (SURVEY §2.1/§2.7), so pin the contract."""
+
+from __future__ import annotations
+
+from manipula_o_de_dataframes_spark.operators.sorting import head
+from manipula_o_de_dataframes_spark.sources.io import (
+    from_records,
+    header_probe,
+    preview,
+    read_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_header_probe_names_without_scan(spark):
+    df = read_table(spark, SF_SMOKE, "region")
+    assert header_probe(df) == ["r_regionkey", "r_name"]
+
+
+def test_preview_first_n(spark):
+    df = read_table(spark, SF_SMOKE, "nation")
+    assert preview(df, 3).count() == 3
+    assert preview(df).count() == 5  # default n
+
+
+def test_from_records_roundtrip(spark):
+    recs = [{"cliente": "A", "valor": 1.5}, {"cliente": "B", "valor": None}]
+    df = from_records(spark, recs, schema="cliente string, valor double")
+    got = {r["cliente"]: r["valor"] for r in df.collect()}
+    assert got == {"A": 1.5, "B": None}
+
+
+def test_head_limit(spark):
+    df = read_table(spark, SF_SMOKE, "customer")
+    assert head(df, 7).count() == 7
+    # limit past the table size returns everything, not an error
+    assert head(df.limit(3), 10).count() == 3
