@@ -1054,3 +1054,29 @@ FROM events p JOIN events v
  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
 WHERE p.event_type = 'purchase'
 """
+
+# Non-equi band join mirror (uneven widths — not floor()-expressible).
+ORACLES["price_bands"] = """
+WITH bands(banda, lo, hi) AS (
+  VALUES ('ate_925', 900.0, 925.0), ('925_950', 925.0, 950.0),
+         ('950_975', 950.0, 975.0), ('acima_975', 975.0, 1000.0)
+)
+SELECT banda,
+  CAST(COUNT(*) AS BIGINT) AS n_pecas,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS preco_total,
+  MIN(p_retailprice) AS preco_min,
+  MAX(p_retailprice) AS preco_max
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY banda
+"""
+
+# Exact interpolated percentiles: quantile_cont uses the same
+# (1-d)*lo + d*hi interpolation as Spark's percentile().
+ORACLES["value_percentiles"] = """
+SELECT event_type AS tipo,
+  round(quantile_cont(value, 0.25), 9) AS p25,
+  round(quantile_cont(value, 0.50), 9) AS p50,
+  round(quantile_cont(value, 0.75), 9) AS p75,
+  round(quantile_cont(value, 0.90), 9) AS p90
+FROM events GROUP BY 1
+"""

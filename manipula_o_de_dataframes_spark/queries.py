@@ -1272,6 +1272,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast non-equi range join: parts binned into *uneven* price
+    bands (a floor()-style bucket expression can't express them).
+
+    The interval side is tiny and broadcast, so the non-equi join is a
+    BroadcastNestedLoopJoin probing 4 rows per part — O(4n) map-side,
+    zero shuffle of the fact side; the correct physical shape for
+    band/dimension range joins at 100 TB. Large-large interval joins
+    use the bucketed plan instead (operators/temporal.py).
+    """
+    bands = spark.createDataFrame(
+        [
+            ("ate_925", 900.0, 925.0),
+            ("925_950", 925.0, 950.0),
+            ("950_975", 950.0, 975.0),
+            ("acima_975", 975.0, 1000.0),
+        ],
+        "banda string, lo double, hi double",
+    )
+    p = read_table(spark, sf_dir, "part")
+    j = p.join(
+        F.broadcast(bands),
+        on=(p["p_retailprice"] >= bands["lo"]) & (p["p_retailprice"] < bands["hi"]),
+        how="inner",
+    )
+    return j.groupBy("banda").agg(
+        F.count(F.lit(1)).alias("n_pecas"),
+        dsum("p_retailprice").alias("preco_total"),
+        F.min("p_retailprice").alias("preco_min"),
+        F.max("p_retailprice").alias("preco_max"),
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (the hash-verified
+    counterpart of the approx sketch in events_sketches).
+
+    ``percentile()`` is a sort-based exact aggregate — fine per group
+    when groups fit an executor (5 types here); the 100 TB path for
+    high-cardinality groups is approx_percentile (events_sketches).
+    Both engines use the same (1-d)·lo + d·hi interpolation; round(9)
+    absorbs any last-ulp difference.
+    """
+    e = read_table(spark, sf_dir, "events")
+    pcts = e.groupBy(F.col("event_type").alias("tipo")).agg(
+        F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.9])).alias("__p")
+    )
+    return pcts.select(
+        "tipo",
+        F.round(F.col("__p")[0], 9).alias("p25"),
+        F.round(F.col("__p")[1], 9).alias("p50"),
+        F.round(F.col("__p")[2], 9).alias("p75"),
+        F.round(F.col("__p")[3], 9).alias("p90"),
+    )
+
+
 QUERIES = {
     "abc_classification": abc_classification,
     "abc_classification_scaled": abc_classification_scaled,
@@ -1324,6 +1380,8 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "token_profile": q_token_profile,
     "decontaminate": q_decontaminate,
+    "price_bands": q_price_bands,
+    "value_percentiles": q_value_percentiles,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,
