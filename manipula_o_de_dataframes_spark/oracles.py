@@ -1080,3 +1080,40 @@ SELECT event_type AS tipo,
   round(quantile_cont(value, 0.90), 9) AS p90
 FROM events GROUP BY 1
 """
+
+# Sliding-window mirror: each event expands into its two hour-aligned
+# 2h windows (hour buckets vs the same fixed origin used everywhere).
+ORACLES["sliding_active_users"] = """
+WITH hb AS (
+  SELECT user_id,
+    CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', ts) / 3600) AS BIGINT) AS h
+  FROM events
+),
+expanded AS (
+  SELECT user_id, unnest([h, h - 1]) AS w FROM hb
+)
+SELECT strftime(TIMESTAMP '1990-01-01' + to_hours(w), '%Y-%m-%d %H:%M:%S') AS janela,
+       CAST(COUNT(*) AS BIGINT) AS n_eventos,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_usuarios
+FROM expanded GROUP BY w
+"""
+
+# Tukey/IQR mirror: quartiles rounded to 9 before the bound arithmetic
+# (same order of operations as the engine).
+ORACLES["outlier_flags"] = """
+WITH q AS (
+  SELECT event_type,
+    round(quantile_cont(value, 0.25), 9) AS p25,
+    round(quantile_cont(value, 0.75), 9) AS p75
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT event_type,
+    p25 - 1.5 * (p75 - p25) AS lo,
+    p75 + 1.5 * (p75 - p25) AS hi
+  FROM q
+)
+SELECT e.event_id AS evento, e.event_type AS tipo, e.value,
+       (e.value < b.lo OR e.value > b.hi) AS fora_da_faixa
+FROM events e JOIN b ON b.event_type = e.event_type
+"""

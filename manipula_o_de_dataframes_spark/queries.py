@@ -1328,6 +1328,66 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup: 2-hour windows advancing hourly — each
+    event lands in exactly two overlapping windows (``F.window`` with a
+    slide, the batch twin of the streaming windowed aggregate).
+
+    Exact distinct users per window; window replication is ×2 (window/
+    slide), so the shuffle carries 2 rows per event — linear at 100 TB.
+    """
+    e = read_table(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        e.groupBy(win.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.countDistinct("user_id").alias("n_usuarios"),
+        )
+        .select(
+            F.date_format(F.col("__w.start"), "yyyy-MM-dd HH:mm:ss").alias("janela"),
+            "n_eventos",
+            "n_usuarios",
+        )
+    )
+
+
+def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey/IQR outlier flagging per event type: value outside
+    [p25 − 1.5·IQR, p75 + 1.5·IQR] of its group.
+
+    Two-pass shape: exact quartiles per group (5 small groups), rounded
+    to 9 places *before* the bound arithmetic so both engines compare
+    against bit-identical bounds, then a broadcast join back onto the
+    events — the standard aggregate-then-enrich plan, no window over
+    raw facts.
+    """
+    e = read_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit([0.25, 0.75])).alias("__p")
+    )
+    bounds = q.select(
+        "event_type",
+        F.round(F.col("__p")[0], 9).alias("__p25"),
+        F.round(F.col("__p")[1], 9).alias("__p75"),
+    ).select(
+        "event_type",
+        (F.col("__p25") - 1.5 * (F.col("__p75") - F.col("__p25"))).alias("__lo"),
+        (F.col("__p75") + 1.5 * (F.col("__p75") - F.col("__p25"))).alias("__hi"),
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            F.col("event_id").alias("evento"),
+            F.col("event_type").alias("tipo"),
+            "value",
+            ((F.col("value") < F.col("__lo")) | (F.col("value") > F.col("__hi"))).alias(
+                "fora_da_faixa"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "abc_classification": abc_classification,
     "abc_classification_scaled": abc_classification_scaled,
@@ -1382,6 +1442,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "price_bands": q_price_bands,
     "value_percentiles": q_value_percentiles,
+    "sliding_active_users": q_sliding_active_users,
+    "outlier_flags": q_outlier_flags,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,

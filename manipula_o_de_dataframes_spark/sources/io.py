@@ -221,6 +221,24 @@ def structure_probe(df: DataFrame, n_rows: int = 5) -> dict:
     }
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: tuple[str, ...], mode: str = "overwrite"
+) -> str:
+    """S12: Hive-layout partitioned parquet sink (no reference
+    counterpart — the reference's world is a single xlsx).
+
+    This is the physical layout that makes the 100 TB read side work:
+    a filter on a partition column becomes directory pruning
+    (PartitionFilters in the scan, zero bytes read from excluded
+    partitions) instead of row-level filtering. Choose low-cardinality,
+    always-filtered columns (date, type, lang); high-cardinality keys
+    belong in bucketing, not partitions (small-files explosion).
+    Proven by tests/test_wrappers.py::test_partitioned_write_prunes.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    return path
+
+
 def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> str:
     """S8: Excel sink for small (post-aggregation) results (AP:110-114).
 

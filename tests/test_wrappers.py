@@ -37,3 +37,20 @@ def test_head_limit(spark):
     assert head(df, 7).count() == 7
     # limit past the table size returns everything, not an error
     assert head(df.limit(3), 10).count() == 3
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.sources.io import write_partitioned
+
+    e = read_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(e, out, ("event_type",))
+
+    back = spark.read.parquet(out)
+    clicks = back.filter(back["event_type"] == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()
+    # the filter must become directory pruning, not a row-level filter
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    assert clicks.count() == e.filter(e["event_type"] == "click").count()
+    # non-partition columns round-trip intact
+    assert back.count() == e.count()
