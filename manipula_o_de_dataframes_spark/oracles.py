@@ -1117,3 +1117,33 @@ SELECT e.event_id AS evento, e.event_type AS tipo, e.value,
        (e.value < b.lo OR e.value > b.hi) AS fora_da_faixa
 FROM events e JOIN b ON b.event_type = e.event_type
 """
+
+# JSON extraction mirror: ->> string extraction + NULL-propagating cast.
+ORACLES["json_props"] = """
+SELECT event_type AS tipo,
+  CAST(COUNT(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_com_k,
+  SUM(CAST(props->>'k' AS BIGINT)) AS k_total,
+  CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_distintos,
+  MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+  MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+FROM events GROUP BY 1
+"""
+
+# Per-group top-k mirror: same deterministic (revenue desc, custkey)
+# rank over the aggregated revenue table.
+ORACLES["topk_per_group"] = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS receita
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT n.n_name AS nacao, c.c_name AS cliente, r.receita, c.c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY r.receita DESC, c.c_custkey) AS posicao
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT nacao, CAST(posicao AS BIGINT) AS posicao, cliente, receita
+FROM ranked WHERE posicao <= 3
+"""

@@ -1388,6 +1388,61 @@ def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: typed parse of the events ``props``
+    JSON column (``from_json`` with an explicit schema — the columnar
+    fast path; schema-on-read stays in the plan, no Python).
+
+    Per event type: rows with a parseable ``k``, exact sum and distinct
+    count of ``k``. Malformed/missing keys become NULL (PERMISSIVE),
+    mirrored by the oracle's NULL-propagating cast.
+    """
+    e = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        e.select(F.col("event_type").alias("tipo"), k.alias("__k"))
+        .groupBy("tipo")
+        .agg(
+            F.count("__k").alias("n_com_k"),
+            F.sum("__k").alias("k_total"),
+            F.countDistinct("__k").alias("k_distintos"),
+            F.min("__k").alias("k_min"),
+            F.max("__k").alias("k_max"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by exact revenue within each nation — the
+    per-group top-k staple (window rank over the *aggregated* table).
+
+    The window partitions |customers| rows post-aggregation, never raw
+    facts, so partitions stay bounded at 100 TB; ties pinned by
+    (revenue desc, custkey) for a deterministic cut.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table_parallel(spark, sf_dir, "orders", by=("o_custkey",))
+    n = read_table(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("receita"))
+    joined = (
+        rev.join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+                 rev["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              c["c_nationkey"] == n["n_nationkey"])
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("receita").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("posicao", F.row_number().over(w).cast("long"))
+        .filter(F.col("posicao") <= 3)
+        .select(
+            F.col("n_name").alias("nacao"),
+            "posicao",
+            F.col("c_name").alias("cliente"),
+            "receita",
+        )
+    )
+
+
 QUERIES = {
     "abc_classification": abc_classification,
     "abc_classification_scaled": abc_classification_scaled,
@@ -1444,6 +1499,8 @@ QUERIES = {
     "value_percentiles": q_value_percentiles,
     "sliding_active_users": q_sliding_active_users,
     "outlier_flags": q_outlier_flags,
+    "json_props": q_json_props,
+    "topk_per_group": q_topk_per_group,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,
