@@ -1147,3 +1147,12 @@ ranked AS (
 SELECT nacao, CAST(posicao AS BIGINT) AS posicao, cliente, receita
 FROM ranked WHERE posicao <= 3
 """
+
+# Streaming dedup mirror: the batch truth over ONE delivery of the
+# snapshot (the stream saw it twice and must collapse the replay).
+ORACLES["stream_dedup"] = """
+SELECT event_type AS tipo,
+  CAST(COUNT(*) AS BIGINT) AS n_eventos,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM events GROUP BY 1
+"""

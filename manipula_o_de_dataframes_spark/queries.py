@@ -1412,6 +1412,16 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: a twice-delivered events feed
+    collapsed by dropDuplicates(event_id); drained per-type totals must
+    equal the batch over the single snapshot (streaming/joins.py).
+    """
+    from .streaming.joins import dedup_stream_counts  # noqa: PLC0415
+
+    return dedup_stream_counts(spark, sf_dir)
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by exact revenue within each nation — the
     per-group top-k staple (window rank over the *aggregated* table).
@@ -1501,6 +1511,7 @@ QUERIES = {
     "outlier_flags": q_outlier_flags,
     "json_props": q_json_props,
     "topk_per_group": q_topk_per_group,
+    "stream_dedup": q_stream_dedup,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,

@@ -109,3 +109,53 @@ def attribution_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(watch_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+def dedup_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the same events snapshot arrives
+    TWICE (two files in the watch dir — a redelivered feed), and
+    ``dropDuplicates`` on the event key collapses the replay so the
+    drained per-type counts equal the batch distinct.
+
+    In production the dedup key carries a watermark
+    (``dropDuplicatesWithinWatermark``) so state ages out; the drain
+    here keeps unbounded state for the one-shot availableNow pass
+    (event time is TIMESTAMP_NTZ — same trade as the other drains).
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    watch_dir = tempfile.mkdtemp(prefix="manipula_stream_dedup_in_")
+    ckpt_dir = tempfile.mkdtemp(prefix="manipula_stream_dedup_ckpt_")
+    name = "dedup_stream_" + uuid.uuid4().hex
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        os.symlink(src, os.path.join(watch_dir, "events_delivery1.parquet"))
+        os.symlink(src, os.path.join(watch_dir, "events_delivery2.parquet"))
+        deduped = (
+            _events_stream(spark, watch_dir)
+            .dropDuplicates(["event_id"])
+            .groupBy(F.col("event_type").alias("tipo"))
+            .agg(
+                F.count(F.lit(1)).alias("n_eventos"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("valor_total"),
+            )
+        )
+        (
+            deduped.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+            .awaitTermination()
+        )
+        sink = spark.table(name)
+        result = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return result
