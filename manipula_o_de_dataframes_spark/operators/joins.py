@@ -65,6 +65,32 @@ def enrich(
     )
 
 
+def salted_join(
+    facts: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi join for large⋈large with hot keys.
+
+    Facts gain a deterministic salt in [0, salt); the build side is
+    replicated ×salt (explode over the salt range) and the join runs on
+    (key, salt) — a hot key's rows spread across ``salt`` reducer
+    partitions instead of one straggler. Row-for-row identical to the
+    plain join (each fact row matches exactly the one build replica
+    carrying its salt). AQE's skew-join split handles moderate skew
+    automatically; explicit salting is the tool when one key dominates
+    a stage AQE can't split (e.g. a single monster partition feeding an
+    aggregate). Cost: build side ×salt — keep salt small.
+    """
+    f = facts.withColumn("__salt", F.pmod(F.hash(F.col(key)), F.lit(salt)))
+    b = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return f.join(b, [key, "__salt"], how).drop("__salt")
+
+
 def unmatched_keys(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     """J5/Q3: anti-join diagnostic — fact keys absent from the dimension.
 

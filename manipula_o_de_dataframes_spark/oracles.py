@@ -1156,3 +1156,13 @@ SELECT event_type AS tipo,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
 FROM events GROUP BY 1
 """
+
+# Salted-join mirror: the PLAIN join — salting must never change the
+# result, only the shuffle distribution.
+ORACLES["salted_join"] = """
+SELECT o.o_orderpriority AS prioridade,
+  CAST(COUNT(*) AS BIGINT) AS n_itens,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS receita
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""

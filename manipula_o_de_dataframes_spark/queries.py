@@ -36,6 +36,7 @@ from .operators import temporal as tmp
 from .operators.aggregates import all_equal_collapse, first_by
 from .operators.cleaning import clean, dedupe_rows
 from .operators.filters import dynamic as dynamic_filter
+from .operators import joins as jn
 from .operators.joins import enrich, left_unique, unmatched_keys
 from .operators.sets import union_by_name
 from .operators.sorting import paginate, sorted_distinct, top_k
@@ -1412,6 +1413,28 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted large⋈large join: lineitem⋈orders on orderkey with a
+    4-way salt, aggregated to revenue per order priority.
+
+    The salt spreads any hot orderkey across 4 reducer partitions; the
+    oracle is the PLAIN join — proving salting changes the physical
+    distribution, never the result. (The broadcast-disabled flag is not
+    needed: the salted build side is orders ×4, large enough to shuffle.)
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        F.col("l_orderkey").alias("chave"), "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("chave"), "o_orderpriority"
+    )
+    joined = jn.salted_join(li, o, "chave", salt=4)
+    return joined.groupBy(F.col("o_orderpriority").alias("prioridade")).agg(
+        F.count(F.lit(1)).alias("n_itens"),
+        dsum("l_extendedprice").alias("receita"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: a twice-delivered events feed
     collapsed by dropDuplicates(event_id); drained per-type totals must
@@ -1512,6 +1535,7 @@ QUERIES = {
     "json_props": q_json_props,
     "topk_per_group": q_topk_per_group,
     "stream_dedup": q_stream_dedup,
+    "salted_join": q_salted_join,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,

@@ -107,3 +107,30 @@ def test_interval_neighbors_bucket_boundary(spark):
            interval_neighbors(df, "user_id", "ts", 3600).collect()}
     assert out[4] == 2 and out[5] == 2
     assert out[6] == 0
+
+
+def test_salted_join_spreads_keys_and_matches_plain(spark):
+    from manipula_o_de_dataframes_spark.operators.joins import salted_join
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("chave"), "l_extendedprice"
+    )
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("chave"), "o_orderpriority"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(li, o, "chave", salt=4)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        # with broadcast off, the join must shuffle on (key, salt)
+        assert "BroadcastHashJoin" not in plan
+        assert "__salt" in plan
+        plain = li.join(o, "chave")
+        assert salted.count() == plain.count()
+        a = salted.groupBy("o_orderpriority").count().collect()
+        b = plain.groupBy("o_orderpriority").count().collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
