@@ -1166,3 +1166,14 @@ SELECT o.o_orderpriority AS prioridade,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
 """
+
+# ROLLUP mirror with GROUPING flags (hierarchical subtotals).
+ORACLES["sales_rollup"] = """
+SELECT n.n_name AS nacao, c.c_mktsegment AS segmento,
+  CAST(COUNT(*) AS BIGINT) AS n_clientes,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS saldo_total,
+  CAST(GROUPING(n.n_name) AS BIGINT) AS agg_nacao,
+  CAST(GROUPING(c.c_mktsegment) AS BIGINT) AS agg_segmento
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+"""

@@ -402,6 +402,33 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, mktsegment) with GROUPING flags: the
+    hierarchical-subtotal companion to sales_cube (drill-down totals at
+    customer level, nation level, grand total in one pass).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    base = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return (
+        base.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_clientes"),
+            dsum("c_acctbal").alias("saldo_total"),
+            F.grouping("n_name").cast("long").alias("agg_nacao"),
+            F.grouping("c_mktsegment").cast("long").alias("agg_segmento"),
+        )
+        .select(
+            F.col("n_name").alias("nacao"),
+            F.col("c_mktsegment").alias("segmento"),
+            "n_clientes",
+            "saldo_total",
+            "agg_nacao",
+            "agg_segmento",
+        )
+    )
+
+
 def q_tuple_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13/D2/X5: the variable-arity tuple, rendered.
 
@@ -1505,6 +1532,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "sales_cube": q_sales_cube,
+    "sales_rollup": q_sales_rollup,
     "tuple_render": q_tuple_render,
     "group_median_pandas": q_group_median_pandas,
     "events_summary": q_events_summary,

@@ -1,0 +1,91 @@
+"""Optimizer-behavior proofs (SURVEY §4): the properties the 100 TB
+story depends on, asserted against actual physical plans — filters
+reach the parquet scan, projections prune the read schema, dimension
+joins broadcast, and hot-path queries stay free of Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.sources.io import read_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    o = read_table(spark, SF_SMOKE, "orders")
+    plan = _plan(o.filter(F.col("o_orderstatus") == "P").select("o_orderkey"))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(o_orderstatus,P)" in m.group(1), plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    plan = _plan(li.select("l_orderkey", "l_extendedprice"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice"}, cols
+
+
+def test_partition_pruning_on_derived_filter(spark):
+    # a filter on a computed column must still push its source column's
+    # not-null, and the scan must not read pruned columns
+    c = read_table(spark, SF_SMOKE, "customer")
+    plan = _plan(
+        c.select("c_custkey", "c_acctbal").filter(F.col("c_acctbal") > 0)
+    )
+    assert "GreaterThan(c_acctbal,0" in plan, plan
+
+
+def test_dimension_joins_broadcast_in_flagship(spark):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["abc_classification"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must not be broadcast: no broadcast of lineitem scan
+    assert plan.count("BroadcastExchange") <= 2, plan
+
+
+def test_no_python_udfs_in_expression_queries(spark):
+    """The reference-surface and text-analytics queries are pure JVM
+    expressions; Python appears only in the intentional Arrow escape
+    hatches (multimodal, group_median, kmeans training)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name in [
+        "abc_classification", "text_stats", "gopher_quality",
+        "token_profile", "clean_pipeline", "format_currency",
+        "event_attribution", "events_rollup",
+    ]:
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_covers_hot_queries(spark):
+    """The AQE wrapper hides codegen in plan strings, so inspect with
+    AQE off: the flagship and the map-only text passes must each fuse
+    into at least one WholeStageCodegen subtree (no interpreted hot
+    path)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["abc_classification", "gopher_quality", "token_profile"]:
+            s = (
+                QUERIES[name](spark, SF_SMOKE)
+                ._jdf.queryExecution()
+                .explainString(mode)
+            )
+            n = int(s.splitlines()[0].split()[1])
+            assert n > 0, f"{name}: no codegen subtrees\n{s.splitlines()[0]}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
