@@ -1177,3 +1177,18 @@ SELECT n.n_name AS nacao, c.c_mktsegment AS segmento,
 FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
 """
+
+# MERGE/upsert mirror: rebuild the updates batch, full outer join,
+# update side wins.
+ORACLES["upsert"] = """
+WITH upd AS (
+  SELECT o_orderkey, 'F' AS u_status,
+         CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS u_total
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o.o_orderkey AS pedido,
+  COALESCE(u.u_status, o.o_orderstatus) AS situacao,
+  CAST(COALESCE(u.u_total, CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CASE WHEN u.u_status IS NOT NULL THEN 'atualizado' ELSE 'original' END AS origem
+FROM orders o LEFT JOIN upd u ON u.o_orderkey = o.o_orderkey
+"""

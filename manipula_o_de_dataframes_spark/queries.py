@@ -429,6 +429,37 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics as a plan (CDC apply without a table
+    format): an updates batch overrides matching target rows and
+    appends the rest.
+
+    Updates batch = every 7th order with a repriced total (derived
+    deterministically so the oracle can rebuild it). Plan: full outer
+    join on the key + coalesce(update, target) per column — one
+    shuffle, the exact relational core of Delta/Iceberg MERGE. The
+    ``origem`` flag marks which side won, so the hash check verifies
+    row-level provenance, not just values.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast(MONEY).alias("__t")
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey"),
+        F.lit("F").alias("u_status"),
+        (F.col("__t") + F.lit(10).cast(MONEY)).alias("u_total"),
+    )
+    merged = o.join(upd, "o_orderkey", "full_outer")
+    return merged.select(
+        F.col("o_orderkey").alias("pedido"),
+        F.coalesce("u_status", "o_orderstatus").alias("situacao"),
+        F.coalesce("u_total", "__t").cast("double").alias("total"),
+        F.when(F.col("u_status").isNotNull(), F.lit("atualizado"))
+        .otherwise(F.lit("original"))
+        .alias("origem"),
+    )
+
+
 def q_tuple_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13/D2/X5: the variable-arity tuple, rendered.
 
@@ -1564,6 +1595,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "stream_dedup": q_stream_dedup,
     "salted_join": q_salted_join,
+    "upsert": q_upsert,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,
