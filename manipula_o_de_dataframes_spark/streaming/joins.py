@@ -17,8 +17,30 @@ Spark interval-join shape.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def drain_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a one-shot drain.
+
+    Each stateful operator keeps one state store PER shuffle partition
+    and commits every store every micro-batch — overhead linear in the
+    partition count, regardless of data volume. An availableNow drain
+    of a bounded snapshot wants a small fixed count (measured 2× on the
+    stream-stream join at 32→8). The conf is restored on exit, so batch
+    parallelism outside the drain is untouched; streaming queries latch
+    the value at .start(), which this context encloses.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the scan
 # yields bigint nanos, converted to micro TIMESTAMP_NTZ exactly like
@@ -93,15 +115,16 @@ def attribution_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts_compra", "yyyy-MM-dd HH:mm:ss").alias("quando_compra"),
             F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss").alias("quando_view"),
         )
-        (
-            pairs.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .start()
-            .awaitTermination()
-        )
+        with drain_shuffle_partitions(spark):
+            (
+                pairs.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt_dir)
+                .start()
+                .awaitTermination()
+            )
         sink = spark.table(name)
         result = spark.createDataFrame(sink.collect(), sink.schema)
     finally:
@@ -143,15 +166,16 @@ def dedup_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("valor_total"),
             )
         )
-        (
-            deduped.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .start()
-            .awaitTermination()
-        )
+        with drain_shuffle_partitions(spark):
+            (
+                deduped.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt_dir)
+                .start()
+                .awaitTermination()
+            )
         sink = spark.table(name)
         result = spark.createDataFrame(sink.collect(), sink.schema)
     finally:

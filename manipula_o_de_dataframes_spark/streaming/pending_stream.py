@@ -101,15 +101,18 @@ def pending_stream_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pendentes",
             "valor_total",
         )
-        (
-            out.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .start()
-            .awaitTermination()
-        )
+        from .joins import drain_shuffle_partitions  # noqa: PLC0415
+
+        with drain_shuffle_partitions(spark):
+            (
+                out.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt_dir)
+                .start()
+                .awaitTermination()
+            )
         sink = spark.table(name)
         result = spark.createDataFrame(sink.collect(), sink.schema)
     finally:
