@@ -49,7 +49,7 @@ __all__ = ["NO_ORACLE", "QUERIES"]
 
 # Queries with no DuckDB oracle BY DESIGN (sketch outputs are
 # implementation-defined); the driver runs its weaker rows-only check.
-NO_ORACLE = frozenset({"events_sketches", "kmeans_cells"})
+NO_ORACLE = frozenset({"events_sketches", "kmeans_cells", "hll_mergeable"})
 
 
 # --- reference-surface queries (SURVEY §2) ---------------------------------
@@ -1387,6 +1387,31 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: daily HLL sketches of distinct users,
+    merged upward to weekly estimates — the incremental pattern that
+    makes 100 TB distinct counts cheap (store k-byte sketches per
+    partition/day, union instead of rescanning raw facts; a re-count
+    from raw is a full re-shuffle, a sketch merge is a metadata read).
+
+    DataSketches HLL state depends only on the hashed value SET, so the
+    estimate is deterministic under any partitioning — but no other
+    engine reproduces its exact values, hence rows-only driver check
+    (NO_ORACLE, same policy as events_sketches); the exact column and
+    the ±5%% accuracy are pinned by tests/test_optimizer.py.
+    """
+    e = read_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    week = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    daily = e.groupBy(week.alias("semana"), day.alias("dia")).agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    return daily.groupBy("semana").agg(
+        F.count(F.lit(1)).alias("n_dias"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("usuarios_estimados"),
+    )
+
+
 def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rollup: 2-hour windows advancing hourly — each
     event lands in exactly two overlapping windows (``F.window`` with a
@@ -1596,6 +1621,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "salted_join": q_salted_join,
     "upsert": q_upsert,
+    "hll_mergeable": q_hll_mergeable,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,

@@ -89,3 +89,58 @@ def test_whole_stage_codegen_covers_hot_queries(spark):
             assert n > 0, f"{name}: no codegen subtrees\n{s.splitlines()[0]}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_hll_merge_tracks_exact_distinct(spark):
+    """Mergeable-sketch rollup: daily HLL sketches unioned to weekly
+    estimates stay within 5% of the exact distinct count (rows-only in
+    the driver — no other engine reproduces DataSketches values)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    est = {
+        r["semana"]: r["usuarios_estimados"]
+        for r in QUERIES["hll_mergeable"](spark, SF_SMOKE).collect()
+    }
+    e = read_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["semana"]: r["n"]
+        for r in e.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("semana")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for wk, n in exact.items():
+        assert abs(est[wk] - n) <= max(1, 0.05 * n), (wk, est[wk], n)
+
+
+def test_ivf_cell_partitioned_layout_prunes_files(spark, tmp_path):
+    """The ANN scale story end-to-end: embeddings written partitioned
+    by IVF cell, a query touching one cell reads only that directory
+    (PartitionFilters — ~1/k of the files at 100 TB)."""
+    from manipula_o_de_dataframes_spark.operators.similarity import ivf_cell
+    from manipula_o_de_dataframes_spark.sources.io import (
+        read_table,
+        write_partitioned,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    indexed = emb.withColumn("cell", ivf_cell(F.col("embedding"), cents))
+    out = str(tmp_path / "emb_by_cell")
+    write_partitioned(indexed, out, ("cell",))
+
+    back = spark.read.parquet(out)
+    one_cell = back.filter(F.col("cell") == 2)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:120]
+    assert one_cell.count() == indexed.filter(F.col("cell") == 2).count()
