@@ -1192,3 +1192,31 @@ SELECT o.o_orderkey AS pedido,
   CASE WHEN u.u_status IS NOT NULL THEN 'atualizado' ELSE 'original' END AS origem
 FROM orders o LEFT JOIN upd u ON u.o_orderkey = o.o_orderkey
 """
+
+# Normalization mirror: same two-stage regexp pipeline.
+ORACLES["normalize_text"] = """
+WITH n AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS texto_norm
+  FROM documents
+)
+SELECT doc_id, texto_norm,
+  CAST(len(str_split(text, ' ')) AS BIGINT) AS tokens_antes,
+  CAST(len(str_split(texto_norm, ' ')) AS BIGINT) AS tokens_depois
+FROM n
+"""
+
+# Corpus mixture mirror: integer token totals, one window over the
+# aggregated table, division order mirrored.
+ORACLES["corpus_mix"] = """
+WITH g AS (
+  SELECT source AS fonte, lang AS idioma,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT fonte, idioma, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) * 100, 9)
+    AS participacao_pct
+FROM g
+"""

@@ -1387,6 +1387,53 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization before shingling/hashing: lowercase, strip
+    punctuation to spaces, collapse whitespace runs, trim — plus the
+    token delta it causes. Pure regexp expressions with dialect-safe
+    patterns (no lookarounds, ASCII classes), map-only at 100 TB.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("texto_norm"),
+        token_count("text").alias("tokens_antes"),
+        F.size(F.split(norm, " ")).cast("long").alias("tokens_depois"),
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, lang) doc counts, exact
+    token totals, and share of corpus tokens — the mixture table a
+    training run samples from.
+
+    Token share uses an integer grand total (window over the tiny
+    aggregated table), so the division is engine-exact.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    g = d.groupBy(F.col("source").alias("fonte"), F.col("lang").alias("idioma")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return g.select(
+        "fonte",
+        "idioma",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total.cast("double") * 100, 9).alias(
+            "participacao_pct"
+        ),
+    )
+
+
 def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: daily HLL sketches of distinct users,
     merged upward to weekly estimates — the incremental pattern that
@@ -1622,6 +1669,8 @@ QUERIES = {
     "salted_join": q_salted_join,
     "upsert": q_upsert,
     "hll_mergeable": q_hll_mergeable,
+    "normalize_text": q_normalize_text,
+    "corpus_mix": q_corpus_mix,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,
