@@ -134,3 +134,39 @@ def test_salted_join_spreads_keys_and_matches_plain(spark):
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small key/time domains force collisions: equal timestamps across and
+# within sides, multiple rights per left, empty sides
+_row = st.tuples(
+    st.integers(min_value=0, max_value=2),    # key
+    st.integers(min_value=0, max_value=20),   # seconds offset
+)
+
+
+@given(st.lists(_row, max_size=12), st.lists(_row, max_size=12))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    base = _ts("2024-01-01T00:00:00")
+    lrows = [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(lefts)]
+    rrows = [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(rights)]
+    left = spark.createDataFrame(
+        lrows or [(None, None, None)], "k long, ts timestamp_ntz, lid long"
+    ).filter(F.col("lid").isNotNull())
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "k long, ts timestamp_ntz, rid long"
+    ).filter(F.col("rid").isNotNull())
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_asof": "rid"}, right_order="rid",
+    )
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+
+    expected = {}
+    for k, ts, lid in lrows:
+        cands = [(rts, rid) for rk, rts, rid in rrows if rk == k and rts <= ts]
+        expected[lid] = max(cands)[1] if cands else None
+    assert got == expected
