@@ -153,6 +153,43 @@ def embed_stub(blobs: DataFrame, dims: int = 8) -> DataFrame:
     return blobs.mapInPandas(batches, schema=schema)
 
 
+def audio_chunk_plan(
+    blobs: DataFrame, chunk_ms: int = 10_000, bytes_per_ms: int = 32
+) -> DataFrame:
+    """Audio segmentation *plan* shape: one blob row → fixed-length
+    chunk rows with [start_ms, end_ms) boundaries, last chunk truncated.
+
+    Duration derives from the payload length at a declared byte rate
+    (16 kHz mono PCM16 ≡ 32 bytes/ms) — integer arithmetic end to end,
+    so the fan-out is exactly reproducible by a SQL oracle. A real
+    segmenter swaps the duration probe for a header parse (mutagen/
+    ffprobe — not in this container) and keeps this exact plan: explode
+    over a computed chunk count, boundary math per index, payload
+    untouched until a downstream mapInPandas slices bytes per chunk.
+    """
+    dur = (F.col("meta.n_bytes") / F.lit(bytes_per_ms)).cast("long")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        ((dur + F.lit(chunk_ms - 1)) / F.lit(chunk_ms)).cast("long"),
+    )
+    start = F.col("chunk_idx").cast("long") * chunk_ms
+    return (
+        blobs.select(
+            "id",
+            dur.alias("dur_ms"),
+            F.posexplode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx", "_c"
+            ),
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.alias("inicio_ms"),
+            F.least(start + chunk_ms, F.col("dur_ms")).alias("fim_ms"),
+        )
+    )
+
+
 def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: explode K pseudo-frames per blob.
 

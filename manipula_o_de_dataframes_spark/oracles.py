@@ -1220,3 +1220,27 @@ SELECT fonte, idioma, n_docs, n_tokens,
     AS participacao_pct
 FROM g
 """
+
+# Audio chunk-plan mirror: same integer duration/ceil arithmetic.
+# DuckDB CAST(double AS BIGINT) ROUNDS — use floor() explicitly where
+# Spark's cast truncates.
+ORACLES["multimodal_chunks"] = """
+WITH b AS (
+  SELECT doc_id AS id,
+         CAST(floor(strlen(text) / 32) AS BIGINT) AS dur_ms  -- strlen = BYTE length in DuckDB
+  FROM documents
+),
+c AS (
+  SELECT id, dur_ms,
+         GREATEST(1, CAST(floor((dur_ms + 9999) / 10000) AS BIGINT)) AS n_chunks
+  FROM b
+),
+x AS (
+  SELECT id, dur_ms, unnest(range(n_chunks)) AS i FROM c
+)
+SELECT id,
+  CAST(i AS BIGINT) AS chunk_idx,
+  CAST(i * 10000 AS BIGINT) AS inicio_ms,
+  LEAST(CAST(i * 10000 + 10000 AS BIGINT), dur_ms) AS fim_ms
+FROM x
+"""

@@ -841,6 +841,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(blobs, every_n=10)
 
 
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plan: blobs fan out to 10-second chunks with
+    integer [start, end) boundaries at a declared byte rate — the chunk
+    table an ASR training pipeline feeds from.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    blobs = mm.as_blob_table(d, "doc_id", "text")
+    return mm.audio_chunk_plan(blobs, chunk_ms=10_000, bytes_per_ms=32)
+
+
 def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: each document's highest-scoring term.
 
@@ -1671,6 +1681,7 @@ QUERIES = {
     "hll_mergeable": q_hll_mergeable,
     "normalize_text": q_normalize_text,
     "corpus_mix": q_corpus_mix,
+    "multimodal_chunks": q_multimodal_chunks,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,
