@@ -1244,3 +1244,18 @@ SELECT id,
   LEAST(CAST(i * 10000 + 10000 AS BIGINT), dur_ms) AS fim_ms
 FROM x
 """
+
+# SQL front door mirror: the same Q3-shaped SQL, DuckDB dialect
+# (strftime for rendering; decimal product sum cast double).
+ORACLES["sql_frontdoor"] = """
+SELECT o.o_orderkey AS pedido,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS data,
+       o.o_orderpriority AS prioridade,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS receita
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+GROUP BY o.o_orderkey, data, o.o_orderpriority
+"""

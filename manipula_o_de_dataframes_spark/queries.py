@@ -841,6 +841,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(blobs, every_n=10)
 
 
+def q_sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the same engine surface through
+    ``spark.sql`` over registered temp views (TPC-H Q3-shaped shipping
+    priority). Catalyst compiles this to the identical physical plan a
+    DataFrame formulation gets — proven by the oracle hash, which runs
+    the same SQL text on DuckDB.
+    """
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS pedido,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS data,
+               o.o_orderpriority AS prioridade,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS receita
+        FROM v_customer c
+        JOIN v_orders o ON o.o_custkey = c.c_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+        GROUP BY o.o_orderkey, data, o.o_orderpriority
+        """
+    )
+
+
 def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segmentation plan: blobs fan out to 10-second chunks with
     integer [start, end) boundaries at a declared byte rate — the chunk
@@ -1682,6 +1711,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "corpus_mix": q_corpus_mix,
     "multimodal_chunks": q_multimodal_chunks,
+    "sql_frontdoor": q_sql_frontdoor,
     "fingerprint_dedup": q_fingerprint_dedup,
     "stratified_docs": q_stratified_docs,
     "multimodal_features": q_multimodal_features,

@@ -144,3 +144,46 @@ def test_ivf_cell_partitioned_layout_prunes_files(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters")[1][:120]
     assert one_cell.count() == indexed.filter(F.col("cell") == 2).count()
+
+
+def test_observed_metrics_ride_the_cleaning_pass(spark):
+    """df.observe(): data-quality counters collected DURING the action
+    (no second pass over the data) — the production shape for 'how many
+    rows did the clean step null out' at 100 TB."""
+    from pyspark.sql import Observation
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    obs = Observation("quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_pending"),
+    )
+    kept = observed.filter(F.col("o_orderstatus") == "P").count()
+    assert obs.get["n_rows"] == o.count()
+    assert obs.get["n_pending"] == kept
+
+
+def test_python_udtf_splits_rows(spark):
+    """UDTF surface (D-class): a table function exploding each doc into
+    sentence-ish spans — one row in, many rows out, schema declared."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="span_idx: int, span: string")
+    class SplitSpans:
+        def eval(self, text: str):
+            for i, part in enumerate(text.split(". ")):
+                if part:
+                    yield i, part
+
+    spark.udtf.register("split_spans", SplitSpans)
+    df = spark.createDataFrame(
+        [("a. b. c",), ("single",)], "text string"
+    )
+    df.createOrReplaceTempView("v_spans_in")
+    out = spark.sql(
+        "SELECT s.span_idx, s.span FROM v_spans_in, LATERAL split_spans(text) s"
+    ).collect()
+    got = sorted((r["span_idx"], r["span"]) for r in out)
+    assert got == [(0, "a"), (0, "single"), (1, "b"), (2, "c")]
