@@ -55,7 +55,9 @@ def asof_join(
 
     ``attrs`` maps output name -> right column. Ties on ``right_ts``
     are broken by the largest ``right_order`` (must be unique within
-    (key, right_ts) for a deterministic result).
+    (key, right_ts) for a deterministic result). Attr output names and
+    the helpers ``__t``/``__side``/``__ord`` must not collide with left
+    columns.
 
     Plan: union the tagged sides, shuffle once on ``key``, and run
     ``last(attr, ignorenulls=True)`` over rows-unbounded-preceding in
@@ -91,6 +93,11 @@ def interval_neighbors(
 ) -> DataFrame:
     """Per row: count of same-``key`` rows strictly earlier within
     ``(ts - lookback, ts)`` — the bounded-interval self-join.
+
+    Contract: rows must be unique (a row id column suffices — the
+    count groups by every input column, so full-duplicate rows would
+    collapse), and pass a NARROW projection (id, key, ts): the group-by
+    key is the whole row, so every selected column rides the shuffle.
 
     Build side is replicated into its own bucket and the next one
     (a row at time t can only precede probes in buckets b(t) and
