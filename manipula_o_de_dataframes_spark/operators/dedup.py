@@ -135,14 +135,16 @@ def near_dup_pairs(
     assert n_hashes % rows_per_band == 0, "n_hashes must be a multiple of rows_per_band"
     n_bands = n_hashes // rows_per_band
     sig = minhash_signature(df, text_col, id_col, n_hashes)
-    band_keys = [
-        F.concat_ws(
-            "|",
-            F.lit(str(j)),
-            *[F.col(f"mh{j * rows_per_band + k}") for k in range(rows_per_band)],
-        )
-        for j in range(n_bands)
-    ]
+    # F.concat (NOT concat_ws, which SKIPS null args): a NULL signature
+    # slot must poison its band key so the row never buckets — matching
+    # the oracle's NULL-propagating '||' concatenation.
+    def _band_key(j: int):
+        parts = [F.lit(str(j))]
+        for k in range(rows_per_band):
+            parts += [F.lit("|"), F.col(f"mh{j * rows_per_band + k}")]
+        return F.concat(*parts)
+
+    band_keys = [_band_key(j) for j in range(n_bands)]
     bands = sig.select(
         F.col(id_col),
         *[F.col(f"mh{s}") for s in range(n_hashes)],
@@ -219,8 +221,10 @@ def simhash_near_dup(
     assert n_bits % n_bands == 0
     width = n_bits // n_bands
     sig = simhash(df, text_col, id_col, n_bits, features=features)
+    # NULL-propagating concat (not concat_ws): a NULL simhash must not
+    # bucket anywhere.
     band_keys = [
-        F.concat_ws("|", F.lit(str(j)), F.substring("simhash", 1 + j * width, width))
+        F.concat(F.lit(f"{j}|"), F.substring("simhash", 1 + j * width, width))
         for j in range(n_bands)
     ]
     bands = sig.select(

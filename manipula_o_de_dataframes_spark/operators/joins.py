@@ -65,6 +65,12 @@ def enrich(
     )
 
 
+def _row_salt(salt: int):
+    """Row-unique salt in [0, salt): hash of the per-row monotonic id,
+    NOT of the join key (tested: a single-key frame must spread)."""
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+
+
 def salted_join(
     facts: DataFrame,
     build: DataFrame,
@@ -74,17 +80,21 @@ def salted_join(
 ) -> DataFrame:
     """Skew-salted equi join for large⋈large with hot keys.
 
-    Facts gain a deterministic salt in [0, salt); the build side is
-    replicated ×salt (explode over the salt range) and the join runs on
-    (key, salt) — a hot key's rows spread across ``salt`` reducer
+    Facts gain a ROW-level salt in [0, salt) — it must not be a
+    function of the key alone, or every row of a hot key would land on
+    the same (key, salt) partition and nothing spreads. The build side
+    is replicated ×salt (explode over the salt range) and the join runs
+    on (key, salt), so a hot key's rows fan across ``salt`` reducer
     partitions instead of one straggler. Row-for-row identical to the
     plain join (each fact row matches exactly the one build replica
-    carrying its salt). AQE's skew-join split handles moderate skew
-    automatically; explicit salting is the tool when one key dominates
-    a stage AQE can't split (e.g. a single monster partition feeding an
-    aggregate). Cost: build side ×salt — keep salt small.
+    carrying its salt; the salt value itself never affects the result,
+    so its run-to-run instability is harmless). AQE's skew-join split
+    handles moderate skew automatically; explicit salting is the tool
+    when one key dominates a stage AQE can't split (e.g. a single
+    monster partition feeding an aggregate). Cost: build ×salt — keep
+    salt small.
     """
-    f = facts.withColumn("__salt", F.pmod(F.hash(F.col(key)), F.lit(salt)))
+    f = facts.withColumn("__salt", _row_salt(salt))
     b = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

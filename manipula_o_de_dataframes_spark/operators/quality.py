@@ -39,12 +39,14 @@ def join_compatibility(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     dkeys = dim.select(key).distinct().withColumn("__hit", F.lit(1))
     keys = facts.select(key).distinct()
     joined = keys.join(F.broadcast(dkeys), key, "left")
+    n = F.count(F.lit(1))
+    miss = F.count(F.when(F.col("__hit").isNull(), 1))
     return joined.agg(
-        F.count(F.lit(1)).alias("fact_keys"),
-        F.count(F.when(F.col("__hit").isNull(), 1)).alias("unmatched"),
-        (
-            F.count(F.when(F.col("__hit").isNull(), 1)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-            * 100
-        ).alias("unmatched_pct"),
+        n.alias("fact_keys"),
+        miss.alias("unmatched"),
+        # 0 fact keys → 0.0, not NULL (0/0) — the report is "nothing
+        # incompatible", mirrored in the oracle's CASE
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(miss.cast("double") / n.cast("double") * 100)
+        .alias("unmatched_pct"),
     )

@@ -59,20 +59,27 @@ def asof_join(
     the helpers ``__t``/``__side``/``__ord`` must not collide with left
     columns.
 
-    Plan: union the tagged sides, shuffle once on ``key``, and run
-    ``last(attr, ignorenulls=True)`` over rows-unbounded-preceding in
-    (ts, side, order) order — right rows sort before left rows at equal
-    ts, which yields the at-or-before (<=) semantics. Left rows carry
-    NULL attrs so the running last skips them; no pair expansion, no
+    Plan: union the tagged sides, shuffle once on ``key``, and run a
+    running ``last(struct-of-attrs, ignorenulls=True)`` over
+    rows-unbounded-preceding in (ts, side, order) order — right rows
+    sort before left rows at equal ts, which yields the at-or-before
+    (<=) semantics. Left rows carry a NULL struct so the running last
+    skips them, while a right row's struct is non-null even when its
+    attr VALUES are null — null attrs of the latest right row surface
+    as nulls instead of resurrecting staler rows. No pair expansion, no
     range predicate, one sort per key partition.
     """
-    out_names = list(attrs)
+    # All attrs ride in ONE struct: the struct is non-null for every
+    # right row even when individual attr values are null, so the
+    # running last() always carries the genuinely latest right ROW —
+    # per-attr last(ignorenulls) would skip a null attr and resurrect a
+    # stale value (and could even mix attrs from different rows).
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         F.col(right_order).cast("long").alias("__ord"),
-        *[F.col(src).alias(out) for out, src in attrs.items()],
+        F.struct(*[F.col(src).alias(out) for out, src in attrs.items()]).alias("__rrow"),
     )
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -81,8 +88,12 @@ def asof_join(
         .orderBy("__t", "__side", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = u.withColumns({out: F.last(out, ignorenulls=True).over(w) for out in out_names})
-    return u.filter(F.col("__side") == 1).drop("__t", "__side", "__ord")
+    u = u.withColumn("__last", F.last("__rrow", ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("__side") == 1)
+        .withColumns({out: F.col("__last")[out] for out in attrs})
+        .drop("__t", "__side", "__ord", "__rrow", "__last")
+    )
 
 
 def interval_neighbors(

@@ -319,8 +319,9 @@ WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem),
 dim AS (SELECT DISTINCT p_partkey FROM part WHERE p_size <= 25)
 SELECT CAST(COUNT(*) AS BIGINT) AS fact_keys,
   CAST(COUNT(CASE WHEN d.p_partkey IS NULL THEN 1 END) AS BIGINT) AS unmatched,
-  CAST(COUNT(CASE WHEN d.p_partkey IS NULL THEN 1 END) AS DOUBLE)
-    / CAST(COUNT(*) AS DOUBLE) * 100 AS unmatched_pct
+  CASE WHEN COUNT(*) = 0 THEN 0.0
+       ELSE CAST(COUNT(CASE WHEN d.p_partkey IS NULL THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) * 100 END AS unmatched_pct
 FROM keys k LEFT JOIN dim d ON k.l_partkey = d.p_partkey
 """,
     "sessionize_events": """
@@ -1122,7 +1123,7 @@ FROM events e JOIN b ON b.event_type = e.event_type
 ORACLES["json_props"] = """
 SELECT event_type AS tipo,
   CAST(COUNT(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_com_k,
-  SUM(CAST(props->>'k' AS BIGINT)) AS k_total,
+  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,
   CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_distintos,
   MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
   MAX(CAST(props->>'k' AS BIGINT)) AS k_max

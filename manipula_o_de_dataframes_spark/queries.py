@@ -847,27 +847,41 @@ def q_sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority). Catalyst compiles this to the identical physical plan a
     DataFrame formulation gets — proven by the oracle hash, which runs
     the same SQL text on DuckDB.
+
+    Views are uuid-suffixed and dropped before returning (the session
+    namespace is shared — fixed names would clobber a user's views, and
+    two sf_dirs could cross-resolve); spark.sql analyzes eagerly, so
+    the returned plan keeps its resolved relations after the drop.
     """
-    read_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).createOrReplaceTempView(
-        "v_lineitem"
-    )
-    return spark.sql(
-        """
-        SELECT o.o_orderkey AS pedido,
-               date_format(o.o_orderdate, 'yyyy-MM-dd') AS data,
-               o.o_orderpriority AS prioridade,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                 AS receita
-        FROM v_customer c
-        JOIN v_orders o ON o.o_custkey = c.c_custkey
-        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
-        GROUP BY o.o_orderkey, data, o.o_orderpriority
-        """
-    )
+    import uuid  # noqa: PLC0415
+
+    tag = uuid.uuid4().hex
+    views = {
+        f"v_customer_{tag}": read_table(spark, sf_dir, "customer"),
+        f"v_orders_{tag}": read_table(spark, sf_dir, "orders"),
+        f"v_lineitem_{tag}": read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o.o_orderkey AS pedido,
+                   date_format(o.o_orderdate, 'yyyy-MM-dd') AS data,
+                   o.o_orderpriority AS prioridade,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS receita
+            FROM v_customer_{tag} c
+            JOIN v_orders_{tag} o ON o.o_custkey = c.c_custkey
+            JOIN v_lineitem_{tag} l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+            GROUP BY o.o_orderkey, data, o.o_orderpriority
+            """
+        )
+    finally:
+        for name in views:
+            spark.catalog.dropTempView(name)
 
 
 def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,10 +1042,14 @@ def _staged_snapshot_paths(spark: SparkSession, sf_dir: str) -> list[str]:
     them inside the query distorted the bench and leaked a mkdtemp per
     invocation (VERDICT r1 #4). They now live at a deterministic temp
     location keyed by sf_dir; a _SUCCESS marker in every part makes
-    re-staging a no-op across processes.
+    re-staging a no-op. Concurrent stagers write to a process-unique
+    temp dir and publish via atomic rename — the loser discards its
+    copy instead of overwrite-clobbering the winner mid-read.
     """
     import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
 
     stage = os.path.join(
         tempfile.gettempdir(), "manipula_snapshots", sf_dir.strip("/").replace("/", "_")
@@ -1040,7 +1058,16 @@ def _staged_snapshot_paths(spark: SparkSession, sf_dir: str) -> list[str]:
     if not all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths):
         orders = read_table(spark, sf_dir, "orders")
         for i, p in enumerate(paths):
-            orders.filter(F.col("o_orderkey") % 3 == i).write.mode("overwrite").parquet(p)
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                continue
+            tmp = f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex}"
+            orders.filter(F.col("o_orderkey") % 3 == i).write.mode("overwrite").parquet(tmp)
+            if os.path.exists(p):  # crashed partial stage — clear it
+                shutil.rmtree(p, ignore_errors=True)
+            try:
+                os.rename(tmp, p)  # atomic publish; fails if a winner exists
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
     return paths
 
 

@@ -122,6 +122,7 @@ def read_excel(
     except ImportError:
         pass  # openpyxl (or pandas) missing → stdlib fallback
     from pyspark.sql.types import (  # noqa: PLC0415
+        BooleanType,
         DoubleType,
         StringType,
         StructField,
@@ -137,21 +138,30 @@ def read_excel(
             for i, c in enumerate(rows[header])]
     width = len(cols)
     data = [(r + [None] * width)[:width] for r in rows[header + 1 :]]
-    is_num = [
-        bool(nn := [r[ci] for r in data if r[ci] is not None])
-        and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn)
-        for ci in range(width)
-    ]
-    recs = [
-        tuple(
-            (float(v) if v is not None else None) if is_num[ci] else _cell_str(v)
-            for ci, v in enumerate(r)
-        )
-        for r in data
-    ]
-    schema = StructType(
-        [StructField(c, DoubleType() if n else StringType()) for c, n in zip(cols, is_num)]
-    )
+
+    def _col_type(ci: int):
+        nn = [r[ci] for r in data if r[ci] is not None]
+        if nn and all(isinstance(v, bool) for v in nn):
+            # keep real booleans — the pandas+openpyxl path yields a
+            # bool column, the two engines must agree on schema
+            return BooleanType()
+        if nn and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn):
+            return DoubleType()
+        return StringType()
+
+    types = [_col_type(ci) for ci in range(width)]
+
+    def _coerce(v, t):
+        if v is None:
+            return None
+        if isinstance(t, BooleanType):
+            return bool(v)
+        if isinstance(t, DoubleType):
+            return float(v)
+        return _cell_str(v)
+
+    recs = [tuple(_coerce(v, types[ci]) for ci, v in enumerate(r)) for r in data]
+    schema = StructType([StructField(c, t) for c, t in zip(cols, types)])
     return spark.createDataFrame(recs, schema)
 
 

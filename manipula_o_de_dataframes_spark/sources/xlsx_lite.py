@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -157,7 +157,9 @@ def write_sheets(path: str, sheets: dict[str, list[list]]) -> str:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES.format(sheet_overrides=overrides))
         z.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            # quoteattr: attribute context — escape() leaves '"' alone,
+            # which would break names containing quotes
+            f'<sheet name={quoteattr(n)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         z.writestr(

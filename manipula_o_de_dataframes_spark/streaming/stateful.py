@@ -38,7 +38,10 @@ def running_totals_stream(stream_df: DataFrame, key_col: str, value_col: str) ->
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(float(pdf[value_col].sum()) * 100))
+            # round each VALUE to cents, then sum ints — rounding a
+            # float batch-sum instead would make the total depend on
+            # how rows split across micro-batches
+            cents += int(pdf[value_col].map(lambda v: round(v * 100)).sum())
         state.update((n, cents))
         yield pd.DataFrame({"key": [k], "n": [n], "total": [cents / 100.0]})
 

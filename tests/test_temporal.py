@@ -170,3 +170,33 @@ def test_asof_join_matches_python_model(spark, lefts, rights):
         cands = [(rts, rid) for rk, rts, rid in rrows if rk == k and rts <= ts]
         expected[lid] = max(cands)[1] if cands else None
     assert got == expected
+
+
+def test_row_salt_spreads_a_single_hot_key(spark):
+    # regression: a key-derived salt sent every hot-key row to ONE
+    # partition — the salt must vary WITHIN a key
+    from manipula_o_de_dataframes_spark.operators.joins import _row_salt
+
+    hot = spark.range(1000).select(F.lit(7).alias("k"), F.col("id"))
+    n_salts = hot.select(_row_salt(4).alias("s")).distinct().count()
+    assert n_salts > 1
+
+
+def test_asof_join_null_attr_does_not_resurrect_stale_row(spark):
+    # regression: per-attr last(ignorenulls) skipped a NULL attr on the
+    # latest right row and returned a STALE older value
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), "probe")],
+        "k long, ts timestamp_ntz, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 1, 5.0),
+         (1, _ts("2024-01-01T10:00:00"), 2, None)],  # latest: price NULL
+        "k long, ts timestamp_ntz, rid long, price double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_asof": "rid", "price_asof": "price"}, right_order="rid",
+    ).collect()[0]
+    assert out["rid_asof"] == 2
+    assert out["price_asof"] is None  # NOT 5.0 from the stale 09:00 row

@@ -54,3 +54,15 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert clicks.count() == e.filter(e["event_type"] == "click").count()
     # non-partition columns round-trip intact
     assert back.count() == e.count()
+
+
+def test_xlsx_sheet_name_with_quotes_roundtrips(tmp_path):
+    # regression: escape() leaves '"' alone — attribute context needs
+    # quoteattr, else the workbook XML is corrupt
+    from manipula_o_de_dataframes_spark.sources import xlsx_lite
+
+    path = str(tmp_path / "q.xlsx")
+    rows = [["col"], ["v1"]]
+    xlsx_lite.write_sheets(path, {'Report "Q1" & more': rows})
+    assert xlsx_lite.sheet_names(path) == ['Report "Q1" & more']
+    assert xlsx_lite.read_rows(path, 'Report "Q1" & more') == rows
