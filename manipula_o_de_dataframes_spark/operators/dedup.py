@@ -44,14 +44,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(col, k: int = SHINGLE_K) -> Column:
-    """Word k-shingles as strings; whole text if fewer than k tokens."""
-    toks = tokens(col)
+    """Word k-shingles as strings; whole text if fewer than k tokens.
+
+    NULL text → NULL (not the md5('')-style phantom shingle that
+    concat_ws over a NULL slice would launder in): a NULL signature
+    downstream never bands, so NULL docs can't pair as "duplicates".
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return F.array_distinct(sh)
+    return F.when(c.isNotNull(), F.array_distinct(sh))
 
 
 def minhash(col, seed: int, k: int = SHINGLE_K) -> Column:
@@ -372,4 +378,10 @@ def simhash(
         F.when(F.element_at(F.col("__votes"), j) > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(1, n_bits + 1)
     ]
-    return staged.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    # NULL votes (NULL text → NULL feature set) must yield a NULL
+    # simhash, not an all-zeros one — `NULL > 0` is NULL and the
+    # otherwise('0') would silently launder it
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("__votes").isNotNull(), F.concat(*bits)).alias("simhash"),
+    )

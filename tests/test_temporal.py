@@ -200,3 +200,19 @@ def test_asof_join_null_attr_does_not_resurrect_stale_row(spark):
     ).collect()[0]
     assert out["rid_asof"] == 2
     assert out["price_asof"] is None  # NOT 5.0 from the stale 09:00 row
+
+
+def test_null_text_docs_never_pair_in_lsh(spark):
+    # regression: NULL text used to launder into the md5('')-phantom
+    # signature (concat_ws over a NULL slice) and all NULL docs paired
+    from manipula_o_de_dataframes_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+         (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    mh = dd.near_dup_pairs(df, "text", "doc_id", n_hashes=8, rows_per_band=2)
+    assert [(r["id_a"], r["id_b"]) for r in mh.collect()] == [(1, 2)]
+    sh = dd.simhash_near_dup(df, "text", "doc_id")
+    assert [(r["id_a"], r["id_b"]) for r in sh.collect()] == [(1, 2)]
