@@ -106,4 +106,6 @@ def fingerprint(col) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(c))))
-    return F.md5(canon)
+    # NULL text → NULL (concat_ws would launder the NULL token array
+    # into md5('') and merge NULL docs with empty docs)
+    return F.when(c.isNotNull(), F.md5(canon))

@@ -269,7 +269,7 @@ def dedup_clusters(
     n_hashes: int = 8,
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.5,
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Near-dup clustering: connected components over verified pairs,
     canonical doc = the component's minimum id.

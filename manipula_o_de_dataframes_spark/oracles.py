@@ -63,10 +63,10 @@ def _sign_bucket(vec: str, n_bits: int = 6) -> str:
 # operators.dedup.shingles/minhash: lexicographic MIN of seeded md5).
 _SHINGLES_CTE = """
 shing AS (
-  SELECT doc_id, list_distinct(list_transform(
+  SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE list_distinct(list_transform(
     generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
     i -> array_to_string((str_split(text, ' '))[i:i+2], ' ')
-  )) AS sh
+  )) END AS sh
   FROM documents
 )"""
 
@@ -112,6 +112,20 @@ sig8 AS (
 )"""
 )
 
+# 4 bands × 2 rows over the 8-hash signature — ONE definition shared by
+# near_dup_jaccard_banded and dedup_clusters so the two mirrors of
+# operators/dedup.near_dup_pairs can never desynchronize. Byte-for-byte
+# the engine's concat band keys (NULL hash → NULL band → no bucket).
+_BANDS8_CTE = """
+bands AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+    unnest(['0|' || mh0 || '|' || mh1,
+            '1|' || mh2 || '|' || mh3,
+            '2|' || mh4 || '|' || mh5,
+            '3|' || mh6 || '|' || mh7]) AS band
+  FROM sig8
+)"""
+
 _STOPWORDS_SQL = "('the','a','and','of','to','in','is')"
 
 _UNION_SQL = """
@@ -127,7 +141,10 @@ def _simhash_bits(n_bits: int = 16) -> str:
         f"(CASE WHEN 2 * len(list_filter(hs, h -> strpos('89abcdef', substr(h, {j}, 1)) > 0)) > len(hs) THEN '1' ELSE '0' END)"
         for j in range(1, n_bits + 1)
     ]
-    return " || ".join(parts)
+    # NULL feature list (NULL text) → NULL simhash, mirroring the
+    # engine's NULL-signature contract; the bare CASE would render an
+    # all-zeros fingerprint and band NULL docs together.
+    return f"(CASE WHEN hs IS NULL THEN NULL ELSE {' || '.join(parts)} END)"
 
 
 def _lang_hits(markers: tuple[str, ...]) -> str:
@@ -138,6 +155,19 @@ def _lang_hits(markers: tuple[str, ...]) -> str:
 _H_EN = _lang_hits(("the", "a", "and"))
 _H_ES = _lang_hits(("el", "la", "de"))
 _H_DE = _lang_hits(("der", "die", "und"))
+
+# One pivot definition, shared by events_pivot and events_unpivot — a
+# one-sided edit would silently make the unpivot check a different
+# pivot than the pivot check.
+_EVENTS_PIVOT_SQL = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
+  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
 
 
 ORACLES: dict[str, str] = {
@@ -377,25 +407,9 @@ SELECT semana,
   CAST(NTILE(10) OVER (ORDER BY tot DESC, semana) AS BIGINT) AS decil
 FROM wk
 """,
-    "events_pivot": """
-SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
-  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
-  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
-  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
-  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
-  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
-FROM events GROUP BY 1
-""",
-    "events_unpivot": """
-WITH piv AS (
-  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
-    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
-    CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
-    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
-    CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
-    CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
-  FROM events GROUP BY 1
-)
+    "events_pivot": _EVENTS_PIVOT_SQL,
+    "events_unpivot": f"""
+WITH piv AS ({_EVENTS_PIVOT_SQL})
 SELECT semana, 'click' AS tipo, n_click AS n FROM piv
 UNION ALL SELECT semana, 'error', n_error FROM piv
 UNION ALL SELECT semana, 'purchase', n_purchase FROM piv
@@ -450,7 +464,7 @@ SELECT doc_id,
       + n_stop / n_tok * 2.0 * 0.3
       + least(n_char / 500.0, 1.0) * 0.3,
     1.0), 9) AS qualidade,
-  CASE WHEN greatest(h_de, h_en, h_es) = 0 THEN 'und'
+  CASE WHEN coalesce(greatest(h_de, h_en, h_es), 0) = 0 THEN 'und'
        WHEN h_de >= h_en AND h_de >= h_es THEN 'de'
        WHEN h_en >= h_es THEN 'en'
        ELSE 'es' END AS idioma_pred,
@@ -811,17 +825,9 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
 
 # Banded LSH (8 hashes, 4 bands × 2 rows): a band key fires only when
 # both of its hashes agree; band-key strings match Spark's
-# concat_ws('|', band_idx, mh_a, mh_b) byte-for-byte.
+# NULL-propagating concat band keys byte-for-byte.
 ORACLES["near_dup_jaccard_banded"] = f"""
-WITH {_SIG8_CTE},
-bands AS (
-  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
-    unnest(['0|' || mh0 || '|' || mh1,
-            '1|' || mh2 || '|' || mh3,
-            '2|' || mh4 || '|' || mh5,
-            '3|' || mh6 || '|' || mh7]) AS band
-  FROM sig8
-), pairs AS (
+WITH {_SIG8_CTE},{_BANDS8_CTE}, pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
     CAST({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(8))} AS BIGINT) AS n_agree
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -836,7 +842,7 @@ JOIN shing sb ON sb.doc_id = p.id_b
 
 # SimHash near-dup: 4 pigeonhole bands (8 bits each) over the 32-bit
 # SHINGLE-feature fingerprint, exact Hamming verify ≤ 3 (bands match
-# Spark's concat_ws bytes).
+# the engine's NULL-propagating concat bytes).
 _HAM32 = " + ".join(
     f"CASE WHEN substr(sa, {i}, 1) <> substr(sb, {i}, 1) THEN 1 ELSE 0 END"
     for i in range(1, 33)
@@ -867,15 +873,7 @@ WHERE {_HAM32} <= 3
 # Jaccard >= 0.5; cluster label = min id reachable through the
 # transitive closure (mirrors Spark's min-label propagation fixpoint).
 ORACLES["dedup_clusters"] = f"""
-WITH RECURSIVE {_SIG8_CTE},
-bands AS (
-  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
-    unnest(['0|' || mh0 || '|' || mh1,
-            '1|' || mh2 || '|' || mh3,
-            '2|' || mh4 || '|' || mh5,
-            '3|' || mh6 || '|' || mh7]) AS band
-  FROM sig8
-), cand AS (
+WITH RECURSIVE {_SIG8_CTE},{_BANDS8_CTE}, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 ), edges AS (
@@ -1122,11 +1120,11 @@ FROM events e JOIN b ON b.event_type = e.event_type
 # JSON extraction mirror: ->> string extraction + NULL-propagating cast.
 ORACLES["json_props"] = """
 SELECT event_type AS tipo,
-  CAST(COUNT(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_com_k,
-  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,
-  CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_distintos,
-  MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
-  MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+  CAST(COUNT(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_com_k,
+  CAST(SUM(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,
+  CAST(COUNT(DISTINCT TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_distintos,
+  MIN(TRY_CAST(props->>'k' AS BIGINT)) AS k_min,
+  MAX(TRY_CAST(props->>'k' AS BIGINT)) AS k_max
 FROM events GROUP BY 1
 """
 

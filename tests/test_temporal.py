@@ -216,3 +216,37 @@ def test_null_text_docs_never_pair_in_lsh(spark):
     assert [(r["id_a"], r["id_b"]) for r in mh.collect()] == [(1, 2)]
     sh = dd.simhash_near_dup(df, "text", "doc_id")
     assert [(r["id_a"], r["id_b"]) for r in sh.collect()] == [(1, 2)]
+
+
+def test_null_doc_parity_across_engines(spark, tmp_path):
+    """Cross-engine NULL contract: a corpus containing NULL documents
+    must hash-match the DuckDB oracles for every signature/text query
+    (regression for the concat_ws/CASE laundering family)."""
+    import os
+
+    from manipula_o_de_dataframes_spark.oracles import ORACLES
+    from manipula_o_de_dataframes_spark.parity import compare, run_oracle
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+    from manipula_o_de_dataframes_spark.sources.io import TPCH_TABLES
+
+    sf = str(tmp_path)
+    for t in TPCH_TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    import duckdb
+
+    duckdb.sql(
+        """COPY (SELECT * FROM (VALUES
+             (1, 'a b c d e f g h i j', 'en', 's', 19),
+             (2, 'a b c d e f g h i j', 'en', 's', 19),
+             (3, CAST(NULL AS VARCHAR), 'en', 's', 0),
+             (4, CAST(NULL AS VARCHAR), 'en', 's', 0))
+           t(doc_id, text, lang, source, n_chars))
+           TO '{}' (FORMAT PARQUET)""".format(f"{sf}/documents.parquet")
+    )
+
+    for name in ["text_stats", "fingerprint_dedup", "minhash_signatures",
+                 "simhash", "near_dup_jaccard", "near_dup_jaccard_banded",
+                 "simhash_near_dup", "dedup_clusters", "doc_dedup_exact"]:
+        errs = compare(QUERIES[name](spark, sf), run_oracle(ORACLES[name], sf))
+        assert not errs, f"{name}: {errs}"
