@@ -34,9 +34,13 @@ def token_count(col) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
-def _stopword_hits(col) -> Column:
+def stopword_hits(col) -> Column:
+    """Count of STOPWORDS occurrences (one shared definition — feeds
+    quality_score AND the Gopher rules; the oracles mirror it via
+    _STOPWORDS_SQL)."""
     toks = tokens(col)
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+
 
 
 def quality_score(col) -> Column:
@@ -52,7 +56,7 @@ def quality_score(col) -> Column:
     n_tok = token_count(c).cast("double")
     n_char = F.length(c).cast("double")
     mean_len = (n_char - (n_tok - F.lit(1.0))) / n_tok
-    stop_ratio = _stopword_hits(c).cast("double") / n_tok
+    stop_ratio = stopword_hits(c).cast("double") / n_tok
     len_prior = F.least(n_char / F.lit(500.0), F.lit(1.0))
     raw = (
         F.least(mean_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.4)

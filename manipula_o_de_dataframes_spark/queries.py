@@ -20,12 +20,12 @@ from pyspark.sql import functions as F
 
 from .functions.formatting import MONEY, brl, dsum, pct
 from .functions.text import (
-    STOPWORDS,
     dup_token_ratio,
     fingerprint,
     lang_id,
     mean_token_len,
     quality_score,
+    stopword_hits,
     token_count,
 )
 from .operators import dedup as dd
@@ -665,9 +665,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = token_count("text")
     mean_len = F.round(mean_token_len("text"), 9)
     dup_ratio = F.round(dup_token_ratio("text"), 9)
-    stop_hits = F.size(
-        F.filter(F.split(F.col("text"), " "), lambda t: t.isin(*STOPWORDS))
-    ).cast("long")
+    stop_hits = stopword_hits("text")
     flags = {
         "ok_tokens": n_tok.between(10, 1000),
         "ok_mean_len": mean_len.between(2.0, 10.0),
@@ -1062,7 +1060,10 @@ def _staged_snapshot_paths(spark: SparkSession, sf_dir: str) -> list[str]:
                 continue
             tmp = f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex}"
             orders.filter(F.col("o_orderkey") % 3 == i).write.mode("overwrite").parquet(tmp)
-            if os.path.exists(p):  # crashed partial stage — clear it
+            # clear ONLY a crashed partial stage (no _SUCCESS); a
+            # complete dir means another stager won while we wrote —
+            # deleting it would clobber their possibly in-flight read
+            if os.path.exists(p) and not os.path.exists(os.path.join(p, "_SUCCESS")):
                 shutil.rmtree(p, ignore_errors=True)
             try:
                 os.rename(tmp, p)  # atomic publish; fails if a winner exists

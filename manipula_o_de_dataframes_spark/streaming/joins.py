@@ -17,10 +17,16 @@ Spark interval-join shape.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# serializes drains: two overlapping drains would capture each other's
+# temporary value as "old" and leave the session pinned at the drain
+# setting after both restore
+_DRAIN_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -35,12 +41,13 @@ def drain_shuffle_partitions(spark: SparkSession, n: int = 8):
     parallelism outside the drain is untouched; streaming queries latch
     the value at .start(), which this context encloses.
     """
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    with _DRAIN_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the scan
 # yields bigint nanos, converted to micro TIMESTAMP_NTZ exactly like
