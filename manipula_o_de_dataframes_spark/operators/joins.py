@@ -86,14 +86,21 @@ def salted_join(
     is replicated ×salt (explode over the salt range) and the join runs
     on (key, salt), so a hot key's rows fan across ``salt`` reducer
     partitions instead of one straggler. Row-for-row identical to the
-    plain join (each fact row matches exactly the one build replica
-    carrying its salt; the salt value itself never affects the result,
-    so its run-to-run instability is harmless). AQE's skew-join split
-    handles moderate skew automatically; explicit salting is the tool
-    when one key dominates a stage AQE can't split (e.g. a single
-    monster partition feeding an aggregate). Cost: build ×salt — keep
-    salt small.
+    plain join for the FACT-preserving sides (inner/left/semi/anti:
+    each fact row matches exactly the one build replica carrying its
+    salt; the salt value itself never affects the result, so its
+    run-to-run instability is harmless). 'right'/'full' are rejected —
+    they would emit every unmatched build row once per replica. AQE's
+    skew-join split handles moderate skew automatically; explicit
+    salting is the tool when one key dominates a stage AQE can't split
+    (e.g. a single monster partition feeding an aggregate). Cost:
+    build ×salt — keep salt small.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join(how={how!r}): only fact-preserving joins keep plain-join "
+            "semantics; right/full would duplicate unmatched build rows ×salt"
+        )
     f = facts.withColumn("__salt", _row_salt(salt))
     b = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -58,14 +58,18 @@ def decode_features(blobs: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf["payload"].map(len)
+            # object dtype, not astype("int64"): NULL payloads propagate
+            # as None (Arrow renders them as long-with-null)
+            n = pdf["payload"].map(lambda b: None if b is None else len(b))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": n.astype("int64"),
-                    "digest": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
-                    "width": (n % 640).astype("int64"),
-                    "height": ((n * 7) % 480).astype("int64"),
+                    "n_bytes": n,
+                    "digest": pdf["payload"].map(
+                        lambda b: None if b is None else hashlib.md5(b).hexdigest()
+                    ),
+                    "width": n.map(lambda v: None if v is None else v % 640),
+                    "height": n.map(lambda v: None if v is None else (v * 7) % 480),
                 }
             )
 
@@ -101,12 +105,14 @@ def resize_stub(blobs: DataFrame, target_bytes: int = 64) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pdf["payload"].map(lambda b: bytes(b)[:target_bytes])
+            out = pdf["payload"].map(
+                lambda b: None if b is None else bytes(b)[:target_bytes]
+            )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "payload_out": out,
-                    "n_out": out.map(len).astype("int64"),
+                    "n_out": out.map(lambda v: None if v is None else len(v)),
                 }
             )
 
@@ -133,6 +139,10 @@ def embed_stub(blobs: DataFrame, dims: int = 8) -> DataFrame:
     import pandas as pd  # noqa: PLC0415
 
     def embed(b: bytes) -> list[float]:
+        # NULL payload → NULL vector components (the engine-wide
+        # NULL-propagation contract; bytes(None) would raise).
+        if b is None:
+            return [None] * dims
         arr = np.frombuffer(bytes(b), dtype=np.uint8)
         sums = [int(arr[c::dims].sum()) for c in range(dims)]
         ss = sum(s * s for s in sums)

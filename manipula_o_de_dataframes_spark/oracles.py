@@ -147,6 +147,16 @@ def _simhash_bits(n_bits: int = 16) -> str:
     return f"(CASE WHEN hs IS NULL THEN NULL ELSE {' || '.join(parts)} END)"
 
 
+def _simhash_long(n_bits: int) -> str:
+    """BIGINT SimHash render (string bit j → integer bit n_bits−j),
+    mirroring ``operators/dedup.simhash_long``."""
+    parts = [
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> strpos('89abcdef', substr(h, {j}, 1)) > 0)) > len(hs) THEN {1 << (n_bits - j)} ELSE 0 END)"
+        for j in range(1, n_bits + 1)
+    ]
+    return f"(CASE WHEN hs IS NULL THEN NULL ELSE CAST({' + '.join(parts)} AS BIGINT) END)"
+
+
 def _lang_hits(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(str_split(text, ' '), t -> t IN ({inlist})))"
@@ -841,32 +851,29 @@ JOIN shing sb ON sb.doc_id = p.id_b
 """
 
 # SimHash near-dup: 4 pigeonhole bands (8 bits each) over the 32-bit
-# SHINGLE-feature fingerprint, exact Hamming verify ≤ 3 (bands match
-# the engine's NULL-propagating concat bytes).
-_HAM32 = " + ".join(
-    f"CASE WHEN substr(sa, {i}, 1) <> substr(sb, {i}, 1) THEN 1 ELSE 0 END"
-    for i in range(1, 33)
-)
+# SHINGLE-feature fingerprint rendered as a BIGINT; band keys are
+# shift/mask slices (band_idx·2^8 + slice) and the exact verify is one
+# bit_count(xor(...)), mirroring the engine's integer pipeline.
 ORACLES["simhash_near_dup"] = f"""
 WITH {_SHINGLES_CTE},
 t AS (
   SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shing
 ),
-sh AS (SELECT doc_id, {_simhash_bits(32)} AS simhash FROM t),
+sh AS (SELECT doc_id, {_simhash_long(32)} AS fp FROM t),
 bands AS (
-  SELECT doc_id, simhash, unnest([
-    '0|' || substr(simhash, 1, 8), '1|' || substr(simhash, 9, 8),
-    '2|' || substr(simhash, 17, 8), '3|' || substr(simhash, 25, 8)]) AS band
+  SELECT doc_id, fp, unnest([
+    0 * 256 + ((fp >> 24) & 255), 1 * 256 + ((fp >> 16) & 255),
+    2 * 256 + ((fp >> 8) & 255), 3 * 256 + (fp & 255)]) AS band
   FROM sh
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.simhash AS sa, b.simhash AS sb
+         a.fp AS fa, b.fp AS fb
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, CAST({_HAM32} AS BIGINT) AS hamming
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
 FROM pairs
-WHERE {_HAM32} <= 3
+WHERE bit_count(xor(fa, fb)) <= 3
 """
 
 # Connected-components dedup: edges = banded-LSH pairs verified at

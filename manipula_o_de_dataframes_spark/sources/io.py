@@ -134,9 +134,14 @@ def read_excel(
     rows = xlsx_lite.read_rows(path, sheet_name)
     if header >= len(rows):
         raise ValueError(f"header row {header} beyond sheet ({len(rows)} rows)")
-    cols = [_cell_str(c) if c is not None else f"Unnamed: {i}"
-            for i, c in enumerate(rows[header])]
-    width = len(cols)
+    # Width is the max over header AND data rows: a sheet whose data rows
+    # extend past the header must surface the extra cells as 'Unnamed: i'
+    # columns (what pandas+openpyxl does), not silently drop them.
+    width = max(len(r) for r in rows[header:])
+    cols = [
+        _cell_str(c) if c is not None else f"Unnamed: {i}"
+        for i, c in enumerate((rows[header] + [None] * width)[:width])
+    ]
     data = [(r + [None] * width)[:width] for r in rows[header + 1 :]]
 
     def _col_type(ci: int):
