@@ -902,6 +902,89 @@ WITH RECURSIVE {_SIG8_CTE},{_BANDS8_CTE}, cand AS (
 SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
 """
 
+# Mergeable-HLL rollup: raw estimates are engine-specific, so the
+# checked projection is the exact fields plus the cross-engine-stable
+# accuracy claim (both HLLs are ~2% estimators; ±10% ≈ 6σ, so the
+# boolean only disagrees when an estimator is genuinely broken).
+ORACLES["hll_mergeable"] = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS semana,
+  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_dias,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS usuarios_exatos,
+  (abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+       / CAST(COUNT(DISTINCT user_id) AS DOUBLE) - 1) <= 0.10)
+    AS sketch_dentro_10pct
+FROM events GROUP BY 1
+"""
+
+# PII scrub: phone-shaped spans first, then leftover long digit runs —
+# same two-pass order as the engine; DuckDB needs the 'g' flag for
+# replace-all (Spark regexp_replace is global by default).
+ORACLES["pii_scrub"] = """
+WITH c AS (
+  SELECT c_custkey,
+    concat_ws(' ', c_name,
+      concat_ws('-',
+        CAST(c_custkey % 90 + 10 AS VARCHAR),
+        CAST((c_custkey * 7) % 900 + 100 AS VARCHAR),
+        CAST((c_custkey * 13) % 900 + 100 AS VARCHAR),
+        CAST((c_custkey * 31) % 9000 + 1000 AS VARCHAR)),
+      c_mktsegment) AS contact
+  FROM customer
+)
+SELECT c_custkey,
+  regexp_replace(
+    regexp_replace(contact, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+    '[0-9]{7,}', '[ID]', 'g') AS contato_redigido,
+  CAST(len(regexp_extract_all(contact, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+    AS n_telefones
+FROM c
+"""
+
+# Greedy sequence packing: bin = tokens-before-this-doc div 512 within
+# each (lang, source) shard in doc_id order.
+ORACLES["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang, source, n_tokens,
+  CAST(floor(
+    (SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     - n_tokens) / 512.0) AS BIGINT) AS bin_id
+FROM t
+"""
+
+# Per-doc repetition: duplicate-token ratio + top-bigram share of the
+# n-1 bigram slots; NULL text / sub-bigram docs stay NULL end-to-end.
+ORACLES["repetition_signals"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigrama
+  FROM toks WHERE len(t) >= 2
+),
+top AS (
+  SELECT doc_id, MAX(n) AS top_n FROM (
+    SELECT doc_id, bigrama, COUNT(*) AS n FROM bg GROUP BY 1, 2
+  ) GROUP BY 1
+),
+stats AS (
+  SELECT doc_id,
+    CASE WHEN t IS NULL THEN NULL ELSE CAST(len(t) AS BIGINT) END AS n_tokens,
+    CASE WHEN t IS NULL THEN NULL
+         ELSE round((CAST(len(t) AS DOUBLE) - len(list_distinct(t))) / len(t), 9)
+    END AS dup_ratio
+  FROM toks
+)
+SELECT s.doc_id, s.n_tokens, s.dup_ratio,
+  CAST(top_n AS BIGINT) AS top_bigram_n,
+  round(CAST(top_n AS DOUBLE) / (s.n_tokens - 1), 9) AS top_bigram_frac
+FROM stats s LEFT JOIN top USING (doc_id)
+"""
+
 ORACLES["top_bigrams"] = """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 bg AS (

@@ -49,7 +49,9 @@ __all__ = ["NO_ORACLE", "QUERIES"]
 
 # Queries with no DuckDB oracle BY DESIGN (sketch outputs are
 # implementation-defined); the driver runs its weaker rows-only check.
-NO_ORACLE = frozenset({"events_sketches", "kmeans_cells", "hll_mergeable"})
+# (hll_mergeable graduated to oracle-checked in round 3: its projection
+# carries exact fields + a ±10% accuracy flag instead of raw estimates.)
+NO_ORACLE = frozenset({"events_sketches", "kmeans_cells"})
 
 
 # --- reference-surface queries (SURVEY §2) ---------------------------------
@@ -1512,19 +1514,12 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: daily HLL sketches of distinct users,
-    merged upward to weekly estimates — the incremental pattern that
-    makes 100 TB distinct counts cheap (store k-byte sketches per
-    partition/day, union instead of rescanning raw facts; a re-count
-    from raw is a full re-shuffle, a sketch merge is a metadata read).
-
-    DataSketches HLL state depends only on the hashed value SET, so the
-    estimate is deterministic under any partitioning — but no other
-    engine reproduces its exact values, hence rows-only driver check
-    (NO_ORACLE, same policy as events_sketches); the exact column and
-    the ±5%% accuracy are pinned by tests/test_optimizer.py.
-    """
+def _hll_weekly_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL sketches of distinct users merged to weekly estimates —
+    the incremental pattern that makes 100 TB distinct counts cheap
+    (store k-byte sketches per partition/day, union instead of
+    rescanning raw facts; a re-count from raw is a full re-shuffle, a
+    sketch merge is a metadata read)."""
     e = read_table(spark, sf_dir, "events")
     day = F.date_format("ts", "yyyy-MM-dd")
     week = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
@@ -1534,6 +1529,40 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("semana").agg(
         F.count(F.lit(1)).alias("n_dias"),
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("usuarios_estimados"),
+    )
+
+
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup, in an oracle-checkable projection.
+
+    DataSketches HLL values are engine-specific (DuckDB's HLL estimates
+    differently), so the RAW estimate can never hash-match an oracle.
+    What IS cross-engine deterministic: the exact fields (week, day
+    count, exact distinct users) and the claim the sketch exists to
+    make — "the merged estimate lands within ±10% of the truth". Both
+    engines' HLLs are ~2% estimators, so the boolean agrees unless one
+    estimator genuinely breaks, which is exactly when this should go
+    red. Raw estimates stay accessible via ``_hll_weekly_estimates``
+    (pinned at ±5% by tests/test_optimizer.py).
+    """
+    est = _hll_weekly_estimates(spark, sf_dir)
+    e = read_table(spark, sf_dir, "events")
+    week = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    exact = e.groupBy(week.alias("semana")).agg(
+        F.countDistinct("user_id").alias("usuarios_exatos")
+    )
+    return est.join(exact, "semana").select(
+        "semana",
+        "n_dias",
+        "usuarios_exatos",
+        (
+            F.abs(
+                F.col("usuarios_estimados").cast("double")
+                / F.col("usuarios_exatos").cast("double")
+                - 1
+            )
+            <= 0.10
+        ).alias("sketch_dentro_10pct"),
     )
 
 
@@ -1684,10 +1713,128 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# phone-shaped spans, then any leftover standalone digit run long enough
+# to be an identifier; both engines apply them in this order
+_PII_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_ID_RE = "[0-9]{7,}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of phone numbers and long id-like
+    digit runs from a rendered contact string — the pre-training scrub
+    every large text pipeline runs before anything else sees the data.
+
+    Map-only (regexp_replace / regexp_extract_all are JVM expressions,
+    no UDF), so it scales as a pure scan: no shuffle, pushdown-friendly,
+    linear at 100 TB. The fixture carries no phone column (full TPC-H
+    would have c_phone), so a phone-shaped span is derived from
+    c_custkey identically in both engines; the 'Customer#000000001'
+    name contributes the long digit run, so BOTH redaction rules fire
+    on genuine content.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        ((k * 7) % 900 + 100).cast("string"),
+        ((k * 13) % 900 + 100).cast("string"),
+        ((k * 31) % 9000 + 1000).cast("string"),
+    )
+    contact = F.concat_ws(" ", F.col("c_name"), phone, F.col("c_mktsegment"))
+    n_phones = F.size(F.regexp_extract_all(contact, F.lit(_PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, _PII_PHONE_RE, "[PHONE]"), _PII_ID_RE, "[ID]"
+    )
+    return c.select(
+        "c_custkey",
+        redacted.alias("contato_redigido"),
+        n_phones.cast("long").alias("n_telefones"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget
+    bins (the training-data step that turns a corpus into ~context-
+    window-sized groups for example packing).
+
+    Deterministic contiguous packing: within each (lang, source) shard,
+    docs in doc_id order go into bin ``(running_tokens_before_doc) div
+    budget`` — a doc opens a new bin when the previous ones are full.
+    One window per shard, no global ordering: at 100 TB the partition
+    key is the shard, so packing parallelizes per shard and the window
+    never sees more than one shard's rows. Integer token counts make
+    the assignment bit-stable across engines.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = token_count("text")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        tok.cast("long").alias("n_tokens"),
+        F.floor((cum - tok) / F.lit(512.0)).cast("long").alias("bin_id"),
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    ratio plus the share of bigram slots taken by the document's most
+    frequent bigram (template/boilerplate text scores high on both).
+
+    The bigram share needs a per-(doc, bigram) count → per-doc max —
+    two hash aggregates whose shuffle carries only count pairs, then a
+    broadcast-size join back onto the per-doc stats. NULL text and
+    sub-bigram docs yield NULL signals (never 0 — a NULL doc is not
+    evidence of low repetition).
+    """
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    )
+    top = (
+        d.select("doc_id", F.explode(bigrams).alias("__bg"))
+        .groupBy("doc_id", "__bg")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("doc_id")
+        .agg(F.max("__n").alias("__top_n"))
+    )
+    stats = d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(dup_token_ratio("text"), 9).alias("dup_ratio"),
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_ratio",
+        F.col("__top_n").cast("long").alias("top_bigram_n"),
+        F.round(
+            F.col("__top_n").cast("double") / (F.col("n_tokens") - F.lit(1)).cast("double"),
+            9,
+        ).alias("top_bigram_frac"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
 QUERIES = {
+    # --- new in round 3 (no driver row yet) ---
+    "pii_scrub": q_pii_scrub,
+    "pack_sequences": q_pack_sequences,
+    "repetition_signals": q_repetition_signals,
     # --- never driver-verified (r1/r2 rotation gap) — sample these first ---
     "token_profile": q_token_profile,
     "decontaminate": q_decontaminate,

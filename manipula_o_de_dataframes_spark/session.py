@@ -32,6 +32,14 @@ def get_spark(
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # Local mode defaults to a 1 GiB JVM heap shared by every worker
+        # thread — 32 threads spill and GC-thrash on it long before the
+        # machine is loaded (measured: a 24M-row sort-merge join OOMs).
+        # Only effective at JVM launch, so it must be set here, not after
+        # the first session exists.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.shuffle.partitions", parts)
         # saveAsTable targets (bucketed tables) land in a temp warehouse,
         # never in the repo working tree.

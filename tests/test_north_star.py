@@ -196,3 +196,63 @@ def test_lang_id_and_tokens(spark):
     rows = df.select(lang_id("text").alias("l"), token_count("text").alias("n")).collect()
     assert [r["l"] for r in rows] == ["en", "es", "und"]
     assert rows[0]["n"] == 5
+
+
+def test_pii_scrub_redacts_phones_and_id_runs(spark):
+    """Every customer has a phone-shaped span; after the scrub no
+    phone pattern or 7+-digit run survives and the count is right."""
+    from tests.conftest import SF_SMOKE
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    out = QUERIES["pii_scrub"](spark, SF_SMOKE)
+    bad = out.filter(
+        F.col("contato_redigido").rlike("[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}")
+        | F.col("contato_redigido").rlike("[0-9]{7,}")
+    ).count()
+    assert bad == 0
+    rows = out.collect()
+    assert rows and all(r["n_telefones"] == 1 for r in rows)
+    assert all("[PHONE]" in r["contato_redigido"] for r in rows)
+
+
+def test_pack_sequences_matches_greedy_cumsum(spark):
+    """bin_id equals tokens-before-this-doc // 512 within each
+    (lang, source) shard in doc_id order, recomputed independently."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = QUERIES["pack_sequences"](spark, SF_SMOKE).collect()
+    assert rows
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[(r["lang"], r["source"])].append(r)
+    for shard in by_shard.values():
+        shard.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard:
+            assert r["bin_id"] == cum // 512, (r, cum)
+            cum += r["n_tokens"]
+
+
+def test_repetition_signals_on_crafted_docs(spark):
+    """Invariants over fixture docs: dup_ratio ∈ [0,1]; the top bigram
+    occupies between 1 and n−1 of the n−1 bigram slots; the reported
+    fraction is exactly top_n/(n−1) rounded to 9 places (cross-engine
+    exactness is the parity test's job)."""
+    from tests.conftest import SF_SMOKE
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = QUERIES["repetition_signals"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["n_tokens"] is None:
+            continue
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        if r["top_bigram_n"] is not None and r["n_tokens"] >= 2:
+            assert 1 <= r["top_bigram_n"] <= r["n_tokens"] - 1
+            assert abs(r["top_bigram_frac"] - round(r["top_bigram_n"] / (r["n_tokens"] - 1), 9)) < 1e-12
