@@ -985,6 +985,24 @@ SELECT s.doc_id, s.n_tokens, s.dup_ratio,
 FROM stats s LEFT JOIN top USING (doc_id)
 """
 
+# int8 quantization: half-up via floor(x+0.5) (native round ties differ
+# across engines); float→double promotion is exact, and the expression
+# association mirrors the Spark side token-for-token.
+ORACLES["embedding_quantize"] = """
+WITH m AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+    unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {'dim': i, 'x': embedding[i]})) AS u
+  FROM embeddings
+)
+SELECT vec_id, CAST(u.dim AS BIGINT) AS dim,
+  CAST(CASE WHEN ma = 0 THEN 0
+       ELSE floor(CAST(u.x AS DOUBLE) * 127.0 / ma + 0.5) END AS BIGINT) AS q,
+  round(CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END, 9) AS scale
+FROM m
+"""
+
 ORACLES["top_bigrams"] = """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 bg AS (

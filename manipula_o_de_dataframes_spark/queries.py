@@ -1827,6 +1827,35 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving step after embedding extraction (16→1 bytes/dim
+    before an ANN index or feature store write).
+
+    Per-vector absmax scaling: q = floor(x·127/absmax + 0.5) (half-up
+    via floor — engine-agnostic, unlike native round ties), scale =
+    absmax/127 for dequantization. Long format (vec_id, dim, q, scale):
+    posexplode is plan-level fan-out, everything else is arithmetic on
+    exact float→double promotions, so the result hash-matches any
+    engine. All-zero vectors quantize to q=0/scale=0 instead of 0/0
+    NaNs. Map-only: no shuffle at any scale.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    staged = e.select("vec_id", F.posexplode("embedding").alias("__pos", "__x"), absmax.alias("__ma"))
+    q = F.when(F.col("__ma") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("__x").cast("double") * F.lit(127.0) / F.col("__ma") + F.lit(0.5))
+    )
+    return staged.select(
+        "vec_id",
+        (F.col("__pos") + 1).cast("long").alias("dim"),
+        q.cast("long").alias("q"),
+        F.round(
+            F.when(F.col("__ma") == 0, F.lit(0.0)).otherwise(F.col("__ma") / F.lit(127.0)), 9
+        ).alias("scale"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -1835,6 +1864,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
+    "embedding_quantize": q_embedding_quantize,
     # --- never driver-verified (r1/r2 rotation gap) — sample these first ---
     "token_profile": q_token_profile,
     "decontaminate": q_decontaminate,

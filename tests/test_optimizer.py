@@ -188,3 +188,26 @@ def test_python_udtf_splits_rows(spark):
     ).collect()
     got = sorted((r["span_idx"], r["span"]) for r in out)
     assert got == [(0, "a"), (0, "single"), (1, "b"), (2, "c")]
+
+
+def test_round3_map_only_queries_have_no_exchange(spark):
+    """pii_scrub and embedding_quantize are pure scans (redaction /
+    posexplode arithmetic) — any Exchange in their plans would mean an
+    accidental shuffle in what must stay a map-only pass at 100 TB."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name in ("pii_scrub", "embedding_quantize"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "Exchange" not in plan, f"{name} plans a shuffle:\n{plan}"
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Sequence packing shuffles exactly once — hashpartitioning on the
+    (lang, source) shard key for the window; a second exchange would
+    mean the packing isn't shard-local."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["pack_sequences"](spark, SF_SMOKE))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 shard exchange, got {n_exchange}:\n{plan}"
+    assert "lang" in plan and "source" in plan
