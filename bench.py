@@ -89,7 +89,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "n_queries": len(timings) - len(baseline_fixtures),
+                "n_queries": sum(1 for k in timings if k not in baseline_fixtures),
                 "baseline_fixtures_seconds": baseline_total,
             }
         )

@@ -230,7 +230,11 @@ def simhash_near_dup(
     # Spool the signatures (one long per doc): the band self-join plans
     # one side as a broadcast, and without the spool BOTH sides would
     # recompute the full md5/shingle pipeline (no exchange reuse across
-    # a broadcast boundary — measured 2× the signature cost).
+    # a broadcast boundary; a forced shuffle-hash join reuses nothing at
+    # runtime either and measured 2× slower). NOTE: this makes query
+    # CONSTRUCTION eager — the signature job runs when the DataFrame is
+    # built, which is also when the quantile probes of the scaled
+    # cumsum run; a plan-only inspection pays one signature pass.
     sig = _spool(simhash_long(df, text_col, id_col, n_bits, features=features))
     # Numeric band keys: key = band_idx·2^width + the band's bit slice
     # (shift/mask — no string render). NULL fingerprints propagate to
@@ -332,15 +336,30 @@ def dedup_clusters(
         if changed == 0:
             break
     if changed != 0:
-        # Partially-propagated labels are not "clusters with a different
+        # The max_iter-th round still applied changes, so the state is
+        # unverified: it is the fixed point only if that round happened
+        # to finish the propagation. One extra read-only pass settles it
+        # (cost of one more iteration) before declaring failure —
+        # partially-propagated labels are not "clusters with a different
         # tie-break", they are wrong answers (the oracle computes the
-        # full transitive closure) — fail loudly instead of letting a
-        # parity mismatch surface as a confusing hash diff.
-        raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge in "
-            f"{max_iter} rounds ({changed} labels still changing); raise max_iter "
-            "(component diameter exceeds it)"
+        # full transitive closure), so a confusing hash diff must become
+        # a loud error.
+        neigh = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
         )
+        still = (
+            labels.join(neigh, labels["node"] == neigh["u"])
+            .filter(F.col("nlabel") < F.col("label"))
+            .count()
+        )
+        if still != 0:
+            raise RuntimeError(
+                f"dedup_clusters: min-label propagation did not converge in "
+                f"{max_iter} rounds ({still} labels still improvable); raise "
+                "max_iter (component diameter exceeds it)"
+            )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
 
 

@@ -96,7 +96,9 @@ def salted_join(
     (e.g. a single monster partition feeding an aggregate). Cost:
     build ×salt — keep salt small.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    # normalize Spark's documented alias set (leftouter/semi/leftanti/…)
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"):
         raise ValueError(
             f"salted_join(how={how!r}): only fact-preserving joins keep plain-join "
             "semantics; right/full would duplicate unmatched build rows ×salt"

@@ -1057,7 +1057,9 @@ def _staged_snapshot_paths(spark: SparkSession, sf_dir: str) -> list[str]:
     src = os.path.join(sf_dir, "orders.parquet")
     try:
         st = os.stat(src)
-        fingerprint = f"{int(st.st_mtime)}-{st.st_size}"
+        # nanosecond mtime: whole-second truncation would miss a
+        # same-second same-size fixture regeneration
+        fingerprint = f"{st.st_mtime_ns}-{st.st_size}"
     except OSError:
         fingerprint = "nosrc"
     stage = os.path.join(

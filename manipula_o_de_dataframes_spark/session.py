@@ -17,6 +17,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Heap default: SPARK_GRAFT_DRIVER_MEM, else min(16g, RAM/4).
+
+    The RAM clamp keeps the default safe on small hosts (an -Xmx past
+    physical memory trades the old spill-at-1g behavior for the kernel
+    OOM killer); on the 128 GiB bench machine it resolves to 16g.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(next(ln for ln in fh if ln.startswith("MemTotal")).split()[1])
+        quarter_gb = max(1, total_kb // (4 * 1024 * 1024))
+        return f"{min(16, quarter_gb)}g"
+    except (OSError, StopIteration, ValueError):
+        return "4g"
+
+
 def get_spark(
     app_name: str = "manipula_o_de_dataframes_spark",
     shuffle_partitions: int | None = None,
@@ -36,10 +55,8 @@ def get_spark(
         # thread — 32 threads spill and GC-thrash on it long before the
         # machine is loaded (measured: a 24M-row sort-merge join OOMs).
         # Only effective at JVM launch, so it must be set here, not after
-        # the first session exists.
-        .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-        )
+        # the first session exists (getOrCreate ignores it then).
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.sql.shuffle.partitions", parts)
         # saveAsTable targets (bucketed tables) land in a temp warehouse,
         # never in the repo working tree.
