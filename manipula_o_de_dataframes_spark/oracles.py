@@ -1003,6 +1003,23 @@ SELECT vec_id, CAST(u.dim AS BIGINT) AS dim,
 FROM m
 """
 
+# Per-source dup-rate governance report; distincts over digests so the
+# comparison never ships text.
+ORACLES["dedup_rate_by_source"] = """
+WITH t AS (
+  SELECT source, md5(text) AS h,
+    md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact_distintos,
+  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprint_distintos,
+  round(1 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 9) AS taxa_dup_exata,
+  round(1 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 9) AS taxa_dup_fingerprint
+FROM t GROUP BY source
+"""
+
 ORACLES["top_bigrams"] = """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 bg AS (

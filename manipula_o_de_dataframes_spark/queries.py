@@ -1858,6 +1858,45 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: docs, exact-distinct texts,
+    fingerprint-distinct texts, and the resulting dup rates — the
+    governance view a corpus owner reads before deciding which sources
+    need the expensive near-dup pass.
+
+    One hash aggregate per source; both distincts are partial-aggregable
+    count(DISTINCT md5) under the hood, so the shuffle carries digests,
+    never text. Exact rate uses the raw text; fingerprint rate uses the
+    order/repetition-insensitive token-set fingerprint, so the gap
+    between the two columns measures shuffled/near-boilerplate content.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_exact_distintos"),
+            F.countDistinct(fp).alias("n_fingerprint_distintos"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_distintos",
+            "n_fingerprint_distintos",
+            F.round(
+                1 - F.col("n_exact_distintos").cast("double") / F.col("n_docs").cast("double"), 9
+            ).alias("taxa_dup_exata"),
+            F.round(
+                1
+                - F.col("n_fingerprint_distintos").cast("double")
+                / F.col("n_docs").cast("double"),
+                9,
+            ).alias("taxa_dup_fingerprint"),
+        )
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -1867,6 +1906,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
     "embedding_quantize": q_embedding_quantize,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
     # --- never driver-verified (r1/r2 rotation gap) — sample these first ---
     "token_profile": q_token_profile,
     "decontaminate": q_decontaminate,

@@ -256,3 +256,39 @@ def test_repetition_signals_on_crafted_docs(spark):
         if r["top_bigram_n"] is not None and r["n_tokens"] >= 2:
             assert 1 <= r["top_bigram_n"] <= r["n_tokens"] - 1
             assert abs(r["top_bigram_frac"] - round(r["top_bigram_n"] / (r["n_tokens"] - 1), 9)) < 1e-12
+
+
+def test_fingerprint_invariant_under_permutation_and_repetition(spark):
+    """The token-set fingerprint must collide for docs that differ only
+    in word order or word repetition, and differ otherwise."""
+    from manipula_o_de_dataframes_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma alpha beta"),
+            (3, "alpha alpha beta beta gamma"),
+            (4, "alpha beta delta"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+    assert fps[5] is None
+
+
+def test_dedup_rate_by_source_bounds(spark):
+    """Rates live in [0,1); fingerprint-distinct never exceeds
+    exact-distinct (the fingerprint only merges classes)."""
+    from tests.conftest import SF_SMOKE
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_rate_by_source"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_exact_distintos"] <= r["n_docs"]
+        assert r["n_fingerprint_distintos"] <= r["n_exact_distintos"]
+        assert 0.0 <= r["taxa_dup_exata"] <= r["taxa_dup_fingerprint"] < 1.0
