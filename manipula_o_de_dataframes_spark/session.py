@@ -64,10 +64,11 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "manipula_spark_warehouse"),
         )
-        # events.parquet stores TIMESTAMP(NANOS), which the parquet reader
-        # rejects without this legacy flag; declared here (session scope)
-        # rather than mutated mid-read. read_table keeps a fallback set
-        # for driver-owned sessions built without this factory.
+        # Some fixture generations store events.ts as TIMESTAMP(NANOS),
+        # which the parquet reader rejects without this legacy flag;
+        # harmless for MICROS fixtures (flag only affects NANOS columns).
+        # Declared here (session scope) rather than mutated mid-read;
+        # read_table keeps a fallback set for driver-owned sessions.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

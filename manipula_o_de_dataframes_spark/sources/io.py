@@ -35,10 +35,13 @@ TPCH_TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: scan one parquet table from a scale-factor directory.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which the Spark parquet
-    reader rejects; read it with ``nanosAsLong`` and convert to a
-    microsecond TIMESTAMP_NTZ (truncating like DuckDB does). NTZ keeps
-    rendering independent of the session timezone.
+    ``events.parquet``'s ts physical type varies by fixture generation:
+    TIMESTAMP(NANOS) (which the Spark reader rejects without
+    ``nanosAsLong``; read as bigint nanos and truncate to micro
+    TIMESTAMP_NTZ like DuckDB does) or TIMESTAMP(MICROS)
+    isAdjustedToUTC=false (read natively as TIMESTAMP_NTZ — the dtype
+    check below is the adaptive branch). NTZ keeps rendering
+    independent of the session timezone either way.
     """
     if name == "events":
         # session.get_spark declares this at build time; driver-owned

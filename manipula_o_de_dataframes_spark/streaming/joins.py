@@ -49,21 +49,43 @@ def drain_shuffle_partitions(spark: SparkSession, n: int = 8):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
-# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the scan
-# yields bigint nanos, converted to micro TIMESTAMP_NTZ exactly like
-# sources.io.read_table (tz-proof rendering).
-_EVENTS_SCHEMA = (
+# events.parquet's ts physical type has shifted between fixture
+# generations (TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS)
+# isAdjustedToUTC=false since). The streaming source needs an explicit
+# schema, so probe the footer once (driver-side, pyarrow) and pick the
+# matching read: NANOS → nanosAsLong bigint + div-1000 conversion;
+# MICROS → native TIMESTAMP_NTZ. A wrong hard-coded unit is silent and
+# catastrophic (every interval predicate still "applies", 1000× off) —
+# this burned us when the fixture flipped units between rounds.
+_EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENTS_SCHEMA_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 _NTZ_TS = "convert_timezone('UTC', timestamp_micros(ts div 1000))"
 
 
+def _events_ts_unit(watch_dir: str) -> str:
+    """Probe the ts column's time unit ('ns'/'us') from a staged file."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    files = sorted(glob.glob(os.path.join(watch_dir, "*.parquet")))
+    return pq.ParquetFile(files[0]).schema_arrow.field("ts").type.unit
+
+
 def _events_stream(spark: SparkSession, watch_dir: str) -> DataFrame:
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(watch_dir)
-    return stream.withColumn("ts", F.expr(_NTZ_TS))
+    if _events_ts_unit(watch_dir) == "ns":
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = spark.readStream.schema(_EVENTS_SCHEMA_NANOS).parquet(watch_dir)
+        return stream.withColumn("ts", F.expr(_NTZ_TS))
+    return spark.readStream.schema(_EVENTS_SCHEMA_MICROS).parquet(watch_dir)
 
 
 def attribution_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
