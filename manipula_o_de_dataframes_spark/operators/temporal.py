@@ -96,6 +96,73 @@ def asof_join(
     )
 
 
+def asof_join_directed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    attrs: dict[str, str],
+    right_order: str,
+    direction: str = "backward",
+    tolerance_secs: int | None = None,
+) -> DataFrame:
+    """``asof_join`` with pandas ``merge_asof``'s direction/tolerance
+    knobs (SURVEY §2.13; reference has no temporal joins at all —
+    north-star surface).
+
+    - ``backward``: latest right row with ``right_ts <= left_ts``.
+    - ``forward``: earliest right row with ``right_ts >= left_ts``.
+    - ``tolerance_secs``: attrs become NULL when the matched row is
+      more than this many seconds away (pandas ``tolerance``).
+
+    Ties on ``right_ts`` break to the largest ``right_order`` in both
+    directions (must be unique within (key, right_ts)).
+
+    Same union-merge plan as ``asof_join`` — one shuffle on ``key``,
+    a running last(ignorenulls) per key partition, no candidate pairs —
+    with the scan order reversed for ``forward`` (descending ts: the
+    last right row seen at-or-above a left row is the nearest future
+    one). Tolerance is a post-extraction NULL-out of the carried
+    struct, not a join predicate, so the plan shape is unchanged.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_order).cast("long").alias("__ord"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(src).alias(out) for out, src in attrs.items()],
+        ).alias("__rrow"),
+    )
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    ts_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__last", F.last("__rrow", ignorenulls=True).over(w))
+    if tolerance_secs is not None:
+        gap = (
+            F.expr(f"timestampdiff(SECOND, __last.__rts, {left_ts})")
+            if direction == "backward"
+            else F.expr(f"timestampdiff(SECOND, {left_ts}, __last.__rts)")
+        )
+        u = u.withColumn(
+            "__last", F.when(gap <= F.lit(tolerance_secs), F.col("__last"))
+        )
+    return (
+        u.filter(F.col("__side") == 1)
+        .withColumns({out: F.col("__last")[out] for out in attrs})
+        .drop("__t", "__side", "__ord", "__rrow", "__last")
+    )
+
+
 def interval_neighbors(
     df: DataFrame,
     key: str,

@@ -1383,3 +1383,53 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
 GROUP BY o.o_orderkey, data, o.o_orderpriority
 """
+
+# Forward as-of mirror: nearest future purchase per view, restricted to
+# the 1h tolerance window (equivalent to nearest-then-NULL-out: the
+# nearest forward match is inside the window iff any match is), ties at
+# equal ts to the highest event_id — the engine's right_order rule.
+ORACLES["conversion_forward"] = """
+WITH v AS (
+  SELECT event_id AS visita, user_id AS usuario, ts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT v.visita, b.event_id AS compra, b.ts AS bts, b.value AS valor,
+         ROW_NUMBER() OVER (PARTITION BY v.visita
+                            ORDER BY b.ts ASC, b.event_id DESC) AS rn
+  FROM v JOIN b
+    ON b.user_id = v.usuario
+   AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT v.visita, v.usuario,
+  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts_view,
+  c.compra,
+  strftime(c.bts, '%Y-%m-%d %H:%M:%S') AS ts_compra,
+  c.valor
+FROM v LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON c.visita = v.visita
+"""
+
+# Trailing-hour RANGE window mirror: identical integer-second axis
+# (same fixed origin), DECIMAL money sum cast double.
+ORACLES["rolling_user_spend"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS s
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id AS usuario,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS quando,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS gasto_1h
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY s
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+# The streaming session-window drain must land exactly on the batch
+# gap-sessionization (one shared oracle with sessionize_native).
+ORACLES["sessionize_stream"] = ORACLES["sessionize_native"]

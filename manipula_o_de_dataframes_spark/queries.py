@@ -1294,6 +1294,85 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each view's NEXT purchase by the
+    same user within one hour (pandas ``merge_asof`` with
+    direction='forward', tolerance=1h — the conversion-window join).
+
+    Same union-merge plan as the backward as-of (one shuffle on user,
+    running last over a reversed scan) — no candidate pairs, tolerance
+    applied as a post-extraction NULL-out, so the cost is identical to
+    the untolerated join. Ties at equal purchase ts break to the
+    highest event_id, mirrored in the oracle's rank order.
+    """
+    e = read_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("visita"),
+        F.col("user_id").alias("usuario"),
+        "ts",
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("usuario"), "ts", "event_id", "value"
+    )
+    out = tmp.asof_join_directed(
+        views,
+        buys,
+        key="usuario",
+        left_ts="ts",
+        right_ts="ts",
+        attrs={"compra": "event_id", "__bts": "ts", "valor": "value"},
+        right_order="event_id",
+        direction="forward",
+        tolerance_secs=3600,
+    )
+    return out.select(
+        "visita",
+        "usuario",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_view"),
+        F.col("compra").cast("long").alias("compra"),
+        F.date_format("__bts", "yyyy-MM-dd HH:mm:ss").alias("ts_compra"),
+        "valor",
+    )
+
+
+def q_rolling_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: per purchase, the same user's
+    purchase count and exact spend over the trailing hour — a RANGE
+    window over integer seconds (rows at the same second are peers and
+    aggregate identically in any engine).
+
+    The window shape a feature pipeline wants (trailing-activity
+    features per interaction): one shuffle on user_id, the frame slides
+    inside each user partition — no self-join, no pair expansion.
+    Seconds come from ``timestampdiff`` against a fixed NTZ origin
+    (tz-proof); the money sum runs in DECIMAL for bit-exact parity.
+    """
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    secs = tmp.seconds_since_origin("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.col("user_id").alias("usuario"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("quando"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("gasto_1h"),
+    )
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows drained over one snapshot: the
+    session_window state-store merge must reproduce the batch
+    gap-sessionization exactly (shares q_sessionize_native's oracle).
+    """
+    from .streaming.sessions import sessionize_stream  # noqa: PLC0415
+
+    return sessionize_stream(spark, sf_dir)
+
+
 def q_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded interval self-join: per event, how many same-user events
     landed strictly within the preceding hour.
@@ -1902,6 +1981,9 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then round-1-only rows (due a re-check), then round-2-green rows.
 QUERIES = {
     # --- new in round 3 (no driver row yet) ---
+    "conversion_forward": q_conversion_forward,
+    "rolling_user_spend": q_rolling_user_spend,
+    "sessionize_stream": q_sessionize_stream,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,

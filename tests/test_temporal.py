@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from manipula_o_de_dataframes_spark.operators.temporal import (
     asof_join,
+    asof_join_directed,
     interval_neighbors,
 )
 
@@ -250,3 +251,79 @@ def test_null_doc_parity_across_engines(spark, tmp_path):
                  "simhash_near_dup", "dedup_clusters", "doc_dedup_exact"]:
         errs = compare(QUERIES[name](spark, sf), run_oracle(ORACLES[name], sf))
         assert not errs, f"{name}: {errs}"
+
+
+def test_asof_directed_forward_picks_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a"),
+         (1, _ts("2024-01-01T11:30:00"), "b"),
+         (2, _ts("2024-01-01T09:00:00"), "c")],  # key with no future right
+        "k long, ts timestamp_ntz, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), 100),
+         (1, _ts("2024-01-01T12:00:00"), 101),
+         (3, _ts("2024-01-01T10:00:00"), 102)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    out = asof_join_directed(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_next": "rid"}, right_order="rid", direction="forward",
+    )
+    got = {r["payload"]: r["rid_next"] for r in out.collect()}
+    assert got == {"a": 100, "b": 101, "c": None}
+
+
+def test_asof_directed_forward_equal_ts_tie_breaks_to_max_order(spark):
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t, "x")], "k long, ts timestamp_ntz, payload string")
+    right = spark.createDataFrame(
+        [(1, t, 7), (1, t, 9), (1, _ts("2024-01-01T11:00:00"), 5)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    out = asof_join_directed(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_next": "rid"}, right_order="rid", direction="forward",
+    )
+    # at-or-after includes equal ts; ties at equal ts break to max rid
+    assert out.collect()[0]["rid_next"] == 9
+
+
+def test_asof_directed_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "near"),
+         (2, _ts("2024-01-01T10:00:00"), "far")],
+        "k long, ts timestamp_ntz, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), 100),     # 30 min away
+         (2, _ts("2024-01-01T12:30:00"), 200)],    # 2.5 h away
+        "k long, ts timestamp_ntz, rid long",
+    )
+    out = asof_join_directed(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_next": "rid"}, right_order="rid",
+        direction="forward", tolerance_secs=3600,
+    )
+    got = {r["payload"]: r["rid_next"] for r in out.collect()}
+    assert got == {"near": 100, "far": None}
+
+
+def test_asof_directed_backward_matches_asof_join(spark):
+    """direction='backward' must be drop-in identical to asof_join."""
+    import random
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01T00:00:00")
+    lefts = [(rng.randint(1, 4), base + dt.timedelta(seconds=rng.randint(0, 5000)), i)
+             for i in range(60)]
+    rights = [(rng.randint(1, 4), base + dt.timedelta(seconds=rng.randint(0, 5000)), 1000 + i)
+              for i in range(60)]
+    l = spark.createDataFrame(lefts, "k long, ts timestamp_ntz, lid long")
+    r = spark.createDataFrame(rights, "k long, ts timestamp_ntz, rid long")
+    a = asof_join(l, r, key="k", left_ts="ts", right_ts="ts",
+                  attrs={"rid_asof": "rid"}, right_order="rid")
+    b = asof_join_directed(l, r, key="k", left_ts="ts", right_ts="ts",
+                           attrs={"rid_asof": "rid"}, right_order="rid",
+                           direction="backward")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
