@@ -18,7 +18,7 @@ inside hash buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -471,4 +471,81 @@ def simhash_long(
     return staged.select(
         F.col(id_col),
         F.when(F.col("__votes").isNotNull(), fp).alias("simhash_fp"),
+    )
+
+
+def incremental_near_dups(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: screen a NEW batch against an existing corpus
+    index — the posture a production pipeline runs per ingest, where
+    re-pairing the full corpus (near_dup_pairs over old ∪ new) would
+    redo quadratic-in-corpus work for a linear-in-batch question.
+
+    Plan: MinHash bands for both sides, candidates from the band
+    equi-join (new × index only — no new×new, no index×index pairs),
+    exact Jaccard verify on candidates, then one per-new-doc reduction:
+    candidate count, best-matching index doc (ties at equal Jaccard to
+    the lowest index id), and the admit/reject flag. Every new doc
+    comes back exactly once (zero-candidate docs with n=0/NULL match),
+    so the output is directly the batch admission decision.
+
+    At 100 TB the index side's band table is a precomputed artifact
+    (signatures are bytes/doc, persisted once); only the new batch
+    computes signatures, and the shuffle carries (id, band) pairs —
+    never text. NULL text → NULL signature → no bands (engine-wide
+    contract), surfacing as n_candidates=0.
+    """
+    sig_new = minhash_signature(new, text_col, id_col, n_hashes)
+    sig_idx = minhash_signature(index, text_col, id_col, n_hashes)
+
+    def bandify(sig: DataFrame, out_id: str) -> DataFrame:
+        keys = [
+            F.concat(F.lit(f"{j}|"), F.col(f"mh{j}")) for j in range(n_hashes)
+        ]
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*keys)).alias("band")
+        )
+
+    cand = (
+        bandify(sig_new, "id_new")
+        .join(bandify(sig_idx, "id_idx"), "band")
+        .select("id_new", "id_idx")
+        .distinct()
+    )
+    sh_new = new.select(
+        F.col(id_col).alias("id_new"), shingles(F.col(text_col)).alias("__sa")
+    )
+    sh_idx = index.select(
+        F.col(id_col).alias("id_idx"), shingles(F.col(text_col)).alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    scored = (
+        cand.join(sh_new, "id_new")
+        .join(sh_idx, "id_idx")
+        .select("id_new", "id_idx", F.round(inter / union, 9).alias("__j"))
+    )
+    w = Window.partitionBy("id_new").orderBy(F.col("__j").desc(), F.col("id_idx").asc())
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id_new")))
+        .filter(F.col("__rn") == 1)
+        .select("id_new", "id_idx", "__j", "__n")
+    )
+    return (
+        new.select(F.col(id_col).alias("id_new"))
+        .join(best, "id_new", "left")
+        .select(
+            F.col("id_new").alias(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.col("id_idx").alias("best_match"),
+            F.col("__j").alias("best_jaccard"),
+            F.coalesce(F.col("__j") >= jaccard_threshold, F.lit(False)).alias("is_dup"),
+        )
     )

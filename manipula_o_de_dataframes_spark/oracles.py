@@ -1433,3 +1433,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY s
 # The streaming session-window drain must land exactly on the batch
 # gap-sessionization (one shared oracle with sessionize_native).
 ORACLES["sessionize_stream"] = ORACLES["sessionize_native"]
+
+# Incremental dedup mirror: same minhash/band/verify pipeline, but
+# candidates only cross the batch/index boundary, and the per-new-doc
+# reduction (count, best match with ties to the lowest index id,
+# threshold flag) happens in SQL windows.
+ORACLES["incremental_dedup"] = f"""
+WITH {_SIG_CTE},
+bands AS (
+  SELECT doc_id, unnest(['0|' || mh0, '1|' || mh1, '2|' || mh2, '3|' || mh3]) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_idx
+  FROM bands n JOIN bands o ON n.band = o.band
+  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+),
+scored AS (
+  SELECT c.id_new, c.id_idx,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 9) AS j
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_new
+  JOIN shing sb ON sb.doc_id = c.id_idx
+),
+agg AS (
+  SELECT id_new, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM scored GROUP BY 1
+),
+pick AS (
+  SELECT id_new, id_idx, j,
+         ROW_NUMBER() OVER (PARTITION BY id_new ORDER BY j DESC, id_idx ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+  COALESCE(a.n_candidates, 0) AS n_candidates,
+  p.id_idx AS best_match,
+  p.j AS best_jaccard,
+  COALESCE(p.j >= 0.5, FALSE) AS is_dup
+FROM documents d
+LEFT JOIN agg a ON a.id_new = d.doc_id
+LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON p.id_new = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+# Morton-key mirror: identical shift/mask interleave re-derived in SQL.
+# Every term is fully parenthesized — SQL gives '+' higher precedence
+# than '<<' (unlike Python), so a bare a << m + b << n groups wrong.
+ORACLES["zorder_keys"] = """
+SELECT o_orderkey AS pedido,
+  CAST((((((o_custkey & 65535)) >> 0) & 1) << 0)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 0) & 1) << 1)
+      + (((((o_custkey & 65535)) >> 1) & 1) << 2)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 1) & 1) << 3)
+      + (((((o_custkey & 65535)) >> 2) & 1) << 4)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 2) & 1) << 5)
+      + (((((o_custkey & 65535)) >> 3) & 1) << 6)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 3) & 1) << 7)
+      + (((((o_custkey & 65535)) >> 4) & 1) << 8)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 4) & 1) << 9)
+      + (((((o_custkey & 65535)) >> 5) & 1) << 10)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 5) & 1) << 11)
+      + (((((o_custkey & 65535)) >> 6) & 1) << 12)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 6) & 1) << 13)
+      + (((((o_custkey & 65535)) >> 7) & 1) << 14)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 7) & 1) << 15)
+      + (((((o_custkey & 65535)) >> 8) & 1) << 16)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 8) & 1) << 17)
+      + (((((o_custkey & 65535)) >> 9) & 1) << 18)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 9) & 1) << 19)
+      + (((((o_custkey & 65535)) >> 10) & 1) << 20)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 10) & 1) << 21)
+      + (((((o_custkey & 65535)) >> 11) & 1) << 22)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 11) & 1) << 23)
+      + (((((o_custkey & 65535)) >> 12) & 1) << 24)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 12) & 1) << 25)
+      + (((((o_custkey & 65535)) >> 13) & 1) << 26)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 13) & 1) << 27)
+      + (((((o_custkey & 65535)) >> 14) & 1) << 28)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 14) & 1) << 29)
+      + (((((o_custkey & 65535)) >> 15) & 1) << 30)
+      + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 15) & 1) << 31) AS BIGINT) AS zval
+FROM orders
+"""

@@ -570,6 +570,39 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys over orders: interleave
+    customer and order-day bits so a layout sorted on the key bounds
+    every file's extent in BOTH dimensions (operators/layout.py; the
+    layout-quality proof from parquet footers is in tests).
+
+    Pure shift/mask arithmetic — no UDF, fully inside codegen, and
+    bit-identical in any engine with integer bit ops (the oracle
+    re-derives every key in SQL).
+    """
+    from .operators.layout import zvalue  # noqa: PLC0415
+
+    o = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    return o.select(
+        F.col("o_orderkey").alias("pedido"),
+        zvalue([F.col("o_custkey"), day], bits=16).alias("zval"),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a new batch (odd doc_id) against the
+    existing corpus index (even doc_id) — per-ingest admission, linear
+    in the batch instead of re-pairing the whole corpus.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    index = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return dd.incremental_near_dups(
+        batch, index, "text", "doc_id", n_hashes=4, jaccard_threshold=0.5
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit fingerprints over distinct tokens."""
     d = _docs_parallel(spark, sf_dir)
@@ -1984,6 +2017,8 @@ QUERIES = {
     "conversion_forward": q_conversion_forward,
     "rolling_user_spend": q_rolling_user_spend,
     "sessionize_stream": q_sessionize_stream,
+    "incremental_dedup": q_incremental_dedup,
+    "zorder_keys": q_zorder_keys,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,

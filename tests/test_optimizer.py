@@ -211,3 +211,56 @@ def test_pack_sequences_single_shard_exchange(spark):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, f"expected 1 shard exchange, got {n_exchange}:\n{plan}"
     assert "lang" in plan and "source" in plan
+
+
+def test_zorder_layout_bounds_every_dimension(spark, tmp_path):
+    """The Z-order claim, proven from parquet footers: range-partition +
+    sort on the Morton key gives every output file a bounded min/max
+    extent in BOTH interleaved dimensions, while a single-column sort
+    clusters only its own column (the other spans ~the full range in
+    every file). Min/max stats are what the reader prunes on, so small
+    per-file extents = skipped files for predicates on EITHER column.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.operators.layout import zorder_write
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).alias("day"),
+    )
+    zdir, sdir = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+    n_files = 16
+    zorder_write(o, ["o_custkey", "day"], zdir, n_files)
+    # contrast layout: classic single-column sort
+    (
+        o.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def mean_extent_fraction(path: str, col: str) -> float:
+        import glob
+        import os
+
+        spans, lo, hi = [], None, None
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            fmin = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append(fmax - fmin)
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        return (sum(spans) / len(spans)) / (hi - lo)
+
+    # z-order: BOTH dimensions bounded well below the full range
+    assert mean_extent_fraction(zdir, "o_custkey") < 0.5
+    assert mean_extent_fraction(zdir, "day") < 0.5
+    # single-column sort: its own column tight, the other unclustered
+    assert mean_extent_fraction(sdir, "o_custkey") < 0.2
+    assert mean_extent_fraction(sdir, "day") > 0.8
