@@ -264,3 +264,36 @@ def test_zorder_layout_bounds_every_dimension(spark, tmp_path):
     # single-column sort: its own column tight, the other unclustered
     assert mean_extent_fraction(sdir, "o_custkey") < 0.2
     assert mean_extent_fraction(sdir, "day") > 0.8
+
+
+def test_bucketed_cotables_join_without_exchange(spark):
+    """Co-bucketed tables join with ZERO Exchange nodes: the bucketing
+    metadata satisfies the join's distribution requirement on both
+    sides, so the shuffle paid once at write time never recurs. The
+    broadcast threshold is disabled for the assertion — the point is
+    the shuffle-free SORT-MERGE plan a huge-by-huge join would take.
+    """
+    from manipula_o_de_dataframes_spark.sources.io import write_bucketed
+
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    l = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", "o_orderkey", 8)
+    write_bucketed(l, "b_lineitem", "l_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"co-bucketed join still shuffles:\n{plan}"
+        # co-located join must still produce the right row count
+        assert j.count() == read_table(spark, SF_SMOKE, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
