@@ -327,3 +327,39 @@ def test_asof_directed_backward_matches_asof_join(spark):
                            attrs={"rid_asof": "rid"}, right_order="rid",
                            direction="backward")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(st.lists(_row, max_size=12), st.lists(_row, max_size=12),
+       st.sampled_from([None, 5]))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_directed_forward_matches_python_model(spark, lefts, rights, tol):
+    """Forward + tolerance vs the obvious python model: nearest right at
+    or after each left ts (ties to max rid), NULLed when beyond
+    tolerance. Small domains force equal-ts pileups and empty sides."""
+    base = _ts("2024-01-01T00:00:00")
+    lrows = [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(lefts)]
+    rrows = [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(rights)]
+    left = spark.createDataFrame(
+        lrows or [(None, None, None)], "k long, ts timestamp_ntz, lid long"
+    ).filter(F.col("lid").isNotNull())
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "k long, ts timestamp_ntz, rid long"
+    ).filter(F.col("rid").isNotNull())
+    out = asof_join_directed(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_next": "rid"}, right_order="rid",
+        direction="forward", tolerance_secs=tol,
+    )
+    got = {r["lid"]: r["rid_next"] for r in out.collect()}
+
+    expected = {}
+    for k, ts, lid in lrows:
+        cands = [(rts, rid) for rk, rts, rid in rrows if rk == k and rts >= ts]
+        if not cands:
+            expected[lid] = None
+            continue
+        nearest_ts = min(rts for rts, _ in cands)
+        pick = max(rid for rts, rid in cands if rts == nearest_ts)
+        within = tol is None or (nearest_ts - ts).total_seconds() <= tol
+        expected[lid] = pick if within else None
+    assert got == expected
