@@ -1515,3 +1515,18 @@ SELECT o_orderkey AS pedido,
       + (((((date_diff('day', DATE '1990-01-01', o_orderdate) & 65535)) >> 15) & 1) << 31) AS BIGINT) AS zval
 FROM orders
 """
+
+# Sketch graduation (round 3): exact fields + each engine grading its
+# OWN sketch implementation against the shared exact truth.
+ORACLES["events_sketches"] = """
+SELECT event_type AS tipo,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS usuarios_exatos,
+  abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+      / CAST(COUNT(DISTINCT user_id) AS DOUBLE) - 1) <= 0.05 AS hll_dentro_5pct,
+  abs(approx_quantile(value, 0.5) / quantile_cont(value, 0.5) - 1) <= 0.05
+    AS mediana_dentro_5pct,
+  abs(approx_quantile(value, 0.95) / quantile_cont(value, 0.95) - 1) <= 0.05
+    AS p95_dentro_5pct
+FROM events GROUP BY 1
+"""

@@ -47,11 +47,12 @@ from .sources.io import read_table, read_table_parallel
 
 __all__ = ["NO_ORACLE", "QUERIES"]
 
-# Queries with no DuckDB oracle BY DESIGN (sketch outputs are
-# implementation-defined); the driver runs its weaker rows-only check.
-# (hll_mergeable graduated to oracle-checked in round 3: its projection
-# carries exact fields + a ±10% accuracy flag instead of raw estimates.)
-NO_ORACLE = frozenset({"events_sketches", "kmeans_cells"})
+# Queries with no DuckDB oracle BY DESIGN; the driver runs its weaker
+# rows-only check. Only k-means remains (float-reassociation-sensitive
+# training); hll_mergeable and events_sketches both graduated to
+# oracle-checked projections in round 3 — exact fields + per-engine
+# sketch-accuracy flags instead of raw implementation-defined estimates.
+NO_ORACLE = frozenset({"kmeans_cells"})
 
 
 # --- reference-surface queries (SURVEY §2) ---------------------------------
@@ -1014,21 +1015,45 @@ def q_date_slice_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates — the 100 TB cardinality/quantile path.
+    """Sketch aggregates — the 100 TB cardinality/quantile path — in an
+    oracle-checkable projection (same graduation as hll_mergeable).
 
     approx_count_distinct (HyperLogLog++) and percentile_approx
     (KLL-style) replace exact distinct/median when the key space no
-    longer fits a reducer. No DuckDB oracle on purpose: sketch outputs
-    are implementation-defined, so the driver records the weaker
-    rows-only check; the exact counterparts (events_summary,
-    group_median_pandas) stay hash-verified.
+    longer fits a reducer. Raw sketch outputs are implementation-
+    defined and can never hash-match another engine, so the checked
+    projection carries the exact fields plus the claim each sketch
+    exists to make: "my estimate lands within tolerance of the truth".
+    Each engine grades ITS OWN sketch against the shared exact values
+    (HLL ±5% — both engines are ~2% estimators; quantiles ±5% — rank
+    error ≤ 1/accuracy), so the booleans agree unless an estimator
+    genuinely breaks, which is exactly when this should go red.
     """
     e = read_table(spark, sf_dir, "events")
-    return e.groupBy(F.col("event_type").alias("tipo")).agg(
-        F.approx_count_distinct("user_id").alias("usuarios_hll"),
-        F.percentile_approx("value", 0.5).alias("mediana_aprox"),
-        F.percentile_approx("value", 0.95).alias("p95_aprox"),
+    agg = e.groupBy(F.col("event_type").alias("tipo")).agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("usuarios_exatos"),
+        # rsd=0.01 (not the 0.05 default): the flag claims ±5%, and a
+        # sketch whose STANDARD error is 5% lands outside its own 1σ a
+        # third of the time (measured red at sf0.1). A 1% sketch makes
+        # the 5% claim a ~5σ bound; DuckDB's HLL is ~1.6% typical.
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__hll"),
+        F.percentile_approx("value", 0.5).alias("__med_a"),
+        F.expr("percentile(value, 0.5)").alias("__med_e"),
+        F.percentile_approx("value", 0.95).alias("__p95_a"),
+        F.expr("percentile(value, 0.95)").alias("__p95_e"),
+    )
+
+    def within(a: str, b: str, tol: float):
+        return F.abs(F.col(a).cast("double") / F.col(b).cast("double") - 1) <= tol
+
+    return agg.select(
+        "tipo",
+        "n",
+        "usuarios_exatos",
+        within("__hll", "usuarios_exatos", 0.05).alias("hll_dentro_5pct"),
+        within("__med_a", "__med_e", 0.05).alias("mediana_dentro_5pct"),
+        within("__p95_a", "__p95_e", 0.05).alias("p95_dentro_5pct"),
     )
 
 
@@ -2019,6 +2044,7 @@ QUERIES = {
     "sessionize_stream": q_sessionize_stream,
     "incremental_dedup": q_incremental_dedup,
     "zorder_keys": q_zorder_keys,
+    "events_sketches": q_events_sketches,  # newly oracle-checked (r3 graduation)
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
@@ -2056,7 +2082,6 @@ QUERIES = {
     "tfidf_top_term": q_tfidf_top_term,
     "top_bigrams": q_top_bigrams,
     "date_slice_metrics": q_date_slice_metrics,
-    "events_sketches": q_events_sketches,
     "skewed_flag_history": q_skewed_flag_history,
     "weekly_snapshots": q_weekly_snapshots,
     "dashboard_serve": q_dashboard_serve,
