@@ -1530,3 +1530,37 @@ SELECT event_type AS tipo,
     AS p95_dentro_5pct
 FROM events GROUP BY 1
 """
+
+# BM25 mirror: identical Lucene-form idf and saturation arithmetic,
+# stats derived the same way (N, avgdl, per-term df), round-9 scores.
+ORACLES["bm25_search"] = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+    SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df2
+  FROM t
+),
+scored AS (
+  SELECT t.doc_id,
+    (ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1)
+       * CAST(len(list_filter(t.toks, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1)
+       / (CAST(len(list_filter(t.toks, x -> x = 'spark')) AS DOUBLE)
+          + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+  + (ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1)
+       * CAST(len(list_filter(t.toks, x -> x = 'table')) AS DOUBLE) * (1.2 + 1)
+       / (CAST(len(list_filter(t.toks, x -> x = 'table')) AS DOUBLE)
+          + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+  + (ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1)
+       * CAST(len(list_filter(t.toks, x -> x = 'query')) AS DOUBLE) * (1.2 + 1)
+       / (CAST(len(list_filter(t.toks, x -> x = 'query')) AS DOUBLE)
+          + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))) AS raw
+  FROM t, s
+)
+SELECT doc_id, round(raw, 9) AS bm25
+FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+"""

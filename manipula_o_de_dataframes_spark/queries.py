@@ -27,6 +27,7 @@ from .functions.text import (
     quality_score,
     stopword_hits,
     token_count,
+    tokens,
 )
 from .operators import dedup as dd
 from .operators import multimodal as mm
@@ -928,6 +929,48 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_chunk_plan(blobs, chunk_ms=10_000, bytes_per_ms=32)
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed query
+    ("spark table query"), return the top 20 — the saturated tf
+    scoring real retrieval/dedup-adjacent pipelines use where plain
+    TF-IDF over-rewards repeated terms (Robertson/Spärck Jones BM25,
+    Lucene's idf form: ln((N − df + 0.5)/(df + 0.5) + 1)).
+
+    Corpus stats (N, avgdl, per-term document frequencies) stay IN the
+    plan as a one-row aggregate broadcast-cross-joined onto the scan —
+    no driver collect; at 100 TB the stats job is a map-side-combined
+    aggregate producing one row. Scores round to 9 dp for cross-engine
+    float parity (the tfidf/cosine precedent).
+    """
+    k1, b = 1.2, 0.75
+    terms = ["spark", "table", "query"]
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("__toks"), F.size(toks).alias("__dl"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum(F.array_contains("__toks", term).cast("long")).alias(f"__df{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, term in enumerate(terms):
+        tf = F.size(F.filter("__toks", lambda x: x == F.lit(term))).cast("double")  # noqa: B023
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5) + 1
+        )
+        denom = tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        score = score + idf * tf * (k1 + 1) / denom
+    return (
+        scored.select("doc_id", F.round(score, 9).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: each document's highest-scoring term.
 
@@ -1030,9 +1073,12 @@ def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely breaks, which is exactly when this should go red.
     """
     e = read_table(spark, sf_dir, "events")
+    # The exact distinct runs as its OWN two-level aggregate and joins
+    # back (5 rows): countDistinct alongside the percentile aggregates
+    # forces an Expand-based multi-pass plan that re-buffers every
+    # value per aggregate path — measured 3.5× slower than this split.
     agg = e.groupBy(F.col("event_type").alias("tipo")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("usuarios_exatos"),
         # rsd=0.01 (not the 0.05 default): the flag claims ±5%, and a
         # sketch whose STANDARD error is 5% lands outside its own 1σ a
         # third of the time (measured red at sf0.1). A 1% sketch makes
@@ -1043,6 +1089,13 @@ def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.95).alias("__p95_a"),
         F.expr("percentile(value, 0.95)").alias("__p95_e"),
     )
+    exact = (
+        e.select(F.col("event_type").alias("tipo"), "user_id")
+        .distinct()
+        .groupBy("tipo")
+        .agg(F.count(F.lit(1)).alias("usuarios_exatos"))
+    )
+    agg = agg.join(exact, "tipo")
 
     def within(a: str, b: str, tol: float):
         return F.abs(F.col(a).cast("double") / F.col(b).cast("double") - 1) <= tol
@@ -2045,6 +2098,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "zorder_keys": q_zorder_keys,
     "events_sketches": q_events_sketches,  # newly oracle-checked (r3 graduation)
+    "bm25_search": q_bm25_search,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
