@@ -211,3 +211,35 @@ def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
         "id",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_f"),
     ).filter(F.col("frame_idx") % every_n == 0).select("id", "frame_idx")
+
+
+def byte_sums_stub(blobs: DataFrame, dims: int = 8) -> DataFrame:
+    """The featurizer's pre-normalization integer sums (id, s0…s{dims-1}).
+
+    Same Arrow mapInPandas plumbing as ``embed_stub`` but emitting the
+    EXACT per-dimension byte sums as longs instead of the L2-normalized
+    doubles: downstream similarity pipelines that need cross-engine
+    bit-parity (centering, sign-bucketing, cosine on centered values)
+    can then run entirely in integer arithmetic until one final
+    deterministic double expression — no float accumulation anywhere.
+    NULL payload → NULL sums (engine-wide NULL contract).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def sums(b: bytes) -> list:
+        if b is None:
+            return [None] * dims
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        return [int(arr[c::dims].sum()) for c in range(dims)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = pdf["payload"].map(sums)
+            out = {"id": pdf["id"]}
+            for c in range(dims):
+                out[f"s{c}"] = vecs.map(lambda v, c=c: v[c])
+            yield pd.DataFrame(out)
+
+    schema = "id long, " + ", ".join(f"s{c} long" for c in range(dims))
+    return blobs.mapInPandas(batches, schema=schema)

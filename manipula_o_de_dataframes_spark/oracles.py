@@ -1564,3 +1564,40 @@ scored AS (
 SELECT doc_id, round(raw, 9) AS bm25
 FROM scored ORDER BY raw DESC, doc_id LIMIT 20
 """
+
+# Multimodal near-dup mirror: the same integer byte sums (text is pure
+# ASCII at every SF), exact integer centering (a_c = s_c*N - sum_c),
+# sign buckets from the centered values (shift terms fully
+# parenthesized - SQL '+' binds tighter than '<<'), and one
+# deterministic double cosine rounded to 9 dp.
+_MND_SUMS = ",\n".join(
+    f"  COALESCE(list_sum(list_transform(generate_series({c + 1}, length(text), 8), "
+    f"j -> ascii(substr(text, j, 1)))), 0) AS s{c}"
+    for c in range(8)
+)
+_MND_TOT = ", ".join(f"SUM(s{c}) AS t{c}" for c in range(8))
+_MND_CEN = ",\n".join(f"  s.s{c} * t.n - t.t{c} AS a{c}" for c in range(8))
+_MND_BUCKET = " + ".join(f"((CASE WHEN a{c} > 0 THEN 1 ELSE 0 END) << {c})" for c in range(8))
+_MND_DOT = " + ".join(f"a.a{c} * b.a{c}" for c in range(8))
+_MND_SSA = " + ".join(f"a.a{c} * a.a{c}" for c in range(8))
+_MND_SSB = " + ".join(f"b.a{c} * b.a{c}" for c in range(8))
+ORACLES["multimodal_near_dup"] = f"""
+WITH sums AS (
+  SELECT doc_id AS id,
+{_MND_SUMS}
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {_MND_TOT} FROM sums),
+cen AS (
+  SELECT s.id,
+{_MND_CEN}
+  FROM sums s, tot t
+),
+withb AS (SELECT *, {_MND_BUCKET} AS b FROM cen)
+SELECT a.id AS id_a, b.id AS id_b,
+  round(CAST({_MND_DOT} AS DOUBLE)
+        / (sqrt(CAST({_MND_SSA} AS DOUBLE)) * sqrt(CAST({_MND_SSB} AS DOUBLE))), 9) AS cos_sim
+FROM withb a JOIN withb b ON a.b = b.b AND a.id < b.id
+WHERE round(CAST({_MND_DOT} AS DOUBLE)
+        / (sqrt(CAST({_MND_SSA} AS DOUBLE)) * sqrt(CAST({_MND_SSB} AS DOUBLE))), 9) >= 0.9999
+"""

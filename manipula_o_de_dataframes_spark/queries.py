@@ -785,6 +785,60 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("id", *[F.round(f"d{c}", 9).alias(f"d{c}") for c in range(8)])
 
 
+def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal dedup: blob → Arrow featurizer → centered
+    sign-bucket blocking → cosine verify — the image/audio near-dup
+    pipeline with the model stubbed (operators/multimodal.py).
+
+    Raw pseudo-embeddings live in the all-positive octant (byte sums),
+    where sign-LSH has ONE bucket; centering on the corpus mean spreads
+    signs across buckets (the standard hyperplane-through-the-mean
+    trick). Everything up to the last expression is exact integer
+    arithmetic: centered value a_c = s_c·N − ΣS_c (longs, no float
+    accumulation — safe to ~10M docs at these byte sums, switch the
+    products to double beyond), so buckets are bit-portable and the
+    one deterministic double expression (dot/(|a||b|), round 9) hashes
+    cross-engine. Candidates come only from bucket equality; cos ≥
+    0.9999 survives — this corpus's byte-statistics vectors are so
+    correlated that 0.99 still admits 2M pairs at sf0.1 (measured);
+    the tight bar keeps "near-dup" meaning near-duplicate.
+    """
+    dims, thr = 8, 0.9999
+    d = _docs_parallel(spark, sf_dir)
+    s = mm.byte_sums_stub(mm.as_blob_table(d, "doc_id", "text"), dims=dims)
+    tot = s.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"s{c}").alias(f"__S{c}") for c in range(dims)],
+    )
+    cen = s.crossJoin(F.broadcast(tot)).select(
+        "id",
+        *[
+            (F.col(f"s{c}") * F.col("__n") - F.col(f"__S{c}")).alias(f"a{c}")
+            for c in range(dims)
+        ],
+    )
+    bucket = sum(
+        F.shiftleft((F.col(f"a{c}") > 0).cast("long"), c) for c in range(dims)
+    )
+    withb = cen.withColumn("__b", bucket)
+    a, b = withb.alias("a"), withb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.id") < F.col("b.id"))
+    )
+    dot = sum(F.col(f"a.a{c}") * F.col(f"b.a{c}") for c in range(dims)).cast("double")
+    na = F.sqrt(sum(F.col(f"a.a{c}") * F.col(f"a.a{c}") for c in range(dims)).cast("double"))
+    nb = F.sqrt(sum(F.col(f"b.a{c}") * F.col(f"b.a{c}") for c in range(dims)).cast("double"))
+    cos = F.round(dot / (na * nb), 9)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= thr)
+    )
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality view: recall@10 of sign-LSH vs the exact baseline.
 
@@ -2099,6 +2153,7 @@ QUERIES = {
     "zorder_keys": q_zorder_keys,
     "events_sketches": q_events_sketches,  # newly oracle-checked (r3 graduation)
     "bm25_search": q_bm25_search,
+    "multimodal_near_dup": q_multimodal_near_dup,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
