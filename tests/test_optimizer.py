@@ -297,3 +297,23 @@ def test_bucketed_cotables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_round3_new_queries_plan_shapes(spark):
+    """Shuffle discipline for the round-3 additions: the directed as-of
+    and the RANGE rolling window each shuffle exactly once (on the key
+    their window/merge needs), and the Morton-key projection is a pure
+    map pass — an extra Exchange in any of them would be a regression
+    the 100 TB story can't absorb."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name, want in (
+        ("conversion_forward", 1),
+        ("rolling_user_spend", 1),
+        ("zorder_keys", 0),
+    ):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        got = plan.count("Exchange hashpartitioning")
+        assert got == want, f"{name}: {got} exchanges (want {want})\n{plan}"
+        if want == 0:
+            assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
