@@ -201,3 +201,78 @@ def test_structure_probe_header_heuristic(spark):
     assert probe["n_columns"] == 3
     assert len(probe["preview"]) == 3
     assert probe["suggested_header_row"] == 1  # first all-non-numeric row
+
+
+def test_stream_foreachbatch_upsert_applies_cdc_across_batches(spark, tmp_path):
+    """Streaming CDC apply: a base snapshot then an updates file arrive
+    as separate micro-batches (maxFilesPerTrigger=1), and foreachBatch
+    MERGEs each into a parquet state table with the same full-outer +
+    coalesce core as q_upsert. The final state must equal the one-shot
+    batch merge — exactly-once apply across micro-batches, the pattern
+    a production CDC sink runs where no lakehouse table format exists.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    state = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(1, "P", 100.0), (2, "P", 200.0), (3, "O", 300.0)],
+        "k long, status string, total double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "F", 250.0), (4, "P", 400.0)],
+        "k long, status string, total double",
+    )
+    # The file source lists plain FILES in the watch dir (a df.write
+    # parquet DIRECTORY is invisible to it — zero batches, silently),
+    # so stage each delivery as a single part file. Base named first:
+    # the update batch must apply second (order matters for CDC).
+    import glob
+
+    def stage(df, dest: str) -> None:
+        d = dest + "_stage"
+        df.coalesce(1).write.parquet(d)
+        shutil.move(glob.glob(os.path.join(d, "part-*.parquet"))[0], dest)
+        shutil.rmtree(d)
+
+    stage(base, str(watch / "a_base.parquet"))
+    stage(updates, str(watch / "b_updates.parquet"))
+
+    def apply_batch(bdf, epoch_id):
+        s = bdf.sparkSession
+        nxt = f"{state}_next_{epoch_id}"
+        if os.path.isdir(state):
+            cur = s.read.parquet(state)
+            merged = cur.alias("t").join(bdf.alias("u"), "k", "full_outer").select(
+                "k",
+                F.coalesce("u.status", "t.status").alias("status"),
+                F.coalesce("u.total", "t.total").alias("total"),
+            )
+        else:
+            merged = bdf
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(state, ignore_errors=True)
+        os.rename(nxt, state)
+
+    stream = spark.readStream.schema("k long, status string, total double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(watch))
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+        .awaitTermination()
+    )
+
+    got = {r["k"]: (r["status"], r["total"]) for r in spark.read.parquet(state).collect()}
+    assert got == {
+        1: ("P", 100.0),
+        2: ("F", 250.0),   # updated by batch 2
+        3: ("O", 300.0),
+        4: ("P", 400.0),   # inserted by batch 2
+    }
