@@ -77,12 +77,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ContextCleaner is GC-driven: shuffle files, broadcast blocks,
         # and accumulator bookkeeping are only released when the JVM
-        # collects the owning weak refs. A big heap (16g default above)
-        # GCs so rarely that a long session accumulates driver state and
-        # degrades — measured 2× on a 90-query sweep (late queries up to
-        # 8× slower) vs a 1g heap whose frequent GCs kept state tidy.
-        # Periodic forced GC (upstream default: 30min) restores the
-        # tidy behavior without giving up the heap headroom.
+        # collects the owning weak refs. A big heap (e.g. 16g via the
+        # env override) GCs so rarely that a long session accumulates
+        # driver state and degrades — measured 2× on a 90-query sweep
+        # (late queries up to 8× slower) vs a 1g heap whose frequent
+        # GCs kept state tidy. Periodic forced GC (upstream default:
+        # 30min) restores the tidy behavior at any heap size.
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
