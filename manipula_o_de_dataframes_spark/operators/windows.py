@@ -118,17 +118,26 @@ def with_pct_and_cum_scaled(
     # measured, not bounded). On a cluster the spool dir would be
     # scratch HDFS/S3; decimals round-trip parquet exactly, so results
     # stay bit-identical.
-    df = _spool(df)
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    # One JVM-side aggregate (KLL-style sketch, map-side partial merge)
-    # instead of df.stat.approxQuantile's separate machinery — same
-    # approximation contract, one cheap pass over the spool.
-    qrow = df.agg(
-        F.percentile_approx(
-            F.col(value_dec).cast("double"), F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
-        ).alias("__q")
-    ).first()
-    bounds = sorted(set(qrow["__q"] or []), reverse=True)
+    # The quantile probe rides the spool write as an OBSERVED metric:
+    # percentile_approx (KLL-style sketch, map-side partial merge)
+    # collected DURING the write action, so the bounds cost zero extra
+    # jobs — the write pass was happening anyway. (A separate .agg()
+    # probe was a whole extra Spark job over the totals frame.)
+    obs = Observation("scaled_cumsum_quantiles")
+    df = _spool(
+        df.observe(
+            obs,
+            F.percentile_approx(
+                F.col(value_dec).cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(10_000),
+            ).alias("__q"),
+        )
+    )
+    bounds = sorted(set(obs.get["__q"] or []), reverse=True)
 
     # bucket 0 holds the largest values; a row equal to a boundary stays
     # in the bucket above it (v < b, strict), keeping ties together.
