@@ -1601,3 +1601,38 @@ FROM withb a JOIN withb b ON a.b = b.b AND a.id < b.id
 WHERE round(CAST({_MND_DOT} AS DOUBLE)
         / (sqrt(CAST({_MND_SSA} AS DOUBLE)) * sqrt(CAST({_MND_SSB} AS DOUBLE))), 9) >= 0.9999
 """
+
+# Sliding-window chunking mirror: the same ceil-bounded stride grid
+# (1-based starts), list slicing clipped to the doc, chunks re-joined.
+ORACLES["chunk_documents"] = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT doc_id, n, toks,
+         unnest(range(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS k
+  FROM d
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(k AS BIGINT) AS chunk_idx,
+  array_to_string(toks[(1 + k * 48):(k * 48 + 64)], ' ') AS chunk
+FROM st
+"""
+
+# Mixture-rebalance mirror: same per-source first-K (K = min source
+# size), same deterministic doc_id rank order.
+ORACLES["balance_sources"] = """
+WITH k AS (
+  SELECT MIN(cnt) AS k FROM (
+    SELECT COUNT(*) AS cnt FROM documents GROUP BY source
+  )
+),
+r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang FROM r, k WHERE rn <= k.k
+"""

@@ -2007,6 +2007,69 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every source to the smallest
+    source's size (deterministic first-K per source in doc_id order) —
+    the equalizing step before corpus mixing when one crawl dominates.
+
+    K comes from a two-level aggregate kept IN-plan (per-source counts
+    → global min, one row broadcast onto the ranked scan); selection is
+    one row_number window per source partition. At 100 TB: one shuffle
+    on source for the window, the count aggregate is map-side partial.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    k = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.min("__n").alias("__k"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("__rn") <= F.col("__k"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    token windows (size 64, stride 48) — the context-window prep step
+    that turns long documents into trainable sequences with overlap so
+    no span is ever cut without context.
+
+    Pure expression fan-out (sequence → transform → posexplode), no
+    UDF, no shuffle — a map-only pass whose output row count is
+    ~n_tokens/stride per doc. Chunks render as token-joined strings;
+    the final partial window is kept iff it adds new tokens (its start
+    is inside the doc), matching the oracle's generate_series bound.
+    Short docs (≤ size tokens) yield exactly one chunk.
+    """
+    size, stride = 64, 48
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # starts 1, 1+stride, …, 1+k·stride with k = ceil(max(n−size,0) /
+    # stride): the minimal stride-grid prefix whose last window reaches
+    # the end of the doc — every window adds new tokens (k−1's window
+    # ends before token n by ceil minimality), the final one may be
+    # partial (slice clips to the doc).
+    k = F.ceil(F.greatest(n - F.lit(size), F.lit(0)).cast("double") / F.lit(stride))
+    starts = F.sequence(F.lit(1), (F.lit(1) + k * stride).cast("int"), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, size), " ")
+    )
+    return d.select(
+        "doc_id", n.alias("n_tokens"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed token-budget
     bins (the training-data step that turns a corpus into ~context-
@@ -2162,6 +2225,8 @@ QUERIES = {
     "events_sketches": q_events_sketches,  # newly oracle-checked (r3 graduation)
     "bm25_search": q_bm25_search,
     "multimodal_near_dup": q_multimodal_near_dup,
+    "chunk_documents": q_chunk_documents,
+    "balance_sources": q_balance_sources,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
