@@ -1636,3 +1636,75 @@ r AS (
 )
 SELECT doc_id, source, lang FROM r, k WHERE rn <= k.k
 """
+
+# Containment-form decontamination mirror: same gram machinery as the
+# flag form, per-doc distinct-gram totals, 10% ratio threshold.
+ORACLES["contamination_rate"] = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams
+  WHERE doc_id % 97 <> 0 GROUP BY 1
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT gr.doc_id, CAST(COUNT(DISTINCT gr.g) AS BIGINT) AS n_overlap
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 97 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(t.n_grams, 0) AS n_grams,
+  COALESCE(h.n_overlap, 0) AS n_overlap,
+  CASE WHEN COALESCE(t.n_grams, 0) > 0
+       THEN round(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                  / CAST(t.n_grams AS DOUBLE), 9)
+       ELSE 0.0 END AS containment,
+  (CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+     >= CAST(COALESCE(t.n_grams, 0) AS DOUBLE) * 0.10)
+    AND COALESCE(t.n_grams, 0) > 0 AS contaminado
+FROM documents d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+
+# Funnel mirror: identical gap-sessionization, the same three chained
+# conditional MIN windows, deepest-stage rollup.
+ORACLES["session_funnel"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts,
+    CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sessao
+  FROM flagged
+), w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id, sessao) AS fv
+  FROM sess
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= fv THEN ts END)
+           OVER (PARTITION BY user_id, sessao) AS fc
+  FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END)
+           OVER (PARTITION BY user_id, sessao) AS fp
+  FROM w2
+)
+SELECT user_id AS usuario, sessao,
+  CAST(COUNT(*) AS BIGINT) AS n_eventos,
+  CASE WHEN MIN(fp) IS NOT NULL THEN 'compra'
+       WHEN MIN(fc) IS NOT NULL THEN 'click'
+       WHEN MIN(fv) IS NOT NULL THEN 'view'
+       ELSE 'outro' END AS etapa
+FROM w3 GROUP BY 1, 2
+"""

@@ -2007,6 +2007,120 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per session: view → click → purchase, each stage
+    counted only when it happens AT-OR-AFTER the previous stage's first
+    event (a click before any view is not funnel progress). The classic
+    product-analytics query the reference's dashboard could never
+    express.
+
+    Plan: gap-sessionize (one shuffle on user), then three chained
+    windows over (user, session) — first-view, first-click-after-view,
+    first-purchase-after-that-click; each references the previous
+    window's column, all share one partitioning so Catalyst plans a
+    single exchange + sort. Final rollup by session emits the deepest
+    stage reached.
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flag = F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+    sess = e.withColumn(
+        "sessao",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    ws = Window.partitionBy("user_id", "sessao")
+    sess = sess.withColumn(
+        "__fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
+    )
+    sess = sess.withColumn(
+        "__fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("__fv")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    sess = sess.withColumn(
+        "__fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("__fc")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    etapa = (
+        F.when(F.min("__fp").isNotNull(), "compra")
+        .when(F.min("__fc").isNotNull(), "click")
+        .when(F.min("__fv").isNotNull(), "view")
+        .otherwise("outro")
+    )
+    return sess.groupBy(F.col("user_id").alias("usuario"), "sessao").agg(
+        F.count(F.lit(1)).alias("n_eventos"), etapa.alias("etapa")
+    )
+
+
+def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-form decontamination: per document, the FRACTION of
+    its distinct 8-grams found in the benchmark set, thresholded at 10%
+    — the ratio rule real scrubs apply (a 5,000-gram doc sharing one
+    boilerplate gram is not contamination; a short doc half-inside the
+    benchmark is) where the exact-overlap flag (q_decontaminate)
+    treats both the same.
+
+    Same scale plan as the flag form: broadcast benchmark gram set,
+    only (doc_id, gram) pairs shuffle, the per-doc gram total comes
+    from the same distinct-gram expression — one extra integer column,
+    no extra pass over text.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = 8
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_grams = d.filter(is_bench).select(F.explode(grams).alias("g")).distinct()
+    rest = d.filter(~is_bench).select("doc_id", grams.alias("__grams"))
+    hits = (
+        rest.select("doc_id", F.explode("__grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("__hit"))
+    )
+    return (
+        rest.select("doc_id", F.size("__grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("__hit"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce(F.col("__hit"), F.lit(0)).cast("double")
+                    / F.col("n_grams").cast("double"),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("containment"),
+            (
+                (
+                    F.coalesce(F.col("__hit"), F.lit(0)).cast("double")
+                    >= F.col("n_grams").cast("double") * 0.10
+                )
+                & (F.col("n_grams") > 0)
+            ).alias("contaminado"),
+        )
+    )
+
+
 def q_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing: downsample every source to the smallest
     source's size (deterministic first-K per source in doc_id order) —
@@ -2227,6 +2341,8 @@ QUERIES = {
     "multimodal_near_dup": q_multimodal_near_dup,
     "chunk_documents": q_chunk_documents,
     "balance_sources": q_balance_sources,
+    "contamination_rate": q_contamination_rate,
+    "session_funnel": q_session_funnel,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
