@@ -1708,3 +1708,66 @@ SELECT user_id AS usuario, sessao,
        ELSE 'outro' END AS etapa
 FROM w3 GROUP BY 1, 2
 """
+
+# Retention-cohort mirror: identical epoch-aligned 7-day buckets from
+# the shared fixed origin, same two-aggregate shape.
+ORACLES["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS usuario,
+    CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', ts) / 604800.0) AS BIGINT) AS semana
+  FROM events
+),
+fs AS (SELECT usuario, MIN(semana) AS coorte FROM uw GROUP BY 1)
+SELECT f.coorte, u.semana - f.coorte AS semanas_depois,
+  CAST(COUNT(DISTINCT u.usuario) AS BIGINT) AS n_usuarios
+FROM uw u JOIN fs f ON f.usuario = u.usuario
+GROUP BY 1, 2
+"""
+
+# Truncated-embedding recall mirror: the same first-16-dims cosine
+# (generate_series bound = ordered 16-term fold, identical to the
+# Spark slice+fold), same tie order, recall vs the full-dim exact.
+ORACLES["truncated_recall"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact AS (
+  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY {_cos("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10
+),
+approx AS (
+  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY {_cos("e.embedding", "q.qv", 16)} DESC, e.vec_id LIMIT 10
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+FROM exact JOIN approx USING (vec_id)
+"""
+
+# Schema-wide FK audit mirror: one row per relationship, same
+# distinct-keys / orphan-count / verdict shape.
+ORACLES["fk_conformance"] = """
+WITH rel AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relacao,
+    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_chaves,
+    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+      LEFT JOIN orders o ON o.o_orderkey = k.l_orderkey WHERE o.o_orderkey IS NULL) AS n_orfas
+  UNION ALL SELECT 'orders.o_custkey->customer',
+    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) k
+      LEFT JOIN customer c ON c.c_custkey = k.o_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL SELECT 'customer.c_nationkey->nation',
+    (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer) k
+      LEFT JOIN nation n ON n.n_nationkey = k.c_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL SELECT 'supplier.s_nationkey->nation',
+    (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT s_nationkey FROM supplier) k
+      LEFT JOIN nation n ON n.n_nationkey = k.s_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL SELECT 'nation.n_regionkey->region',
+    (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT n_regionkey FROM nation) k
+      LEFT JOIN region r ON r.r_regionkey = k.n_regionkey WHERE r.r_regionkey IS NULL)
+)
+SELECT relacao, CAST(n_chaves AS BIGINT) AS n_chaves,
+  CAST(n_orfas AS BIGINT) AS n_orfas, n_orfas = 0 AS integra
+FROM rel
+"""

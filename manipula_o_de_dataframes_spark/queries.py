@@ -2007,6 +2007,104 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole star schema: for each
+    FK relationship, distinct fact keys, orphan count (keys missing
+    from the dimension), and an integrity verdict — the Q3
+    join-compatibility check generalized from one pair to the schema.
+
+    Each relationship is distinct-fact-keys anti-joined against its
+    (broadcast) dimension — at 100 TB the distinct collapses the fact
+    side before anything shuffles, and dims broadcast. Five one-row
+    aggregates union into the report.
+    """
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, fact, fk, dim, pk in rels:
+        keys = read_table(spark, sf_dir, fact).select(F.col(fk).alias("__k")).distinct()
+        dimk = read_table(spark, sf_dir, dim).select(F.col(pk).alias("__k"))
+        orphans = keys.join(F.broadcast(dimk), "__k", "left_anti")
+        parts.append(
+            keys.agg(F.count(F.lit(1)).alias("n_chaves")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orfas"))
+            ).select(
+                F.lit(name).alias("relacao"),
+                "n_chaves",
+                "n_orfas",
+                (F.col("n_orfas") == 0).alias("integra"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style serving audit: recall@10 of cosine top-k over
+    the FIRST 16 of 64 embedding dims vs the full-dim exact top-k —
+    the dimension-truncation trade (4× less compute and memory per
+    probe) measured before switching the serving path to short vectors.
+
+    Same one-row-output shape as lsh_recall: both sides share scoring
+    expressions (slice → ordered fold), the scan never shuffles, top-k
+    plans as TakeOrderedAndProject.
+    """
+    from .operators.similarity import brute_force_topk, cosine  # noqa: PLC0415
+
+    k, dims_t = 10, 16
+    e = read_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(e, "embedding", "vec_id", query_id=0, k=k).select("vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.slice("embedding", 1, dims_t).alias("__qv")
+    )
+    approx = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine(F.slice("embedding", 1, dims_t), F.col("__qv")).alias("__c"),
+        )
+        .orderBy(F.col("__c").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    return exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted in each subsequent week they return — the
+    product-analytics staple behind every retention chart.
+
+    Two aggregates, both shuffling only (user, week) pairs: first-seen
+    week per user (min over one scan), then distinct (cohort, week,
+    user) → counts with the week offset. Cohort weeks are epoch-aligned
+    7-day buckets against the fixed NTZ origin (tz-proof; same bucket
+    rule as events_rollup), so both engines bucket identically.
+    """
+    e = read_table(spark, sf_dir, "events")
+    week = (F.floor(tmp.seconds_since_origin("ts") / F.lit(7 * 86400))).cast("long")
+    per_user_week = e.select(
+        F.col("user_id").alias("usuario"), week.alias("semana")
+    ).distinct()
+    first_seen = per_user_week.groupBy("usuario").agg(F.min("semana").alias("coorte"))
+    return (
+        per_user_week.join(first_seen, "usuario")
+        .groupBy("coorte", (F.col("semana") - F.col("coorte")).alias("semanas_depois"))
+        .agg(F.countDistinct("usuario").alias("n_usuarios"))
+    )
+
+
 def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel per session: view → click → purchase, each stage
     counted only when it happens AT-OR-AFTER the previous stage's first
@@ -2343,6 +2441,9 @@ QUERIES = {
     "balance_sources": q_balance_sources,
     "contamination_rate": q_contamination_rate,
     "session_funnel": q_session_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "truncated_recall": q_truncated_recall,
+    "fk_conformance": q_fk_conformance,
     "pii_scrub": q_pii_scrub,
     "pack_sequences": q_pack_sequences,
     "repetition_signals": q_repetition_signals,
