@@ -1719,7 +1719,7 @@ WITH uw AS (
 ),
 fs AS (SELECT usuario, MIN(semana) AS coorte FROM uw GROUP BY 1)
 SELECT f.coorte, u.semana - f.coorte AS semanas_depois,
-  CAST(COUNT(DISTINCT u.usuario) AS BIGINT) AS n_usuarios
+  CAST(COUNT(*) AS BIGINT) AS n_usuarios
 FROM uw u JOIN fs f ON f.usuario = u.usuario
 GROUP BY 1, 2
 """

@@ -2101,7 +2101,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_user_week.join(first_seen, "usuario")
         .groupBy("coorte", (F.col("semana") - F.col("coorte")).alias("semanas_depois"))
-        .agg(F.countDistinct("usuario").alias("n_usuarios"))
+        # count(*), not countDistinct: (usuario, semana) is already
+        # distinct and first_seen is one row per user, so every joined
+        # row is a unique (cohort, offset, user) — a countDistinct here
+        # would plan a redundant second aggregate pass for nothing.
+        .agg(F.count(F.lit(1)).alias("n_usuarios"))
     )
 
 
