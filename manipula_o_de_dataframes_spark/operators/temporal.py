@@ -148,13 +148,19 @@ def asof_join_directed(
     )
     u = u.withColumn("__last", F.last("__rrow", ignorenulls=True).over(w))
     if tolerance_secs is not None:
+        # Compare at MICROSECOND precision: timestampdiff(SECOND, …)
+        # truncates, so a match 3600.5 s away would survive a 3600 s
+        # tolerance — off-by-up-to-1s vs the pandas merge_asof contract
+        # (and vs any exact-interval oracle; a real fixture row sat in
+        # that gap at sf0.1).
         gap = (
-            F.expr(f"timestampdiff(SECOND, __last.__rts, {left_ts})")
+            F.expr(f"timestampdiff(MICROSECOND, __last.__rts, {left_ts})")
             if direction == "backward"
-            else F.expr(f"timestampdiff(SECOND, {left_ts}, __last.__rts)")
+            else F.expr(f"timestampdiff(MICROSECOND, {left_ts}, __last.__rts)")
         )
         u = u.withColumn(
-            "__last", F.when(gap <= F.lit(tolerance_secs), F.col("__last"))
+            "__last",
+            F.when(gap <= F.lit(int(tolerance_secs) * 1_000_000), F.col("__last")),
         )
     return (
         u.filter(F.col("__side") == 1)

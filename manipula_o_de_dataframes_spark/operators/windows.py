@@ -98,7 +98,11 @@ def with_pct_and_cum_scaled(
     result is bit-identical to the single-window version — the oracle
     for ``abc_classification`` verifies this variant unchanged. The
     quantile approximation only shifts bucket *sizes* (skew), never
-    values. Requires non-null ``value_dec``.
+    values. Requires non-null ``value_dec`` — and since the in-plan
+    offset rewrite, a NULL value would not just get NULL outputs: its
+    NULL bucket fails the offset join (row silently dropped) and a
+    NULL-bucket group would sort first in the offset window, shifting
+    every bucket's rank offset. Enforce the requirement upstream.
 
     When ``rank_col`` is given, the global SQL RANK() over the
     descending value is computed the same two-pass way: within-bucket

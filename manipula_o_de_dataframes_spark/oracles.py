@@ -1562,7 +1562,7 @@ scored AS (
   FROM t, s
 )
 SELECT doc_id, round(raw, 9) AS bm25
-FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+FROM scored ORDER BY round(raw, 9) DESC, doc_id LIMIT 20
 """
 
 # Multimodal near-dup mirror: the same integer byte sums (text is pure
@@ -1571,8 +1571,11 @@ FROM scored ORDER BY raw DESC, doc_id LIMIT 20
 # parenthesized - SQL '+' binds tighter than '<<'), and one
 # deterministic double cosine rounded to 9 dp.
 _MND_SUMS = ",\n".join(
-    f"  COALESCE(list_sum(list_transform(generate_series({c + 1}, length(text), 8), "
-    f"j -> ascii(substr(text, j, 1)))), 0) AS s{c}"
+    # NULL text -> NULL sums (engine contract: NULL docs never bucket);
+    # EMPTY text keeps the 0 fallback (the engine sums an empty array to 0).
+    f"  CASE WHEN text IS NULL THEN NULL ELSE "
+    f"COALESCE(list_sum(list_transform(generate_series({c + 1}, length(text), 8), "
+    f"j -> ascii(substr(text, j, 1)))), 0) END AS s{c}"
     for c in range(8)
 )
 _MND_TOT = ", ".join(f"SUM(s{c}) AS t{c}" for c in range(8))
@@ -1747,23 +1750,23 @@ FROM exact JOIN approx USING (vec_id)
 ORACLES["fk_conformance"] = """
 WITH rel AS (
   SELECT 'lineitem.l_orderkey->orders' AS relacao,
-    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_chaves,
+    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)) AS n_chaves,
     (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
       LEFT JOIN orders o ON o.o_orderkey = k.l_orderkey WHERE o.o_orderkey IS NULL) AS n_orfas
   UNION ALL SELECT 'orders.o_custkey->customer',
-    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders)),
     (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) k
       LEFT JOIN customer c ON c.c_custkey = k.o_custkey WHERE c.c_custkey IS NULL)
   UNION ALL SELECT 'customer.c_nationkey->nation',
-    (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer)),
     (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer) k
       LEFT JOIN nation n ON n.n_nationkey = k.c_nationkey WHERE n.n_nationkey IS NULL)
   UNION ALL SELECT 'supplier.s_nationkey->nation',
-    (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT s_nationkey FROM supplier)),
     (SELECT COUNT(*) FROM (SELECT DISTINCT s_nationkey FROM supplier) k
       LEFT JOIN nation n ON n.n_nationkey = k.s_nationkey WHERE n.n_nationkey IS NULL)
   UNION ALL SELECT 'nation.n_regionkey->region',
-    (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT n_regionkey FROM nation)),
     (SELECT COUNT(*) FROM (SELECT DISTINCT n_regionkey FROM nation) k
       LEFT JOIN region r ON r.r_regionkey = k.n_regionkey WHERE r.r_regionkey IS NULL)
 )

@@ -1235,11 +1235,20 @@ def _staged_snapshot_paths(spark: SparkSession, sf_dir: str) -> list[str]:
         fingerprint = f"{st.st_mtime_ns}-{st.st_size}"
     except OSError:
         fingerprint = "nosrc"
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "manipula_snapshots",
-        f"{sf_dir.strip('/').replace('/', '_')}-{fingerprint}",
-    )
+    root = os.path.join(tempfile.gettempdir(), "manipula_snapshots")
+    prefix = sf_dir.strip("/").replace("/", "_")
+    stage = os.path.join(root, f"{prefix}-{fingerprint}")
+    # Sweep superseded stages for this sf_dir: every fixture
+    # regeneration mints a new fingerprint, and without this the old
+    # staged copies would accumulate in the temp dir forever (the same
+    # leak class operators/spool.py sweeps; scoped to this sf's prefix
+    # so a concurrent session staging a DIFFERENT sf is untouched).
+    try:
+        for name in os.listdir(root):
+            if name.startswith(f"{prefix}-") and name != f"{prefix}-{fingerprint}":
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    except OSError:
+        pass
     paths = [os.path.join(stage, f"snap{i}.parquet") for i in range(3)]
     if not all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths):
         orders = read_table(spark, sf_dir, "orders")
