@@ -320,3 +320,25 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def write_jsonl(df: DataFrame, path: str, n_shards: int | None = None) -> None:
+    """S14: JSONL corpus sink — the interchange format LLM training
+    pipelines consume (one JSON object per line, gzip-friendly,
+    sharded). ``n_shards`` controls output fan-in (None keeps the
+    upstream partitioning — the right call at scale; a small explicit
+    count is for handoff-sized exports). Spark's native json sink
+    writes line-delimited JSON per partition file — no driver
+    involvement, each executor streams its shard.
+    """
+    out = df.repartition(n_shards) if n_shards else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S14 read side: schema given (production contract — inference
+    costs a full extra pass at 100 TB) or inferred for ad-hoc use."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -276,3 +276,26 @@ def test_stream_foreachbatch_upsert_applies_cdc_across_batches(spark, tmp_path):
         3: ("O", 300.0),
         4: ("P", 400.0),   # inserted by batch 2
     }
+
+
+def test_jsonl_corpus_roundtrip(spark, tmp_path):
+    """S14: the filtered corpus exports to sharded JSONL and reads back
+    value-identical under an explicit schema (the production contract —
+    schema inference costs a full extra pass at scale)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+    from manipula_o_de_dataframes_spark.sources.io import read_jsonl, write_jsonl
+
+    from .conftest import SF_SMOKE
+
+    corpus = QUERIES["corpus_filter"](spark, SF_SMOKE)
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(corpus, out, n_shards=4)
+
+    import glob
+
+    shards = glob.glob(out + "/part-*")
+    assert len(shards) == 4
+    back = read_jsonl(spark, out, schema=corpus.schema)
+    a = sorted(map(tuple, corpus.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b and len(a) > 0
