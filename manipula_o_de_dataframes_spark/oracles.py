@@ -1774,3 +1774,45 @@ SELECT relacao, CAST(n_chaves AS BIGINT) AS n_chaves,
   CAST(n_orfas AS BIGINT) AS n_orfas, n_orfas = 0 AS integra
 FROM rel
 """
+
+# Temperature-scaled mixture sampling mirror: integer-exact quotas
+# (floor(sqrt(n)*1000) weights, bigint // division), deterministic
+# first-K per source in doc_id order.
+ORACLES["temperature_mix"] = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM c
+),
+t AS (SELECT SUM(w) AS sw, SUM(n) // 2 AS t FROM w),
+q AS (SELECT source, (t.t * w.w) // t.sw AS k FROM w, t),
+r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.lang
+FROM r JOIN q USING (source)
+WHERE r.rn <= q.k
+"""
+
+# Edit-distance near-dup mirror: same 4x2 banded candidates as
+# near_dup_jaccard_banded, Levenshtein verify with the integer 25%
+# admission (4*d <= max_len).
+ORACLES["edit_distance_near_dup"] = f"""
+WITH {_SIG8_CTE},{_BANDS8_CTE}, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(8))} AS BIGINT) AS n_agree
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, p.n_agree,
+  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+  CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS max_len,
+  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+            / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE), 9) AS similarity
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE levenshtein(da.text, db.text) * 4 <= greatest(len(da.text), len(db.text))
+"""

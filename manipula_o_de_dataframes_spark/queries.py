@@ -2437,11 +2437,98 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha = 0.5): sample source
+    s proportionally to p_s^alpha — the multilingual-corpus mixing rule
+    that upweights small sources relative to their natural share
+    without equalizing outright. balance_sources is the alpha -> 0
+    limit of this query; natural sampling is alpha = 1.
+
+    Integer-exact end to end so any engine lands on the same sample:
+    weight w_s = floor(sqrt(n_s) * 1000) (sqrt is IEEE-correctly-
+    rounded everywhere, n_s exactly representable), target quota
+    K_s = (T * w_s) div sum(w) by pure bigint division with
+    T = total div 2. Plan: two-level count aggregate (map-side
+    partial) broadcast onto a per-source row_number window — one
+    shuffle on source, same shape as balance_sources. The 1000 weight
+    scale keeps T * w_s under 2^63 out to ~1e10 docs.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.select(
+        "source",
+        "__n",
+        F.floor(F.sqrt(F.col("__n").cast("double")) * 1000).cast("long").alias("__w"),
+    )
+    # totals as unpartitioned window sums over the |sources|-row weights
+    # frame — NOT a second aggregate subtree, which would re-plan (and
+    # re-scan) the counts aggregate under a crossJoin. div binds like *
+    # so this is ((total div 2) * w) div sw, all bigint.
+    quota = weights.select(
+        "source",
+        F.expr("((sum(__n) over ()) div 2 * __w) div (sum(__w) over ())").alias("__k"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("__rn") <= F.col("__k"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: banded MinHash-LSH candidates (4 bands
+    x 2 rows) verified with exact character Levenshtein — the metric
+    for typo/truncation-level duplicates that token-set Jaccard
+    under-scores (a one-character edit inside a word breaks up to k
+    shingles but costs exactly 1 here).
+
+    Admission: edit_distance <= 25% of the longer text, checked as
+    4*d <= max_len in pure integers (no float threshold to disagree
+    on). Levenshtein is O(len_a * len_b) per pair, which is exactly
+    why it only ever runs on LSH-pruned candidates — the same
+    verify-only-candidates discipline as every near-dup family here.
+    NULL texts never band (NULL signature), so they never reach the
+    quadratic stage.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=8, rows_per_band=2)
+    txt = d.select("doc_id", "text")
+    joined = (
+        cands.join(
+            txt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "__ta"),
+            "id_a",
+        ).join(
+            txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "__tb"),
+            "id_b",
+        )
+    )
+    dist = F.levenshtein("__ta", "__tb").cast("long")
+    longest = F.greatest(F.length("__ta"), F.length("__tb")).cast("long")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            dist.alias("edit_distance"),
+            longest.alias("max_len"),
+            F.round(F.lit(1.0) - dist.cast("double") / longest.cast("double"), 9).alias(
+                "similarity"
+            ),
+        )
+        .filter(F.col("edit_distance") * 4 <= F.col("max_len"))
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
 QUERIES = {
     # --- new in round 3 (no driver row yet) ---
+    "temperature_mix": q_temperature_mix,
+    "edit_distance_near_dup": q_edit_distance_near_dup,
     "conversion_forward": q_conversion_forward,
     "rolling_user_spend": q_rolling_user_spend,
     "sessionize_stream": q_sessionize_stream,

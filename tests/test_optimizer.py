@@ -311,9 +311,17 @@ def test_round3_new_queries_plan_shapes(spark):
         ("conversion_forward", 1),
         ("rolling_user_spend", 1),
         ("zorder_keys", 0),
+        # counts aggregate + per-source window; quota totals are window
+        # sums over the tiny weights frame, not a second agg subtree
+        ("temperature_mix", 2),
     ):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         got = plan.count("Exchange hashpartitioning")
         assert got == want, f"{name}: {got} exchanges (want {want})\n{plan}"
         if want == 0:
             assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+    # Levenshtein verify must stay on LSH-pruned candidates: no
+    # cartesian / nested-loop pair generation anywhere in the plan.
+    plan = _plan(QUERIES["edit_distance_near_dup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
