@@ -1816,3 +1816,20 @@ JOIN documents da ON da.doc_id = p.id_a
 JOIN documents db ON db.doc_id = p.id_b
 WHERE levenshtein(da.text, db.text) * 4 <= greatest(len(da.text), len(db.text))
 """
+
+# SCD type-2 mirror: unchanged rows keep the open interval; updated
+# keys emit the closed old version plus the opened new one.
+ORACLES["scd2_dim"] = """
+WITH upd AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS u_bal
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c.c_custkey AS cliente, c.c_name AS nome, c.c_acctbal AS saldo,
+       '2020-01-01' AS vigente_de,
+       CASE WHEN u.c_custkey IS NULL THEN '9999-12-31' ELSE '2026-01-01' END AS vigente_ate,
+       u.c_custkey IS NULL AS atual
+FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+UNION ALL
+SELECT u.c_custkey, c.c_name, u.u_bal, '2026-01-01', '9999-12-31', TRUE
+FROM upd u JOIN customer c ON c.c_custkey = u.c_custkey
+"""

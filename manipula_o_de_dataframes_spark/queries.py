@@ -2522,6 +2522,63 @@ def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: apply an updates batch
+    to a versioned dimension, closing the previous version and opening
+    the new one with validity intervals — the history-preserving
+    counterpart of q_upsert (type 1 overwrites in place, type 2 keeps
+    every version queryable by as-of date).
+
+    Updates batch = every 5th customer with a repriced balance (derived
+    deterministically so the oracle rebuilds it). One left join on the
+    key, then a conditional struct-array explode emits 1 row (no
+    change) or 2 rows (closed + opened version) per customer — a
+    single-join plan, no second pass to close superseded rows. The
+    double addition is one scalar op per row (no cross-row float
+    accumulation), so the hash gate holds bit-for-bit.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("__bal")
+    )
+    upd = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", (F.col("__bal") + F.lit(100.0)).alias("u_bal")
+    )
+    j = c.join(upd, "c_custkey", "left")
+    keep = F.struct(
+        F.col("__bal").alias("saldo"),
+        F.lit("2020-01-01").alias("vigente_de"),
+        F.lit("9999-12-31").alias("vigente_ate"),
+        F.lit(True).alias("atual"),
+    )
+    closed = F.struct(
+        F.col("__bal").alias("saldo"),
+        F.lit("2020-01-01").alias("vigente_de"),
+        F.lit("2026-01-01").alias("vigente_ate"),
+        F.lit(False).alias("atual"),
+    )
+    opened = F.struct(
+        F.col("u_bal").alias("saldo"),
+        F.lit("2026-01-01").alias("vigente_de"),
+        F.lit("9999-12-31").alias("vigente_ate"),
+        F.lit(True).alias("atual"),
+    )
+    versions = F.when(F.col("u_bal").isNull(), F.array(keep)).otherwise(
+        F.array(closed, opened)
+    )
+    return j.select(
+        F.col("c_custkey").alias("cliente"),
+        F.col("c_name").alias("nome"),
+        F.explode(versions).alias("v"),
+    ).select(
+        "cliente",
+        "nome",
+        F.col("v.saldo").alias("saldo"),
+        F.col("v.vigente_de").alias("vigente_de"),
+        F.col("v.vigente_ate").alias("vigente_ate"),
+        F.col("v.atual").alias("atual"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -2529,6 +2586,7 @@ QUERIES = {
     # --- new in round 3 (no driver row yet) ---
     "temperature_mix": q_temperature_mix,
     "edit_distance_near_dup": q_edit_distance_near_dup,
+    "scd2_dim": q_scd2_dim,
     "conversion_forward": q_conversion_forward,
     "rolling_user_spend": q_rolling_user_spend,
     "sessionize_stream": q_sessionize_stream,
