@@ -292,3 +292,50 @@ def test_dedup_rate_by_source_bounds(spark):
         assert 0 < r["n_exact_distintos"] <= r["n_docs"]
         assert r["n_fingerprint_distintos"] <= r["n_exact_distintos"]
         assert 0.0 <= r["taxa_dup_exata"] <= r["taxa_dup_fingerprint"] < 1.0
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """Alpha=0.5 mixing invariants: every source's quota is within its
+    availability, the global sample is ~half the corpus, and sampled
+    share moves toward uniform relative to natural share (small
+    sources gain, large sources shrink — the whole point of
+    temperature sampling)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    natural = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(natural.values())
+    out = QUERIES["temperature_mix"](spark, "/root/testdata/sf0.001")
+    sampled = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_sampled = sum(sampled.values())
+    # floor rounding loses at most one doc per source
+    assert total // 2 - len(natural) <= n_sampled <= total // 2
+    mean_nat = total / len(natural)
+    for src, n in natural.items():
+        assert sampled.get(src, 0) <= n
+        nat_share = n / total
+        smp_share = sampled.get(src, 0) / n_sampled
+        if n < 0.9 * mean_nat:  # clearly-small source: share must grow
+            assert smp_share > nat_share, (src, smp_share, nat_share)
+        elif n > 1.1 * mean_nat:  # clearly-large source: share must shrink
+            assert smp_share < nat_share, (src, smp_share, nat_share)
+
+
+def test_scd2_versions_are_contiguous_and_single_current(spark):
+    """SCD2 contract: per key, exactly one current row, and version
+    intervals chain without gaps (closed row's end = opened row's
+    start)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    out = QUERIES["scd2_dim"](spark, "/root/testdata/sf0.001")
+    per_key = out.groupBy("cliente").agg(
+        F.sum(F.col("atual").cast("int")).alias("n_current"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(F.when(~F.col("atual"), F.col("vigente_ate"))).alias("closed_end"),
+        F.min(F.when(F.col("atual"), F.col("vigente_de"))).alias("open_start"),
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    chained = per_key.filter(
+        (F.col("n_versions") == 2) & (F.col("closed_end") != F.col("open_start"))
+    )
+    assert chained.count() == 0
