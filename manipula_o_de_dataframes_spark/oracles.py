@@ -1833,3 +1833,40 @@ UNION ALL
 SELECT u.c_custkey, c.c_name, u.u_bal, '2026-01-01', '9999-12-31', TRUE
 FROM upd u JOIN customer c ON c.c_custkey = u.c_custkey
 """
+
+# Survivor-selection mirror: the dedup_clusters recursive closure,
+# then longest-doc-wins (ties -> lowest doc_id) per cluster with the
+# cluster size riding along.
+ORACLES["dedup_survivors"] = f"""
+WITH RECURSIVE {_SIG8_CTE},{_BANDS8_CTE}, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), lab AS (
+  SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
+), ranked AS (
+  SELECT d.doc_id, d.source, d.lang, d.n_chars, l.cluster,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY l.cluster) AS tam_cluster
+  FROM documents d JOIN lab l ON l.doc_id = d.doc_id
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, doc_id, source, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(tam_cluster AS BIGINT) AS tam_cluster
+FROM ranked WHERE rn = 1
+"""

@@ -2579,6 +2579,39 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final action: near-dup clusters → one
+    canonical survivor per cluster → the filtered corpus. Chains
+    dedup_clusters (banded LSH + Jaccard-verified components) with
+    survivor selection: keep the LONGEST doc per cluster (ties →
+    lowest doc_id) — integer-only ordering, so both engines land on
+    the same survivor without a float quality comparison.
+
+    Selection is one row_number + one count over the same cluster
+    partition — a single extra shuffle on the cluster label after the
+    propagation fixpoint. tam_cluster rides along so the output also
+    serves as the dedup audit (how much each survivor displaced).
+    """
+    d = _docs_parallel(spark, sf_dir)
+    clusters = dd.dedup_clusters(d, "text", "doc_id")
+    joined = d.join(clusters, "doc_id")
+    wc = Window.partitionBy("cluster")
+    w = wc.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("tam_cluster", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("tam_cluster").cast("long").alias("tam_cluster"),
+        )
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -2587,6 +2620,7 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "edit_distance_near_dup": q_edit_distance_near_dup,
     "scd2_dim": q_scd2_dim,
+    "dedup_survivors": q_dedup_survivors,
     "conversion_forward": q_conversion_forward,
     "rolling_user_spend": q_rolling_user_spend,
     "sessionize_stream": q_sessionize_stream,
