@@ -1786,7 +1786,7 @@ w AS (
   FROM c
 ),
 t AS (SELECT SUM(w) AS sw, SUM(n) // 2 AS t FROM w),
-q AS (SELECT source, (t.t * w.w) // t.sw AS k FROM w, t),
+q AS (SELECT source, least((t.t * w.w) // t.sw, w.n) AS k FROM w, t),
 r AS (
   SELECT doc_id, source, lang,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
@@ -1799,7 +1799,11 @@ WHERE r.rn <= q.k
 
 # Edit-distance near-dup mirror: same 4x2 banded candidates as
 # near_dup_jaccard_banded, Levenshtein verify with the integer 25%
-# admission (4*d <= max_len).
+# admission (4*d <= max_len). CONTRACT: parity is defined over ASCII
+# corpora — DuckDB's levenshtein counts BYTE edits while Spark counts
+# CHARACTER edits ('café' vs 'cafe': 2 vs 1), so on multi-byte text
+# the engine's char-level metric is the source of truth and this
+# mirror would diverge. The driver fixtures are ASCII throughout.
 ORACLES["edit_distance_near_dup"] = f"""
 WITH {_SIG8_CTE},{_BANDS8_CTE}, pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

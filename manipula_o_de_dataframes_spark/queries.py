@@ -2463,10 +2463,18 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals as unpartitioned window sums over the |sources|-row weights
     # frame — NOT a second aggregate subtree, which would re-plan (and
     # re-scan) the counts aggregate under a crossJoin. div binds like *
-    # so this is ((total div 2) * w) div sw, all bigint.
+    # so this is ((total div 2) * w) div sw, all bigint. Quotas are
+    # clipped to source availability (a tiny source's sqrt-boosted
+    # quota can exceed its n); the deficit is NOT redistributed, so on
+    # heavily skewed corpora the realized sample undershoots T — the
+    # standard single-pass behavior (redistribution would need a
+    # second quota round).
     quota = weights.select(
         "source",
-        F.expr("((sum(__n) over ()) div 2 * __w) div (sum(__w) over ())").alias("__k"),
+        F.least(
+            F.expr("((sum(__n) over ()) div 2 * __w) div (sum(__w) over ())"),
+            F.col("__n"),
+        ).alias("__k"),
     )
     w = Window.partitionBy("source").orderBy("doc_id")
     return (
@@ -2492,6 +2500,11 @@ def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-only-candidates discipline as every near-dup family here.
     NULL texts never band (NULL signature), so they never reach the
     quadratic stage.
+
+    Oracle contract: parity holds on ASCII corpora — Spark counts
+    CHARACTER edits, DuckDB counts BYTE edits, so on multi-byte text
+    the engine's char-level metric is authoritative (see the oracle's
+    comment).
     """
     d = _docs_parallel(spark, sf_dir)
     cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=8, rows_per_band=2)
@@ -2540,8 +2553,14 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.col("c_acctbal").alias("__bal")
     )
+    # __upd marks key PRESENCE in the updates batch — branching on
+    # u_bal itself would misread an updated key whose new balance is
+    # NULL (NULL payload != no update) and diverge from the oracle's
+    # key-based CASE.
     upd = c.filter(F.col("c_custkey") % 5 == 0).select(
-        "c_custkey", (F.col("__bal") + F.lit(100.0)).alias("u_bal")
+        "c_custkey",
+        (F.col("__bal") + F.lit(100.0)).alias("u_bal"),
+        F.lit(True).alias("__upd"),
     )
     j = c.join(upd, "c_custkey", "left")
     keep = F.struct(
@@ -2562,7 +2581,7 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("9999-12-31").alias("vigente_ate"),
         F.lit(True).alias("atual"),
     )
-    versions = F.when(F.col("u_bal").isNull(), F.array(keep)).otherwise(
+    versions = F.when(F.col("__upd").isNull(), F.array(keep)).otherwise(
         F.array(closed, opened)
     )
     return j.select(
