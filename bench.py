@@ -38,11 +38,26 @@ def main() -> None:
     materialize(QUERIES["abc_classification"](spark, "/root/testdata/sf0.001"))
     materialize(QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001"))
 
+    # Each query runs TWICE and the headline records the MIN: the bench
+    # shares the machine with the driver's other work, and r2/r3 showed
+    # ±2–3× per-query swings (sales_cube 1.75→4.78 s with an unchanged
+    # plan). Noise only ever ADDS time, so min-of-2 is a consistent
+    # estimator of the plan's cost; the max is kept alongside so a real
+    # regression (both runs slow) is still visible in the record.
     timings: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
+
+    def timed(name: str, thunk) -> None:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        timings_max[name] = round(max(runs), 3)
+
     for i, name in enumerate(sorted(QUERIES)):
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timed(name, lambda: materialize(QUERIES[name](spark, sf_dir)))
         if i % 8 == 7:
             # ContextCleaner cleanup is GC-triggered; with a 16g heap
             # the JVM may not GC across the whole sweep, so shuffle /
@@ -64,9 +79,7 @@ def main() -> None:
     hist = product_client_history(spark, sf_dir).cache()
     try:
         hist.count()  # materialize the working set (the "process" click)
-        t0 = time.perf_counter()
-        materialize(dashboard_page(hist))
-        timings["dashboard_serve_warm"] = round(time.perf_counter() - t0, 3)
+        timed("dashboard_serve_warm", lambda: materialize(dashboard_page(hist)))
     finally:
         hist.unpersist()
 
@@ -87,6 +100,7 @@ def main() -> None:
                 "metric": "per_query_wall_seconds",
                 "unit": "sec",
                 "queries": timings,
+                "queries_max_of_2": timings_max,
                 "sf": sf,
             }
         )
@@ -99,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": sum(1 for k in timings if k not in baseline_fixtures),
+                "runs_per_query": 2,
+                "agg": "min",
                 "baseline_fixtures_seconds": baseline_total,
             }
         )

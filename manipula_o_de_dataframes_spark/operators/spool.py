@@ -38,12 +38,43 @@ def _sweep_stale(root: str) -> None:
         pass
 
 
+def _spool_root(df: DataFrame) -> str:
+    """Resolve the spool root: session conf ``spark.graft.spool.dir``,
+    then env ``SPARK_GRAFT_SPOOL_DIR``, then the local temp dir.
+
+    Off local mode the default is WRONG — executors would each write to
+    their own machine-local /tmp and the re-read finds only the driver's
+    shards. A cluster deployment must set one of the two hooks to an
+    executor-shared path (job-scratch HDFS/S3/NFS); any path Hadoop's
+    FileSystem can resolve works, the writer/reader below are
+    scheme-agnostic."""
+    conf_dir = df.sparkSession.conf.get("spark.graft.spool.dir", None)
+    if conf_dir:
+        return conf_dir
+    env_dir = os.environ.get("SPARK_GRAFT_SPOOL_DIR")
+    if env_dir:
+        return env_dir
+    master = df.sparkSession.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "spool() on a non-local cluster needs an executor-shared "
+            "scratch dir: set spark.graft.spool.dir (session conf) or "
+            "SPARK_GRAFT_SPOOL_DIR (env) to an HDFS/S3/NFS path — the "
+            "local temp-dir default would scatter shards per executor"
+        )
+    return os.path.join(tempfile.gettempdir(), "spark_graft_spool")
+
+
 def spool(df: DataFrame) -> DataFrame:
     """NOTE: eager — the frame computes and writes at CALL time (that is
     the point: later consumers share the materialization). Callers'
     query construction therefore does real work; each call writes one
-    copy, removed at interpreter exit (plus the stale sweep above)."""
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_spool")
+    copy, removed at interpreter exit (plus the stale sweep above).
+    The exit-time rmtree and stale sweep are local-filesystem best
+    effort: on a shared HDFS/S3 root they no-op harmlessly — pair the
+    configured scratch path with the storage system's own TTL/lifecycle
+    policy, which is how job-scratch areas are managed anyway."""
+    root = _spool_root(df)
     _sweep_stale(root)
     path = os.path.join(root, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(path)

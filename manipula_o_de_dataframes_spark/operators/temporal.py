@@ -74,7 +74,13 @@ def asof_join(
     # running last() always carries the genuinely latest right ROW —
     # per-attr last(ignorenulls) would skip a null attr and resurrect a
     # stale value (and could even mix attrs from different rows).
-    r = right.select(
+    # A NULL-ts right row has no position on the time axis — it would
+    # sort FIRST under asc (Spark asc = NULLS FIRST) and become the
+    # running-last match for any left row that precedes every real right
+    # row. Drop them: pandas merge_asof likewise never matches NaT rows.
+    # NULL-ts LEFT rows also sort first, see no right rows, and
+    # correctly surface NULL attrs.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
@@ -85,7 +91,7 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__side", "__ord")
+        .orderBy(F.col("__t").asc_nulls_first(), "__side", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__last", F.last("__rrow", ignorenulls=True).over(w))
@@ -128,7 +134,13 @@ def asof_join_directed(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    r = right.select(
+    # NULL-ts rows have no position on the time axis. Right side: drop
+    # them (pandas merge_asof never matches NaT). Left side: place NULLs
+    # FIRST under BOTH scan orders — Spark's desc default is NULLS LAST,
+    # which would let a forward-direction NULL-ts left row sort after
+    # every right row and inherit the key's earliest right row as a
+    # bogus match; nulls-first makes it see nothing → NULL attrs.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
@@ -140,7 +152,11 @@ def asof_join_directed(
     )
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    ts_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    ts_order = (
+        F.col("__t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(ts_order, F.col("__side").asc(), F.col("__ord").asc())

@@ -102,7 +102,8 @@ def with_pct_and_cum_scaled(
     offset rewrite, a NULL value would not just get NULL outputs: its
     NULL bucket fails the offset join (row silently dropped) and a
     NULL-bucket group would sort first in the offset window, shifting
-    every bucket's rank offset. Enforce the requirement upstream.
+    every bucket's rank offset. The requirement is ENFORCED: a NULL
+    count observed during the spool write raises ``ValueError``.
 
     When ``rank_col`` is given, the global SQL RANK() over the
     descending value is computed the same two-pass way: within-bucket
@@ -139,8 +140,19 @@ def with_pct_and_cum_scaled(
                 F.array(*[F.lit(p) for p in probs]),
                 F.lit(10_000),
             ).alias("__q"),
+            F.count_if(F.col(value_dec).isNull()).alias("__nulls"),
         )
     )
+    # Loud guard for the non-null requirement documented above: a NULL
+    # value would silently drop at the offsets join AND shift every real
+    # bucket's __cnt_off (NULL bucket sorts first in the prefix window),
+    # corrupting ranks without any error. The count rides the same spool
+    # write as the quantile probe — zero extra jobs.
+    if obs.get["__nulls"]:
+        raise ValueError(
+            f"with_pct_and_cum_scaled requires non-null {value_dec!r}: "
+            f"{obs.get['__nulls']} NULL rows found — filter or fill upstream"
+        )
     bounds = sorted(set(obs.get["__q"] or []), reverse=True)
 
     # bucket 0 holds the largest values; a row equal to a boundary stays

@@ -827,8 +827,30 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 7.1 s vs ~2 s spooled at sf0.1. Construction goes eager,
     # the same documented trade as the SimHash pipeline.
     from .operators.spool import spool as _spool_mnd  # noqa: PLC0415
+    from pyspark.sql import Observation  # noqa: PLC0415
 
-    withb = _spool_mnd(cen.withColumn("__b", bucket))
+    # Loud overflow guard (ADVICE r3): past the documented ~10M-doc bound
+    # the long dot products below would WRAP silently in non-ANSI Spark
+    # (wrong buckets/cosines, no signal) while the DuckDB oracle promotes
+    # or errors. Observe max|a_c| during the spool write (zero extra
+    # jobs) and fail if dims·m² can exceed Long.MAX — the fix at that
+    # scale is casting the products to double, which this message names.
+    _obs = Observation("multimodal_center_bounds")
+    withb = _spool_mnd(
+        cen.withColumn("__b", bucket).observe(
+            _obs,
+            F.max(
+                F.greatest(*[F.abs(F.col(f"a{c}")) for c in range(dims)])
+            ).alias("__maxabs"),
+        )
+    )
+    _m = _obs.get["__maxabs"] or 0
+    if dims * _m * _m > (2**63 - 1):
+        raise OverflowError(
+            f"q_multimodal_near_dup: centered components reach |a_c|={_m}; "
+            f"{dims}*m^2 exceeds long range — cast the dot/norm products to "
+            "double (documented scale switch) before running at this size"
+        )
     a, b = withb.alias("a"), withb.alias("b")
     pairs = a.join(
         b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.id") < F.col("b.id"))

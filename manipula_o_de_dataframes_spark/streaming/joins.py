@@ -76,7 +76,22 @@ def _events_ts_unit(watch_dir: str) -> str:
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     files = sorted(glob.glob(os.path.join(watch_dir, "*.parquet")))
-    return pq.ParquetFile(files[0]).schema_arrow.field("ts").type.unit
+    # A staged entry may be a directory-style dataset (multi-part parquet
+    # write): resolve an actual part file for the footer probe. And an
+    # empty watch dir must fail with a message, not IndexError.
+    resolved = []
+    for f in files:
+        if os.path.isdir(f):
+            resolved.extend(sorted(glob.glob(os.path.join(f, "*.parquet"))))
+        else:
+            resolved.append(f)
+    if not resolved:
+        raise FileNotFoundError(
+            f"no parquet files staged under {watch_dir!r} — cannot probe the "
+            "events ts unit; stage at least one snapshot before starting the "
+            "stream"
+        )
+    return pq.ParquetFile(resolved[0]).schema_arrow.field("ts").type.unit
 
 
 def _events_stream(spark: SparkSession, watch_dir: str) -> DataFrame:

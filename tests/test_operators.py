@@ -318,3 +318,25 @@ def test_stratified_sample_size_and_determinism(spark):
     ids1 = sorted(r["doc_id"] for r in s1.collect())
     ids2 = sorted(r["doc_id"] for r in stratified_sample(d.repartition(7), "lang", "doc_id", 5).collect())
     assert ids1 == ids2
+
+
+def test_spool_honors_configured_root(spark, tmp_path, monkeypatch):
+    """spool() must resolve its scratch root from session conf /
+    SPARK_GRAFT_SPOOL_DIR before falling back to the local temp dir —
+    the cluster hook (VERDICT r3 #3)."""
+    from manipula_o_de_dataframes_spark.operators.spool import spool
+
+    df = spark.range(5).withColumnRenamed("id", "v")
+
+    env_root = tmp_path / "env_root"
+    monkeypatch.setenv("SPARK_GRAFT_SPOOL_DIR", str(env_root))
+    assert sorted(r["v"] for r in spool(df).collect()) == [0, 1, 2, 3, 4]
+    assert env_root.is_dir() and any(env_root.iterdir())
+
+    conf_root = tmp_path / "conf_root"
+    spark.conf.set("spark.graft.spool.dir", str(conf_root))
+    try:
+        assert spool(df).count() == 5
+        assert conf_root.is_dir() and any(conf_root.iterdir())
+    finally:
+        spark.conf.unset("spark.graft.spool.dir")

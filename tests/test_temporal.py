@@ -363,3 +363,35 @@ def test_asof_directed_forward_matches_python_model(spark, lefts, rights, tol):
         within = tol is None or (nearest_ts - ts).total_seconds() <= tol
         expected[lid] = pick if within else None
     assert got == expected
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL-ts rows have no position on the time axis (ADVICE r3):
+    a NULL-ts LEFT row gets NULL attrs in every direction (forward's
+    desc scan must not let it sort last and inherit the key's earliest
+    right row), and a NULL-ts RIGHT row is never a match candidate
+    (it must not become the running-last carry for early left rows)."""
+    left = spark.createDataFrame(
+        [(1, None, "null_ts"),
+         (1, _ts("2024-01-01T08:00:00"), "early")],  # before every right row
+        "k long, ts timestamp_ntz, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666),                              # must never match
+         (1, _ts("2024-01-01T10:00:00"), 100)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    for direction, want_early in [("backward", None), ("forward", 100)]:
+        out = asof_join_directed(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            attrs={"rid_m": "rid"}, right_order="rid", direction=direction,
+        )
+        got = {r["payload"]: r["rid_m"] for r in out.collect()}
+        assert got == {"null_ts": None, "early": want_early}, direction
+
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        attrs={"rid_m": "rid"}, right_order="rid",
+    )
+    got = {r["payload"]: r["rid_m"] for r in out.collect()}
+    assert got == {"null_ts": None, "early": None}
