@@ -291,17 +291,31 @@ def dedup_clusters(
     near-dups are transitive in intent (A≈B, B≈C ⇒ one cluster), so
     keep-one-per-cluster needs components, not pairs. Edges = banded
     MinHash-LSH candidates verified by exact Jaccard ≥ threshold;
-    components by iterative min-label propagation — each round joins
-    labels across edges and keeps the elementwise min, converging in
-    O(cluster diameter) rounds (near-dup clusters are shallow, 2-3).
+    components by ALTERNATING LARGE-STAR / SMALL-STAR contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — each round rewires every node toward its neighborhood
+    minimum, collapsing chains by doubling, so convergence is
+    O(log n) rounds regardless of component DIAMETER. The r3 min-label
+    propagation was O(diameter) rounds: on the 200k-doc probe's
+    ~98%-duplicate giant components the fixpoint alone took 100.8 s of
+    a 110 s pipeline; star contraction replaces that tail.
 
-    Spark-iteration shape (same posture as kmeans_lite but with fully
-    distributed state): the per-round state (node, label) is
-    localCheckpoint'd so lineage stays O(1) instead of growing a join
-    per round, edges are checkpointed once and re-read every round, and
-    the driver only ever sees the scalar changed-count. Deterministic
-    integer output — unlike float k-means this IS oracle-checkable
-    (DuckDB mirrors it with a recursive transitive closure).
+      large-star(u): m = min(N(u) ∪ {u}); rewire every STRICTLY LARGER
+        neighbor v > u to m — emits (v, m), v > m always.
+      small-star(u): over edges already oriented larger→smaller,
+        m = min(N⁻(u) ∪ {u}); rewire u and its smaller neighbors to m.
+
+    Both are one groupBy-min + one join per round; per-round state is
+    localCheckpoint'd so lineage stays O(1). Convergence = the edge
+    multiset signature (count + xxhash64 sum) repeats — at the fixed
+    point every edge is (node, component-min) and both stars are
+    no-ops. The driver only ever sees the scalar signature, and the
+    final labels are verified in one pass over the ORIGINAL edge list
+    (every edge's endpoints must share a label — a stronger check than
+    the old improvability probe), so a wrong fixpoint is a loud error,
+    never a confusing oracle hash diff. Deterministic integer output —
+    unlike float k-means this IS oracle-checkable (DuckDB mirrors it
+    with a recursive transitive closure).
     """
     cands = near_dup_pairs(df, text_col, id_col, n_hashes, rows_per_band=rows_per_band)
     edges = (
@@ -310,56 +324,88 @@ def dedup_clusters(
         .select("id_a", "id_b")
         .localCheckpoint()
     )
-    sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
-        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+
+    # Work on edges oriented (a=larger, b=smaller); self-loops dropped.
+    e = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("a"), F.least("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    changed = 0
+    prev_sig: tuple | None = None
+    converged = False
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
+        # LARGE-STAR over the undirected view: per node u, min neighbor
+        # (capped by u itself), rewire strictly-larger neighbors to it.
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        merged = labels.alias("l").join(
-            neigh.alias("n"), F.col("l.node") == F.col("n.u"), "left"
-        )
-        new = merged.select(
-            F.col("l.node").alias("node"),
-            F.least(
-                F.col("l.label"), F.coalesce(F.col("n.nlabel"), F.col("l.label"))
-            ).alias("label"),
-            F.col("l.label").alias("__old"),
-        ).localCheckpoint()
-        changed = new.filter(F.col("label") != F.col("__old")).count()
-        labels = new.drop("__old")
-        if changed == 0:
-            break
-    if changed != 0:
-        # The max_iter-th round still applied changes, so the state is
-        # unverified: it is the fixed point only if that round happened
-        # to finish the propagation. One extra read-only pass settles it
-        # (cost of one more iteration) before declaring failure —
-        # partially-propagated labels are not "clusters with a different
-        # tie-break", they are wrong answers (the oracle computes the
-        # full transitive closure), so a confusing hash diff must become
-        # a loud error.
-        neigh = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        still = (
-            labels.join(neigh, labels["node"] == neigh["u"])
-            .filter(F.col("nlabel") < F.col("label"))
-            .count()
-        )
-        if still != 0:
-            raise RuntimeError(
-                f"dedup_clusters: min-label propagation did not converge in "
-                f"{max_iter} rounds ({still} labels still improvable); raise "
-                "max_iter (component diameter exceeds it)"
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("u"), F.col("__mn")).alias("b"),
             )
+            .distinct()
+        )
+        # SMALL-STAR over the larger→smaller orientation: per node a,
+        # m = min of its smaller neighbors; a and every smaller
+        # neighbor ≠ m rewire to m.
+        smins = ls.groupBy("a").agg(F.min("b").alias("__mn"))
+        e = (
+            ls.join(smins, "a")
+            .filter(F.col("b") != F.col("__mn"))
+            .select(F.col("b").alias("a"), F.col("__mn").alias("b"))
+            .unionAll(smins.select(F.col("a"), F.col("__mn").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 2^63-scale hashes overflows
+            # under ANSI mode; decimal(38,0) absorbs any realistic count
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: star contraction did not reach a fixed point in "
+            f"{max_iter} rounds; raise max_iter (needs O(log n) rounds — this "
+            "should never trip on real corpora)"
+        )
+
+    # At the fixed point e holds (node, component-min) stars; nodes
+    # absent from the edge list are singletons labeled by themselves.
+    # min(b) per a guards against a transient non-star duplicate.
+    roots = e.groupBy("a").agg(F.min("b").alias("__root"))
+    labels = (
+        df.select(F.col(id_col).alias("node"))
+        .join(roots, F.col("node") == F.col("a"), "left")
+        .select("node", F.coalesce(F.col("__root"), F.col("node")).alias("label"))
+    )
+
+    # Loud post-check against the ORIGINAL verified pairs: connected
+    # endpoints must agree. One join pass; catches any star-contraction
+    # bug as an error instead of an oracle hash mismatch.
+    la = labels.select(F.col("node").alias("id_a"), F.col("label").alias("__la"))
+    lb = labels.select(F.col("node").alias("id_b"), F.col("label").alias("__lb"))
+    bad = (
+        edges.join(la, "id_a").join(lb, "id_b")
+        .filter(F.col("__la") != F.col("__lb"))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"dedup_clusters: {bad} verified near-dup edges ended with "
+            "differing labels — star contraction produced a wrong fixpoint"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
 
 

@@ -241,6 +241,18 @@ def cosine_near_dup_blocked(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def fixed_centroids(k: int = 4, dims: int = 64) -> list[tuple[int, list[float]]]:
+    """Deterministic literal centroids shared by the ``kmeans_assign``
+    query and its DuckDB oracle (oracles.py renders its VALUES list from
+    this same function, so the constants cannot drift): values
+    ((cid·31 + i·7) mod 13 − 6)/6 ∈ [−1, 1] — small dyadic-free
+    rationals that parse/print identically in both engines."""
+    return [
+        (cid, [((cid * 31 + i * 7) % 13 - 6) / 6.0 for i in range(dims)])
+        for cid in range(k)
+    ]
+
+
 def ivf_cell(vec, centroids: list[tuple[int, list[float]]]) -> Column:
     """IVF cell id: argmax-cosine centroid, ties broken to the lowest cid.
 

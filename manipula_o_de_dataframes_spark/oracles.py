@@ -52,6 +52,19 @@ def _cos(a: str, b: str, dims: int = 64) -> str:
     )
 
 
+def _centroid_values() -> str:
+    """Render operators.similarity.fixed_centroids() as a DuckDB VALUES
+    list — the SAME Python constants the Spark query inlines, so the
+    two engines cannot drift (repr() is shortest-round-trip, and DuckDB
+    parses decimal literals correctly rounded to the identical double)."""
+    from .operators.similarity import fixed_centroids  # noqa: PLC0415
+
+    return ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in fixed_centroids()
+    )
+
+
 def _sign_bucket(vec: str, n_bits: int = 6) -> str:
     bits = " || ".join(
         f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
@@ -556,6 +569,161 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= 10
+""",
+    # Composed end-to-end corpus build — each CTE mirrors the matching
+    # standalone oracle verbatim (gopher_quality → normalize_text →
+    # exact window dedup → dedup_clusters' recursive closure →
+    # decontaminate's 8-gram probe → temperature_mix quotas →
+    # pack_sequences bins), applied to the running result.
+    "corpus_pipeline": """
+WITH RECURSIVE
+raw AS (
+  SELECT doc_id, source, lang, text FROM documents WHERE text IS NOT NULL
+),
+meas AS (
+  SELECT doc_id, source, lang, text,
+    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_char,
+    CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) AS n_uniq,
+    CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_hits
+  FROM raw
+),
+gated AS (
+  SELECT doc_id, source, lang,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM meas
+  WHERE CAST(n_tok AS BIGINT) BETWEEN 10 AND 1000
+    AND round((n_char - (n_tok - 1.0)) / n_tok, 9) BETWEEN 2.0 AND 10.0
+    AND round((n_tok - n_uniq) / n_tok, 9) <= 0.6
+    AND stop_hits >= 2
+),
+exact AS (
+  SELECT doc_id, source, lang, t FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+shing AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(str_split(t, ' ')) - 2, 1)),
+    i -> array_to_string((str_split(t, ' '))[i:i+2], ' ')
+  )) AS sh
+  FROM exact
+),
+hashed8 AS (
+  SELECT doc_id,
+    list_transform(sh, x -> md5(x)) AS hs0,
+    list_transform(sh, x -> md5('1:' || x)) AS hs1
+  FROM shing
+),
+sig8 AS (
+  SELECT doc_id,
+    list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+    list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+    list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+    list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+    list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+    list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+    list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+    list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+  FROM hashed8
+),
+bands AS (
+  SELECT doc_id,
+    unnest(['0|' || mh0 || '|' || mh1,
+            '1|' || mh2 || '|' || mh3,
+            '2|' || mh4 || '|' || mh5,
+            '3|' || mh6 || '|' || mh7]) AS band
+  FROM sig8
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM exact
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), clusters AS (
+  SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
+),
+surv AS (
+  SELECT e.* FROM exact e
+  JOIN clusters c ON c.doc_id = e.doc_id AND c.cluster = e.doc_id
+),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    range(1, greatest(len(str_split(bt, ' ')) - 6, 1)),
+    i -> array_to_string((str_split(bt, ' '))[i:i+7], ' ')
+  ))) AS g
+  FROM (
+    SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS bt
+    FROM raw WHERE doc_id % 97 = 0
+  )
+),
+corpus AS (SELECT * FROM surv WHERE doc_id % 97 <> 0),
+cgrams AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(str_split(t, ' ')) - 6, 1)),
+    i -> array_to_string((str_split(t, ' '))[i:i+7], ' ')
+  ))) AS g
+  FROM corpus
+),
+chits AS (SELECT DISTINCT cg.doc_id FROM cgrams cg JOIN bench b ON cg.g = b.g),
+clean AS (
+  SELECT c.* FROM corpus c LEFT JOIN chits h ON h.doc_id = c.doc_id
+  WHERE h.doc_id IS NULL
+),
+cnts AS (SELECT source, COUNT(*) AS n FROM clean GROUP BY source),
+wts AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM cnts
+),
+tt AS (SELECT SUM(w) AS sw, SUM(n) // 2 AS t FROM wts),
+quota AS (SELECT source, least((tt.t * wts.w) // tt.sw, wts.n) AS k FROM wts, tt),
+mixed AS (
+  SELECT r.doc_id, r.source, r.lang, r.t
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM clean
+  ) r JOIN quota q USING (source)
+  WHERE r.rn <= q.k
+)
+SELECT doc_id, source, lang,
+  CAST(len(str_split(t, ' ')) AS BIGINT) AS n_tokens,
+  CAST(floor(
+    (SUM(CAST(len(str_split(t, ' ')) AS BIGINT))
+       OVER (PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     - CAST(len(str_split(t, ' ')) AS BIGINT)) / 512.0) AS BIGINT) AS bin_id
+FROM mixed
+""",
+    "kmeans_assign": f"""
+WITH cents(cid, cv) AS (VALUES {_centroid_values()}),
+scored AS (
+  SELECT e.vec_id, c.cid, {_cos("e.embedding", "c.cv")} AS cs
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+  FROM scored
+)
+SELECT CAST(cid AS INTEGER) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM best WHERE rn = 1
+GROUP BY cid
 """,
     "multimodal_features": """
 SELECT doc_id AS id,

@@ -905,6 +905,29 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vetores"))
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means ASSIGNMENT with fixed literal centroids — the oracle for
+    the k-means family (VERDICT r3 #2).
+
+    Training (``kmeans_cells``) is legitimately reassociation-sensitive
+    (float averaging), but serving is not: given literal centroids the
+    cell is argmax over 9dp-rounded cosines (``ivf_cell``,
+    operators/similarity.py — ties to the lowest cid), a deterministic
+    zero-shuffle map expression that DuckDB mirrors exactly. Output is
+    integer-only per-cell occupancy, so the value-hash gate covers the
+    assignment path end-to-end.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = e.select(
+        "vec_id",
+        sim.ivf_cell(F.col("embedding"), sim.fixed_centroids()).alias("cell"),
+    )
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-table star join: lineitem⋈orders⋈customer⋈nation⋈region.
 
@@ -2540,6 +2563,16 @@ def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
+    # Free length-gap prune BEFORE the O(n²) Levenshtein (VERDICT r3
+    # #5): edit distance ≥ |len_a − len_b|, so any pair with
+    # 4·|len_a − len_b| > max_len already fails the admission bound —
+    # rejecting on lengths alone is result-invariant and costs two
+    # length() calls. Catalyst keeps this filter below the projection
+    # that computes levenshtein, so rejected pairs never pay the
+    # quadratic verify (the constant is ~3.5k pairs/s; on
+    # truncation-heavy corpora the gap filter is most of the win).
+    la, lb = F.length("__ta").cast("long"), F.length("__tb").cast("long")
+    joined = joined.filter(F.abs(la - lb) * 4 <= F.greatest(la, lb))
     dist = F.levenshtein("__ta", "__tb").cast("long")
     longest = F.greatest(F.length("__ta"), F.length("__tb")).cast("long")
     return (
@@ -2653,36 +2686,209 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end corpus build (VERDICT r3 #6): normalize
+    → Gopher quality gate → exact dedup → near-dup cluster survivors →
+    benchmark decontamination → temperature-scaled mixing → sequence
+    packing, chained as ONE query whose stages are the suite's
+    individually-verified operators. Proving the stages compose in one
+    lazy plan is the strongest 100 TB claim the suite makes: this is
+    the pipeline a training-data run would actually execute.
+
+    Stage semantics (each mirrors its standalone query):
+    - gate on RAW text (gopher_quality's four rules), normalize with
+      normalize_text's expression; NULL texts drop up front;
+    - exact dedup keeps the lowest doc_id per identical NORMALIZED
+      text (one row_number window on md5);
+    - near-dup survivors: dedup_clusters (banded MinHash-LSH + Jaccard
+      ≥ 0.5 components via star contraction) on the deduped corpus,
+      canonical survivor = the cluster-min doc_id (the label itself);
+    - decontamination: drop docs sharing any normalized 8-gram with
+      the benchmark set (doc_id % 97 == 0 — benchmark docs are NOT
+      quality-gated, an eval set is taken as-is) and the benchmark
+      docs themselves;
+    - temperature mix (alpha=0.5): integer-exact sqrt-weight quotas
+      per source, clipped to availability;
+    - packing: per-(lang, source) contiguous 512-token bins.
+
+    Materialization discipline: TWO documented spools (the deduped
+    corpus — reused by the cluster stage's signature/verify/label
+    subtrees — and the decontaminated corpus, reused by the mix
+    quota aggregate + row side) plus the cluster fixpoint's own
+    bounded actions; every other stage is lazy in the one final plan
+    (tests assert the exchange count stays fixed).
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    n_tok = token_count("text")
+    passes = (
+        n_tok.between(10, 1000)
+        & F.round(mean_token_len("text"), 9).between(2.0, 10.0)
+        & (F.round(dup_token_ratio("text"), 9) <= 0.6)
+        & (stopword_hits("text") >= 2)
+    )
+    gated = d.filter(passes).select("doc_id", "source", "lang", norm.alias("__t"))
+
+    from .operators.spool import spool as _spool_cp  # noqa: PLC0415
+
+    wk = Window.partitionBy(F.md5(F.col("__t"))).orderBy("doc_id")
+    exact = _spool_cp(
+        gated.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    clusters = dd.dedup_clusters(exact, "__t", "doc_id")
+    surv = exact.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id"), "doc_id"
+    )
+
+    def _grams8(col: str):
+        toks = F.split(F.col(col), " ")
+        idx = F.when(
+            F.size(toks) >= 8, F.sequence(F.lit(1), F.size(toks) - F.lit(7))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 8), " "))
+        )
+
+    bench_grams = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(norm.alias("__t"))
+        .select(F.explode(_grams8("__t")).alias("g"))
+        .distinct()
+    )
+    corpus = surv.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode(_grams8("__t")).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = _spool_cp(corpus.join(hits, "doc_id", "left_anti"))
+
+    counts = clean.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.select(
+        "source",
+        "__n",
+        F.floor(F.sqrt(F.col("__n").cast("double")) * 1000).cast("long").alias("__w"),
+    )
+    quota = weights.select(
+        "source",
+        F.least(
+            F.expr("((sum(__n) over ()) div 2 * __w) div (sum(__w) over ())"),
+            F.col("__n"),
+        ).alias("__k"),
+    )
+    wmix = Window.partitionBy("source").orderBy("doc_id")
+    mixed = (
+        clean.withColumn("__rn", F.row_number().over(wmix))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("__rn") <= F.col("__k"))
+    )
+
+    tokn = F.size(F.split(F.col("__t"), " ")).cast("long")
+    wp = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokn).over(wp)
+    return mixed.select(
+        "doc_id",
+        "source",
+        "lang",
+        tokn.alias("n_tokens"),
+        F.floor((cum - tokn) / F.lit(512.0)).cast("long").alias("bin_id"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
 QUERIES = {
-    # --- new in round 3 (no driver row yet) ---
-    "temperature_mix": q_temperature_mix,
-    "edit_distance_near_dup": q_edit_distance_near_dup,
-    "scd2_dim": q_scd2_dim,
+    # Dict order = the driver's ~50-row sampling order. Priority: (1)
+    # new this round, (2) implementation changed this round (re-green
+    # the hash), (3) newest green row is r1 (three rounds stale), (4)
+    # newest green row is r2. The r3-green block sits last — freshest.
+    # --- new in round 4 (no driver row yet) ---
+    "corpus_pipeline": q_corpus_pipeline,
+    "kmeans_assign": q_kmeans_assign,
+    # --- implementation changed in round 4 (star-contraction CC,
+    #     Levenshtein length-gap prune, multimodal overflow guard) ---
+    "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
-    "conversion_forward": q_conversion_forward,
-    "rolling_user_spend": q_rolling_user_spend,
-    "sessionize_stream": q_sessionize_stream,
-    "incremental_dedup": q_incremental_dedup,
-    "zorder_keys": q_zorder_keys,
-    "events_sketches": q_events_sketches,  # newly oracle-checked (r3 graduation)
-    "bm25_search": q_bm25_search,
+    "edit_distance_near_dup": q_edit_distance_near_dup,
     "multimodal_near_dup": q_multimodal_near_dup,
-    "chunk_documents": q_chunk_documents,
-    "balance_sources": q_balance_sources,
-    "contamination_rate": q_contamination_rate,
-    "session_funnel": q_session_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "truncated_recall": q_truncated_recall,
-    "fk_conformance": q_fk_conformance,
-    "pii_scrub": q_pii_scrub,
-    "pack_sequences": q_pack_sequences,
-    "repetition_signals": q_repetition_signals,
-    "embedding_quantize": q_embedding_quantize,
-    "dedup_rate_by_source": q_dedup_rate_by_source,
-    # --- never driver-verified (r1/r2 rotation gap) — sample these first ---
+    # --- newest green row is r1 — three rounds stale ---
+    "multimodal_frames": q_multimodal_frames,
+    "tfidf_top_term": q_tfidf_top_term,
+    "top_bigrams": q_top_bigrams,
+    "date_slice_metrics": q_date_slice_metrics,
+    "skewed_flag_history": q_skewed_flag_history,
+    "weekly_snapshots": q_weekly_snapshots,
+    "dashboard_serve": q_dashboard_serve,
+    "pending_stream": q_pending_stream,
+    "clean_pipeline": q_clean_pipeline,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ivf_topk": q_ivf_topk,
+    # --- newest green row is r2 — two rounds stale (perf-suspect trio
+    #     first: the min-of-2 bench needs matching fresh hashes) ---
+    "sales_cube": q_sales_cube,
+    "product_client_history": product_client_history,
+    "top_k_customers": q_top_k_customers,
+    "abc_classification": abc_classification,
+    "abc_classification_scaled": abc_classification_scaled,
+    "pending_by_week": pending_by_week,
+    "customer_multi_agg": q_customer_multi_agg,
+    "first_order_per_customer": q_first_order_per_customer,
+    "dedup_keep_first": q_dedup_keep_first,
+    "anti_join_unmatched": q_anti_join_unmatched,
+    "enrich_left_join": q_enrich_left_join,
+    "enrich_unique_left": q_enrich_unique_left,
+    "lenient_dates": q_lenient_dates,
+    "dynamic_filters": q_dynamic_filters,
+    "paginate_orders": q_paginate_orders,
+    "union_by_name": q_union_by_name,
+    "null_diagnostics": q_null_diagnostics,
+    "all_equal_collapse": q_all_equal_collapse,
+    "format_currency": q_format_currency,
+    "distinct_combinations": q_distinct_combinations,
+    "sorted_distinct_weeks": q_sorted_distinct_weeks,
+    "projection_ops": q_projection_ops,
+    "join_compatibility": q_join_compatibility,
+    "sessionize_events": q_sessionize_events,
+    "sessionize_native": q_sessionize_native,
+    "weekly_deltas": q_weekly_deltas,
+    "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
+    "sales_rollup": q_sales_rollup,
+    "tuple_render": q_tuple_render,
+    "group_median_pandas": q_group_median_pandas,
+    "events_summary": q_events_summary,
+    "text_stats": q_text_stats,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_batch_topk": q_embedding_batch_topk,
+    "corpus_filter": q_corpus_filter,
+    "train_split": q_train_split,
+    "gopher_quality": q_gopher_quality,
+    "event_attribution": q_event_attribution,
+    "attribution_stream": q_attribution_stream,
+    "neighbor_counts": q_neighbor_counts,
+    "events_rollup": q_events_rollup,
+    # --- never had a driver row before r3's sweep but green there, or
+    #     r1-green utility rows re-checked r3 ---
     "token_profile": q_token_profile,
     "decontaminate": q_decontaminate,
     "price_bands": q_price_bands,
@@ -2705,71 +2911,30 @@ QUERIES = {
     "lsh_recall": q_lsh_recall,
     "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
     "near_dup_jaccard_banded": q_near_dup_jaccard_banded,
-    # --- driver-green in round 1 only (rotated out in r2) ---
     "multimodal_features": q_multimodal_features,
     "kmeans_cells": q_kmeans_cells,
     "revenue_by_nation": q_revenue_by_nation,
     "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    "tfidf_top_term": q_tfidf_top_term,
-    "top_bigrams": q_top_bigrams,
-    "date_slice_metrics": q_date_slice_metrics,
-    "skewed_flag_history": q_skewed_flag_history,
-    "weekly_snapshots": q_weekly_snapshots,
-    "dashboard_serve": q_dashboard_serve,
-    "pending_stream": q_pending_stream,
-    "clean_pipeline": q_clean_pipeline,
-    "embedding_near_dup": q_embedding_near_dup,
-    "ivf_topk": q_ivf_topk,
-    # --- driver-green in round 2 ---
-    "abc_classification": abc_classification,
-    "abc_classification_scaled": abc_classification_scaled,
-    "pending_by_week": pending_by_week,
-    "product_client_history": product_client_history,
-    "customer_multi_agg": q_customer_multi_agg,
-    "first_order_per_customer": q_first_order_per_customer,
-    "dedup_keep_first": q_dedup_keep_first,
-    "anti_join_unmatched": q_anti_join_unmatched,
-    "enrich_left_join": q_enrich_left_join,
-    "enrich_unique_left": q_enrich_unique_left,
-    "lenient_dates": q_lenient_dates,
-    "dynamic_filters": q_dynamic_filters,
-    "paginate_orders": q_paginate_orders,
-    "top_k_customers": q_top_k_customers,
-    "union_by_name": q_union_by_name,
-    "null_diagnostics": q_null_diagnostics,
-    "all_equal_collapse": q_all_equal_collapse,
-    "format_currency": q_format_currency,
-    "distinct_combinations": q_distinct_combinations,
-    "sorted_distinct_weeks": q_sorted_distinct_weeks,
-    "projection_ops": q_projection_ops,
-    "join_compatibility": q_join_compatibility,
-    "sessionize_events": q_sessionize_events,
-    "sessionize_native": q_sessionize_native,
-    "weekly_deltas": q_weekly_deltas,
-    "events_pivot": q_events_pivot,
-    "events_unpivot": q_events_unpivot,
-    "sales_cube": q_sales_cube,
-    "sales_rollup": q_sales_rollup,
-    "tuple_render": q_tuple_render,
-    "group_median_pandas": q_group_median_pandas,
-    "events_summary": q_events_summary,
-    "text_stats": q_text_stats,
-    "doc_dedup_exact": q_doc_dedup_exact,
-    "minhash_signatures": q_minhash_signatures,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "simhash": q_simhash,
-    "simhash_near_dup": q_simhash_near_dup,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_topk": q_embedding_topk,
-    "embedding_lsh_buckets": q_embedding_lsh_buckets,
-    "embedding_lsh_topk": q_embedding_lsh_topk,
-    "embedding_batch_topk": q_embedding_batch_topk,
-    "corpus_filter": q_corpus_filter,
-    "train_split": q_train_split,
-    "gopher_quality": q_gopher_quality,
-    "event_attribution": q_event_attribution,
-    "attribution_stream": q_attribution_stream,
-    "neighbor_counts": q_neighbor_counts,
-    "events_rollup": q_events_rollup,
+    # --- green in round 3 — freshest, sample last ---
+    "temperature_mix": q_temperature_mix,
+    "scd2_dim": q_scd2_dim,
+    "conversion_forward": q_conversion_forward,
+    "rolling_user_spend": q_rolling_user_spend,
+    "sessionize_stream": q_sessionize_stream,
+    "incremental_dedup": q_incremental_dedup,
+    "zorder_keys": q_zorder_keys,
+    "events_sketches": q_events_sketches,
+    "bm25_search": q_bm25_search,
+    "chunk_documents": q_chunk_documents,
+    "balance_sources": q_balance_sources,
+    "contamination_rate": q_contamination_rate,
+    "session_funnel": q_session_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "truncated_recall": q_truncated_recall,
+    "fk_conformance": q_fk_conformance,
+    "pii_scrub": q_pii_scrub,
+    "pack_sequences": q_pack_sequences,
+    "repetition_signals": q_repetition_signals,
+    "embedding_quantize": q_embedding_quantize,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
 }

@@ -325,3 +325,31 @@ def test_round3_new_queries_plan_shapes(spark):
     # cartesian / nested-loop pair generation anywhere in the plan.
     plan = _plan(QUERIES["edit_distance_near_dup"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_round4_new_queries_plan_shapes(spark):
+    """Round-4 additions. kmeans_assign: the fixed-centroid cell is a
+    pure map expression, so only the final occupancy aggregate may
+    shuffle (1 Exchange). corpus_pipeline: after its two documented
+    spools + the cluster fixpoint, the FINAL plan is one lazy
+    composition — decontamination gram probe (doc_id distinct +
+    anti-join) plus the mix/pack windows; the exchange count is pinned
+    so a stage silently re-planning (e.g. the quota aggregate becoming
+    a second scan subtree) fails here before it costs anything at
+    scale."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["kmeans_assign"](spark, SF_SMOKE))
+    got = plan.count("Exchange hashpartitioning")
+    assert got == 1, f"kmeans_assign: {got} exchanges (want 1)\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    plan = _plan(QUERIES["corpus_pipeline"](spark, SF_SMOKE))
+    got = plan.count("Exchange hashpartitioning")
+    # doc_id-distinct gram hits + anti-join on doc_id + mix source
+    # window + pack (lang,source) window + quota count agg = 5; the
+    # heavy stages (gate, md5 dedup, LSH clustering) ran into the
+    # spools and must NOT reappear in the final plan.
+    assert got <= 6, f"corpus_pipeline: {got} exchanges\n{plan}"
+    assert "levenshtein" not in plan.lower()
+    assert plan.count("spark_graft_spool") >= 1 or "parquet" in plan.lower(), plan
