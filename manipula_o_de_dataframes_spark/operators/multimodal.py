@@ -200,6 +200,55 @@ def audio_chunk_plan(
     )
 
 
+def chunk_byte_sums(
+    blobs: DataFrame, chunks: DataFrame, dims: int = 8, bytes_per_ms: int = 32
+) -> DataFrame:
+    """Per-chunk stride byte sums: the downstream mapInPandas stage the
+    ``audio_chunk_plan`` docstring promises — slice each chunk's byte
+    range [inicio_ms·rate, fim_ms·rate) out of the payload inside an
+    Arrow batch, emit EXACT integer sums per interleaved dimension
+    (``byte_sums_stub``'s contract, per chunk instead of per blob).
+    A real audio featurizer (fbank/wav2vec) swaps the stride sums for
+    frames but keeps this exact join → slice → vector shape.
+    NULL payloads never reach this stage (callers filter); sums of an
+    empty slice (a zero-duration tail) are 0, matching the SQL mirror.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    src = chunks.join(blobs.select("id", "payload"), "id").select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("inicio_ms") * bytes_per_ms).cast("long").alias("__sb"),
+        (F.col("fim_ms") * bytes_per_ms).cast("long").alias("__eb"),
+        "payload",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            # One zero-padded (rows × max_chunk_bytes) matrix per Arrow
+            # batch: the per-row work is a single slice assign, and the
+            # stride sums vectorize across the whole batch (padding
+            # can't perturb an integer sum). The row-python variant
+            # measured 11.1 s of a 15.8 s sf0.1 wall — the loop, not
+            # the arithmetic, was the cost.
+            n = len(pdf)
+            widths = (pdf["__eb"] - pdf["__sb"]).to_numpy()
+            buf = np.zeros((n, int(widths.max()) if n else 0), dtype=np.int64)
+            for r, (pay, sb, eb) in enumerate(
+                zip(pdf["payload"], pdf["__sb"], pdf["__eb"])
+            ):
+                sl = np.frombuffer(bytes(pay), dtype=np.uint8)[int(sb) : int(eb)]
+                buf[r, : len(sl)] = sl
+            out = {"id": pdf["id"], "chunk_idx": pdf["chunk_idx"]}
+            for c in range(dims):
+                out[f"s{c}"] = buf[:, c::dims].sum(axis=1)
+            yield pd.DataFrame(out)
+
+    schema = "id long, chunk_idx long, " + ", ".join(f"s{c} long" for c in range(dims))
+    return src.mapInPandas(batches, schema=schema)
+
+
 def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: explode K pseudo-frames per blob.
 

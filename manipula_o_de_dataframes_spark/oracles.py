@@ -1773,6 +1773,64 @@ WHERE round(CAST({_MND_DOT} AS DOUBLE)
         / (sqrt(CAST({_MND_SSA} AS DOUBLE)) * sqrt(CAST({_MND_SSB} AS DOUBLE))), 9) >= 0.9999
 """
 
+# Chunk-level audio near-dup mirror: audio_chunk_plan's integer
+# boundary math (dur = bytes // rate, ceil chunks, clipped tail), the
+# per-chunk stride byte sums over each [inicio*rate, fim*rate) slice
+# (1-indexed substr; ASCII text ≡ payload bytes, the established
+# multimodal contract), then the same centering/bucket/cosine as the
+# image twin keyed by (id, chunk_idx).
+_ACD_SUMS = ",\n".join(
+    # dimension c reads 1-indexed positions inicio*8+1+c, step 8, up to
+    # fim*8 inclusive; an empty series (zero-duration tail) sums to 0.
+    f"  COALESCE(list_sum(list_transform("
+    f"generate_series(inicio_ms * 8 + {c + 1}, fim_ms * 8, 8), "
+    f"j -> ascii(substr(text, CAST(j AS INTEGER), 1)))), 0) AS s{c}"
+    for c in range(8)
+)
+_ACD_CEN = ",\n".join(f"  s.s{c} * t.n - t.t{c} AS a{c}" for c in range(8))
+ORACLES["audio_chunk_near_dup"] = f"""
+WITH base AS (
+  SELECT doc_id AS id, text, length(text) // 8 AS dur_ms
+  FROM documents WHERE text IS NOT NULL
+),
+bounds AS (
+  SELECT id, text, chunk_idx,
+         chunk_idx * 10 AS inicio_ms,
+         least(chunk_idx * 10 + 10, dur_ms) AS fim_ms
+  FROM (
+    SELECT id, text, dur_ms,
+           unnest(range(0, greatest(1, (dur_ms + 9) // 10))) AS chunk_idx
+    FROM base
+  )
+),
+sums AS (
+  SELECT id, chunk_idx,
+{_ACD_SUMS}
+  FROM bounds
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {_MND_TOT} FROM sums),
+cen AS (
+  SELECT s.id, s.chunk_idx,
+{_ACD_CEN}
+  FROM sums s, tot t
+),
+withb AS (SELECT *, {_MND_BUCKET} AS b FROM cen),
+scored AS (
+  SELECT a.id AS id_a, a.chunk_idx AS chunk_a,
+         b.id AS id_b, b.chunk_idx AS chunk_b,
+         round(CAST({_MND_DOT} AS DOUBLE)
+               / (sqrt(CAST({_MND_SSA} AS DOUBLE))
+                  * sqrt(CAST({_MND_SSB} AS DOUBLE))), 9) AS cos_sim
+  FROM withb a JOIN withb b
+    ON a.b = b.b
+   AND (a.id < b.id OR (a.id = b.id AND a.chunk_idx < b.chunk_idx))
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(chunk_a AS BIGINT) AS chunk_a,
+       CAST(id_b AS BIGINT) AS id_b, CAST(chunk_b AS BIGINT) AS chunk_b,
+       cos_sim
+FROM scored WHERE cos_sim >= 0.9999
+"""
+
 # Sliding-window chunking mirror: the same ceil-bounded stride grid
 # (1-based starts), list slicing clipped to the doc, chunks re-joined.
 ORACLES["chunk_documents"] = """

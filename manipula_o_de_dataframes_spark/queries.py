@@ -2807,6 +2807,65 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level audio near-dup: the ``multimodal_near_dup`` pipeline
+    rerun at CHUNK granularity (VERDICT r3 #8) — blobs → 10ms pseudo-
+    audio chunks (80-byte slices at the declared 8 bytes/ms rate) →
+    Arrow-batched per-chunk stride byte sums → integer-exact corpus
+    centering → sign-bucket blocking → cosine verify. The repeated-
+    segment detector an ASR corpus needs (jingles, silence, dual
+    uploads) where whole-file dedup can't see inside the container.
+
+    Same scale discipline as the image twin: sums are exact longs, the
+    one spool stops the featurizer recomputing under the self-join's
+    two branches, candidates come only from bucket equality, and the
+    single double expression (cosine, round 9) hashes cross-engine.
+    Pair identity is the composite (id, chunk_idx) with lexicographic
+    ordering, so within-doc repeats surface too.
+    """
+    dims, thr, chunk_ms, rate = 8, 0.9999, 10, 8
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    blobs = mm.as_blob_table(d, "doc_id", "text")
+    chunks = mm.audio_chunk_plan(blobs, chunk_ms=chunk_ms, bytes_per_ms=rate)
+    s = mm.chunk_byte_sums(blobs, chunks, dims=dims, bytes_per_ms=rate)
+    tot = s.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"s{c}").alias(f"__S{c}") for c in range(dims)],
+    )
+    cen = s.crossJoin(F.broadcast(tot)).select(
+        "id",
+        "chunk_idx",
+        *[
+            (F.col(f"s{c}") * F.col("__n") - F.col(f"__S{c}")).alias(f"a{c}")
+            for c in range(dims)
+        ],
+    )
+    bucket = sum(
+        F.shiftleft((F.col(f"a{c}") > 0).cast("long"), c) for c in range(dims)
+    )
+    from .operators.spool import spool as _spool_ac  # noqa: PLC0415
+
+    withb = _spool_ac(cen.withColumn("__b", bucket))
+    a, b = withb.alias("a"), withb.alias("b")
+    order = (F.col("a.id") < F.col("b.id")) | (
+        (F.col("a.id") == F.col("b.id")) & (F.col("a.chunk_idx") < F.col("b.chunk_idx"))
+    )
+    pairs = a.join(b, (F.col("a.__b") == F.col("b.__b")) & order)
+    dot = sum(F.col(f"a.a{c}") * F.col(f"b.a{c}") for c in range(dims)).cast("double")
+    na = F.sqrt(sum(F.col(f"a.a{c}") * F.col(f"a.a{c}") for c in range(dims)).cast("double"))
+    nb = F.sqrt(sum(F.col(f"b.a{c}") * F.col(f"b.a{c}") for c in range(dims)).cast("double"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.chunk_idx").alias("chunk_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.chunk_idx").alias("chunk_b"),
+            F.round(dot / (na * nb), 9).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= thr)
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -2818,6 +2877,7 @@ QUERIES = {
     # --- new in round 4 (no driver row yet) ---
     "corpus_pipeline": q_corpus_pipeline,
     "kmeans_assign": q_kmeans_assign,
+    "audio_chunk_near_dup": q_audio_chunk_near_dup,
     # --- implementation changed in round 4 (star-contraction CC,
     #     Levenshtein length-gap prune, multimodal overflow guard) ---
     "dedup_clusters": q_dedup_clusters,
