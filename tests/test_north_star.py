@@ -353,3 +353,30 @@ def test_scd2_versions_are_contiguous_and_single_current(spark):
         (F.col("n_versions") == 2) & (F.col("closed_end") != F.col("open_start"))
     )
     assert chained.count() == 0
+
+
+def test_dedup_clusters_all_singletons_and_two_islands(spark):
+    """Star-contraction edge cases: a corpus with NO verified edges
+    must yield all-singleton clusters (the empty-edge fixpoint is
+    reached on the first signature repeat), and two disjoint dup pairs
+    must stay separate components labeled by their own minima."""
+    from manipula_o_de_dataframes_spark.operators.dedup import dedup_clusters
+
+    uniq = spark.createDataFrame(
+        [(i, f"totally distinct document number {i} with words w{i}a w{i}b w{i}c w{i}d")
+         for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cluster"] for r in
+           dedup_clusters(uniq, "text", "doc_id").collect()}
+    assert out == {i: i for i in range(1, 8)}
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    t2 = "nine eight seven six five four three two one zero"
+    two = spark.createDataFrame(
+        [(10, t1), (11, t1), (20, t2), (21, t2)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cluster"] for r in
+           dedup_clusters(two, "text", "doc_id").collect()}
+    assert out == {10: 10, 11: 10, 20: 20, 21: 20}
