@@ -1831,6 +1831,34 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(chunk_a AS BIGINT) AS chunk_a,
 FROM scored WHERE cos_sim >= 0.9999
 """
 
+# Within-doc repeated-block removal mirror: same 10-token block grid,
+# first occurrence by idx, ordered string_agg reassembly.
+ORACLES["strip_repeated_blocks"] = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         CAST(ceil(len(str_split(text, ' ')) / 10.0) AS BIGINT) AS n_blocks
+  FROM documents WHERE text IS NOT NULL
+),
+blk AS (
+  SELECT doc_id, n_blocks, idx,
+         array_to_string(toks[(idx * 10 + 1):(idx * 10 + 10)], ' ') AS block
+  FROM (SELECT doc_id, n_blocks, toks,
+               unnest(range(0, n_blocks)) AS idx
+        FROM d)
+),
+kept AS (
+  SELECT doc_id, n_blocks, idx, block FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, block ORDER BY idx) AS rn
+    FROM blk
+  ) WHERE rn = 1
+)
+SELECT doc_id,
+       CAST(MIN(n_blocks) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(block, ' ' ORDER BY idx) AS texto_limpo
+FROM kept GROUP BY doc_id
+"""
+
 # Sliding-window chunking mirror: the same ceil-bounded stride grid
 # (1-based starts), list slicing clipped to the doc, chunks re-joined.
 ORACLES["chunk_documents"] = """

@@ -2866,6 +2866,51 @@ def q_audio_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-block removal: split each doc into
+    fixed 10-token blocks, keep only the FIRST occurrence of each
+    distinct block, reassemble in original order — the document-level
+    boilerplate scrub (repeated headers/footers/navigation) that
+    corpus-level dedup can't see and `repetition_signals` only
+    *detects*. The ExactSubstr-dedup idea (Lee et al. 2022) at block
+    granularity, expressible without suffix arrays.
+
+    Plan: expression fan-out to (doc_id, idx, block) rows, first-
+    occurrence via row_number over (doc_id, block) ordered by idx,
+    ordered reassembly via sort_array-of-struct collect. Two shuffles,
+    both keyed by doc_id(+block) — at 100 TB each partition sees whole
+    documents, never the corpus; block text crosses the wire once and
+    is bounded (10 tokens). Integer counts + deterministic string
+    output hash cross-engine.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(10.0)).cast("long")
+    blocks = d.select(
+        "doc_id",
+        n_blocks.alias("n_blocks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_blocks - 1).cast("int")),
+                lambda k: F.array_join(F.slice(toks, k * 10 + 1, 10), " "),
+            )
+        ).alias("idx", "block"),
+    )
+    w = Window.partitionBy("doc_id", "block").orderBy("idx")
+    kept = blocks.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.first("n_blocks").alias("n_blocks"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                lambda x: x["block"],
+            ),
+            " ",
+        ).alias("texto_limpo"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -2878,6 +2923,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "kmeans_assign": q_kmeans_assign,
     "audio_chunk_near_dup": q_audio_chunk_near_dup,
+    "strip_repeated_blocks": q_strip_repeated_blocks,
     # --- implementation changed in round 4 (star-contraction CC,
     #     Levenshtein length-gap prune, multimodal overflow guard) ---
     "dedup_clusters": q_dedup_clusters,

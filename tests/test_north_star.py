@@ -380,3 +380,33 @@ def test_dedup_clusters_all_singletons_and_two_islands(spark):
     out = {r["doc_id"]: r["cluster"] for r in
            dedup_clusters(two, "text", "doc_id").collect()}
     assert out == {10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_strip_repeated_blocks_removes_repeats_keeps_order(spark):
+    """A doc whose 10-token block repeats must shrink to the first
+    occurrence with original order preserved; a doc with all-distinct
+    blocks passes through untouched (clipped tail block included)."""
+    from manipula_o_de_dataframes_spark.queries import q_strip_repeated_blocks
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os, tempfile
+
+    hdr = " ".join(f"h{i}" for i in range(10))      # the repeated block
+    body = " ".join(f"b{i}" for i in range(10))
+    tail = "t0 t1 t2"                                # clipped last block
+    doc1 = " ".join([hdr, body, hdr, tail])          # hdr repeats at idx 2
+    doc2 = " ".join([body, tail])
+    tmp = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([doc1, doc2], pa.string()),
+                  "lang": pa.array(["en", "en"]),
+                  "source": pa.array(["s", "s"]),
+                  "n_chars": pa.array([len(doc1), len(doc2)], pa.int64())}),
+        os.path.join(tmp, "documents.parquet"),
+    )
+    out = {r["doc_id"]: r for r in q_strip_repeated_blocks(spark, tmp).collect()}
+    assert out[1]["n_blocks"] == 4 and out[1]["n_kept"] == 3
+    assert out[1]["texto_limpo"] == " ".join([hdr, body, tail])
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 2
+    assert out[2]["texto_limpo"] == doc2
