@@ -355,21 +355,28 @@ def dedup_clusters(
         # m = min of its smaller neighbors; a and every smaller
         # neighbor ≠ m rewire to m.
         smins = ls.groupBy("a").agg(F.min("b").alias("__mn"))
+        # The convergence signature rides the localCheckpoint job as an
+        # OBSERVED metric — one action per round, not two (measured:
+        # per-round fixed cost, not data volume, dominates small/shallow
+        # graphs). Decimal sum: a long sum of 2^63-scale hashes
+        # overflows under ANSI mode; decimal(38,0) absorbs any count.
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        obs = Observation()
         e = (
             ls.join(smins, "a")
             .filter(F.col("b") != F.col("__mn"))
             .select(F.col("b").alias("a"), F.col("__mn").alias("b"))
             .unionAll(smins.select(F.col("a"), F.col("__mn").alias("b")))
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            )
             .localCheckpoint()
         )
-        sig_row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: a long sum of 2^63-scale hashes overflows
-            # under ANSI mode; decimal(38,0) absorbs any realistic count
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
+        sig = (obs.get["n"], obs.get["h"])
         if sig == prev_sig:
             converged = True
             break
