@@ -2128,3 +2128,89 @@ SELECT CAST(cluster AS BIGINT) AS cluster, doc_id, source, lang,
        CAST(tam_cluster AS BIGINT) AS tam_cluster
 FROM ranked WHERE rn = 1
 """
+
+# Cross-document block dedup mirror: same 10-token grid, corpus-wide
+# first-occurrence by (doc_id, idx), flag-carried reassembly so fully
+# deduped docs still emit (n_kept = 0, '').
+ORACLES["cross_doc_block_dedup"] = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         CAST(ceil(len(str_split(text, ' ')) / 10.0) AS BIGINT) AS n_blocks
+  FROM documents WHERE text IS NOT NULL
+),
+blk AS (
+  SELECT doc_id, n_blocks, idx,
+         array_to_string(toks[(idx * 10 + 1):(idx * 10 + 10)], ' ') AS block
+  FROM (SELECT doc_id, n_blocks, toks,
+               unnest(range(0, n_blocks)) AS idx
+        FROM d)
+),
+flagged AS (
+  SELECT doc_id, n_blocks, idx, block,
+         (ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, idx) = 1) AS keep
+  FROM blk
+)
+SELECT doc_id,
+       CAST(MIN(n_blocks) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY idx), '')
+         AS texto_limpo
+FROM flagged GROUP BY doc_id
+"""
+
+# Semantic-dedup mirror: identical fixed-centroid assignment as
+# kmeans_assign (same VALUES render), within-cell lower-id neighbor
+# at 9dp-rounded cosine >= 0.35 marks a vector dropped.
+ORACLES["semantic_dedup"] = f"""
+WITH cents(cid, cv) AS (VALUES {_centroid_values()}),
+best AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM best a JOIN best b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE {_cos("a.embedding", "b.embedding")} >= 0.35
+)
+SELECT b.vec_id,
+       CAST(b.cid AS INTEGER) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM best b LEFT JOIN dup d ON b.vec_id = d.vec_id
+"""
+
+# Count-min mirror: same seed-prefixed md5 -> first 8 hex -> mod 64
+# buckets, 4 rows, bucket sums over the full gram frequency table,
+# estimate = min over rows for the exact top-20.
+ORACLES["countmin_heavy_hitters"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (SELECT gram, COUNT(*) AS exact_n FROM g GROUP BY gram),
+rows_ AS (SELECT unnest(range(0, 4)) AS row_id),
+cells AS (
+  SELECT row_id,
+         ('0x' || substr(md5(CAST(row_id AS VARCHAR) || ':' || gram), 1, 8))::BIGINT % 64 AS bucket,
+         SUM(exact_n) AS cell_n
+  FROM counts CROSS JOIN rows_
+  GROUP BY 1, 2
+),
+top AS (SELECT gram, exact_n FROM counts ORDER BY exact_n DESC, gram LIMIT 20),
+probes AS (
+  SELECT t.gram, t.exact_n, r.row_id,
+         ('0x' || substr(md5(CAST(r.row_id AS VARCHAR) || ':' || t.gram), 1, 8))::BIGINT % 64 AS bucket
+  FROM top t CROSS JOIN rows_ r
+)
+SELECT p.gram,
+       CAST(MIN(p.exact_n) AS BIGINT) AS exact_n,
+       CAST(MIN(c.cell_n) AS BIGINT) AS cms_n,
+       CAST(MIN(c.cell_n) - MIN(p.exact_n) AS BIGINT) AS overcount
+FROM probes p JOIN cells c ON c.row_id = p.row_id AND c.bucket = p.bucket
+GROUP BY p.gram
+"""

@@ -410,3 +410,77 @@ def test_strip_repeated_blocks_removes_repeats_keeps_order(spark):
     assert out[1]["texto_limpo"] == " ".join([hdr, body, tail])
     assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 2
     assert out[2]["texto_limpo"] == doc2
+
+
+def _write_docs(tmp, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(tmp, "documents.parquet"),
+    )
+
+
+def test_cross_doc_block_dedup_keeps_corpus_first_occurrence(spark):
+    """A block shared by two docs survives only in the lower doc_id;
+    a doc made ENTIRELY of previously seen blocks still emits a row
+    with n_kept = 0 and empty text (the flag, not a filter, decides)."""
+    from manipula_o_de_dataframes_spark.queries import q_cross_doc_block_dedup
+    import tempfile
+
+    hdr = " ".join(f"h{i}" for i in range(10))   # shared boilerplate
+    body = " ".join(f"b{i}" for i in range(10))
+    doc1 = " ".join([hdr, body])
+    doc2 = " ".join([hdr, "x0 x1 x2"])           # hdr duplicated from doc1
+    doc3 = hdr                                    # nothing original at all
+    tmp = tempfile.mkdtemp()
+    _write_docs(tmp, [doc1, doc2, doc3])
+    out = {r["doc_id"]: r for r in q_cross_doc_block_dedup(spark, tmp).collect()}
+    assert out[1]["n_kept"] == 2 and out[1]["texto_limpo"] == doc1
+    assert out[2]["n_kept"] == 1 and out[2]["texto_limpo"] == "x0 x1 x2"
+    assert out[3]["n_kept"] == 0 and out[3]["texto_limpo"] == ""
+
+
+def test_semantic_dedup_drops_only_lower_id_neighbors(spark):
+    """Every vector appears exactly once; within a cell a vector with a
+    high-cosine LOWER-id neighbor is dropped while the exemplar (the
+    lowest id of the near-dup set) survives, and the kept count can
+    never exceed the vector count."""
+    from manipula_o_de_dataframes_spark.queries import q_semantic_dedup
+    from .conftest import SF_SMOKE
+
+    rows = q_semantic_dedup(spark, SF_SMOKE).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(by_id) == len(rows)  # one row per vector
+    kept = [r for r in rows if r["kept"] == 1]
+    assert 0 < len(kept) <= len(rows)
+    # the minimum vec_id of every cell is definitionally kept (it has
+    # no lower-id neighbor to lose to)
+    min_per_cell: dict[int, int] = {}
+    for r in rows:
+        if r["cell"] not in min_per_cell or r["vec_id"] < min_per_cell[r["cell"]]:
+            min_per_cell[r["cell"]] = r["vec_id"]
+    for cell, vid in min_per_cell.items():
+        assert by_id[vid]["kept"] == 1, f"cell {cell} exemplar {vid} was dropped"
+
+
+def test_countmin_estimate_never_undercounts(spark):
+    """The CMS invariant: estimate >= exact count for every probed gram
+    (bucket sums only ever ADD mass), overcount is the difference, and
+    exactly the top-20 grams are reported."""
+    from manipula_o_de_dataframes_spark.queries import q_countmin_heavy_hitters
+    from .conftest import SF_SMOKE
+
+    rows = q_countmin_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r
+        assert r["overcount"] == r["cms_n"] - r["exact_n"]

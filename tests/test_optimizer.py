@@ -353,3 +353,32 @@ def test_round4_new_queries_plan_shapes(spark):
     assert got <= 6, f"corpus_pipeline: {got} exchanges\n{plan}"
     assert "levenshtein" not in plan.lower()
     assert plan.count("spark_graft_spool") >= 1 or "parquet" in plan.lower(), plan
+
+
+def test_round4_late_queries_plan_shapes(spark):
+    """Shuffle discipline for the late round-4 trio. cross_doc_block_
+    dedup: by-block window + by-doc reassembly = exactly 2 hash
+    exchanges. semantic_dedup: within-cell pairs come from a BROADCAST
+    join (a 4-value cell key would cap a shuffle join at 4-way
+    parallelism), so only the dup-distinct and the final vec_id join
+    may hash-shuffle; no nested-loop/cartesian pair generation.
+    countmin_heavy_hitters: gram counts + sketch cells + final probe
+    agg = 3 hash exchanges, sketch probe side broadcast, all JVM-side
+    (seed-prefixed md5, no Python)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name, want in (
+        ("cross_doc_block_dedup", 2),
+        ("semantic_dedup", 2),
+        ("countmin_heavy_hitters", 3),
+    ):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        got = plan.count("Exchange hashpartitioning")
+        assert got == want, f"{name}: {got} exchanges (want {want})\n{plan}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        assert "BroadcastNestedLoop" not in plan, f"{name}:\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the pair stage and the sketch probe must both be broadcast joins
+    for name in ("semantic_dedup", "countmin_heavy_hitters"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan}"
