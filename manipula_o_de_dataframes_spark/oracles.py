@@ -2214,3 +2214,80 @@ SELECT p.gram,
 FROM probes p JOIN cells c ON c.row_id = p.row_id AND c.bucket = p.bucket
 GROUP BY p.gram
 """
+
+# Lift-collocation mirror: integer counts, one double division in the
+# identical operation order (n_pair * N first, n_w1 * n_w2 second).
+ORACLES["pmi_collocations"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT tok, COUNT(*) AS n_tok FROM (SELECT unnest(t) AS tok FROM toks)
+  GROUP BY tok
+),
+bg AS (
+  SELECT gram, COUNT(*) AS n_pair FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY gram HAVING COUNT(*) >= 5
+),
+total AS (SELECT SUM(n_tok) AS n_total FROM uni)
+SELECT b.gram,
+       CAST(b.n_pair AS BIGINT) AS n_pair,
+       CAST(u1.n_tok AS BIGINT) AS n_w1,
+       CAST(u2.n_tok AS BIGINT) AS n_w2,
+       round((CAST(b.n_pair AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+             / (CAST(u1.n_tok AS DOUBLE) * CAST(u2.n_tok AS DOUBLE)), 9) AS lift
+FROM bg b
+JOIN uni u1 ON u1.tok = str_split(b.gram, ' ')[1]
+JOIN uni u2 ON u2.tok = str_split(b.gram, ' ')[2]
+CROSS JOIN total t
+ORDER BY lift DESC, b.gram
+LIMIT 20
+"""
+
+# Bloom-prefilter mirror: identical seed-prefixed md5 -> mod-65536
+# positions, 32-bit words bit_or'd into a 2048-word list, probe =
+# all-3-bits-set, exact hits via the same bench-gram join.
+ORACLES["bloom_decontaminate"] = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+pos AS (
+  SELECT unnest(list_transform(range(0, 3),
+    j -> ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 8))::BIGINT % 65536
+  )) AS p
+  FROM bench
+),
+bloomw AS (
+  SELECT CAST(p // 32 AS INTEGER) AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+bloom AS (
+  SELECT list(COALESCE(b.bits, 0) ORDER BY s.w) AS arr
+  FROM generate_series(0, 2047) s(w) LEFT JOIN bloomw b ON b.word = s.w
+),
+probe_pos AS (
+  SELECT gr.doc_id, gr.g,
+         ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || gr.g), 1, 8))::BIGINT % 65536 AS p
+  FROM grams gr CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+  WHERE gr.doc_id % 97 <> 0
+),
+checked AS (
+  SELECT pp.doc_id, pp.g,
+         bool_and((bl.arr[CAST(pp.p // 32 AS INTEGER) + 1]
+                   & (1::BIGINT << CAST(pp.p % 32 AS INTEGER))) <> 0) AS ok
+  FROM probe_pos pp CROSS JOIN bloom bl
+  GROUP BY pp.doc_id, pp.g
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.ok THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+FROM checked c LEFT JOIN bench b ON b.g = c.g
+GROUP BY c.doc_id
+"""

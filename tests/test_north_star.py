@@ -484,3 +484,35 @@ def test_countmin_estimate_never_undercounts(spark):
     for r in rows:
         assert r["cms_n"] >= r["exact_n"], r
         assert r["overcount"] == r["cms_n"] - r["exact_n"]
+
+
+def test_pmi_lift_containment_invariants(spark):
+    """Unigram counts bound bigram counts (every occurrence of 'w1 w2'
+    is an occurrence of w1 and of w2), support floor holds, and the
+    report is exactly the top-20 by (lift desc, gram)."""
+    from manipula_o_de_dataframes_spark.queries import q_pmi_collocations
+    from .conftest import SF_SMOKE
+
+    rows = q_pmi_collocations(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_pair"] >= 5
+        assert r["n_w1"] >= r["n_pair"] and r["n_w2"] >= r["n_pair"], r
+        assert r["lift"] > 0
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_bloom_never_misses_an_exact_hit(spark):
+    """The Bloom guarantee: no false negatives — every exact benchmark
+    8-gram hit is also bloom-positive, per document; bloom_hits never
+    exceeds the doc's distinct gram count."""
+    from manipula_o_de_dataframes_spark.queries import q_bloom_decontaminate
+    from .conftest import SF_SMOKE
+
+    rows = q_bloom_decontaminate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_hits"] <= r["bloom_hits"] <= r["n_grams"], r
+    # benchmark docs themselves are excluded from the probe
+    assert all(r["doc_id"] % 97 != 0 for r in rows)

@@ -382,3 +382,19 @@ def test_round4_late_queries_plan_shapes(spark):
     for name in ("semantic_dedup", "countmin_heavy_hitters"):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan}"
+
+
+def test_pmi_and_bloom_plan_shapes(spark):
+    """pmi_collocations: two count aggregates + broadcast unigram
+    enrich + one-row total attach; bloom_decontaminate: bitmap built by
+    bit_or aggregation, attached as a ONE-ROW broadcast (the BM25
+    in-plan-stats pattern), probed map-side — the only BNLJ allowed is
+    that single-row attach, and nothing runs in Python."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name, want in (("pmi_collocations", 4), ("bloom_decontaminate", 4)):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        got = plan.count("Exchange hashpartitioning")
+        assert got <= want, f"{name}: {got} exchanges (want <= {want})\n{plan}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
