@@ -2291,3 +2291,81 @@ SELECT c.doc_id,
 FROM checked c LEFT JOIN bench b ON b.g = c.g
 GROUP BY c.doc_id
 """
+
+
+# Language-ID confusion mirror: same marker-hit CASE as text_stats,
+# matrix aggregate + per-true-class share window.
+ORACLES["langid_confusion"] = f"""
+WITH t AS (
+  SELECT lang, {_H_EN} AS h_en, {_H_ES} AS h_es, {_H_DE} AS h_de FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE WHEN coalesce(greatest(h_de, h_en, h_es), 0) = 0 THEN 'und'
+         WHEN h_de >= h_en AND h_de >= h_es THEN 'de'
+         WHEN h_en >= h_es THEN 'en'
+         ELSE 'es' END AS idioma_pred
+  FROM t
+),
+m AS (SELECT lang, idioma_pred, COUNT(*) AS n_docs FROM p GROUP BY 1, 2)
+SELECT lang, idioma_pred, CAST(n_docs AS BIGINT) AS n_docs,
+       (lang = idioma_pred) AS acerto,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 9)
+         AS share_of_true
+FROM m
+"""
+
+# RRF hybrid-search mirror: identical BM25 arm as bm25_search, cosine
+# arm against the same centroid-0 literal, rank-only fusion with the
+# engine's fixed lexical-then-semantic add order.
+ORACLES["rrf_hybrid_search"] = f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+    SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df2
+  FROM t
+),
+bm AS (
+  SELECT t.doc_id,
+    (ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1)
+       * CAST(len(list_filter(t.toks, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1)
+       / (CAST(len(list_filter(t.toks, x -> x = 'spark')) AS DOUBLE)
+          + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+  + (ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1)
+       * CAST(len(list_filter(t.toks, x -> x = 'table')) AS DOUBLE) * (1.2 + 1)
+       / (CAST(len(list_filter(t.toks, x -> x = 'table')) AS DOUBLE)
+          + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+  + (ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1)
+       * CAST(len(list_filter(t.toks, x -> x = 'query')) AS DOUBLE) * (1.2 + 1)
+       / (CAST(len(list_filter(t.toks, x -> x = 'query')) AS DOUBLE)
+          + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))) AS raw
+  FROM t, s
+),
+lex AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(raw, 9) DESC, doc_id) AS rn
+    FROM bm
+  ) WHERE rn <= 50
+),
+sem AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY {_cos("embedding", "([-1.0,0.16666666666666666,-0.8333333333333334,0.3333333333333333,-0.6666666666666666,0.5,-0.5,0.6666666666666666,-0.3333333333333333,0.8333333333333334,-0.16666666666666666,1.0,0.0,-1.0,0.16666666666666666,-0.8333333333333334,0.3333333333333333,-0.6666666666666666,0.5,-0.5,0.6666666666666666,-0.3333333333333333,0.8333333333333334,-0.16666666666666666,1.0,0.0,-1.0,0.16666666666666666,-0.8333333333333334,0.3333333333333333,-0.6666666666666666,0.5,-0.5,0.6666666666666666,-0.3333333333333333,0.8333333333333334,-0.16666666666666666,1.0,0.0,-1.0,0.16666666666666666,-0.8333333333333334,0.3333333333333333,-0.6666666666666666,0.5,-0.5,0.6666666666666666,-0.3333333333333333,0.8333333333333334,-0.16666666666666666,1.0,0.0,-1.0,0.16666666666666666,-0.8333333333333334,0.3333333333333333,-0.6666666666666666,0.5,-0.5,0.6666666666666666,-0.3333333333333333,0.8333333333333334,-0.16666666666666666,1.0]::DOUBLE[])")} DESC, vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 50
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank,
+         round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + m.sem_rank), 0), 9) AS rrf
+  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""

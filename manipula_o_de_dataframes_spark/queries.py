@@ -3270,6 +3270,122 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the corpus's
+    labeled `lang` against `lang_id`'s marker-word prediction, plus
+    per-cell share of the true class — the measure-the-classifier
+    pattern every filtering heuristic needs before it gates a corpus
+    (the fixture's fr/zh docs are unpredictable by design, so the
+    matrix shows real misses, not a vanity diagonal).
+
+    One hash aggregate over (lang, pred) pairs after a map-only
+    prediction pass; the per-class share is a window over the tiny
+    matrix, not a second corpus scan.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    cells = (
+        d.select(F.col("lang"), lang_id("text").alias("idioma_pred"))
+        .groupBy("lang", "idioma_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "idioma_pred",
+        "n_docs",
+        (F.col("lang") == F.col("idioma_pred")).alias("acerto"),
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"),
+            9,
+        ).alias("share_of_true"),
+    )
+
+
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): the BM25 lexical top-50 and the embedding-cosine semantic
+    top-50 fused as score = Σ 1/(60 + rank) over the lists a doc
+    appears in, final top-20. The fusion consumes RANKS (integers),
+    so the two retrievers' incomparable score scales never meet — the
+    standard trick production hybrid search uses; 1/(60+r) is one
+    deterministic IEEE division per list and the two-term add order
+    is fixed (lexical + semantic), so the score hashes cross-engine
+    at 9 dp.
+
+    Scale shape: each arm is already a bounded top-k (BM25's one-row
+    stats broadcast; brute-force cosine here, IVF/LSH at 100 TB — the
+    swap `ivf_topk` proves), and the fusion itself is a full-outer
+    join of two 50-row frames — driver-free, broadcast-sized by
+    construction no matter the corpus.
+    """
+    k_rrf, k_list = 60, 50
+    # lexical arm: same scoring expression as q_bm25_search
+    k1, b = 1.2, 0.75
+    terms = ["spark", "table", "query"]
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("__toks"), F.size(toks).alias("__dl"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum(F.array_contains("__toks", term).cast("long")).alias(f"__df{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, term in enumerate(terms):
+        tf = F.size(F.filter("__toks", lambda x: x == F.lit(term))).cast("double")  # noqa: B023
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5) + 1
+        )
+        denom = tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        score = score + idf * tf * (k1 + 1) / denom
+    lex = (
+        scored.select("doc_id", F.round(score, 9).alias("__bm25"))
+        .orderBy(F.col("__bm25").desc(), "doc_id")
+        .limit(k_list)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("__bm25").desc(), "doc_id"))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+    )
+    # semantic arm: cosine against a fixed literal query vector (the
+    # first fixed centroid — a stand-in for an encoded query)
+    qvec = sim.fixed_centroids()[0][1]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    e = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        sim.cosine(F.col("embedding"), qlit).alias("__cs"),
+    )
+    sem = (
+        e.orderBy(F.col("__cs").desc(), "doc_id")
+        .limit(k_list)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("__cs").desc(), "doc_id"))
+            .cast("long")
+            .alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("sem_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -3279,6 +3395,8 @@ QUERIES = {
     # the hash), (3) newest green row is r1 (three rounds stale), (4)
     # newest green row is r2. The r3-green block sits last — freshest.
     # --- new in round 4 (no driver row yet) ---
+    "langid_confusion": q_langid_confusion,
+    "rrf_hybrid_search": q_rrf_hybrid_search,
     "pmi_collocations": q_pmi_collocations,
     "bloom_decontaminate": q_bloom_decontaminate,
     "cross_doc_block_dedup": q_cross_doc_block_dedup,

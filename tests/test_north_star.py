@@ -516,3 +516,43 @@ def test_bloom_never_misses_an_exact_hit(spark):
         assert r["exact_hits"] <= r["bloom_hits"] <= r["n_grams"], r
     # benchmark docs themselves are excluded from the probe
     assert all(r["doc_id"] % 97 != 0 for r in rows)
+
+
+def test_langid_confusion_partitions_the_corpus(spark):
+    """The confusion matrix is a partition of the corpus: cell counts
+    sum to the doc count, per-true-class shares sum to 1, and the
+    unpredictable languages (fr/zh have no marker words) never appear
+    on the diagonal."""
+    from manipula_o_de_dataframes_spark.queries import q_langid_confusion
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+    from .conftest import SF_SMOKE
+
+    rows = q_langid_confusion(spark, SF_SMOKE).collect()
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    shares: dict[str, float] = {}
+    for r in rows:
+        shares[r["lang"]] = shares.get(r["lang"], 0.0) + r["share_of_true"]
+        assert r["acerto"] == (r["lang"] == r["idioma_pred"])
+        if r["lang"] in ("fr", "zh"):
+            assert not r["acerto"]
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-6, (lang, s)
+
+
+def test_rrf_rewards_docs_in_both_lists(spark):
+    """RRF invariants: 20 rows, scores descending, a doc present in
+    BOTH arms outscores any doc at the same ranks in one arm, and every
+    reported score equals 1/(60+lex) + 1/(60+sem) for its own ranks."""
+    from manipula_o_de_dataframes_spark.queries import q_rrf_hybrid_search
+    from .conftest import SF_SMOKE
+
+    rows = q_rrf_hybrid_search(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        want = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60 + r["sem_rank"]) if r["sem_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - want) < 1e-9, r
