@@ -2369,3 +2369,50 @@ fused AS (
 SELECT doc_id, lex_rank, sem_rank, rrf
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
 """
+
+# BPE merge-induction mirror: three rounds of count -> argmax (ties to
+# the smallest gram) -> leftmost non-overlapping space-padded replace,
+# each round recounted over the previous round's merged corpus.
+ORACLES["bpe_merges"] = """
+WITH r0 AS (SELECT ' ' || text || ' ' AS t FROM documents WHERE text IS NOT NULL),
+c1 AS (
+  SELECT gram, COUNT(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS gram
+    FROM (SELECT str_split(trim(t), ' ') AS tk FROM r0)
+  ) GROUP BY gram
+),
+p1 AS (SELECT gram, n FROM c1 ORDER BY n DESC, gram LIMIT 1),
+r1 AS (
+  SELECT replace(t, ' ' || (SELECT gram FROM p1) || ' ',
+                 ' ' || replace((SELECT gram FROM p1), ' ', '+') || ' ') AS t
+  FROM r0
+),
+c2 AS (
+  SELECT gram, COUNT(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS gram
+    FROM (SELECT str_split(trim(t), ' ') AS tk FROM r1)
+  ) GROUP BY gram
+),
+p2 AS (SELECT gram, n FROM c2 ORDER BY n DESC, gram LIMIT 1),
+r2 AS (
+  SELECT replace(t, ' ' || (SELECT gram FROM p2) || ' ',
+                 ' ' || replace((SELECT gram FROM p2), ' ', '+') || ' ') AS t
+  FROM r1
+),
+c3 AS (
+  SELECT gram, COUNT(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS gram
+    FROM (SELECT str_split(trim(t), ' ') AS tk FROM r2)
+  ) GROUP BY gram
+),
+p3 AS (SELECT gram, n FROM c3 ORDER BY n DESC, gram LIMIT 1)
+SELECT CAST(1 AS INTEGER) AS round, (SELECT gram FROM p1) AS pair,
+       CAST((SELECT n FROM p1) AS BIGINT) AS freq
+UNION ALL
+SELECT CAST(2 AS INTEGER), (SELECT gram FROM p2), CAST((SELECT n FROM p2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS INTEGER), (SELECT gram FROM p3), CAST((SELECT n FROM p3) AS BIGINT)
+"""

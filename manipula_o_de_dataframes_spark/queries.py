@@ -3386,6 +3386,60 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge induction at word granularity: 3 rounds of
+    count-adjacent-pairs → pick the most frequent (ties to the
+    lexicographically smallest) → fuse every occurrence corpus-wide
+    ('w1 w2' → 'w1+w2') — the tokenizer-training loop (Sennrich et al.
+    2016) that real pipelines run over exactly this kind of corpus.
+    Output: the merge table (round, pair, freq), the artifact a
+    tokenizer ships.
+
+    Iterative like k-means: each round's winning pair is a ONE-ROW
+    driver collect (the model artifact), then the merge is a pure
+    map-side string replace and the next round recounts. Unlike
+    k-means the state is integers and strings, so the whole loop is
+    oracle-checkable. Both engines use leftmost non-overlapping
+    replace on space-padded text, so 'a b a b' fuses once per scan in
+    both. At 100 TB each round is one map-combinable count aggregate
+    plus one map pass; rounds beyond a handful would spool the merged
+    corpus instead of re-deriving the replace chain lazily.
+    """
+    n_rounds = 3
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    cur = d.select(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t"))
+    merges: list[tuple[int, str, int]] = []
+    for r in range(n_rounds):
+        tk = F.split(F.trim(F.col("t")), " ")
+        grams = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select(F.explode(grams).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "g")
+            .limit(1)
+            .collect()[0]
+        )
+        pair, freq = top["g"], int(top["n"])
+        merges.append((r + 1, pair, freq))
+        cur = cur.select(
+            F.replace(
+                F.col("t"),
+                F.lit(f" {pair} "),
+                F.lit(" " + pair.replace(" ", "+") + " "),
+            ).alias("t")
+        )
+    return spark.createDataFrame(merges, "round INT, pair STRING, freq BIGINT")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -3395,6 +3449,7 @@ QUERIES = {
     # the hash), (3) newest green row is r1 (three rounds stale), (4)
     # newest green row is r2. The r3-green block sits last — freshest.
     # --- new in round 4 (no driver row yet) ---
+    "bpe_merges": q_bpe_merges,
     "langid_confusion": q_langid_confusion,
     "rrf_hybrid_search": q_rrf_hybrid_search,
     "pmi_collocations": q_pmi_collocations,

@@ -556,3 +556,16 @@ def test_rrf_rewards_docs_in_both_lists(spark):
             1.0 / (60 + r["sem_rank"]) if r["sem_rank"] else 0.0
         )
         assert abs(r["rrf"] - want) < 1e-9, r
+
+
+def test_bpe_merges_fuse_most_frequent_pair_each_round(spark):
+    """Three known documents → a fully hand-checkable merge table:
+    round 1 fuses the globally dominant pair, later rounds operate on
+    the already-merged corpus (merged tokens join with '+')."""
+    from manipula_o_de_dataframes_spark.queries import q_bpe_merges
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    _write_docs(tmp, ["p q r", "p q s", "p q r"])
+    got = [(r["round"], r["pair"], r["freq"]) for r in q_bpe_merges(spark, tmp).collect()]
+    assert sorted(got) == [(1, "p q", 3), (2, "p+q r", 2), (3, "p+q s", 1)]
