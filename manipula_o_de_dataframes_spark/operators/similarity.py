@@ -379,3 +379,67 @@ def ivf_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"))
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+# --- product quantization (Jégou, Douze & Schmid 2011) --------------------
+
+
+def pq_codebook(
+    n_sub: int = 8, n_codes: int = 16, sub_dims: int = 8
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic literal PQ codebook shared by the ``pq_codes`` /
+    ``pq_topk`` queries and their DuckDB oracles (oracles.py renders its
+    VALUES list from this same function, so the constants cannot
+    drift — the ``fixed_centroids`` convention).
+
+    Rows are (subspace m, code c, sub_dims-dim centroid). Values
+    ((m·29 + c·31 + i·7) mod 23 − 11)/11 ∈ [−1, 1]; 31 is invertible
+    mod 23, so all 16 codes within a subspace have distinct centroids
+    (no degenerate argmin ties by construction — and if a tie ever did
+    occur, both engines break it to the lowest code).
+    """
+    return [
+        (m, c, [((m * 29 + c * 31 + i * 7) % 23 - 11) / 11.0 for i in range(sub_dims)])
+        for m in range(n_sub)
+        for c in range(n_codes)
+    ]
+
+
+def _sub_sqdist(vec, start: int, centroid: list[float]) -> Column:
+    """Rounded squared L2 distance between ``vec[start:start+len]`` and a
+    literal sub-centroid. Floats cast to double before arithmetic; the
+    fold runs in array order; 9 dp rounding absorbs fold-order ulps
+    (the ``cosine`` convention, which the oracle gate has validated)."""
+    sub = F.slice(vec, start + 1, len(centroid))
+    lit_arr = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(
+        sub,
+        lit_arr,
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.round(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x), 9)
+
+
+def pq_code(vec, m: int, codebook: list[tuple[int, int, list[float]]]) -> Column:
+    """The subspace-``m`` PQ code: argmin rounded squared-L2 over that
+    subspace's literal centroids, ties to the lowest code.
+
+    A pure map-side expression (zero shuffle, whole-stage codegen) — at
+    100 TB encoding is a single scan that compresses each vector to
+    n_sub small ints, the representation ADC search and storage use.
+    Implemented as a running ``least`` over (dist, code) structs —
+    lexicographic struct order makes min-dist win and the lower code
+    win ties, matching the oracle's ORDER BY dist, code.
+    """
+    rows = [(c, cv) for (mm_, c, cv) in codebook if mm_ == m]
+    sub_dims = len(rows[0][1])
+    best = F.least(
+        *[
+            F.struct(
+                _sub_sqdist(vec, m * sub_dims, cv).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cv in rows
+        ]
+    )
+    return best["c"].cast("int")

@@ -2416,3 +2416,154 @@ SELECT CAST(2 AS INTEGER), (SELECT gram FROM p2), CAST((SELECT n FROM p2) AS BIG
 UNION ALL
 SELECT CAST(3 AS INTEGER), (SELECT gram FROM p3), CAST((SELECT n FROM p3) AS BIGINT)
 """
+
+
+def _pq_codebook_values() -> str:
+    """Render operators.similarity.pq_codebook() as a DuckDB VALUES list
+    — the SAME Python constants the Spark queries inline (the
+    ``_centroid_values`` convention, so the two engines cannot drift)."""
+    from .operators.similarity import pq_codebook  # noqa: PLC0415
+
+    return ", ".join(
+        f"({m}, {c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for m, c, cv in pq_codebook()
+    )
+
+
+# PQ encode mirror: same literal codebook, per-(vec, subspace) rounded
+# squared-L2, argmin via ROW_NUMBER (dist, code) = Spark's least() over
+# (d, c) structs; integer-only pivot to code_0..code_7 columns.
+_PQ_SCORED_CTE = """
+scored AS (
+  SELECT e.vec_id, c.m, c.code,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d
+  FROM embeddings e CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, m, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+  FROM scored
+)
+"""
+
+ORACLES["pq_codes"] = f"""
+WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+{_PQ_SCORED_CTE}
+SELECT vec_id,
+  {", ".join(f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS INTEGER) AS code_{m}" for m in range(8))}
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+# PQ ADC mirror: the same argmin picks the winning code per subspace;
+# its query->centroid distance (also rounded to 9 dp) is the lookup,
+# summed in fixed subspace order 0..7 exactly like the Spark chain.
+ORACLES["pq_topk"] = f"""
+WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, c.m, c.code,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
+  FROM embeddings e CROSS JOIN cb c CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+best AS (
+  SELECT vec_id, m, qd,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+  FROM scored
+),
+adc AS (
+  SELECT vec_id,
+    {" + ".join(f"MAX(CASE WHEN m = {m} THEN qd END)" for m in range(8))} AS raw
+  FROM best WHERE rn = 1 GROUP BY vec_id
+),
+ex AS (
+  SELECT e.vec_id,
+    round(list_sum(list_transform(generate_series(1, 64),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))), 9) AS exact_dist
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+)
+SELECT a.vec_id, round(a.raw, 9) AS adc_dist, ex.exact_dist
+FROM adc a JOIN ex ON a.vec_id = ex.vec_id
+ORDER BY adc_dist, a.vec_id LIMIT 20
+"""
+
+# DSIR mirror: same seed-prefixed md5 bucket hash, integer bucket
+# counts, ONE rounded ln per bucket scaled to BIGINT — per-doc weights
+# are then exact integer dot products in both engines.
+ORACLES["dsir_weights"] = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         unnest(list_transform(generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS gram
+  FROM t WHERE len(tk) >= 2
+),
+b AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 256 AS bucket
+  FROM g
+),
+stats AS (SELECT bucket, SUM(is_t) AS tn, COUNT(*) AS rcnt FROM b GROUP BY bucket),
+tot AS (SELECT SUM(tn) AS tt, SUM(rcnt) AS rt FROM stats),
+w AS (
+  SELECT bucket,
+         CAST(round(ln(((tn + 1.0) / (tt + 256.0)) / ((rcnt + 1.0) / (rt + 256.0)))
+                    * 1000000.0, 0) AS BIGINT) AS w
+  FROM stats CROSS JOIN tot
+),
+per_doc AS (SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket),
+scored AS (
+  SELECT p.doc_id, SUM(p.n * w.w) AS dsir_w_scaled, SUM(p.n) AS n_grams
+  FROM per_doc p JOIN w ON p.bucket = w.bucket GROUP BY p.doc_id
+)
+SELECT s.doc_id, d.lang, CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(s.dsir_w_scaled AS BIGINT) AS dsir_w_scaled
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY dsir_w_scaled DESC, s.doc_id LIMIT 100
+"""
+
+# Bigram-LM mirror: the model table holds ONE rounded, 1e6-scaled ln per
+# gram; doc sums are exact integers; the mean is one BIGINT/BIGINT
+# division in double rounded to 6 dp — identical operation order.
+ORACLES["ngram_lm_score"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                       i -> tk[i] || ' ' || tk[i + 1])) AS gram
+  FROM t WHERE len(tk) >= 2
+),
+c2 AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY gram),
+c1 AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(tk) AS tok FROM t)),
+model AS (
+  SELECT c2.gram,
+         CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + CAST(v.v AS DOUBLE)))
+                    * 1000000.0, 0) AS BIGINT) AS lp
+  FROM c2 JOIN c1 ON string_split(c2.gram, ' ')[1] = c1.w1 CROSS JOIN v
+),
+scored AS (
+  SELECT g.doc_id, SUM(m.lp) AS lp_sum_scaled, COUNT(*) AS n_bigrams
+  FROM g JOIN model m ON g.gram = m.gram GROUP BY g.doc_id
+),
+final AS (
+  SELECT doc_id,
+         CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         CAST(lp_sum_scaled AS BIGINT) AS lp_sum_scaled,
+         round(CAST(lp_sum_scaled AS DOUBLE)
+               / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 6) AS avg_logp
+  FROM scored
+)
+SELECT doc_id, n_bigrams, lp_sum_scaled, avg_logp,
+       CASE WHEN avg_logp > -4.5 THEN 'low_ppl'
+            WHEN avg_logp < -7.5 THEN 'high_ppl'
+            ELSE 'mid' END AS ppl_band
+FROM final
+"""

@@ -3440,6 +3440,248 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, "round INT, pair STRING, freq BIGINT")
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid, TPAMI
+    2011): split each 64-d embedding into 8 subspaces of 8 dims, assign
+    each slice to the nearest of 16 literal sub-centroids — the vector
+    compresses to 8 small ints (here 8 bytes vs 256, the 32× memory
+    ratio real ANN serving runs on).
+
+    Zero shuffle: every code is a map-side argmin expression over
+    literal centroids (``operators/similarity.pq_code``), so at 100 TB
+    encoding fuses into the parquet scan and writes codes alongside the
+    data. The codebook is a driver-side model artifact (k-means per
+    subspace in real life) inlined as literals — same serving pattern as
+    ``kmeans_assign``. Output is integer-only, so the value-hash gate
+    covers the whole argmin path bit-exactly.
+    """
+    cb = sim.pq_codebook()
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.select(
+        "vec_id",
+        *[
+            sim.pq_code(F.col("embedding"), m, cb).alias(f"code_{m}")
+            for m in range(8)
+        ],
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: approximate each database
+    vector by its sub-centroids and score it against the UNquantized
+    query (vec_id 0) as the sum of per-subspace query→centroid squared
+    distances; report the exact distance beside the ADC estimate — the
+    quantization-error audit, same pattern as ``lsh_recall``.
+
+    The scale shape ADC exists for: per query, the 8×16 distance table
+    is computed once (here in-plan against the broadcast query row; on a
+    cluster it is a literal lookup table), after which each of the N
+    database vectors costs 8 table lookups + 7 adds — no 64-d float math
+    on the scan side, which is why PQ serves billion-vector indexes.
+    Each per-subspace term is rounded to 9 dp and the 8 terms sum in
+    fixed subspace order, so the float path is engine-reproducible.
+    """
+    cb = sim.pq_codebook()
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def adc_term(m: int):
+        # least() over (data_dist, code, query_dist) structs: the
+        # (d, c) prefix is the pq_code argmin order (codes distinct ⇒
+        # qd never drives the comparison); the winner's qd field IS the
+        # ADC lookup for this subspace.
+        rows = [(c, cv) for (mm_, c, cv) in cb if mm_ == m]
+        best = F.least(
+            *[
+                F.struct(
+                    sim._sub_sqdist(F.col("embedding"), m * 8, cv).alias("d"),
+                    F.lit(c).alias("c"),
+                    sim._sub_sqdist(F.col("__qv"), m * 8, cv).alias("qd"),
+                )
+                for c, cv in rows
+            ]
+        )
+        return best["qd"]
+
+    adc = adc_term(0)
+    for m in range(1, 8):
+        adc = adc + adc_term(m)
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("__qv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        scored.select(
+            "vec_id",
+            F.round(adc, 9).alias("adc_dist"),
+            F.round(exact, 9).alias("exact_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(20)
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw document by how target-like its hashed
+    n-gram distribution is, then keep the top of the ranking — the
+    published recipe for carving a domain-matched training subset out
+    of a web-scale crawl. Target = the ``lang='en'`` slice; features =
+    bigrams hashed into 256 buckets (seed-prefixed md5, the MinHash/CMS
+    convention); bucket log-ratios use add-one smoothing.
+
+    Float policy: each bucket's ln((t+1)/(T+B) ÷ (r+1)/(R+B)) is scaled
+    by 1e6 and rounded to a BIGINT once, so per-document weights are
+    exact integer dot products — order-independent, partitioning-
+    independent, bit-identical in DuckDB. At 100 TB: the bucket-stats
+    table is 256 rows (broadcast), per-doc scoring shuffles only
+    (doc_id, bucket, count) triples with map-side combine — text never
+    crosses the wire, and the weight table is reusable across snapshots.
+    """
+    n_buckets = 256
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("__is_t"),
+        F.explode(bigrams).alias("gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    b = g.select("doc_id", "__is_t", bucket.alias("bucket"))
+    stats = b.groupBy("bucket").agg(
+        F.sum("__is_t").alias("__t"), F.count(F.lit(1)).alias("__r")
+    )
+    tot = stats.agg(F.sum("__t").alias("__tt"), F.sum("__r").alias("__rt"))
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("__t") + 1.0) / (F.col("__tt") + float(n_buckets)))
+                / ((F.col("__r") + 1.0) / (F.col("__rt") + float(n_buckets)))
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("__w"),
+    )
+    per_doc = (
+        b.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("__n") * F.col("__w")).alias("dsir_w_scaled"),
+            F.sum("__n").alias("n_grams"),
+        )
+    )
+    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .select("doc_id", "lang", "n_grams", "dsir_w_scaled")
+        .orderBy(F.col("dsir_w_scaled").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train an
+    add-one-smoothed bigram language model on the corpus itself, score
+    every document by mean log-probability, and band the result —
+    low-perplexity ⇒ repetitive/boilerplate, high-perplexity ⇒ garbage,
+    the middle is what survives into training mixes.
+
+    Float policy: each bigram's ln((c₂+1)/(c₁+V)) is scaled by 1e6 and
+    rounded to BIGINT once in the model table, so per-document sums are
+    exact integer arithmetic; the mean divides two exact integers in
+    double (identical in DuckDB) and rounds to 6 dp. At 100 TB the model
+    table is |vocab²-observed| rows keyed by gram — the score join is a
+    gram-equality shuffle with map-side-combined doc partials, and the
+    model is a reusable artifact exactly like the DSIR weight table.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(bigrams).alias("gram"))
+    c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = c2.groupBy(F.split(F.col("gram"), " ").getItem(0).alias("__w1")).agg(
+        F.sum("__c2").alias("__c1")
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").alias("__v"))
+    )
+    model = (
+        c2.withColumn("__w1", F.split(F.col("gram"), " ").getItem(0))
+        .join(c1, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.round(
+                F.log(
+                    (F.col("__c2") + 1.0)
+                    / (F.col("__c1") + F.col("__v").cast("double"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("__lp"),
+        )
+    )
+    scored = (
+        g.join(model, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__lp").alias("lp_sum_scaled"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    avg_lp = F.round(
+        F.col("lp_sum_scaled").cast("double")
+        / (F.col("n_bigrams").cast("double") * 1e6),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "lp_sum_scaled",
+        avg_lp.alias("avg_logp"),
+        F.when(avg_lp > -4.5, F.lit("low_ppl"))
+        .when(avg_lp < -7.5, F.lit("high_ppl"))
+        .otherwise(F.lit("mid"))
+        .alias("ppl_band"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -3449,6 +3691,10 @@ QUERIES = {
     # the hash), (3) newest green row is r1 (three rounds stale), (4)
     # newest green row is r2. The r3-green block sits last — freshest.
     # --- new in round 4 (no driver row yet) ---
+    "pq_codes": q_pq_codes,
+    "pq_topk": q_pq_topk,
+    "dsir_weights": q_dsir_weights,
+    "ngram_lm_score": q_ngram_lm_score,
     "bpe_merges": q_bpe_merges,
     "langid_confusion": q_langid_confusion,
     "rrf_hybrid_search": q_rrf_hybrid_search,

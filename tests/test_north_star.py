@@ -569,3 +569,70 @@ def test_bpe_merges_fuse_most_frequent_pair_each_round(spark):
     _write_docs(tmp, ["p q r", "p q s", "p q r"])
     got = [(r["round"], r["pair"], r["freq"]) for r in q_bpe_merges(spark, tmp).collect()]
     assert sorted(got) == [(1, "p q", 3), (2, "p+q r", 2), (3, "p+q s", 1)]
+
+
+def test_pq_code_picks_exact_centroid_match(spark):
+    # A vector assembled FROM codebook centroids must encode to exactly
+    # those codes: each subspace's distance to its own centroid is 0.
+    cb = sim.pq_codebook()
+    want = [3, 0, 7, 15, 1, 9, 12, 5]
+    vec = []
+    for m, c in enumerate(want):
+        vec.extend(next(cv for mm_, cc, cv in cb if mm_ == m and cc == c))
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = df.select(
+        *[sim.pq_code(F.col("embedding"), m, cb).alias(f"c{m}") for m in range(8)]
+    ).collect()[0]
+    assert [row[f"c{m}"] for m in range(8)] == want
+
+
+def test_pq_adc_is_exact_for_centroid_vectors(spark, tmp_path):
+    # ADC approximates dist(query, x) by dist(query, centroid(x)); when
+    # x IS its centroid in every subspace the approximation is exact.
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    cb = sim.pq_codebook()
+    qvec = [0.25] * 64
+    xvec = []
+    for m in range(8):
+        xvec.extend(next(cv for mm_, cc, cv in cb if mm_ == m and cc == 2))
+    df = spark.createDataFrame(
+        [(0, qvec), (1, xvec)], "vec_id long, embedding array<float>"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["pq_topk"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert abs(out[0]["adc_dist"] - out[0]["exact_dist"]) < 1e-6
+
+
+def test_dsir_ranks_target_lookalikes_first(spark, tmp_path):
+    # Docs sharing the target slice's bigrams must outscore docs made of
+    # bigrams the target never uses (Xie et al.'s core monotonicity).
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    target = [(i, "the quick brown fox jumps", "en", "a", 25) for i in range(10)]
+    like = [(100, "the quick brown fox", "de", "b", 19)]
+    unlike = [(101, "zzz qqq www vvv kkk", "de", "b", 19)]
+    spark.createDataFrame(
+        target + like + unlike,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r["dsir_w_scaled"] for r in QUERIES["dsir_weights"](
+        spark, str(tmp_path)).collect()}
+    assert rows[100] > rows[101]
+
+
+def test_ngram_lm_scores_repetition_as_low_perplexity(spark, tmp_path):
+    # A doc of one repeated bigram is maximally predictable under the
+    # corpus LM; a doc of unique bigrams scores strictly lower.
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    docs = [(1, "go go go go go go go go go go", "en", "a", 29),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "a", 35)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in QUERIES["ngram_lm_score"](
+        spark, str(tmp_path)).collect()}
+    assert rows[1]["avg_logp"] > rows[2]["avg_logp"]
+    assert rows[1]["ppl_band"] == "low_ppl"
