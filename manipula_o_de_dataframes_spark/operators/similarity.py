@@ -443,3 +443,38 @@ def pq_code(vec, m: int, codebook: list[tuple[int, int, list[float]]]) -> Column
         ]
     )
     return best["c"].cast("int")
+
+
+def pq_adc(data_vec, query_vec, codebook: list[tuple[int, int, list[float]]]) -> Column:
+    """Asymmetric-distance (ADC) estimate of ‖query − data‖²: per
+    subspace, the code the DATA vector quantizes to is looked up against
+    the QUERY's distance to that code's centroid; the per-subspace terms
+    (each rounded to 9 dp) sum in fixed subspace order.
+
+    Implemented as ``least`` over (data_dist, code, query_dist) structs:
+    the (d, c) prefix is exactly the ``pq_code`` argmin order (codes are
+    distinct, so qd never drives the comparison) and the winner's qd
+    field IS the table lookup — one expression, zero shuffle, matching
+    the oracle's ROW_NUMBER (d, code) tie-break.
+    """
+    n_sub = max(m for m, _, _ in codebook) + 1
+    sub_dims = len(codebook[0][2])
+
+    def term(m: int):
+        rows = [(c, cv) for (mm_, c, cv) in codebook if mm_ == m]
+        best = F.least(
+            *[
+                F.struct(
+                    _sub_sqdist(data_vec, m * sub_dims, cv).alias("d"),
+                    F.lit(c).alias("c"),
+                    _sub_sqdist(query_vec, m * sub_dims, cv).alias("qd"),
+                )
+                for c, cv in rows
+            ]
+        )
+        return best["qd"]
+
+    adc = term(0)
+    for m in range(1, n_sub):
+        adc = adc + term(m)
+    return adc

@@ -2567,3 +2567,106 @@ SELECT doc_id, n_bigrams, lp_sum_scaled, avg_logp,
             ELSE 'mid' END AS ppl_band
 FROM final
 """
+
+
+# IVF+PQ mirror: cell assignment via the kmeans_assign argmax-cosine
+# CTE, candidate prune to the query's cell, then the pq_topk ADC chain
+# over candidates only — fixed subspace-order sum of rounded terms.
+ORACLES["ivf_pq_topk"] = f"""
+WITH cents(cid, ccv) AS (VALUES {_centroid_values()}),
+cellbest AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos("e.embedding", "c.ccv")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+q AS (
+  SELECT e.embedding AS qv, cl.cell AS qc
+  FROM embeddings e JOIN cellbest cl ON e.vec_id = cl.vec_id
+  WHERE e.vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.embedding, cl.cell
+  FROM embeddings e JOIN cellbest cl ON e.vec_id = cl.vec_id CROSS JOIN q
+  WHERE cl.cell = q.qc AND e.vec_id <> 0
+),
+scored AS (
+  SELECT d.vec_id, d.cell, c.m, c.code,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(d.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(d.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS dd,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
+  FROM cand d CROSS JOIN cb c CROSS JOIN q
+),
+best AS (
+  SELECT vec_id, cell, m, qd,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dd, code) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+  round({" + ".join(f"MAX(CASE WHEN m = {m} THEN qd END)" for m in range(8))}, 9) AS adc_dist
+FROM best WHERE rn = 1
+GROUP BY vec_id, cell
+ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+# Adaptive-gate mirror: identical 9dp quality expression (text_stats),
+# exact lower median pinned to the (quality, doc_id) total order.
+ORACLES["adaptive_quality_gate"] = f"""
+WITH s AS (
+  SELECT doc_id, source,
+    round(least(
+        least((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(str_split(text, ' ')) AS DOUBLE) / 8.0, 1.0) * 0.4
+        + CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS DOUBLE)
+          / CAST(len(str_split(text, ' ')) AS DOUBLE) * 2.0 * 0.3
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
+      1.0), 9) AS quality
+  FROM documents
+),
+r AS (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s
+),
+med AS (SELECT source, quality AS src_median FROM r WHERE rn = (n + 1) // 2)
+SELECT s.doc_id, s.source, s.quality, m.src_median,
+       s.quality >= m.src_median AS passes
+FROM s JOIN med m ON s.source = m.source
+"""
+
+# Logistic-quality mirror: same 9dp features, same fixed-order w·x,
+# sigmoid via exp() rounded to 9 dp (the BM25 ln() convention).
+ORACLES["quality_logistic"] = f"""
+WITH f AS (
+  SELECT doc_id,
+    round(least(
+        least((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(str_split(text, ' ')) AS DOUBLE) / 8.0, 1.0) * 0.4
+        + CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS DOUBLE)
+          / CAST(len(str_split(text, ' ')) AS DOUBLE) * 2.0 * 0.3
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
+      1.0), 9) AS q,
+    round((CAST(len(str_split(text, ' ')) AS DOUBLE)
+           - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS dup,
+    round((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS mlen,
+    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_tok
+  FROM documents
+),
+z AS (
+  SELECT doc_id,
+         -2.0 + 6.0 * q + -3.0 * dup + 0.25 * mlen + 0.002 * n_tok AS z
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 9) AS quality_p,
+       round(1.0 / (1.0 + exp(-z)), 9) >= 0.5 AS passes
+FROM z
+"""

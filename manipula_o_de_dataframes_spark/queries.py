@@ -3485,28 +3485,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
     scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-
-    def adc_term(m: int):
-        # least() over (data_dist, code, query_dist) structs: the
-        # (d, c) prefix is the pq_code argmin order (codes distinct ⇒
-        # qd never drives the comparison); the winner's qd field IS the
-        # ADC lookup for this subspace.
-        rows = [(c, cv) for (mm_, c, cv) in cb if mm_ == m]
-        best = F.least(
-            *[
-                F.struct(
-                    sim._sub_sqdist(F.col("embedding"), m * 8, cv).alias("d"),
-                    F.lit(c).alias("c"),
-                    sim._sub_sqdist(F.col("__qv"), m * 8, cv).alias("qd"),
-                )
-                for c, cv in rows
-            ]
-        )
-        return best["qd"]
-
-    adc = adc_term(0)
-    for m in range(1, 8):
-        adc = adc + adc_term(m)
+    adc = sim.pq_adc(F.col("embedding"), F.col("__qv"), cb)
     exact = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -3682,6 +3661,113 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ: the composed billion-vector serving plan (FAISS's
+    IVFADC, Jégou et al. 2011) — coarse-quantize every vector to an IVF
+    cell, search ONLY the query's cell, score candidates by PQ
+    asymmetric distance. Touches ~1/k of the corpus and does no 64-d
+    float math on the scan side: cells prune partitions (the
+    ``ivf_cells`` layout writes cell as a partition column, pruning
+    proved in tests/test_optimizer.py) and ADC is 8 lookups + 7 adds
+    per candidate.
+
+    Both quantizers are literal model artifacts (``fixed_centroids``,
+    ``pq_codebook``) shared with the DuckDB oracle, so the full
+    cell-assignment → candidate-prune → ADC-rank path is value-hash
+    checked end-to-end.
+    """
+    cb = sim.pq_codebook()
+    cents = sim.fixed_centroids()
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = e.select(
+        "vec_id", "embedding", sim.ivf_cell(F.col("embedding"), cents).alias("cell")
+    )
+    q = cells.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv"), F.col("cell").alias("__qc")
+    )
+    cand = cells.crossJoin(F.broadcast(q)).filter(
+        (F.col("cell") == F.col("__qc")) & (F.col("vec_id") != 0)
+    )
+    adc = sim.pq_adc(F.col("embedding"), F.col("__qv"), cb)
+    return (
+        cand.select("vec_id", "cell", F.round(adc, 9).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def q_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality gating: instead of one global quality
+    cutoff (which a clean source saturates and a noisy source flunks
+    wholesale), each document competes against its OWN source's median —
+    the per-domain percentile filtering used when curating heterogeneous
+    crawls. Median = the exact lower median of the 9 dp-rounded score,
+    pinned to a total order (score, doc_id) so both engines select the
+    identical row.
+
+    Scale: one shuffle on source for the rank window; the median table
+    is |sources| rows — broadcast back, so the gate itself is map-side.
+    At 100 TB the same two-pass shape holds (rank via count + offset,
+    the scaled-cumsum pattern) and no text ever shuffles — only
+    (doc_id, source, score) triples.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    s = d.select(
+        "doc_id", "source", F.round(quality_score("text"), 9).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = s.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    med = ranked.filter(
+        F.col("__rn") == F.floor((F.col("__n") + 1) / 2)
+    ).select("source", F.col("quality").alias("src_median"))
+    return (
+        s.join(F.broadcast(med), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "src_median",
+            (F.col("quality") >= F.col("src_median")).alias("passes"),
+        )
+    )
+
+
+def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic classifier over the
+    engine's text features with FIXED literal weights — the serving
+    shape of the fasttext/CCNet-style learned quality filters every
+    production corpus runs (the weights are a driver-side model
+    artifact, exactly like PQ codebooks and k-means centroids).
+
+    Zero shuffle: features, dot product, and sigmoid are one map-side
+    codegen expression fused into the scan. Features are integer-derived
+    and 9 dp-rounded before the fixed-order dot product; the sigmoid
+    output rounds to 9 dp (the ln()/exp() cross-engine convention the
+    gate has validated since BM25).
+    """
+    d = _docs_parallel(spark, sf_dir)
+    q = F.round(quality_score("text"), 9)
+    dup = F.round(dup_token_ratio("text"), 9)
+    mlen = F.round(mean_token_len("text"), 9)
+    n_tok = token_count("text").cast("double")
+    # w·x in fixed order: bias + quality + repetition + mean-len + length
+    z = (
+        F.lit(-2.0)
+        + F.lit(6.0) * q
+        + F.lit(-3.0) * dup
+        + F.lit(0.25) * mlen
+        + F.lit(0.002) * n_tok
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return d.select(
+        "doc_id",
+        p.alias("quality_p"),
+        (p >= 0.5).alias("passes"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -3693,6 +3779,9 @@ QUERIES = {
     # --- new in round 4 (no driver row yet) ---
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
+    "ivf_pq_topk": q_ivf_pq_topk,
+    "adaptive_quality_gate": q_adaptive_quality_gate,
+    "quality_logistic": q_quality_logistic,
     "dsir_weights": q_dsir_weights,
     "ngram_lm_score": q_ngram_lm_score,
     "bpe_merges": q_bpe_merges,

@@ -636,3 +636,62 @@ def test_ngram_lm_scores_repetition_as_low_perplexity(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert rows[1]["avg_logp"] > rows[2]["avg_logp"]
     assert rows[1]["ppl_band"] == "low_ppl"
+
+
+def test_ivf_pq_search_stays_in_query_cell(spark, tmp_path):
+    # Every returned candidate must carry the query's cell — the prune
+    # that makes IVF touch ~1/k of the corpus.
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["ivf_pq_topk"](spark, str(tmp_path)).collect()
+    assert out, "query cell must contain at least one other vector"
+    cells = {r["cell"] for r in out}
+    assert len(cells) == 1
+    qcell = (
+        e.filter(F.col("vec_id") == 0)
+        .select(sim.ivf_cell(F.col("embedding"), sim.fixed_centroids()).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert cells == {qcell}
+
+
+def test_adaptive_gate_median_is_per_source(spark, tmp_path):
+    # A mediocre doc passes in a weak source and the same text fails in
+    # a strong one — the whole point of per-source thresholds.
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    strong = "the quick brown fox jumps over the lazy dog and runs on in the sun"
+    weak = "zz qq"
+    mid = "the cat sat"
+    docs = (
+        [(i, strong, "en", "strong", len(strong)) for i in range(3)]
+        + [(10, mid, "en", "strong", len(mid))]
+        + [(20 + i, weak, "en", "weak", len(weak)) for i in range(3)]
+        + [(30, mid, "en", "weak", len(mid))]
+    )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in QUERIES["adaptive_quality_gate"](
+        spark, str(tmp_path)).collect()}
+    assert not rows[10]["passes"]   # mid text < strong-source median
+    assert rows[30]["passes"]       # same text >= weak-source median
+    assert rows[10]["quality"] == rows[30]["quality"]
+
+
+def test_quality_logistic_is_monotone_in_quality(spark, tmp_path):
+    # Clean prose must outscore token soup under the fixed weights.
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    good = "the quick brown fox jumps over the lazy dog and runs on in the sun"
+    bad = "zz zz zz zz zz zz zz zz"
+    spark.createDataFrame(
+        [(1, good, "en", "a", len(good)), (2, bad, "en", "a", len(bad))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in QUERIES["quality_logistic"](
+        spark, str(tmp_path)).collect()}
+    assert rows[1]["quality_p"] > rows[2]["quality_p"]
+    assert rows[1]["passes"] and not rows[2]["passes"]
