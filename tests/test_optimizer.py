@@ -398,3 +398,39 @@ def test_pmi_and_bloom_plan_shapes(spark):
         assert got <= want, f"{name}: {got} exchanges (want <= {want})\n{plan}"
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_pq_and_quality_queries_plan_shapes(spark):
+    """Shuffle discipline for the PQ/quality additions. pq_codes and
+    quality_logistic are pure map expressions over one scan — ANY
+    Exchange is a regression (at 100 TB they must fuse into the read).
+    pq_topk / ivf_pq_topk: broadcast the 1-row query, score map-side,
+    TakeOrderedAndProject — no hash shuffle at all. dsir_weights: bucket
+    stats + per-doc rollup = bounded hash exchanges, and text must never
+    be a shuffle column (only doc_id/bucket/count triples move)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # (_docs_parallel's RoundRobin repartition — the deliberate
+    # small-file parallelize for local testdata — is not a shuffle
+    # defect; the bar is zero HASH exchanges, i.e. no keyed shuffle.)
+    for name in ("pq_codes", "quality_logistic"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "Exchange hashpartitioning" not in plan, f"{name} shuffles:\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    for name in ("pq_topk", "ivf_pq_topk"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "Exchange hashpartitioning" not in plan, f"{name}:\n{plan}"
+        assert "BroadcastExchange" in plan, f"{name} lost the query broadcast:\n{plan}"
+        assert "TakeOrderedAndProject" in plan, f"{name} lost top-k pushdown:\n{plan}"
+
+    plan = _plan(QUERIES["dsir_weights"](spark, SF_SMOKE))
+    got = plan.count("Exchange hashpartitioning")
+    # bucket stats agg + per-(doc,bucket) agg + per-doc agg + lang join
+    assert got <= 5, f"dsir_weights: {got} exchanges\n{plan}"
+
+    plan = _plan(QUERIES["adaptive_quality_gate"](spark, SF_SMOKE))
+    got = plan.count("Exchange hashpartitioning")
+    # one source-window rank pass; the median joins back via broadcast
+    assert got <= 2, f"adaptive_quality_gate: {got} exchanges\n{plan}"
+    assert "BroadcastExchange" in plan, plan
