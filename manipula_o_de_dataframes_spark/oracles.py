@@ -2670,3 +2670,54 @@ SELECT doc_id,
        round(1.0 / (1.0 + exp(-z)), 9) >= 0.5 AS passes
 FROM z
 """
+
+
+# Drift mirror: naive-epoch-aligned 7-day windows (Spark F.window on
+# TIMESTAMP_NTZ), add-one smoothed KL + L1 per type rounded/1e6-scaled
+# to BIGINT before the per-week sum (exact integer, order-free).
+ORACLES["drift_weekly_kl"] = """
+WITH counts AS (
+  SELECT TIMESTAMP '1970-01-01'
+           + CAST(FLOOR(date_diff('second', TIMESTAMP '1970-01-01', ts) / 604800)
+                  AS BIGINT) * INTERVAL 7 DAY AS wk,
+         event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+weeks AS (SELECT DISTINCT wk FROM counts),
+types AS (SELECT DISTINCT event_type FROM counts),
+tcount AS (SELECT COUNT(*) AS t FROM types),
+grid AS (
+  SELECT w.wk, ty.event_type, COALESCE(c.c, 0) AS c
+  FROM weeks w CROSS JOIN types ty
+  LEFT JOIN counts c ON c.wk = w.wk AND c.event_type = ty.event_type
+),
+withn AS (
+  SELECT g.*, SUM(c) OVER (PARTITION BY wk) AS n, t.t
+  FROM grid g CROSS JOIN tcount t
+),
+joined AS (
+  SELECT cur.wk, cur.event_type,
+         cur.c AS cw, cur.n AS nw, cur.t,
+         prev.c AS cp, prev.n AS np
+  FROM withn cur
+  JOIN withn prev ON prev.wk + INTERVAL 7 DAY = cur.wk
+                 AND prev.event_type = cur.event_type
+),
+terms AS (
+  SELECT wk, nw,
+    CAST(round(((cw + 1.0) / (nw + CAST(t AS DOUBLE)))
+               * ln(((cw + 1.0) / (nw + CAST(t AS DOUBLE)))
+                    / ((cp + 1.0) / (np + CAST(t AS DOUBLE)))) * 1000000.0, 0)
+         AS BIGINT) AS kl_term,
+    CAST(round(abs(CAST(cw AS DOUBLE) / CAST(nw AS DOUBLE)
+                   - CAST(cp AS DOUBLE) / CAST(np AS DOUBLE)) * 1000000.0, 0)
+         AS BIGINT) AS l1_term
+  FROM joined
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+       CAST(MAX(nw) AS BIGINT) AS n_events,
+       CAST(SUM(kl_term) AS BIGINT) AS kl_scaled,
+       CAST(SUM(l1_term) AS BIGINT) AS l1_scaled,
+       SUM(kl_term) > 1000 AS drifted
+FROM terms GROUP BY wk
+"""

@@ -3768,6 +3768,80 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_weekly_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per 7-day window, the KL divergence
+    (add-one smoothed) and L1 distance of the event-type distribution
+    against the PREVIOUS week — the governance check a training-data
+    pipeline runs on every ingest snapshot so a silently shifted
+    upstream (a source changes schema, a bot floods one event type)
+    trips an alert before the data reaches a mix.
+
+    Float policy: each type's KL/L1 contribution is rounded and
+    1e6-scaled to BIGINT once, so the per-week sums are exact integers —
+    order- and partition-independent. Scale: the only heavy stage is the
+    map-side-combined (week, type) count; distributions are |weeks×types|
+    rows, the type census is a broadcast one-rower, and the
+    previous-week comparison is a tiny self-join on week_start − 7 days.
+    """
+    e = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    win = F.window("ts", "7 days")
+    counts = (
+        e.groupBy(win["start"].alias("__wk"), "event_type")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    weeks = counts.select("__wk").distinct()
+    types = counts.select("event_type").distinct()
+    n_types = types.agg(F.count(F.lit(1)).alias("__t"))
+    grid = (
+        weeks.crossJoin(F.broadcast(types))
+        .join(counts, ["__wk", "event_type"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    withn = grid.withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy("__wk"))
+    ).crossJoin(F.broadcast(n_types))
+    cur = withn.select(
+        F.col("__wk"),
+        "event_type",
+        F.col("__c").alias("__cw"),
+        F.col("__n").alias("__nw"),
+        F.col("__t"),
+    )
+    prev = withn.select(
+        (F.col("__wk") + F.expr("INTERVAL 7 DAYS")).alias("__wk"),
+        "event_type",
+        F.col("__c").alias("__cp"),
+        F.col("__n").alias("__np"),
+    )
+    p = (F.col("__cw") + 1.0) / (F.col("__nw") + F.col("__t").cast("double"))
+    q = (F.col("__cp") + 1.0) / (F.col("__np") + F.col("__t").cast("double"))
+    kl_term = F.round(p * F.log(p / q) * 1e6, 0).cast("long")
+    l1_term = F.round(
+        F.abs(
+            F.col("__cw").cast("double") / F.col("__nw").cast("double")
+            - F.col("__cp").cast("double") / F.col("__np").cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    return (
+        cur.join(prev, ["__wk", "event_type"])
+        .groupBy("__wk")
+        .agg(
+            F.max("__nw").cast("long").alias("n_events"),
+            F.sum(kl_term).alias("kl_scaled"),
+            F.sum(l1_term).alias("l1_scaled"),
+        )
+        .select(
+            F.date_format("__wk", "yyyy-MM-dd").alias("week_start"),
+            "n_events",
+            "kl_scaled",
+            "l1_scaled",
+            (F.col("kl_scaled") > 1000).alias("drifted"),
+        )
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -3780,6 +3854,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "drift_weekly_kl": q_drift_weekly_kl,
     "adaptive_quality_gate": q_adaptive_quality_gate,
     "quality_logistic": q_quality_logistic,
     "dsir_weights": q_dsir_weights,

@@ -695,3 +695,39 @@ def test_quality_logistic_is_monotone_in_quality(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert rows[1]["quality_p"] > rows[2]["quality_p"]
     assert rows[1]["passes"] and not rows[2]["passes"]
+
+
+def test_drift_kl_zero_for_identical_weeks_positive_for_shift(spark, tmp_path):
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # Week boundaries are naive-epoch-aligned (1970-01-01 is mod-7 day
+    # zero); 2024-01-04 starts such a window. Week A and B have the
+    # identical type mix; week C flips it hard.
+    base = dt.datetime(2024, 1, 4)
+    rows = []
+    eid = 0
+
+    def week(start, mix):
+        nonlocal eid
+        for typ, n in mix.items():
+            for i in range(n):
+                rows.append((eid, start + dt.timedelta(hours=i), eid, typ, 1.0, "{}"))
+                eid += 1
+
+    week(base, {"click": 30, "error": 3})
+    week(base + dt.timedelta(days=7), {"click": 30, "error": 3})
+    week(base + dt.timedelta(days=14), {"click": 3, "error": 30})
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["week_start"]: r for r in QUERIES["drift_weekly_kl"](
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 2  # first week has no predecessor
+    stable, shifted = out["2024-01-11"], out["2024-01-18"]
+    assert stable["kl_scaled"] == 0 and not stable["drifted"]
+    assert shifted["kl_scaled"] > 100000 and shifted["drifted"]
+    assert shifted["l1_scaled"] > stable["l1_scaled"]
