@@ -2721,3 +2721,83 @@ SELECT strftime(wk, '%Y-%m-%d') AS week_start,
        SUM(kl_term) > 1000 AS drifted
 FROM terms GROUP BY wk
 """
+
+
+# BPE-apply mirror: the identical 3-round train chain (corpus-wide pair
+# counts, space-padded leftmost non-overlapping replace), carried with
+# doc_id so the per-doc before/after token counts come out.
+ORACLES["bpe_apply"] = """
+WITH r0 AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents WHERE text IS NOT NULL),
+c1 AS (
+  SELECT gram, COUNT(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS gram
+    FROM (SELECT str_split(trim(t), ' ') AS tk FROM r0)
+  ) GROUP BY gram
+),
+p1 AS (SELECT gram, n FROM c1 ORDER BY n DESC, gram LIMIT 1),
+r1 AS (
+  SELECT doc_id, replace(t, ' ' || (SELECT gram FROM p1) || ' ',
+                 ' ' || replace((SELECT gram FROM p1), ' ', '+') || ' ') AS t
+  FROM r0
+),
+c2 AS (
+  SELECT gram, COUNT(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS gram
+    FROM (SELECT str_split(trim(t), ' ') AS tk FROM r1)
+  ) GROUP BY gram
+),
+p2 AS (SELECT gram, n FROM c2 ORDER BY n DESC, gram LIMIT 1),
+r2 AS (
+  SELECT doc_id, replace(t, ' ' || (SELECT gram FROM p2) || ' ',
+                 ' ' || replace((SELECT gram FROM p2), ' ', '+') || ' ') AS t
+  FROM r1
+),
+c3 AS (
+  SELECT gram, COUNT(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS gram
+    FROM (SELECT str_split(trim(t), ' ') AS tk FROM r2)
+  ) GROUP BY gram
+),
+p3 AS (SELECT gram, n FROM c3 ORDER BY n DESC, gram LIMIT 1),
+r3 AS (
+  SELECT doc_id, replace(t, ' ' || (SELECT gram FROM p3) || ' ',
+                 ' ' || replace((SELECT gram FROM p3), ' ', '+') || ' ') AS t
+  FROM r2
+)
+SELECT d.doc_id,
+       CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tok_before,
+       CAST(len(str_split(trim(r3.t), ' ')) AS BIGINT) AS n_tok_after,
+       CAST(len(str_split(d.text, ' ')) - len(str_split(trim(r3.t), ' '))
+            AS BIGINT) AS n_merged
+FROM documents d JOIN r3 ON d.doc_id = r3.doc_id
+WHERE d.text IS NOT NULL
+"""
+
+# Skew-profile mirror: integer counts, per-key entropy/share terms
+# rounded and 1e6-scaled BEFORE summing (exact integer totals).
+ORACLES["join_skew_profile"] = """
+WITH counts AS (SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey),
+summary AS (SELECT SUM(n_rows) AS n, COUNT(*) AS n_keys FROM counts),
+ent AS (
+  SELECT SUM(CAST(round(-(CAST(n_rows AS DOUBLE) / CAST(s.n AS DOUBLE))
+                        * ln(CAST(n_rows AS DOUBLE) / CAST(s.n AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT)) AS entropy_scaled
+  FROM counts CROSS JOIN summary s
+),
+top AS (
+  SELECT c.o_custkey, c.n_rows, s.n, s.n_keys
+  FROM counts c CROSS JOIN summary s
+  ORDER BY c.n_rows DESC, c.o_custkey LIMIT 20
+)
+SELECT t.o_custkey, CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(round(CAST(t.n_rows AS DOUBLE) / CAST(t.n AS DOUBLE) * 1000000.0, 0)
+            AS BIGINT) AS share_ppm,
+       CAST(round(CAST(t.n_rows AS DOUBLE) / CAST(t.n AS DOUBLE)
+                  * CAST(t.n_keys AS DOUBLE) * 1000.0, 0) AS BIGINT) AS skew_x_milli,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       e.entropy_scaled
+FROM top t CROSS JOIN ent e
+"""

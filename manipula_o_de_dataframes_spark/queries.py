@@ -3405,7 +3405,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus one map pass; rounds beyond a handful would spool the merged
     corpus instead of re-deriving the replace chain lazily.
     """
-    n_rounds = 3
+    merges = _bpe_top_merges(spark, sf_dir, n_rounds=3)
+    return spark.createDataFrame(merges, "round INT, pair STRING, freq BIGINT")
+
+
+def _bpe_top_merges(
+    spark: SparkSession, sf_dir: str, n_rounds: int = 3
+) -> list[tuple[int, str, int]]:
+    """The BPE training loop shared by ``bpe_merges`` (emits the merge
+    table) and ``bpe_apply`` (applies it): each round counts adjacent
+    word pairs corpus-wide, collects the ONE winning (pair, freq) row,
+    and fuses it map-side for the next round."""
     d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
     cur = d.select(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t"))
     merges: list[tuple[int, str, int]] = []
@@ -3437,7 +3447,83 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" " + pair.replace(" ", "+") + " "),
             ).alias("t")
         )
-    return spark.createDataFrame(merges, "round INT, pair STRING, freq BIGINT")
+    return merges
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: run the induced merge table over every
+    document and report per-doc token counts before/after — the encode
+    half of the BPE loop (train on the corpus, then tokenize the corpus
+    with the artifact), and the number a pipeline owner actually tracks:
+    how much sequence length the tokenizer buys.
+
+    The merge table arrives exactly as it would on a cluster — a tiny
+    driver-side model artifact (3 rows here) inlined into a map-only
+    replace chain; application is zero-shuffle, fused into the scan.
+    Both engines use leftmost non-overlapping replace on space-padded
+    text, so fusions land identically.
+    """
+    merges = _bpe_top_merges(spark, sf_dir, n_rounds=3)
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    for _, pair, _freq in merges:
+        t = F.replace(
+            t, F.lit(f" {pair} "), F.lit(" " + pair.replace(" ", "+") + " ")
+        )
+    before = F.size(F.split(F.col("text"), " ")).cast("long")
+    after = F.size(F.split(F.trim(t), " ")).cast("long")
+    return d.select(
+        "doc_id",
+        before.alias("n_tok_before"),
+        after.alias("n_tok_after"),
+        (before - after).alias("n_merged"),
+    )
+
+
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics on orders.o_custkey: the pre-flight a
+    planner runs before a big fact join to decide between plain
+    hash-join, salting, and AQE skew handling. Reports the 20 heaviest
+    keys (count, parts-per-million share, ×-uniform skew factor)
+    against corpus-wide context (distinct keys, Shannon entropy of the
+    key distribution, 1e6-scaled to exact integers).
+
+    One map-side-combined count per key, then a 20-row top-k and a
+    one-row summary broadcast back — nothing heavier than the count
+    shuffle at any scale, which is the point: the diagnostic must be
+    cheaper than the join it protects.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    frac = F.col("n_rows").cast("double") / F.col("__n").cast("double")
+    summary = counts.agg(
+        F.sum("n_rows").alias("__n"), F.count(F.lit(1)).alias("n_keys")
+    ).select(
+        "__n",
+        "n_keys",
+    )
+    ent_term = F.round(
+        -(F.col("n_rows").cast("double") / F.col("__n").cast("double"))
+        * F.log(F.col("n_rows").cast("double") / F.col("__n").cast("double"))
+        * 1e6,
+        0,
+    ).cast("long")
+    with_tot = counts.crossJoin(F.broadcast(summary))
+    entropy = with_tot.agg(F.sum(ent_term).alias("entropy_scaled"))
+    top = with_tot.orderBy(F.col("n_rows").desc(), "o_custkey").limit(20)
+    return (
+        top.crossJoin(F.broadcast(entropy))
+        .select(
+            "o_custkey",
+            "n_rows",
+            F.round(frac * 1e6, 0).cast("long").alias("share_ppm"),
+            F.round(frac * F.col("n_keys").cast("double") * 1e3, 0)
+            .cast("long")
+            .alias("skew_x_milli"),
+            "n_keys",
+            "entropy_scaled",
+        )
+    )
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3855,6 +3941,8 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "drift_weekly_kl": q_drift_weekly_kl,
+    "bpe_apply": q_bpe_apply,
+    "join_skew_profile": q_join_skew_profile,
     "adaptive_quality_gate": q_adaptive_quality_gate,
     "quality_logistic": q_quality_logistic,
     "dsir_weights": q_dsir_weights,

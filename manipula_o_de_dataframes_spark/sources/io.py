@@ -342,3 +342,59 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> None:
+    """S15: CSV sink — the lowest-common-denominator interchange format
+    (partner handoffs, spreadsheet consumers, legacy loaders). Same
+    sharding contract as the JSONL sink: ``n_shards=None`` keeps the
+    upstream partitioning (the right call at scale), a small explicit
+    count is for handoff-sized exports. Executor-parallel — the driver
+    never sees a row (unlike the Excel sink, which is driver-side by
+    format necessity).
+    """
+    out = df.repartition(n_shards) if n_shards else df
+    (
+        out.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+    multiline: bool = False,
+) -> DataFrame:
+    """S15 read side: schema given = production contract (no inference
+    pass, malformed rows fail loudly via FAILFAST); schema omitted =
+    ad-hoc inference (costs a full extra scan at 100 TB — fine for
+    exploration, wrong for pipelines, same policy as ``read_jsonl``).
+
+    ``multiline=True`` is required for quoted embedded newlines but
+    makes each file NON-splittable (one task per file) — at scale,
+    either guarantee newline-free fields (the default, splittable,
+    line-parallel path) or accept per-file parallelism only.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("escape", '"')
+        .option("multiLine", str(multiline).lower())
+    )
+    if schema is not None:
+        reader = reader.schema(schema).option("mode", "FAILFAST")
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -731,3 +731,43 @@ def test_drift_kl_zero_for_identical_weeks_positive_for_shift(spark, tmp_path):
     assert stable["kl_scaled"] == 0 and not stable["drifted"]
     assert shifted["kl_scaled"] > 100000 and shifted["drifted"]
     assert shifted["l1_scaled"] > stable["l1_scaled"]
+
+
+def test_bpe_apply_fuses_trained_merges(spark, tmp_path):
+    # Forced rounds on a crafted corpus, including the documented
+    # non-overlap subtlety: round 1 fuses only the FIRST 'x y' of
+    # 'x y x y' (leftmost non-overlapping replace consumes the shared
+    # space), round 2 re-learns 'x y' for the survivor, round 3 fuses
+    # 'x+y x+y' — so doc 1 collapses to one token while doc 2 keeps
+    # 'x+y z' (its pair never wins a round).
+    from manipula_o_de_dataframes_spark.queries import QUERIES, _bpe_top_merges
+
+    spark.createDataFrame(
+        [(1, "x y x y", "en", "a", 7), (2, "x y z", "en", "a", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert [(p, f) for _, p, f in _bpe_top_merges(spark, str(tmp_path), 3)] == [
+        ("x y", 3), ("x y", 1), ("x+y x+y", 1)
+    ]
+    rows = {r["doc_id"]: r for r in QUERIES["bpe_apply"](
+        spark, str(tmp_path)).collect()}
+    assert (rows[1]["n_tok_before"], rows[1]["n_tok_after"], rows[1]["n_merged"]) == (4, 1, 3)
+    assert (rows[2]["n_tok_before"], rows[2]["n_tok_after"], rows[2]["n_merged"]) == (3, 2, 1)
+
+
+def test_join_skew_profile_flags_hot_key(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [(i, 1) for i in range(50)] + [
+        (100 + 10 * k + i, k) for k in range(2, 12) for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = QUERIES["join_skew_profile"](spark, str(tmp_path)).collect()
+    hot = out[0]
+    assert hot["o_custkey"] == 1 and hot["n_rows"] == 50
+    assert hot["share_ppm"] == 500000          # 50 of 100 rows
+    assert hot["skew_x_milli"] == 5500         # 0.5 × 11 keys
+    assert hot["n_keys"] == 11
+    assert hot["entropy_scaled"] > 0

@@ -299,3 +299,37 @@ def test_jsonl_corpus_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, corpus.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b and len(a) > 0
+
+
+def test_csv_roundtrip_with_quoting(spark, tmp_path):
+    """S15: executor-parallel CSV sink/source roundtrip — schema
+    contract honored, embedded delimiters/quotes/newlines survive."""
+    from manipula_o_de_dataframes_spark.sources.io import read_csv_table, write_csv
+
+    df = spark.createDataFrame(
+        [
+            (1, 'comma, "quoted"', 3.5),
+            (2, "line\nbreak", -0.25),
+            (3, None, 0.0),
+        ],
+        "id long, note string, score double",
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path, n_shards=2)
+    back = read_csv_table(
+        spark, path, schema="id long, note string, score double", multiline=True
+    )
+    assert back.schema == df.schema
+    got = {r["id"]: (r["note"], r["score"]) for r in back.collect()}
+    assert got == {1: ('comma, "quoted"', 3.5), 2: ("line\nbreak", -0.25), 3: (None, 0.0)}
+
+
+def test_csv_sink_is_sharded(spark, tmp_path):
+    import glob
+
+    from manipula_o_de_dataframes_spark.sources.io import write_csv
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "csv_shards")
+    write_csv(df, path, n_shards=4)
+    assert len(glob.glob(path + "/part-*")) == 4
