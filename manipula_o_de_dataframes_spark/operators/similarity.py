@@ -408,16 +408,29 @@ def pq_codebook(
 def _sub_sqdist(vec, start: int, centroid: list[float]) -> Column:
     """Rounded squared L2 distance between ``vec[start:start+len]`` and a
     literal sub-centroid. Floats cast to double before arithmetic; the
-    fold runs in array order; 9 dp rounding absorbs fold-order ulps
-    (the ``cosine`` convention, which the oracle gate has validated)."""
-    sub = F.slice(vec, start + 1, len(centroid))
-    lit_arr = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(
-        sub,
-        lit_arr,
-        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-    )
-    return F.round(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x), 9)
+    sum is left-associated in element order; 9 dp rounding absorbs
+    fold-order ulps (the ``cosine`` convention the oracle gate has
+    validated).
+
+    Deliberately UNROLLED flat arithmetic, not zip_with/aggregate: a PQ
+    plan evaluates this 128× per row (8 subspaces × 16 codes), and
+    higher-order-function lambdas run interpreted with per-call array
+    allocation — measured ~12 ms/row at that multiplicity, a per-ROW
+    cost that would scale straight into a 100 TB disaster. Flat
+    element_at arithmetic stays inside whole-stage codegen (compiled
+    once, split across methods automatically) and performs the
+    IDENTICAL operations in the identical order, so results are
+    bit-equal to the fold form and the DuckDB mirrors are unaffected.
+    """
+    terms = []
+    for i, c in enumerate(centroid):
+        x = F.element_at(vec, start + i + 1).cast("double")
+        d = x - F.lit(float(c))
+        terms.append(d * d)
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return F.round(s, 9)
 
 
 def pq_code(vec, m: int, codebook: list[tuple[int, int, list[float]]]) -> Column:
@@ -445,36 +458,62 @@ def pq_code(vec, m: int, codebook: list[tuple[int, int, list[float]]]) -> Column
     return best["c"].cast("int")
 
 
-def pq_adc(data_vec, query_vec, codebook: list[tuple[int, int, list[float]]]) -> Column:
-    """Asymmetric-distance (ADC) estimate of ‖query − data‖²: per
-    subspace, the code the DATA vector quantizes to is looked up against
-    the QUERY's distance to that code's centroid; the per-subspace terms
-    (each rounded to 9 dp) sum in fixed subspace order.
+def pq_distance_table(
+    query: list[float], codebook: list[tuple[int, int, list[float]]]
+) -> dict[int, list[float]]:
+    """The per-query ADC lookup table: for each subspace m, the squared
+    L2 distance from the query's slice to each of the 16 sub-centroids —
+    computed ONCE per query on the driver (8×16 doubles; the same
+    bounded-model-artifact posture as collecting k-means centroids),
+    which is exactly how production ADC works: the table is built per
+    query, the billion-row scan does lookups only.
 
-    Implemented as ``least`` over (data_dist, code, query_dist) structs:
-    the (d, c) prefix is exactly the ``pq_code`` argmin order (codes are
-    distinct, so qd never drives the comparison) and the winner's qd
-    field IS the table lookup — one expression, zero shuffle, matching
-    the oracle's ROW_NUMBER (d, code) tie-break.
+    Python floats are IEEE doubles and the sum is left-associated in
+    element order, so each entry is bit-identical to the in-plan
+    expression the DuckDB oracle computes from the embeddings table
+    (rounding to 9 dp happens in the ENGINE via F.round on the literal,
+    keeping HALF_UP semantics aligned with DuckDB — Python's round()
+    half-even is never used).
     """
     n_sub = max(m for m, _, _ in codebook) + 1
     sub_dims = len(codebook[0][2])
-
-    def term(m: int):
+    table: dict[int, list[float]] = {}
+    for m in range(n_sub):
         rows = [(c, cv) for (mm_, c, cv) in codebook if mm_ == m]
-        best = F.least(
-            *[
-                F.struct(
-                    _sub_sqdist(data_vec, m * sub_dims, cv).alias("d"),
-                    F.lit(c).alias("c"),
-                    _sub_sqdist(query_vec, m * sub_dims, cv).alias("qd"),
-                )
-                for c, cv in rows
-            ]
-        )
-        return best["qd"]
+        dists = []
+        for _c, cv in rows:
+            s = None
+            for i, cval in enumerate(cv):
+                d = float(query[m * sub_dims + i]) - cval
+                s = d * d if s is None else s + d * d
+            dists.append(s)
+        table[m] = dists
+    return table
 
-    adc = term(0)
-    for m in range(1, n_sub):
-        adc = adc + term(m)
+
+def pq_adc(
+    data_vec,
+    query: list[float],
+    codebook: list[tuple[int, int, list[float]]],
+) -> Column:
+    """Asymmetric-distance (ADC) estimate of ‖query − data‖²: per
+    subspace, the code the DATA vector quantizes to (``pq_code``) is
+    looked up in the precomputed query→centroid distance table
+    (``pq_distance_table``); the 8 rounded terms sum in fixed subspace
+    order.
+
+    The scan side therefore pays ONLY the code argmin plus 8 literal-
+    array lookups per row — no query-side float math replicated across
+    the corpus (an earlier in-plan formulation computed the query
+    distances per data row, doubling the fold count for a value that is
+    constant per query; the lookup-table form matches both the FAISS
+    design and the oracle's CTE exactly).
+    """
+    n_sub = max(m for m, _, _ in codebook) + 1
+    table = pq_distance_table(query, codebook)
+    adc = None
+    for m in range(n_sub):
+        lut = F.array(*[F.round(F.lit(v), 9) for v in table[m]])
+        term = F.element_at(lut, pq_code(data_vec, m, codebook) + 1)
+        adc = term if adc is None else adc + term
     return adc

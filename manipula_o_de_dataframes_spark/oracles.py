@@ -2627,7 +2627,7 @@ WITH s AS (
           / CAST(len(str_split(text, ' ')) AS DOUBLE) * 2.0 * 0.3
         + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
       1.0), 9) AS quality
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 r AS (
   SELECT s.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,

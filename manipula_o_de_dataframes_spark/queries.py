@@ -3560,30 +3560,31 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization-error audit, same pattern as ``lsh_recall``.
 
     The scale shape ADC exists for: per query, the 8×16 distance table
-    is computed once (here in-plan against the broadcast query row; on a
-    cluster it is a literal lookup table), after which each of the N
-    database vectors costs 8 table lookups + 7 adds — no 64-d float math
-    on the scan side, which is why PQ serves billion-vector indexes.
-    Each per-subspace term is rounded to 9 dp and the 8 terms sum in
-    fixed subspace order, so the float path is engine-reproducible.
+    is computed ONCE on the driver (``pq_distance_table`` — a bounded
+    64-float query collect, the k-means-centroid artifact posture) and
+    inlined as literals, after which each of the N database vectors
+    costs the code argmin plus 8 lookups + 7 adds — no query-side float
+    math replicated across the corpus, which is why PQ serves
+    billion-vector indexes. Each term is rounded to 9 dp and the 8
+    terms sum in fixed subspace order, so the float path is
+    engine-reproducible.
     """
     cb = sim.pq_codebook()
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
-    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    adc = sim.pq_adc(F.col("embedding"), F.col("__qv"), cb)
-    exact = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("__qv"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    adc = sim.pq_adc(F.col("embedding"), qvec, cb)
+    # Exact distance vs the same literal query: left-associated flat sum
+    # in element order — identical op order to the oracle's list_sum.
+    exact = None
+    for i, qv in enumerate(qvec):
+        d = F.element_at(F.col("embedding"), i + 1).cast("double") - F.lit(qv)
+        exact = d * d if exact is None else exact + d * d
     return (
-        scored.select(
+        e.filter(F.col("vec_id") != 0)
+        .select(
             "vec_id",
             F.round(adc, 9).alias("adc_dist"),
             F.round(exact, 9).alias("exact_dist"),
@@ -3624,7 +3625,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     g = d.select(
         "doc_id",
-        (F.col("lang") == "en").cast("long").alias("__is_t"),
+        # when/otherwise, not a bool cast: NULL lang must count as 0
+        # (the oracle's CASE ... ELSE 0), never propagate NULL.
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long").alias("__is_t"),
         F.explode(bigrams).alias("gram"),
     )
     bucket = (
@@ -3768,13 +3771,15 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         "vec_id", "embedding", sim.ivf_cell(F.col("embedding"), cents).alias("cell")
     )
-    q = cells.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("__qv"), F.col("cell").alias("__qc")
-    )
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    q = cells.filter(F.col("vec_id") == 0).select(F.col("cell").alias("__qc"))
     cand = cells.crossJoin(F.broadcast(q)).filter(
         (F.col("cell") == F.col("__qc")) & (F.col("vec_id") != 0)
     )
-    adc = sim.pq_adc(F.col("embedding"), F.col("__qv"), cb)
+    adc = sim.pq_adc(F.col("embedding"), qvec, cb)
     return (
         cand.select("vec_id", "cell", F.round(adc, 9).alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
@@ -3797,7 +3802,9 @@ def q_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scaled-cumsum pattern) and no text ever shuffles — only
     (doc_id, source, score) triples.
     """
-    d = _docs_parallel(spark, sf_dir)
+    # text IS NOT NULL: a NULL score would sort NULLS FIRST in Spark's
+    # asc window but NULLS LAST in DuckDB's — exclude instead of diverge.
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
     s = d.select(
         "doc_id", "source", F.round(quality_score("text"), 9).alias("quality")
     )

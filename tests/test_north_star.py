@@ -771,3 +771,23 @@ def test_join_skew_profile_flags_hot_key(spark, tmp_path):
     assert hot["skew_x_milli"] == 5500         # 0.5 × 11 keys
     assert hot["n_keys"] == 11
     assert hot["entropy_scaled"] > 0
+
+
+def test_null_text_docs_never_reach_quality_or_dsir_outputs(spark, tmp_path):
+    # Driver fixtures may carry NULL-text docs; a NULL quality score
+    # would sort NULLS FIRST in Spark's window but NULLS LAST in
+    # DuckDB's — the gate excludes them instead of diverging.
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    good = "the quick brown fox jumps over the lazy dog"
+    spark.createDataFrame(
+        [(1, good, "en", "a", len(good)), (2, None, None, "a", 0),
+         (3, good + " again", "de", "a", len(good) + 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    gate_ids = {r["doc_id"] for r in QUERIES["adaptive_quality_gate"](
+        spark, str(tmp_path)).collect()}
+    assert gate_ids == {1, 3}
+    dsir_ids = {r["doc_id"] for r in QUERIES["dsir_weights"](
+        spark, str(tmp_path)).collect()}
+    assert dsir_ids == {1, 3}

@@ -418,11 +418,18 @@ def test_pq_and_quality_queries_plan_shapes(spark):
         assert "Exchange hashpartitioning" not in plan, f"{name} shuffles:\n{plan}"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
-    for name in ("pq_topk", "ivf_pq_topk"):
-        plan = _plan(QUERIES[name](spark, SF_SMOKE))
-        assert "Exchange hashpartitioning" not in plan, f"{name}:\n{plan}"
-        assert "BroadcastExchange" in plan, f"{name} lost the query broadcast:\n{plan}"
-        assert "TakeOrderedAndProject" in plan, f"{name} lost top-k pushdown:\n{plan}"
+    # pq_topk is PURE map + TakeOrdered (query distances are literals
+    # from the driver-side ADC table — no broadcast row at all);
+    # ivf_pq_topk still broadcasts the 1-row query CELL for the prune.
+    plan = _plan(QUERIES["pq_topk"](spark, SF_SMOKE))
+    assert "Exchange hashpartitioning" not in plan, f"pq_topk:\n{plan}"
+    assert "BroadcastExchange" not in plan, f"pq_topk regained a join:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, f"pq_topk lost top-k pushdown:\n{plan}"
+
+    plan = _plan(QUERIES["ivf_pq_topk"](spark, SF_SMOKE))
+    assert "Exchange hashpartitioning" not in plan, f"ivf_pq_topk:\n{plan}"
+    assert "BroadcastExchange" in plan, f"ivf_pq_topk lost the cell broadcast:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, f"ivf_pq_topk lost top-k pushdown:\n{plan}"
 
     plan = _plan(QUERIES["dsir_weights"](spark, SF_SMOKE))
     got = plan.count("Exchange hashpartitioning")
