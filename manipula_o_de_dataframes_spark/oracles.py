@@ -2801,3 +2801,55 @@ SELECT t.o_custkey, CAST(t.n_rows AS BIGINT) AS n_rows,
        e.entropy_scaled
 FROM top t CROSS JOIN ent e
 """
+
+
+# Histogram-quantile mirror: identical 64×8.0 binning, integer bin
+# selection (100·cum >= p·n), one fixed-order double interpolation
+# rounded to 6 dp; exact arm = rank selection at (p·n + 99) // 100
+# pinned to the (value, event_id) total order.
+ORACLES["histogram_quantiles"] = """
+WITH binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 8.0) AS INTEGER), 63) AS bin
+  FROM events
+),
+hist AS (SELECT event_type, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+ps AS (
+  SELECT c.*, c.cum - c.cnt AS before_, p.p
+  FROM cum c CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) p
+),
+qbin AS (
+  SELECT * FROM (
+    SELECT event_type, p, bin, cnt, before_, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+    FROM ps WHERE 100 * cum >= p * n
+  ) WHERE rn = 1
+),
+est AS (
+  SELECT event_type, p,
+         round(bin * 8.0 + 8.0 * ((p * CAST(n AS DOUBLE) / 100.0
+                                   - CAST(before_ AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+               6) AS est_value
+  FROM qbin
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+exact AS (
+  SELECT event_type, p.p, value AS exact_value
+  FROM ranked CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) p
+  WHERE rn = (p.p * n + 99) // 100
+)
+SELECT e.event_type, CAST(e.p AS INTEGER) AS p, e.est_value, x.exact_value,
+       round(e.est_value - x.exact_value, 6) AS err
+FROM est e JOIN exact x ON e.event_type = x.event_type AND e.p = x.p
+"""

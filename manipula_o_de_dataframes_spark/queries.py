@@ -3935,6 +3935,85 @@ def q_drift_weekly_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile estimation, audited against exact
+    percentiles — the last member of the sketch family (HLL distinct,
+    count-min frequency, Bloom membership, and now quantiles): p50/p90/
+    p99 of ``events.value`` per event type from a 64-bin histogram over
+    [0, 512), linearly interpolated inside the winning bin, with the
+    exact rank-selected percentile and the estimation error beside it
+    (the `lsh_recall`/`countmin` audit-the-approximation pattern).
+
+    Why it matters at 100 TB: the histogram is 64 BIGINTs per group —
+    order-independent, map-side-combinable, mergeable across
+    partitions/days — so percentile tracking over any volume costs one
+    tiny aggregate, while exact per-group rank selection (the audit arm
+    here) needs a full sort. Bin selection is pure integer arithmetic
+    (100·cum ≥ p·n); only the final interpolation touches doubles, in
+    fixed operation order, rounded to 6 dp.
+    """
+    width, n_bins = 8.0, 64
+    e = read_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    binned = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / width).cast("int"), F.lit(n_bins - 1)).alias(
+            "__bin"
+        ),
+    )
+    hist = binned.groupBy("event_type", "__bin").agg(F.count(F.lit(1)).alias("__cnt"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("__bin")
+    cum = (
+        hist.withColumn("__cum", F.sum("__cnt").over(wo))
+        .withColumn("__n", F.sum("__cnt").over(wt))
+        .withColumn("__before", F.col("__cum") - F.col("__cnt"))
+    )
+    ps = cum.withColumn("p", F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))))
+    qbin = ps.filter(100 * F.col("__cum") >= F.col("p") * F.col("__n")).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("event_type", "p").orderBy("__bin")
+        ),
+    ).filter(F.col("__rn") == 1)
+    est = qbin.select(
+        "event_type",
+        "p",
+        F.round(
+            F.col("__bin") * width
+            + width
+            * (
+                (
+                    F.col("p") * F.col("__n").cast("double") / 100.0
+                    - F.col("__before").cast("double")
+                )
+                / F.col("__cnt").cast("double")
+            ),
+            6,
+        ).alias("est_value"),
+    )
+    ranked = e.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        ),
+    ).withColumn("__n", F.count(F.lit(1)).over(wt))
+    exact = (
+        ranked.withColumn("p", F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))))
+        .filter(F.col("__rn") == F.expr("(p * __n + 99) div 100"))
+        .select("event_type", "p", F.col("value").alias("exact_value"))
+    )
+    return (
+        est.join(exact, ["event_type", "p"])
+        .select(
+            "event_type",
+            "p",
+            "est_value",
+            "exact_value",
+            F.round(F.col("est_value") - F.col("exact_value"), 6).alias("err"),
+        )
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -3948,6 +4027,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "drift_weekly_kl": q_drift_weekly_kl,
+    "histogram_quantiles": q_histogram_quantiles,
     "bpe_apply": q_bpe_apply,
     "join_skew_profile": q_join_skew_profile,
     "adaptive_quality_gate": q_adaptive_quality_gate,

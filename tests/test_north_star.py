@@ -791,3 +791,24 @@ def test_null_text_docs_never_reach_quality_or_dsir_outputs(spark, tmp_path):
     dsir_ids = {r["doc_id"] for r in QUERIES["dsir_weights"](
         spark, str(tmp_path)).collect()}
     assert dsir_ids == {1, 3}
+
+
+def test_histogram_quantiles_bounds_error_by_bin_width(spark, tmp_path):
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # Uniform values over one type: every estimate must land within one
+    # 8.0-wide bin of the exact percentile (interpolation guarantee).
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i,
+             "click", float(i % 400) + 0.5, "{}") for i in range(2000)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["histogram_quantiles"](spark, str(tmp_path)).collect()
+    assert {r["p"] for r in out} == {50, 90, 99}
+    for r in out:
+        assert abs(r["err"]) <= 8.0, r
+        assert r["est_value"] == pytest.approx(r["exact_value"], abs=8.0)
