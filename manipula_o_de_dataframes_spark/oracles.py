@@ -2853,3 +2853,68 @@ SELECT e.event_type, CAST(e.p AS INTEGER) AS p, e.est_value, x.exact_value,
        round(e.est_value - x.exact_value, 6) AS err
 FROM est e JOIN exact x ON e.event_type = x.event_type AND e.p = x.p
 """
+
+
+# K-anonymity mirror: identical quasi-identifier tuple (type, naive
+# day, 50-wide value band capped at 9), exact integer group sizes and
+# ppm share via integer division.
+ORACLES["k_anonymity_audit"] = """
+WITH tuples AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), 9) AS band
+  FROM events
+),
+sizes AS (
+  SELECT event_type, day, band, COUNT(*) AS g
+  FROM tuples GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_lt_k,
+       CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(SUM(g) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) * 1000000
+            // SUM(g) AS BIGINT) AS risk_ppm
+FROM sizes GROUP BY event_type
+"""
+
+# Contract mirror: one conditional count per rule (predicate NULL
+# counts as no-violation in both engines), fixed-row UNION ALL.
+ORACLES["contract_checks"] = """
+SELECT 'orders_totalprice_nonneg' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0 AS passes
+FROM orders
+UNION ALL
+SELECT 'orders_orderdate_not_null', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_status_enum', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem_quantity_range', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'events_type_enum', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+                THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'events_value_nonneg', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+FROM events
+"""

@@ -4014,6 +4014,96 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity risk audit over the event log: treat (event_type,
+    day, value-decile-band) as the quasi-identifier tuple and report,
+    per event type, how many tuples fall below k=5 members and how many
+    rows sit in those small (re-identifiable) groups — the privacy
+    governance complement to ``pii_scrub``: scrubbing removes direct
+    identifiers, this measures whether the remaining attribute
+    combinations still single people out (Sweeney 2002).
+
+    Two map-side-combinable aggregates (rows → tuple sizes → per-type
+    rollup); the risk share is ppm-scaled on exact integers. NTZ
+    timestamps keep the day bucket session-timezone-independent.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tuples = e.select(
+        "event_type",
+        F.to_date("ts").alias("__day"),
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("__band"),
+    )
+    sizes = tuples.groupBy("event_type", "__day", "__band").agg(
+        F.count(F.lit(1)).alias("__g")
+    )
+    return (
+        sizes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("__g") < 5).cast("long")).alias("n_groups_lt_k"),
+            F.sum(F.when(F.col("__g") < 5, F.col("__g")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.sum("__g").cast("long").alias("n_rows"),
+        )
+        .select(
+            "event_type",
+            "n_groups",
+            "n_groups_lt_k",
+            "rows_at_risk",
+            "n_rows",
+            F.expr("rows_at_risk * 1000000 div n_rows").alias("risk_ppm"),
+        )
+    )
+
+
+def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the dbt-tests / Great-Expectations
+    pattern): declarative row-level rules over three tables — range,
+    enum-membership, non-negativity, not-null — each reported as
+    (rule, n_rows, n_violations, passes). The ingest gate a pipeline
+    runs before letting a snapshot anywhere near a training mix; a rule
+    flipping to passes=false is the cheapest possible upstream alarm.
+
+    Each rule is one map-side-combined conditional count over its scan
+    (violation predicates fold into whole-stage codegen); the result is
+    a fixed-row union of one-row aggregates — nothing heavier than a
+    count at any scale.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e = read_table(spark, sf_dir, "events")
+
+    def rule(df: DataFrame, name: str, violation) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(violation.cast("long")).alias("n_violations"),
+        )
+
+    checks = [
+        rule(o, "orders_totalprice_nonneg", F.col("o_totalprice") < 0),
+        rule(o, "orders_orderdate_not_null", F.col("o_orderdate").isNull()),
+        rule(
+            o,
+            "orders_status_enum",
+            ~F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        rule(li, "lineitem_quantity_range", ~F.col("l_quantity").between(1, 50)),
+        rule(li, "lineitem_discount_range", ~F.col("l_discount").between(0.0, 0.1)),
+        rule(
+            e,
+            "events_type_enum",
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+        ),
+        rule(e, "events_value_nonneg", F.col("value") < 0),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn("passes", F.col("n_violations") == 0)
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -4028,6 +4118,8 @@ QUERIES = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "drift_weekly_kl": q_drift_weekly_kl,
     "histogram_quantiles": q_histogram_quantiles,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "contract_checks": q_contract_checks,
     "bpe_apply": q_bpe_apply,
     "join_skew_profile": q_join_skew_profile,
     "adaptive_quality_gate": q_adaptive_quality_gate,

@@ -812,3 +812,60 @@ def test_histogram_quantiles_bounds_error_by_bin_width(spark, tmp_path):
     for r in out:
         assert abs(r["err"]) <= 8.0, r
         assert r["est_value"] == pytest.approx(r["exact_value"], abs=8.0)
+
+
+def test_k_anonymity_flags_singleton_groups(spark, tmp_path):
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # 10 rows share one tuple (safe); 1 row is a singleton (at risk).
+    base = dt.datetime(2024, 3, 1, 12)
+    rows = [(i, base, i, "click", 10.0, "{}") for i in range(10)]
+    rows.append((99, base + dt.timedelta(days=5), 99, "click", 480.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["k_anonymity_audit"](spark, str(tmp_path)).collect()[0]
+    assert out["n_groups"] == 2 and out["n_groups_lt_k"] == 1
+    assert out["rows_at_risk"] == 1 and out["n_rows"] == 11
+    assert out["risk_ppm"] == 1000000 // 11
+
+
+def test_contract_checks_catch_injected_violations(spark, tmp_path):
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    spark.createDataFrame(
+        [(1, 1, "F", 100.0, dt.date(2024, 1, 1), "1-URGENT"),
+         (2, 2, "X", -5.0, None, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 5.0, 1.0, 0.05, 0.0, "N", "O", dt.date(2024, 1, 2)),
+         (2, 1, 1, 2, 99.0, 1.0, 0.5, 0.0, "N", "O", dt.date(2024, 1, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+         (2, dt.datetime(2024, 1, 1), 2, "hack", -1.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["rule"]: r for r in QUERIES["contract_checks"](
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 7
+    expect_viol = {
+        "orders_totalprice_nonneg": 1, "orders_orderdate_not_null": 1,
+        "orders_status_enum": 1, "lineitem_quantity_range": 1,
+        "lineitem_discount_range": 1, "events_type_enum": 1,
+        "events_value_nonneg": 1,
+    }
+    for rule, n in expect_viol.items():
+        assert out[rule]["n_violations"] == n and not out[rule]["passes"], rule
