@@ -2918,3 +2918,31 @@ SELECT 'events_value_nonneg', CAST(COUNT(*) AS BIGINT),
        SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
 FROM events
 """
+
+
+# PQ-serve mirror: identical to pq_topk's ADC arm (same codes, same
+# query table) without the exact-distance audit column.
+ORACLES["pq_serve"] = f"""
+WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, c.m, c.code,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
+  FROM embeddings e CROSS JOIN cb c CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+best AS (
+  SELECT vec_id, m, qd,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+  FROM scored
+)
+SELECT vec_id,
+  round({" + ".join(f"MAX(CASE WHEN m = {m} THEN qd END)" for m in range(8))}, 9) AS adc_dist
+FROM best WHERE rn = 1 GROUP BY vec_id
+ORDER BY adc_dist, vec_id LIMIT 20
+"""

@@ -441,3 +441,17 @@ def test_pq_and_quality_queries_plan_shapes(spark):
     # one source-window rank pass; the median joins back via broadcast
     assert got <= 2, f"adaptive_quality_gate: {got} exchanges\n{plan}"
     assert "BroadcastExchange" in plan, plan
+
+
+def test_pq_serve_reads_codes_not_embeddings(spark):
+    """The encode-once/serve-many split: pq_serve's SERVING plan must
+    scan only the spooled 8-int code columns — if the embedding column
+    ever appears in the plan, the query has regressed to re-encoding
+    on the serve path (256 bytes/row of I/O instead of 8 at scale)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    df = QUERIES["pq_serve"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "embedding" not in plan, f"serve path re-reads vectors:\n{plan}"
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
