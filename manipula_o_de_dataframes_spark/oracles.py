@@ -2946,3 +2946,61 @@ SELECT vec_id,
 FROM best WHERE rn = 1 GROUP BY vec_id
 ORDER BY adc_dist, vec_id LIMIT 20
 """
+
+
+# PQ-recall mirror: the pq_serve ADC top-20 CTE intersected with the
+# exact squared-L2 top-20, exact integer counts.
+ORACLES["pq_recall"] = f"""
+WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, c.m, c.code,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
+         * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
+  FROM embeddings e CROSS JOIN cb c CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+best AS (
+  SELECT vec_id, m, qd,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+  FROM scored
+),
+adc_top AS (
+  SELECT vec_id,
+    round({" + ".join(f"MAX(CASE WHEN m = {m} THEN qd END)" for m in range(8))}, 9) AS adc
+  FROM best WHERE rn = 1 GROUP BY vec_id
+  ORDER BY adc, vec_id LIMIT 20
+),
+exact_top AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+  ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))), 9),
+    e.vec_id
+  LIMIT 20
+)
+SELECT CAST(20 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) * 1000000 // 20 AS BIGINT) AS recall_ppm
+FROM adc_top a JOIN exact_top x ON a.vec_id = x.vec_id
+"""
+
+# Soft-dedup mirror: digest group sizes, integer ppm weights.
+ORACLES["dedup_weights"] = """
+WITH keyed AS (
+  SELECT doc_id, source, md5(text) AS k FROM documents WHERE text IS NOT NULL
+),
+sizes AS (SELECT k, COUNT(*) AS sz FROM keyed GROUP BY k)
+SELECT keyed.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT keyed.k) AS BIGINT) AS n_unique,
+       CAST(SUM(1000000 // sz) AS BIGINT) AS eff_mass_ppm
+FROM keyed JOIN sizes ON keyed.k = sizes.k
+GROUP BY keyed.source
+"""

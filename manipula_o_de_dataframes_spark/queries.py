@@ -4104,6 +4104,22 @@ def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("passes", F.col("n_violations") == 0)
 
 
+_PQ_CODES_SPOOL: dict[tuple[int, str], DataFrame] = {}
+
+
+def _pq_codes_spooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoded-codes artifact, memoized per (session, snapshot):
+    'encode once per snapshot' IS the PQ-index semantic — repeat
+    serving calls must reuse the materialization, not re-run the
+    argmin (at 100 TB the codes are columns written at ingest)."""
+    from .operators.spool import spool
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CODES_SPOOL:
+        _PQ_CODES_SPOOL[key] = spool(q_pq_codes(spark, sf_dir))
+    return _PQ_CODES_SPOOL[key]
+
+
 def q_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode-once / serve-many PQ: materialize the 8-byte codes to
     scratch parquet (the ingest-time encoding a production index does
@@ -4121,10 +4137,8 @@ def q_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pq_topk``'s ADC arm by construction — same codes, same table —
     so the oracle is the same CTE minus the exact-distance audit.
     """
-    from .operators.spool import spool
-
     cb = sim.pq_codebook()
-    codes = spool(q_pq_codes(spark, sf_dir))
+    codes = _pq_codes_spooled(spark, sf_dir)
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = [
         float(x)
@@ -4144,6 +4158,72 @@ def q_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of PQ-ADC against the exact squared-L2 ranking — the
+    quantization-quality audit completing the ANN audit family
+    (`lsh_recall` for sign-LSH, `truncated_recall` for dim cuts, this
+    for code quantization): |ADC top-20 ∩ exact top-20| as an exact
+    integer ppm. The ADC arm reuses the spooled codes (encode-once
+    artifact); the exact arm is the full-scan baseline the audit
+    exists to let you STOP running at scale.
+    """
+    k = 20
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    adc_top = q_pq_serve(spark, sf_dir).select("vec_id")
+    exact = None
+    for i, qv in enumerate(qvec):
+        d = F.element_at(F.col("embedding"), i + 1).cast("double") - F.lit(qv)
+        exact = d * d if exact is None else exact + d * d
+    exact_top = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(exact, 9).alias("__d"))
+        .orderBy("__d", "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    hits = adc_top.join(exact_top, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_hits",
+        F.expr(f"n_hits * 1000000 div {k}").alias("recall_ppm"),
+    )
+
+
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicate documents, downweight
+    each copy by 1/cluster_size (ppm-scaled integers) so a text seen N
+    times contributes one document's worth of mass — the
+    repetition-downweighting alternative to `doc_dedup_exact` when the
+    duplicates carry distinct metadata worth keeping. Reported per
+    source: raw docs, unique texts, and the effective sample mass —
+    the number that actually matters when sizing a training mix.
+
+    Same 100 TB shape as exact dedup: only (md5, count) pairs shuffle
+    (map-side combined), the weight join carries 16-byte digests, text
+    never crosses the wire.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    keyed = d.select("doc_id", "source", F.md5("text").alias("__k"))
+    sizes = keyed.groupBy("__k").agg(F.count(F.lit(1)).alias("__sz"))
+    weighted = keyed.join(sizes, "__k").select(
+        "source", F.expr("1000000 div __sz").alias("__w_ppm"), "__k"
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("__k").alias("n_unique"),
+            F.sum("__w_ppm").alias("eff_mass_ppm"),
+        )
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -4160,6 +4240,8 @@ QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,
+    "pq_recall": q_pq_recall,
+    "dedup_weights": q_dedup_weights,
     "contract_checks": q_contract_checks,
     "bpe_apply": q_bpe_apply,
     "join_skew_profile": q_join_skew_profile,

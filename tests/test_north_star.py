@@ -869,3 +869,43 @@ def test_contract_checks_catch_injected_violations(spark, tmp_path):
     }
     for rule, n in expect_viol.items():
         assert out[rule]["n_violations"] == n and not out[rule]["passes"], rule
+
+
+def test_pq_recall_perfect_on_centroid_corpus(spark, tmp_path):
+    # Vectors that ARE codebook reconstructions quantize losslessly, so
+    # ADC ordering == exact ordering and recall@k is perfect.
+    from manipula_o_de_dataframes_spark import queries as Q
+
+    cb = sim.pq_codebook()
+
+    def recon(codes):
+        v = []
+        for m, c in enumerate(codes):
+            v.extend(next(cv for mm_, cc, cv in cb if mm_ == m and cc == c))
+        return v
+
+    rows = [(0, [0.3] * 64)] + [
+        (i, recon([(i + j) % 16 for j in range(8)])) for i in range(1, 30)
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>")\
+        .write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    Q._PQ_CODES_SPOOL.clear()
+    out = Q.QUERIES["pq_recall"](spark, str(tmp_path)).collect()[0]
+    Q._PQ_CODES_SPOOL.clear()
+    assert out["k"] == 20 and out["n_hits"] == 20 and out["recall_ppm"] == 1000000
+
+
+def test_dedup_weights_mass_equals_unique_count_when_within_source(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # src_a: 4 copies of one text -> 4 docs, 1 unique, mass 4×250000.
+    docs = [(i, "same text here", "en", "src_a", 14) for i in range(4)]
+    docs += [(10, "unique one", "en", "src_b", 10), (11, "unique two", "en", "src_b", 10)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in QUERIES["dedup_weights"](
+        spark, str(tmp_path)).collect()}
+    assert out["src_a"]["n_docs"] == 4 and out["src_a"]["n_unique"] == 1
+    assert out["src_a"]["eff_mass_ppm"] == 4 * 250000
+    assert out["src_b"]["eff_mass_ppm"] == 2 * 1000000
