@@ -333,3 +333,21 @@ def test_csv_sink_is_sharded(spark, tmp_path):
     path = str(tmp_path / "csv_shards")
     write_csv(df, path, n_shards=4)
     assert len(glob.glob(path + "/part-*")) == 4
+
+
+def test_csv_failfast_raises_on_malformed_rows(spark, tmp_path):
+    """The schema-contract path must fail LOUDLY on rows that don't
+    parse — silent NULLs from PERMISSIVE mode are how bad partner
+    files reach a training mix."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from manipula_o_de_dataframes_spark.sources.io import read_csv_table
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-00000.csv").write_text("id,score\n1,2.5\nnot_an_int,oops\n")
+    with pytest.raises(Py4JJavaError):
+        read_csv_table(
+            spark, str(p), schema="id long, score double"
+        ).collect()
