@@ -3004,3 +3004,7 @@ SELECT keyed.source,
 FROM keyed JOIN sizes ON keyed.k = sizes.k
 GROUP BY keyed.source
 """
+
+
+# Streaming drift shares the batch oracle - same census, same math.
+ORACLES["drift_stream"] = ORACLES["drift_weekly_kl"]

@@ -3882,6 +3882,14 @@ def q_drift_weekly_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win["start"].alias("__wk"), "event_type")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return _drift_from_counts(counts)
+
+
+def _drift_from_counts(counts: DataFrame) -> DataFrame:
+    """KL/L1 drift report from a (__wk, event_type, __c) count frame —
+    shared by the batch query above and ``drift_stream`` (the streaming
+    ingest produces the identical count frame, so both front-ends share
+    one oracle: the kappa-architecture parity claim, verified)."""
     weeks = counts.select("__wk").distinct()
     types = counts.select("event_type").distinct()
     n_types = types.agg(F.count(F.lit(1)).alias("__t"))
@@ -4224,6 +4232,17 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``drift_weekly_kl``: the weekly (type, count)
+    census produced by a Structured Streaming tumbling-window aggregate
+    over the staged events feed, then the identical KL/L1 comparison —
+    batch and stream share ONE oracle, so the kappa-architecture parity
+    ("replay the stream, get the batch answer") is hash-verified."""
+    from .streaming.drift import drift_stream
+
+    return drift_stream(spark, sf_dir)
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -4237,6 +4256,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "drift_weekly_kl": q_drift_weekly_kl,
+    "drift_stream": q_drift_stream,
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,
