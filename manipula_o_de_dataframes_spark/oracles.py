@@ -3008,3 +3008,31 @@ GROUP BY keyed.source
 
 # Streaming drift shares the batch oracle - same census, same math.
 ORACLES["drift_stream"] = ORACLES["drift_weekly_kl"]
+
+
+# Vocab-coverage mirror: top-16 vocabulary (count desc, token asc),
+# per-language covered/total token occurrences, integer ppm.
+ORACLES["vocab_coverage"] = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, SUM(n) AS tot FROM counts GROUP BY tok
+    ORDER BY tot DESC, tok LIMIT 16
+  )
+),
+covered AS (
+  SELECT c.lang, SUM(c.n) AS in_vocab
+  FROM counts c WHERE c.tok IN (SELECT tok FROM vocab)
+  GROUP BY c.lang
+),
+totals AS (SELECT lang, SUM(n) AS n_tokens FROM counts GROUP BY lang)
+SELECT t.lang,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.in_vocab, 0) AS BIGINT) AS n_in_vocab,
+       CAST(COALESCE(c.in_vocab, 0) * 1000000 // t.n_tokens AS BIGINT) AS coverage_ppm
+FROM totals t LEFT JOIN covered c ON t.lang = c.lang
+"""

@@ -4232,6 +4232,50 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit: what fraction of each
+    language's token occurrences is covered by the corpus-wide top-K
+    vocabulary (K=16 here — the synthetic corpus has only 31 distinct
+    tokens, so a production-sized 32k vocab would make the audit
+    degenerate; the shape is K-independent) — the check a tokenizer owner runs before freezing a
+    vocab (high OOV for a language means its text will shatter into
+    fallback bytes and train badly). Exact integer ppm per language.
+
+    Scale: the vocab is a bounded top-k off one map-combined count
+    (ties to the lexicographically smaller token, a total order); the
+    coverage pass re-aggregates per (lang, token) and LEFT-SEMI joins
+    the broadcast 1000-row vocab — text shuffles as (lang, token,
+    count) triples only, and the vocab artifact is reusable across
+    snapshots like every other model table here.
+    """
+    k = 16
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("__n"))
+    vocab = (
+        counts.groupBy("tok")
+        .agg(F.sum("__n").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), "tok")
+        .limit(k)
+        .select("tok")
+    )
+    covered = counts.join(F.broadcast(vocab), "tok", "left_semi").groupBy("lang").agg(
+        F.sum("__n").alias("__in_vocab")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("__n").alias("n_tokens"))
+    return (
+        totals.join(covered, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__in_vocab"), F.lit(0)).cast("long").alias("n_in_vocab"),
+            F.expr("coalesce(__in_vocab, 0) * 1000000 div n_tokens").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
 def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``drift_weekly_kl``: the weekly (type, count)
     census produced by a Structured Streaming tumbling-window aggregate
@@ -4257,6 +4301,7 @@ QUERIES = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "drift_weekly_kl": q_drift_weekly_kl,
     "drift_stream": q_drift_stream,
+    "vocab_coverage": q_vocab_coverage,
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,

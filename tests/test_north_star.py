@@ -909,3 +909,21 @@ def test_dedup_weights_mass_equals_unique_count_when_within_source(spark, tmp_pa
     assert out["src_a"]["n_docs"] == 4 and out["src_a"]["n_unique"] == 1
     assert out["src_a"]["eff_mass_ppm"] == 4 * 250000
     assert out["src_b"]["eff_mass_ppm"] == 2 * 1000000
+
+
+def test_vocab_coverage_counts_oov_mass(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # 'common' dominates the global top-16; lang B is half rare tokens
+    # that can't all fit the vocab, so its coverage must trail lang A's.
+    docs = [(i, "common " * 20, "aa", "s", 140) for i in range(5)]
+    docs += [(10 + i, " ".join(f"rare{i}_{j}" for j in range(20)) + " common",
+              "bb", "s", 140) for i in range(5)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["lang"]: r for r in QUERIES["vocab_coverage"](
+        spark, str(tmp_path)).collect()}
+    assert out["aa"]["coverage_ppm"] > 900000
+    assert out["bb"]["coverage_ppm"] < out["aa"]["coverage_ppm"]
+    assert out["bb"]["n_in_vocab"] < out["bb"]["n_tokens"]
