@@ -433,23 +433,46 @@ def _sub_sqdist(vec, start: int, centroid: list[float]) -> Column:
     return F.round(s, 9)
 
 
+def _sub_score(vec, start: int, centroid: list[float]) -> Column:
+    """The FACTORED argmin key: ‖c‖² − 2·x·c, rounded to 9 dp.
+
+    Ordering-equivalent to the squared distance (they differ by the
+    per-(vector, subspace) constant ‖x‖², so equal scores ⇔ equal
+    distances pre-round), with ~40% fewer expression nodes — the ‖x‖²
+    term would otherwise be recomputed inside all 16 candidates, and
+    Janino compile time of the 128-candidate argmin is the dominant
+    per-plan cost. ‖c‖² is a Python-summed literal (left-assoc IEEE
+    doubles, identical to the oracle's rendered constant); the dot
+    product sums left-associated in element order.
+    """
+    c2 = None
+    for c in centroid:
+        c2 = c * c if c2 is None else c2 + c * c
+    dot = None
+    for i, c in enumerate(centroid):
+        t = F.element_at(vec, start + i + 1).cast("double") * F.lit(float(c))
+        dot = t if dot is None else dot + t
+    return F.round(F.lit(float(c2)) - F.lit(2.0) * dot, 9)
+
+
 def pq_code(vec, m: int, codebook: list[tuple[int, int, list[float]]]) -> Column:
-    """The subspace-``m`` PQ code: argmin rounded squared-L2 over that
-    subspace's literal centroids, ties to the lowest code.
+    """The subspace-``m`` PQ code: argmin (rounded, factored) distance
+    score over that subspace's literal centroids, ties to the lowest
+    code.
 
     A pure map-side expression (zero shuffle, whole-stage codegen) — at
     100 TB encoding is a single scan that compresses each vector to
     n_sub small ints, the representation ADC search and storage use.
-    Implemented as a running ``least`` over (dist, code) structs —
-    lexicographic struct order makes min-dist win and the lower code
-    win ties, matching the oracle's ORDER BY dist, code.
+    Implemented as a running ``least`` over (score, code) structs —
+    lexicographic struct order makes min-score win and the lower code
+    win ties, matching the oracle's ORDER BY score, code.
     """
     rows = [(c, cv) for (mm_, c, cv) in codebook if mm_ == m]
     sub_dims = len(rows[0][1])
     best = F.least(
         *[
             F.struct(
-                _sub_sqdist(vec, m * sub_dims, cv).alias("d"),
+                _sub_score(vec, m * sub_dims, cv).alias("d"),
                 F.lit(c).alias("c"),
             )
             for c, cv in rows

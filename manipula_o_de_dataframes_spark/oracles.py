@@ -2421,11 +2421,19 @@ SELECT CAST(3 AS INTEGER), (SELECT gram FROM p3), CAST((SELECT n FROM p3) AS BIG
 def _pq_codebook_values() -> str:
     """Render operators.similarity.pq_codebook() as a DuckDB VALUES list
     — the SAME Python constants the Spark queries inline (the
-    ``_centroid_values`` convention, so the two engines cannot drift)."""
+    ``_centroid_values`` convention, so the two engines cannot drift).
+    The 4th column is ‖c‖² (left-assoc Python double sum, identical to
+    the literal ``_sub_score`` inlines) for the factored argmin key."""
     from .operators.similarity import pq_codebook  # noqa: PLC0415
 
+    def c2(cv):
+        s = None
+        for x in cv:
+            s = x * x if s is None else s + x * x
+        return s
+
     return ", ".join(
-        f"({m}, {c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        f"({m}, {c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[], {c2(cv)!r})"
         for m, c, cv in pq_codebook()
     )
 
@@ -2436,9 +2444,8 @@ def _pq_codebook_values() -> str:
 _PQ_SCORED_CTE = """
 scored AS (
   SELECT e.vec_id, c.m, c.code,
-    round(list_sum(list_transform(generate_series(1, 8),
-      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
-         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d
+    round(c.c2 - 2.0 * list_sum(list_transform(generate_series(1, 8),
+      i -> CAST(e.embedding[c.m * 8 + i] AS DOUBLE) * c.cv[i])), 9) AS d
   FROM embeddings e CROSS JOIN cb c
 ),
 best AS (
@@ -2449,7 +2456,7 @@ best AS (
 """
 
 ORACLES["pq_codes"] = f"""
-WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+WITH cb(m, code, cv, c2) AS (VALUES {_pq_codebook_values()}),
 {_PQ_SCORED_CTE}
 SELECT vec_id,
   {", ".join(f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS INTEGER) AS code_{m}" for m in range(8))}
@@ -2460,13 +2467,12 @@ FROM best WHERE rn = 1 GROUP BY vec_id
 # its query->centroid distance (also rounded to 9 dp) is the lookup,
 # summed in fixed subspace order 0..7 exactly like the Spark chain.
 ORACLES["pq_topk"] = f"""
-WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+WITH cb(m, code, cv, c2) AS (VALUES {_pq_codebook_values()}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, c.m, c.code,
-    round(list_sum(list_transform(generate_series(1, 8),
-      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
-         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d,
+    round(c.c2 - 2.0 * list_sum(list_transform(generate_series(1, 8),
+      i -> CAST(e.embedding[c.m * 8 + i] AS DOUBLE) * c.cv[i])), 9) AS d,
     round(list_sum(list_transform(generate_series(1, 8),
       i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
          * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
@@ -2582,7 +2588,7 @@ cellbest AS (
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rn = 1
 ),
-cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+cb(m, code, cv, c2) AS (VALUES {_pq_codebook_values()}),
 q AS (
   SELECT e.embedding AS qv, cl.cell AS qc
   FROM embeddings e JOIN cellbest cl ON e.vec_id = cl.vec_id
@@ -2595,9 +2601,8 @@ cand AS (
 ),
 scored AS (
   SELECT d.vec_id, d.cell, c.m, c.code,
-    round(list_sum(list_transform(generate_series(1, 8),
-      i -> (CAST(d.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
-         * (CAST(d.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS dd,
+    round(c.c2 - 2.0 * list_sum(list_transform(generate_series(1, 8),
+      i -> CAST(d.embedding[c.m * 8 + i] AS DOUBLE) * c.cv[i])), 9) AS dd,
     round(list_sum(list_transform(generate_series(1, 8),
       i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
          * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
@@ -2923,13 +2928,12 @@ FROM events
 # PQ-serve mirror: identical to pq_topk's ADC arm (same codes, same
 # query table) without the exact-distance audit column.
 ORACLES["pq_serve"] = f"""
-WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+WITH cb(m, code, cv, c2) AS (VALUES {_pq_codebook_values()}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, c.m, c.code,
-    round(list_sum(list_transform(generate_series(1, 8),
-      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
-         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d,
+    round(c.c2 - 2.0 * list_sum(list_transform(generate_series(1, 8),
+      i -> CAST(e.embedding[c.m * 8 + i] AS DOUBLE) * c.cv[i])), 9) AS d,
     round(list_sum(list_transform(generate_series(1, 8),
       i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
          * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
@@ -2951,13 +2955,12 @@ ORDER BY adc_dist, vec_id LIMIT 20
 # PQ-recall mirror: the pq_serve ADC top-20 CTE intersected with the
 # exact squared-L2 top-20, exact integer counts.
 ORACLES["pq_recall"] = f"""
-WITH cb(m, code, cv) AS (VALUES {_pq_codebook_values()}),
+WITH cb(m, code, cv, c2) AS (VALUES {_pq_codebook_values()}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, c.m, c.code,
-    round(list_sum(list_transform(generate_series(1, 8),
-      i -> (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i])
-         * (CAST(e.embedding[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS d,
+    round(c.c2 - 2.0 * list_sum(list_transform(generate_series(1, 8),
+      i -> CAST(e.embedding[c.m * 8 + i] AS DOUBLE) * c.cv[i])), 9) AS d,
     round(list_sum(list_transform(generate_series(1, 8),
       i -> (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i])
          * (CAST(q.qv[c.m * 8 + i] AS DOUBLE) - c.cv[i]))), 9) AS qd
