@@ -3039,3 +3039,31 @@ SELECT t.lang,
        CAST(COALESCE(c.in_vocab, 0) * 1000000 // t.n_tokens AS BIGINT) AS coverage_ppm
 FROM totals t LEFT JOIN covered c ON t.lang = c.lang
 """
+
+
+# Trend mirror: identical sufficient statistics in exact DECIMAL /
+# integer arithmetic; one double division rounded to 6 dp.
+ORACLES["weekly_trend"] = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT nation, COUNT(*) AS n, SUM(wk) AS sx, SUM(rev) AS sy,
+         SUM(rev * wk) AS sxy, SUM(wk * wk) AS sxx
+  FROM rev GROUP BY nation
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n_weeks,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_week,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) > 0 AS trending_up
+FROM s WHERE n >= 2
+"""

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.formatting import MONEY, brl, dsum, pct
+from .functions.formatting import MONEY, brl, dsum, dsum_dec, pct
 from .functions.text import (
     dup_token_ratio,
     fingerprint,
@@ -4276,6 +4276,64 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue TREND: the OLS slope of weekly revenue over
+    the week index, computed entirely from sufficient statistics —
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the grouped-regression
+    shape monitoring dashboards run to answer "which segments are
+    declining" without collecting a single series to the driver.
+
+    Determinism: x is an integer week index and y an exact DECIMAL
+    revenue, so every sufficient statistic (Σx, Σy, Σxy, Σx²) is exact
+    integer/decimal arithmetic — order- and partition-independent — and
+    the single double division at the end rounds to 6 dp identically in
+    both engines. Scale: one fact shuffle to (nation, week) partials,
+    then a 25-row stats aggregate; the regression itself never sees row
+    data.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast(
+        "long"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("__wk"))
+        .agg(dsum_dec("l_extendedprice").alias("__rev"))
+    )
+    stats = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__wk").alias("__sx"),
+        F.sum("__rev").alias("__sy"),
+        F.sum(F.col("__rev") * F.col("__wk")).alias("__sxy"),
+        F.sum(F.col("__wk") * F.col("__wk")).alias("__sxx"),
+    )
+    slope = F.round(
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+            "double"
+        ),
+        6,
+    )
+    return (
+        stats.filter(F.col("__n") >= 2)
+        .select(
+            "nation",
+            F.col("__n").alias("n_weeks"),
+            slope.alias("slope_per_week"),
+            (slope > 0).alias("trending_up"),
+        )
+    )
+
+
 def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``drift_weekly_kl``: the weekly (type, count)
     census produced by a Structured Streaming tumbling-window aggregate
@@ -4302,6 +4360,7 @@ QUERIES = {
     "drift_weekly_kl": q_drift_weekly_kl,
     "drift_stream": q_drift_stream,
     "vocab_coverage": q_vocab_coverage,
+    "weekly_trend": q_weekly_trend,
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,

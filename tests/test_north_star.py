@@ -927,3 +927,41 @@ def test_vocab_coverage_counts_oov_mass(spark, tmp_path):
     assert out["aa"]["coverage_ppm"] > 900000
     assert out["bb"]["coverage_ppm"] < out["aa"]["coverage_ppm"]
     assert out["bb"]["n_in_vocab"] < out["bb"]["n_tokens"]
+
+
+def test_weekly_trend_sign_matches_constructed_series(spark, tmp_path):
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # Nation A: revenue rises 100/wk; nation B falls 50/wk.
+    nations = [(0, "RISE", 0, "x"), (1, "FALL", 0, "x")]
+    spark.createDataFrame(
+        nations, "n_nationkey long, n_name string, n_regionkey long, n_comment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, 0, 1500.0), (2, 1, 1500.0)],
+        "c_custkey long, c_nationkey long, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders, lines = [], []
+    for w in range(6):
+        d = dt.date(2024, 1, 7) + dt.timedelta(weeks=w)
+        orders.append((10 + w, 1, "F", 0.0, d, "p"))   # RISE customer
+        orders.append((20 + w, 2, "F", 0.0, d, "p"))   # FALL customer
+        lines.append((10 + w, 1, 1, 1, 1.0, 1000.0 + 100.0 * w, 0.0, 0.0, "N", "O", d))
+        lines.append((20 + w, 1, 1, 1, 1.0, 1000.0 - 50.0 * w, 0.0, 0.0, "N", "O", d))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["nation"]: r for r in QUERIES["weekly_trend"](
+        spark, str(tmp_path)).collect()}
+    assert out["RISE"]["trending_up"] and out["RISE"]["slope_per_week"] == 100.0
+    assert not out["FALL"]["trending_up"] and out["FALL"]["slope_per_week"] == -50.0
