@@ -965,3 +965,15 @@ def test_weekly_trend_sign_matches_constructed_series(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert out["RISE"]["trending_up"] and out["RISE"]["slope_per_week"] == 100.0
     assert not out["FALL"]["trending_up"] and out["FALL"]["slope_per_week"] == -50.0
+
+
+def test_drift_stream_equals_batch_drift_exactly(spark):
+    """Kappa parity, asserted engine-side as well as via the shared
+    oracle: replaying the events snapshot through the streaming census
+    must reproduce the batch drift report row-for-row."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in QUERIES["drift_weekly_kl"](spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in QUERIES["drift_stream"](spark, SF_SMOKE).collect()}
+    assert batch == stream and len(batch) > 0
