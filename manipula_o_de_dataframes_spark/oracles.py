@@ -3067,3 +3067,43 @@ SELECT nation,
              / CAST(n * sxx - sx * sx AS DOUBLE), 6) > 0 AS trending_up
 FROM s WHERE n >= 2
 """
+
+
+# CUSUM mirror: identical double mean/deviation, rounded ONCE to
+# integer cents before the running sum (so window-sum association is
+# irrelevant), peak pinned to (|cusum| desc, week asc).
+ORACLES["changepoint_weeks"] = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+stats AS (SELECT nation, COUNT(*) AS n, SUM(rev) AS sy FROM rev GROUP BY nation),
+dev AS (
+  SELECT r.nation, r.wk, s.n,
+         CAST(round((CAST(r.rev AS DOUBLE)
+                     - CAST(s.sy AS DOUBLE) / CAST(s.n AS DOUBLE)) * 100.0, 0)
+              AS BIGINT) AS dev_cents
+  FROM rev r JOIN stats s ON r.nation = s.nation
+),
+cs AS (
+  SELECT nation, wk, n,
+         SUM(dev_cents) OVER (PARTITION BY nation ORDER BY wk
+                              ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM dev
+),
+ranked AS (
+  SELECT nation, wk, n, ABS(cusum) AS a,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY ABS(cusum) DESC, wk) AS rn
+  FROM cs
+)
+SELECT nation, CAST(wk AS BIGINT) AS changepoint_wk,
+       CAST(a AS BIGINT) AS peak_cusum_cents,
+       CAST(n AS BIGINT) AS n_weeks
+FROM ranked WHERE rn = 1
+"""

@@ -4334,6 +4334,74 @@ def q_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changepoint_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimation per nation: the week where the
+    cumulative deviation of weekly revenue from its nation mean peaks
+    in magnitude — Page's classic sequential statistic, the standard
+    first answer to "WHEN did this segment's behavior change" (the
+    drift monitor's complement: drift says THAT a week shifted, CUSUM
+    locates the level change).
+
+    Determinism without trusting float summation structure: per-week
+    deviations are rounded once to integer cents (both engines compute
+    the identical double first), so the running CUSUM is exact integer
+    arithmetic no matter how either engine's windowed SUM associates.
+    Peak pinned to (|cusum| desc, week asc). One fact shuffle → weekly
+    partials → a per-nation window over |weeks| rows.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast(
+        "long"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("__wk"))
+        .agg(dsum_dec("l_extendedprice").alias("__rev"))
+    )
+    stats = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__rev").alias("__sy")
+    )
+    mean = F.col("__sy").cast("double") / F.col("__n").cast("double")
+    dev_cents = F.round(
+        (F.col("__rev").cast("double") - mean) * 100.0, 0
+    ).cast("long")
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("__wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        rev.join(F.broadcast(stats), "nation")
+        .withColumn("__cusum", F.sum(dev_cents).over(w))
+    )
+    ranked = cusum.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("nation").orderBy(
+                F.abs(F.col("__cusum")).desc(), "__wk"
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select(
+            "nation",
+            F.col("__wk").alias("changepoint_wk"),
+            F.abs(F.col("__cusum")).alias("peak_cusum_cents"),
+            F.col("__n").alias("n_weeks"),
+        )
+    )
+
+
 def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``drift_weekly_kl``: the weekly (type, count)
     census produced by a Structured Streaming tumbling-window aggregate
@@ -4361,6 +4429,7 @@ QUERIES = {
     "drift_stream": q_drift_stream,
     "vocab_coverage": q_vocab_coverage,
     "weekly_trend": q_weekly_trend,
+    "changepoint_weeks": q_changepoint_weeks,
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,

@@ -977,3 +977,47 @@ def test_drift_stream_equals_batch_drift_exactly(spark):
     batch = {tuple(r) for r in QUERIES["drift_weekly_kl"](spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in QUERIES["drift_stream"](spark, SF_SMOKE).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_cusum_locates_an_injected_level_shift(spark, tmp_path):
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # 12 weeks at 1000, then 12 weeks at 2000: CUSUM magnitude peaks at
+    # the last pre-shift week (week index of 2024-03-24's window).
+    spark.createDataFrame(
+        [(0, "N", 0, "x")],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, 0, 0.0)], "c_custkey long, c_nationkey long, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders, lines = [], []
+    for i in range(24):
+        d = dt.date(2024, 1, 7) + dt.timedelta(weeks=i)
+        orders.append((i, 1, "F", 0.0, d, "p"))
+        lines.append((i, 1, 1, 1, 1.0, 1000.0 if i < 12 else 2000.0,
+                      0.0, 0.0, "N", "O", d))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["changepoint_weeks"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # mean = 1500; pre-shift weeks each contribute -500 cents*100 → the
+    # minimum (peak |cusum|) lands exactly on the 12th week.
+    import datetime as dt2
+    wk11 = (dt.date(2024, 1, 7) + dt.timedelta(weeks=11) -
+            dt2.date(1970, 1, 1)).days // 7
+    assert r["changepoint_wk"] == wk11
+    assert r["peak_cusum_cents"] == 12 * 500 * 100
+    assert r["n_weeks"] == 24
