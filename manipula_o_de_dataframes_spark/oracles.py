@@ -3107,3 +3107,29 @@ SELECT nation, CAST(wk AS BIGINT) AS changepoint_wk,
        CAST(n AS BIGINT) AS n_weeks
 FROM ranked WHERE rn = 1
 """
+
+
+# Curriculum mirror: identical 9dp quality, per-source rank on
+# (quality desc, doc_id), global position on (src_rank, source).
+ORACLES["curriculum_order"] = f"""
+WITH s AS (
+  SELECT doc_id, source,
+    round(least(
+        least((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(str_split(text, ' ')) AS DOUBLE) / 8.0, 1.0) * 0.4
+        + CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS DOUBLE)
+          / CAST(len(str_split(text, ' ')) AS DOUBLE) * 2.0 * 0.3
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
+      1.0), 9) AS quality
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT s.*,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)
+           AS src_rank
+  FROM s
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source) AS BIGINT) AS position,
+       doc_id, source, CAST(src_rank AS BIGINT) AS src_rank, quality
+FROM r
+"""

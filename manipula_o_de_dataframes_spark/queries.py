@@ -4402,6 +4402,40 @@ def q_changepoint_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: a deterministic global training order —
+    highest-quality documents first WITHIN each source, sources
+    interleaved round-robin — so early training sees the best of every
+    domain instead of whole sources back-to-back (the ordering knob
+    data-curriculum work tunes; a frozen, reproducible ordering is the
+    prerequisite for any ordering experiment).
+
+    Every rank pins a total order ((quality desc, doc_id) per source;
+    (src_rank, source) globally), so the position column is bitwise
+    reproducible. The global row_number is the documented
+    single-partition edge (positions, not data, flow through it); at
+    100 TB the two-pass count+offset rewrite applies — the same
+    scale-out already implemented for the scaled ABC cumsum
+    (operators/windows.py).
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    s = d.select(
+        "doc_id", "source", F.round(quality_score("text"), 9).alias("quality")
+    )
+    src_rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    )
+    ranked = s.withColumn("src_rank", src_rank.cast("long"))
+    position = F.row_number().over(Window.orderBy("src_rank", "source"))
+    return ranked.select(
+        position.cast("long").alias("position"),
+        "doc_id",
+        "source",
+        "src_rank",
+        "quality",
+    )
+
+
 def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``drift_weekly_kl``: the weekly (type, count)
     census produced by a Structured Streaming tumbling-window aggregate
@@ -4430,6 +4464,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "weekly_trend": q_weekly_trend,
     "changepoint_weeks": q_changepoint_weeks,
+    "curriculum_order": q_curriculum_order,
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,

@@ -1021,3 +1021,20 @@ def test_cusum_locates_an_injected_level_shift(spark, tmp_path):
     assert r["changepoint_wk"] == wk11
     assert r["peak_cusum_cents"] == 12 * 500 * 100
     assert r["n_weeks"] == 24
+
+
+def test_curriculum_interleaves_sources_best_first(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    good = "the quick brown fox jumps over the lazy dog and runs in the sun today"
+    bad = "zz qq"
+    docs = [(1, good, "en", "a", len(good)), (2, bad, "en", "a", len(bad)),
+            (3, good + " more", "en", "b", len(good) + 5), (4, bad, "en", "b", len(bad))]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(QUERIES["curriculum_order"](spark, str(tmp_path)).collect(),
+                  key=lambda r: r["position"])
+    # round-robin: both sources' best docs precede every worst doc
+    assert [r["doc_id"] for r in rows] == [1, 3, 2, 4]
+    assert [r["src_rank"] for r in rows] == [1, 1, 2, 2]
