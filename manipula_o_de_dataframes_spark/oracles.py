@@ -3133,3 +3133,45 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source) AS BIGINT) AS position
        doc_id, source, CAST(src_rank AS BIGINT) AS src_rank, quality
 FROM r
 """
+
+
+# Calibration mirror: the quality_logistic sigmoid and the gopher gate
+# computed in one CTE, decile = least(floor(p*10), 9), integer ppm.
+ORACLES["quality_calibration"] = f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+    round(least(
+        least((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(str_split(text, ' ')) AS DOUBLE) / 8.0, 1.0) * 0.4
+        + CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS DOUBLE)
+          / CAST(len(str_split(text, ' ')) AS DOUBLE) * 2.0 * 0.3
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
+      1.0), 9) AS q,
+    round((CAST(len(str_split(text, ' ')) AS DOUBLE)
+           - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS dup,
+    round((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS mlen,
+    CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS BIGINT)
+      AS stop_hits
+  FROM documents WHERE text IS NOT NULL
+),
+z AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(-2.0 + 6.0 * q + -3.0 * dup + 0.25 * mlen
+                                  + 0.002 * CAST(n_tokens AS DOUBLE)))), 9) AS p,
+         (n_tokens BETWEEN 10 AND 1000) AND (mlen BETWEEN 2.0 AND 10.0)
+           AND dup <= 0.6 AND stop_hits >= 2 AS gopher
+  FROM f
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS decile,
+         CASE WHEN gopher THEN 1 ELSE 0 END AS pass_
+  FROM z
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pass_) AS BIGINT) AS n_gopher_pass,
+       CAST(SUM(pass_) * 1000000 // COUNT(*) AS BIGINT) AS pass_rate_ppm
+FROM b GROUP BY decile
+"""

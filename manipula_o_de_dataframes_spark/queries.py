@@ -4436,6 +4436,55 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the learned quality score against the
+    rule-based gate: bucket ``quality_logistic``'s probability into
+    deciles and report each decile's Gopher pass-rate — if the model is
+    calibrated, the pass-rate climbs monotonically with the score (the
+    standard before-you-trust-a-classifier ML-ops check, composed from
+    two operators this engine already serves).
+
+    One scan computes BOTH scores (they fuse into the same map stage),
+    then a ≤10-row decile aggregate — exact integer counts, ppm rate.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    q = F.round(quality_score("text"), 9)
+    dup = F.round(dup_token_ratio("text"), 9)
+    mlen = F.round(mean_token_len("text"), 9)
+    n_tok = token_count("text")
+    z = (
+        F.lit(-2.0)
+        + F.lit(6.0) * q
+        + F.lit(-3.0) * dup
+        + F.lit(0.25) * mlen
+        + F.lit(0.002) * n_tok.cast("double")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    gopher = (
+        n_tok.between(10, 1000)
+        & mlen.between(2.0, 10.0)
+        & (dup <= 0.6)
+        & (stopword_hits("text") >= 2)
+    )
+    scored = d.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("decile"),
+        gopher.cast("long").alias("__pass"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__pass").alias("n_gopher_pass"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_gopher_pass",
+            F.expr("n_gopher_pass * 1000000 div n_docs").alias("pass_rate_ppm"),
+        )
+    )
+
+
 def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``drift_weekly_kl``: the weekly (type, count)
     census produced by a Structured Streaming tumbling-window aggregate
@@ -4465,6 +4514,7 @@ QUERIES = {
     "weekly_trend": q_weekly_trend,
     "changepoint_weeks": q_changepoint_weeks,
     "curriculum_order": q_curriculum_order,
+    "quality_calibration": q_quality_calibration,
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,

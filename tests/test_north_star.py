@@ -1038,3 +1038,21 @@ def test_curriculum_interleaves_sources_best_first(spark, tmp_path):
     # round-robin: both sources' best docs precede every worst doc
     assert [r["doc_id"] for r in rows] == [1, 3, 2, 4]
     assert [r["src_rank"] for r in rows] == [1, 1, 2, 2]
+
+
+def test_quality_calibration_separates_good_from_bad(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    good = "the quick brown fox jumps over the lazy dog and runs in the sun today"
+    bad = "zz zz zz zz zz zz zz zz"
+    docs = [(i, good, "en", "a", len(good)) for i in range(5)]
+    docs += [(10 + i, bad, "en", "a", len(bad)) for i in range(5)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["decile"]: r for r in QUERIES["quality_calibration"](
+        spark, str(tmp_path)).collect()}
+    hi, lo = max(rows), min(rows)
+    assert hi > lo
+    assert rows[hi]["pass_rate_ppm"] == 1000000   # good docs pass gopher
+    assert rows[lo]["pass_rate_ppm"] == 0          # repetitive docs fail
