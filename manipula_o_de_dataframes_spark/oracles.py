@@ -3175,3 +3175,25 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(pass_) * 1000000 // COUNT(*) AS BIGINT) AS pass_rate_ppm
 FROM b GROUP BY decile
 """
+
+
+# Centroid mirror: same fixed-scale int8 quantization (round half-up
+# via DuckDB round, clamp +-127), exact integer dim sums, array
+# re-assembled in dim order.
+ORACLES["label_centroids"] = """
+WITH dims AS (
+  SELECT label,
+         CAST(u.i - 1 AS INTEGER) AS dim,
+         GREATEST(-127, LEAST(127,
+           CAST(round(CAST(embedding[u.i] AS DOUBLE) * 127.0, 0) AS INTEGER))) AS q
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u
+),
+sums AS (
+  SELECT label, dim, SUM(q) AS s, COUNT(*) AS n
+  FROM dims GROUP BY label, dim
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       array_to_string(list(CAST(s AS BIGINT) ORDER BY dim), ',') AS centroid_sum_q
+FROM sums GROUP BY label
+"""

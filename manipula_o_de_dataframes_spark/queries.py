@@ -4485,6 +4485,57 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, deterministically: each float is
+    quantized ONCE to a fixed global scale (round(x·127), the int8
+    convention of `embedding_quantize`), then summed per dimension as
+    exact integers — the trick that makes a distributed vector mean
+    bit-reproducible (float sums reassociate; integer sums don't). The
+    per-class centroid + population is the semantic-drift baseline a
+    corpus owner freezes per snapshot ("did class 3's embedding mass
+    move since last month"), and the same exact-integer-partials shape
+    is how k-means gets deterministic at scale if you accept the
+    quantization.
+
+    Shuffle carries (label, dim, partial-int) triples with map-side
+    combine — vectors never move whole; the final array re-assembles
+    from ≤ |labels|×64 rows.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x.cast("double") * 127.0, 0).cast("int")),
+        ),
+    )
+    dims = e.select(
+        "label", F.posexplode(q).alias("dim", "__q")
+    )
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dim"), F.col("__s")))
+            ).alias("__pairs"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            # rendered to a string at the output edge (the engine-wide
+            # array convention: the hash gate compares scalars)
+            F.array_join(
+                F.transform(F.col("__pairs"), lambda p: p["__s"].cast("string")),
+                ",",
+            ).alias("centroid_sum_q"),
+        )
+    )
+
+
 def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``drift_weekly_kl``: the weekly (type, count)
     census produced by a Structured Streaming tumbling-window aggregate
@@ -4515,6 +4566,7 @@ QUERIES = {
     "changepoint_weeks": q_changepoint_weeks,
     "curriculum_order": q_curriculum_order,
     "quality_calibration": q_quality_calibration,
+    "label_centroids": q_label_centroids,
     "histogram_quantiles": q_histogram_quantiles,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pq_serve": q_pq_serve,

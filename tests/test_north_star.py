@@ -1056,3 +1056,19 @@ def test_quality_calibration_separates_good_from_bad(spark, tmp_path):
     assert hi > lo
     assert rows[hi]["pass_rate_ppm"] == 1000000   # good docs pass gopher
     assert rows[lo]["pass_rate_ppm"] == 0          # repetitive docs fail
+
+
+def test_label_centroids_exact_integer_sums(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    # Two vectors in label 7: [1.0]*64 and [-1.0]*64 -> q = +127/-127,
+    # dim sums all zero; label 3 single vector of 0.5 -> q = 64 each.
+    rows = [(0, [1.0] * 64, 7), (1, [-1.0] * 64, 7), (2, [0.5] * 64, 3)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["label"]: r for r in QUERIES["label_centroids"](
+        spark, str(tmp_path)).collect()}
+    assert out[7]["n_vectors"] == 2
+    assert out[7]["centroid_sum_q"] == ",".join(["0"] * 64)
+    assert out[3]["centroid_sum_q"] == ",".join(["64"] * 64)
