@@ -202,6 +202,35 @@ def jaccard_pairs(
     return out.select(*candidates.columns, (inter / union).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, candidates: DataFrame
+) -> DataFrame:
+    """Exact max-containment |A∩B| / min(|A|,|B|) on candidate pairs.
+
+    Jaccard under-scores subset duplicates: a document embedded verbatim
+    in one 5× larger has j ≈ 0.2 — below any dedup bar — yet that is
+    precisely the boilerplate-wrapped / quote-expanded duplicate a
+    training pipeline must catch. Normalizing the intersection by the
+    SMALLER shingle set scores a full subset 1.0 whatever the size
+    ratio. Both set sizes ride along so callers see the asymmetry
+    (which side is the fragment). Same one-plan shape as jaccard_pairs:
+    the verify touches candidates only, texts never shuffle — shingle
+    arrays do, once, joined to the pruned pair list.
+    """
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    out = candidates.join(
+        sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+    ).join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    smaller = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    return out.select(
+        *candidates.columns,
+        F.size("sh_a").cast("long").alias("n_sh_a"),
+        F.size("sh_b").cast("long").alias("n_sh_b"),
+        (inter / smaller).alias("containment"),
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str,

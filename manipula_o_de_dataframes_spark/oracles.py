@@ -524,6 +524,31 @@ FROM pairs p
 JOIN shing sa ON sa.doc_id = p.id_a
 JOIN shing sb ON sb.doc_id = p.id_b
 """,
+    "containment_near_dup": f"""
+WITH {_SIG_CTE},
+bands AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3,
+         unnest(['0|' || mh0, '1|' || mh1, '2|' || mh2, '3|' || mh3]) AS band
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT)
+       + CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT) AS BIGINT) AS n_agree
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT p.id_a, p.id_b, p.n_agree,
+    CAST(len(sa.sh) AS BIGINT) AS n_sh_a,
+    CAST(len(sb.sh) AS BIGINT) AS n_sh_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(least(len(sa.sh), len(sb.sh)) AS DOUBLE) AS containment
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, n_agree, n_sh_a, n_sh_b,
+       round(containment, 9) AS containment
+FROM scored WHERE containment >= 0.8
+""",
     "simhash": f"""
 WITH t AS (
   SELECT doc_id,

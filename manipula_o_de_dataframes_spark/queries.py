@@ -572,6 +572,35 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection: MinHash-LSH candidates + exact
+    max-containment |A∩B| / min(|A|,|B|) ≥ 0.8 verify.
+
+    The duplicate class Jaccard structurally misses: a document pasted
+    verbatim inside one 5× larger scores j ≈ 0.2 (below every dedup
+    bar) but containment 1.0 — the boilerplate-wrapped / quote-expanded
+    dup a training corpus accumulates. Candidates use the PERMISSIVE
+    r=1 banding deliberately: containment targets low-Jaccard pairs by
+    nature, and MinHash collision probability follows Jaccard, so the
+    steep r≥2 S-curve that is correct for near_dup_jaccard_banded would
+    crush exactly the pairs this detector exists to find (P[candidate]
+    at j=0.2: 59% with 4×r=1 vs 1.6% with 2×r=2). The verify bar then
+    restores precision. Set sizes ride along so the output shows which
+    side is the fragment.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=4, min_matches=1)
+    con = dd.containment_pairs(d, "text", "doc_id", cands)
+    return con.filter(F.col("containment") >= 0.8).select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        "n_sh_a",
+        "n_sh_b",
+        F.round("containment", 9).alias("containment"),
+    )
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys over orders: interleave
     customer and order-day bits so a layout sorted on the key bounds
@@ -4556,6 +4585,7 @@ QUERIES = {
     # the hash), (3) newest green row is r1 (three rounds stale), (4)
     # newest green row is r2. The r3-green block sits last — freshest.
     # --- new in round 4 (no driver row yet) ---
+    "containment_near_dup": q_containment_near_dup,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,

@@ -104,6 +104,34 @@ def test_banded_lsh_prunes_candidates(spark):
     assert n_r2 < n_r1 / 2, f"banding did not prune: r1={n_r1} r2={n_r2}"
 
 
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A doc pasted verbatim inside a much larger one: containment 1.0
+    while Jaccard sits far below any dedup bar — the pair class the
+    containment detector exists for."""
+    from manipula_o_de_dataframes_spark.operators.dedup import containment_pairs
+
+    frag = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, frag), (2, frag + " " + filler), (3, "totally unrelated content here now")],
+        "doc_id long, text string",
+    )
+    cands = df.sparkSession.createDataFrame(
+        [(1, 2, 1), (1, 3, 0)], "id_a long, id_b long, n_agree long"
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(df, "text", "doc_id", cands).collect()
+    }
+    sub = rows[(1, 2)]
+    assert sub["containment"] == 1.0  # full subset, any size ratio
+    assert sub["n_sh_a"] < sub["n_sh_b"]  # sizes expose which side is the fragment
+    jac = jaccard_pairs(df, "text", "doc_id", cands).collect()
+    j12 = next(r["jaccard"] for r in jac if r["id_a"] == 1 and r["id_b"] == 2)
+    assert j12 < 0.25  # same pair is invisible to a Jaccard bar
+    assert rows[(1, 3)]["containment"] < 0.2
+
+
 def test_banded_candidates_keep_high_jaccard_pairs(spark):
     """The pairs banding is allowed to drop are the low-similarity ones;
     every r=1 candidate with exact Jaccard ≥ 0.5 must survive r=2."""
