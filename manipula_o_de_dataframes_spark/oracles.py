@@ -524,6 +524,28 @@ FROM pairs p
 JOIN shing sa ON sa.doc_id = p.id_a
 JOIN shing sb ON sb.doc_id = p.id_b
 """,
+    "boilerplate_ngrams": """
+WITH shing AS (
+  SELECT doc_id, source, CASE WHEN text IS NULL THEN NULL ELSE list_distinct(list_transform(
+    generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
+    i -> array_to_string((str_split(text, ' '))[i:i+2], ' ')
+  )) END AS sh
+  FROM documents
+), ex AS (
+  SELECT source, unnest(sh) AS shingle FROM shing
+), dfreq AS (
+  SELECT source, shingle, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+), ranked AS (
+  SELECT d.source, d.shingle, d.df, t.n_docs,
+    row_number() OVER (PARTITION BY d.source ORDER BY d.df DESC, d.shingle ASC) AS rn
+  FROM dfreq d JOIN tot t ON d.source = t.source
+)
+SELECT source, shingle, df, n_docs, df * 1000000 // n_docs AS share_ppm
+FROM ranked WHERE rn <= 5
+""",
     "containment_near_dup": f"""
 WITH {_SIG_CTE},
 bands AS (

@@ -601,6 +601,44 @@ def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the top-5 most document-frequent shingles per
+    source — the concrete strings a C4-style cleaning pass would strip
+    (navigation, footers, injected templates repeat VERBATIM across a
+    source's documents; organic text doesn't).
+
+    ``shingles()`` is per-doc distinct, so ``count(*)`` over the
+    exploded (source, shingle) pairs IS document frequency — no
+    count-distinct shuffle. The share is exact integer ppm
+    (df·10⁶ // n_docs), and the top-5 uses row_number over the total
+    order (df desc, shingle asc), so the cut is deterministic in any
+    engine. Scale shape: one map-side-combinable (source, shingle)
+    aggregate; the rank's per-source partition holds the source's
+    DISTINCT-shingle vocabulary (bounded by content diversity), never
+    the corpus — and at 100 TB you'd pre-filter df ≥ k before ranking,
+    which this plan admits without reshaping.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    ex = d.select("source", F.explode(dd.shingles(F.col("text"))).alias("shingle"))
+    df_counts = ex.groupBy("source", "shingle").agg(F.count("*").alias("df"))
+    n_docs = d.filter(F.col("text").isNotNull()).groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("df").desc(), F.col("shingle").asc())
+    return (
+        df_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            "shingle",
+            F.col("df").cast("long").alias("df"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("df * 1000000 div n_docs").alias("share_ppm"),
+        )
+    )
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys over orders: interleave
     customer and order-day bits so a layout sorted on the key bounds
@@ -4586,6 +4624,7 @@ QUERIES = {
     # newest green row is r2. The r3-green block sits last — freshest.
     # --- new in round 4 (no driver row yet) ---
     "containment_near_dup": q_containment_near_dup,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
