@@ -3244,3 +3244,44 @@ SELECT CAST(label AS INTEGER) AS label,
        array_to_string(list(CAST(s AS BIGINT) ORDER BY dim), ',') AS centroid_sum_q
 FROM sums GROUP BY label
 """
+
+
+# Dense week spine via generate_series; zero fill stays DECIMAL until
+# the single edge cast, mirroring the engine's exact-money posture.
+ORACLES["gapfill_weeks"] = """
+WITH wk AS (
+  SELECT o_orderstatus AS status,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS wkd,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), span AS (
+  SELECT CAST(date_trunc('week', min(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('week', max(o_orderdate)) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 7 DAY)) AS DATE) AS wkd
+  FROM span
+), st AS (SELECT DISTINCT o_orderstatus AS status FROM orders)
+SELECT st.status, strftime(sp.wkd, '%Y-%m-%d') AS semana,
+       CAST(COALESCE(w.dec_total, 0) AS DOUBLE) AS valor_total,
+       COALESCE(w.n, 0) AS n_orders
+FROM spine sp CROSS JOIN st
+LEFT JOIN wk w ON w.status = st.status AND w.wkd = sp.wkd
+"""
+
+# Same md5-bucket CASE as train_split, keyed on the GROUP (source):
+# the no-straddle invariant is structural in both engines.
+ORACLES["grouped_split"] = """
+SELECT
+  CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+       WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""

@@ -639,6 +639,73 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar resample (gap-fill): per-status weekly revenue on
+    a COMPLETE week spine — absent (status, week) cells surface as
+    explicit zero rows instead of silently missing.
+
+    The time-series staple every dashboard/forecast consumer needs (a
+    lag/delta over a sparse series silently compares non-adjacent
+    weeks). The spine is built IN-PLAN: one-row min/max aggregate →
+    ``sequence(lo, hi, interval 7 days)`` explode → broadcast cross
+    join with the distinct-status dimension — no driver collect, no
+    literal calendar. Fact rows shuffle exactly once (the weekly
+    aggregate); the spine join touches only post-aggregation rows
+    (|weeks| × |statuses|), so the fill costs nothing at 100 TB.
+    Revenue stays DECIMAL through the fill (zero is exact) and casts
+    to double once at the edge.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("__wk"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("__dec"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    span = o.agg(
+        F.date_trunc("week", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("week", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 7 days)")).alias("__d")
+    ).select(F.col("__d").cast("date").alias("__wk"))
+    statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    full = spine.crossJoin(F.broadcast(statuses))
+    return full.join(wk, ["status", "__wk"], "left").select(
+        "status",
+        F.date_format("__wk", "yyyy-MM-dd").alias("semana"),
+        F.coalesce(F.col("__dec"), F.lit(0).cast(MONEY)).cast("double").alias("valor_total"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped split: every document of a source lands on
+    the SAME side (split keyed on md5(source), not doc_id) — the split
+    discipline that stops near-identical intra-source documents from
+    straddling train and eval.
+
+    The no-straddle invariant is structural, not audited after the
+    fact: the split column is a pure function of the group key, so a
+    source cannot appear in two splits in ANY engine. Same zero-
+    shuffle split expression as train_split; the audit aggregate
+    shuffles (split, partials) only. n_sources is exact distinct per
+    split — group keys are disjoint across splits, so the counts sum
+    to the corpus total.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        smp.hash_split(d, "source")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys over orders: interleave
     customer and order-day bits so a layout sorted on the key bounds
@@ -4625,6 +4692,8 @@ QUERIES = {
     # --- new in round 4 (no driver row yet) ---
     "containment_near_dup": q_containment_near_dup,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "gapfill_weeks": q_gapfill_weeks,
+    "grouped_split": q_grouped_split,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,

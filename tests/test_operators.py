@@ -340,3 +340,37 @@ def test_spool_honors_configured_root(spark, tmp_path, monkeypatch):
         assert conf_root.is_dir() and any(conf_root.iterdir())
     finally:
         spark.conf.unset("spark.graft.spool.dir")
+
+
+def test_gapfill_produces_dense_spine_with_zero_rows(spark):
+    """Every week between global min and max must appear for every
+    status, absent cells as exact zeros — and zero rows must exist at
+    the small SF (otherwise the fill is untested)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = QUERIES["gapfill_weeks"](spark, "/root/testdata/sf0.001").collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add(r["semana"])
+    weeks = set.union(*by_status.values())
+    for status, got in by_status.items():
+        assert got == weeks, f"status {status} missing weeks"
+    zero_rows = [r for r in rows if r["n_orders"] == 0]
+    assert zero_rows, "no gap cells at sf0.001 — fill semantics untested"
+    assert all(r["valor_total"] == 0.0 for r in zero_rows)
+
+
+def test_grouped_split_never_straddles_a_source(spark):
+    """The leakage guarantee: each source maps to exactly one split."""
+    from manipula_o_de_dataframes_spark.operators.sampling import hash_split
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+    from tests.conftest import SF_CORRECT
+
+    d = hash_split(read_table(spark, SF_CORRECT, "documents"), "source")
+    straddlers = (
+        d.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
