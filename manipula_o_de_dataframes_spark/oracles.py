@@ -3272,6 +3272,38 @@ FROM spine sp CROSS JOIN st
 LEFT JOIN wk w ON w.status = st.status AND w.wkd = sp.wkd
 """
 
+# Same probe-broadcast shape as embedding_batch_topk plus the
+# label-mismatch predicate; identical 9 dp cosine rounding.
+ORACLES["hard_negatives"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+  FROM embeddings WHERE vec_id < 4
+), scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+         {_cos("e.embedding", "q.qv")} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.query_label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, query_label, vec_id, neg_label, cos_sim
+FROM ranked WHERE rn <= 5
+"""
+
+ORACLES["basket_pairs"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
 # Same md5-bucket CASE as train_split, keyed on the GROUP (source):
 # the no-straddle invariant is structural in both engines.
 ORACLES["grouped_split"] = """

@@ -706,6 +706,86 @@ def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each probe vector, the top-5 most
+    cosine-similar vectors with a DIFFERENT label — the contrastive-
+    training data prep step (easy negatives teach nothing; the
+    near-miss neighbors carry the gradient).
+
+    Same one-scan shape as embedding_batch_topk (broadcast probe rows,
+    per-row scoring inside one map stage) plus the label-mismatch
+    predicate, which is evaluated BEFORE the cosine so same-label rows
+    — the bulk, in a clustered corpus — never pay the 64-dim fold.
+    The per-probe top-k shuffles (query_id, id, label, score) tuples
+    only, never vectors.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            sim.cosine(F.col("embedding"), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs by number of
+    orders containing both — the relational twin of pmi_collocations
+    (tokens→parts, documents→orders).
+
+    The within-basket pair fan-out is the LSH-bucket discipline applied
+    to baskets — and it costs ONE fact shuffle, not three: a self-join
+    would need distinct + join re-shuffles, so instead each order's
+    parts collapse to a sorted set (collect_set rides the same
+    co-location shuffle) and the a<b pairs are generated EXPRESSION-
+    side from that array (sortedness gives both the < order and
+    within-basket dedup for free). Quadratic only within an order
+    (baskets are ≤7 lineitems in TPC-H shape — bounded, like hash
+    buckets); only (part_a, part_b) pairs shuffle again for the count,
+    and the top-20 is TakeOrderedAndProject with a total-order
+    tie-break, so the cut is engine-deterministic.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    ps = F.col("__ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_structs).alias("__p")).select(
+        "__p.part_a", "__p.part_b"
+    )
+    counts = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("n_orders"))
+    return counts.orderBy(
+        F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(20)
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys over orders: interleave
     customer and order-day bits so a layout sorted on the key bounds
@@ -4694,6 +4774,8 @@ QUERIES = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "gapfill_weeks": q_gapfill_weeks,
     "grouped_split": q_grouped_split,
+    "hard_negatives": q_hard_negatives,
+    "basket_pairs": q_basket_pairs,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,

@@ -455,3 +455,55 @@ def test_pq_serve_reads_codes_not_embeddings(spark):
     assert "embedding" not in plan, f"serve path re-reads vectors:\n{plan}"
     assert "Exchange hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_round4_continuation_queries_plan_shapes(spark):
+    """Shuffle discipline for the round-4 continuation queries — all
+    four are pure-JVM plans (no Python eval anywhere). containment:
+    one hash exchange (the band bucket); the shingle verify joins
+    resolve as broadcasts at this SF and would AQE-shuffle at scale.
+    boilerplate: (source,shingle) agg + per-source rank + n_docs agg
+    = 3 hash exchanges, the n_docs attach must be a broadcast.
+    gapfill: weekly agg + status distinct = 2, the one-row span agg is
+    the only SinglePartition exchange, the spine attach broadcasts.
+    grouped_split: countDistinct's two-phase agg = 2 exchanges max."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        return p
+
+    p = shape("containment_near_dup")
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+    p = shape("boilerplate_ngrams")
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    assert "BroadcastExchange" in p, f"n_docs attach not broadcast\n{p}"
+
+    p = shape("gapfill_weeks")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert p.count("Exchange SinglePartition") <= 1, p
+
+    p = shape("grouped_split")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+    # hard_negatives: broadcast probes + the per-probe top-k window =
+    # exactly one hash exchange of score tuples; vectors never shuffle.
+    p = shape("hard_negatives")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "BroadcastExchange" in p, p
+
+    # basket_pairs: collect_set must RIDE the co-location shuffle (a
+    # partial/final ObjectHashAggregate pair with no exchange between)
+    # and the pair fan-out must be expression-side (Generate over the
+    # set array, no self-join). AQE's plan string repeats the tree, so
+    # pin the per-occurrence distinct exchanges instead of raw counts.
+    df = QUERIES["basket_pairs"](spark, SF_SMOKE)
+    p = _plan(df)
+    assert "EvalPython" not in p, p
+    assert "Generate explode" in p, f"pair fan-out not expression-side\n{p}"
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, (
+        f"basket pairing regressed to a self-join\n{p}"
+    )
+    assert "TakeOrderedAndProject" in p, p
