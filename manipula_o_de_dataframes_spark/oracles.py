@@ -2028,6 +2028,70 @@ FROM uw u JOIN fs f ON f.usuario = u.usuario
 GROUP BY 1, 2
 """
 
+# Growth accounting: same epoch-aligned week buckets as retention;
+# status via first-seen + shifted self-join, churn via shifted
+# anti-join, attached with the SAME left join from the status side
+# (a week with zero active users drops in both engines).
+ORACLES["growth_accounting"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS usuario,
+    CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', ts) / 604800.0) AS BIGINT) AS semana
+  FROM events
+),
+fs AS (SELECT usuario, MIN(semana) AS first_w FROM uw GROUP BY 1),
+prev AS (SELECT usuario, semana + 1 AS semana FROM uw),
+status AS (
+  SELECT u.semana,
+    CASE WHEN f.first_w = u.semana THEN 'new'
+         WHEN p.usuario IS NOT NULL THEN 'retained'
+         ELSE 'resurrected' END AS st
+  FROM uw u
+  JOIN fs f ON f.usuario = u.usuario
+  LEFT JOIN prev p ON p.usuario = u.usuario AND p.semana = u.semana
+),
+piv AS (
+  SELECT semana,
+    CAST(COUNT(CASE WHEN st = 'new' THEN 1 END) AS BIGINT) AS n_new,
+    CAST(COUNT(CASE WHEN st = 'retained' THEN 1 END) AS BIGINT) AS n_retained,
+    CAST(COUNT(CASE WHEN st = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected
+  FROM status GROUP BY 1
+),
+ch AS (
+  SELECT p.semana, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM prev p ANTI JOIN uw u ON u.usuario = p.usuario AND u.semana = p.semana
+  GROUP BY 1
+)
+SELECT piv.semana, piv.n_new, piv.n_retained, piv.n_resurrected,
+       COALESCE(ch.n_churned, 0) AS n_churned
+FROM piv LEFT JOIN ch ON ch.semana = piv.semana
+"""
+
+# RFM mirror: identical total orders (metric + custkey tie-break) so
+# ntile boundaries agree; monetary DECIMAL until the edge cast.
+ORACLES["rfm_segments"] = """
+WITH per_c AS (
+  SELECT o_custkey AS cliente,
+         MAX(o_orderdate) AS rec,
+         CAST(COUNT(*) AS BIGINT) AS frequencia,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT cliente, rec, frequencia, mon,
+    CAST(ntile(5) OVER (ORDER BY rec DESC, cliente) AS BIGINT) AS r_score,
+    CAST(ntile(5) OVER (ORDER BY frequencia DESC, cliente) AS BIGINT) AS f_score,
+    CAST(ntile(5) OVER (ORDER BY mon DESC, cliente) AS BIGINT) AS m_score
+  FROM per_c
+)
+SELECT cliente,
+       strftime(rec, '%Y-%m-%d') AS ultima_compra,
+       frequencia,
+       CAST(mon AS DOUBLE) AS valor_total,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segmento
+FROM scored
+"""
+
 # Truncated-embedding recall mirror: the same first-16-dims cosine
 # (generate_series bound = ordered 16-term fold, identical to the
 # Spark slice+fold), same tie order, recall vs the full-dim exact.

@@ -786,6 +786,97 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Amplitude/Reforge standard): every
+    active user classified as NEW (first week), RETAINED (also active
+    the week before), or RESURRECTED (returning after a gap), plus the
+    week's CHURNED count (active last week, absent this week) — the
+    decomposition that explains WHY a weekly-active count moved, which
+    the raw WAU curve can't.
+
+    Everything runs on distinct (user, week) tuples: first-seen is one
+    min-aggregate, the retained/resurrected test is a self left-join
+    shifted one week (no window state), churn is the same shifted
+    frame anti-joined forward and unioned in as a parallel aggregate.
+    Epoch-aligned 7-day buckets against the fixed NTZ origin (same
+    rule as retention_cohorts) keep both engines bucketing
+    identically under any session timezone.
+    """
+    e = read_table(spark, sf_dir, "events")
+    week = (F.floor(tmp.seconds_since_origin("ts") / F.lit(7 * 86400))).cast("long")
+    puw = e.select(F.col("user_id").alias("usuario"), week.alias("semana")).distinct()
+    first_seen = puw.groupBy("usuario").agg(F.min("semana").alias("__first"))
+    prev = puw.select("usuario", (F.col("semana") + 1).alias("semana"))
+    status = (
+        puw.join(first_seen, "usuario")
+        .join(prev.withColumn("__was_prev", F.lit(1)), ["usuario", "semana"], "left")
+        .select(
+            "semana",
+            F.when(F.col("__first") == F.col("semana"), F.lit("new"))
+            .when(F.col("__was_prev").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("__status"),
+        )
+        .groupBy("semana")
+        .pivot("__status", ["new", "retained", "resurrected"])
+        .count()
+    )
+    churned = (
+        prev.join(puw, ["usuario", "semana"], "left_anti")
+        .groupBy("semana")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        status.join(churned, "semana", "left")
+        .select(
+            "semana",
+            F.coalesce("new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("resurrected", F.lit(0)).cast("long").alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    customer, concatenated to the classic '555'-style segment code —
+    the standard CRM slicing the reference's per-client reports stop
+    short of.
+
+    One shuffle builds the per-customer (recency, frequency, monetary)
+    triple; the three ntile(5) windows run over the POST-AGGREGATION
+    frame (|customers| rows — same documented single-partition posture
+    as the ABC cumsum, with the same two-pass offsets scale-out
+    available). Every ordering carries the custkey tie-break, so
+    quintile boundaries are a total order and the codes hash
+    cross-engine; monetary stays DECIMAL until the edge cast.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    per_c = o.groupBy(F.col("o_custkey").alias("cliente")).agg(
+        F.max("o_orderdate").alias("__rec"),
+        F.count(F.lit(1)).alias("frequencia"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("__mon"),
+    )
+    w_r = Window.orderBy(F.col("__rec").desc(), F.col("cliente"))
+    w_f = Window.orderBy(F.col("frequencia").desc(), F.col("cliente"))
+    w_m = Window.orderBy(F.col("__mon").desc(), F.col("cliente"))
+    return per_c.select(
+        "cliente",
+        F.date_format("__rec", "yyyy-MM-dd").alias("ultima_compra"),
+        "frequencia",
+        F.col("__mon").cast("double").alias("valor_total"),
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+        F.concat(
+            F.ntile(5).over(w_r).cast("string"),
+            F.ntile(5).over(w_f).cast("string"),
+            F.ntile(5).over(w_m).cast("string"),
+        ).alias("segmento"),
+    )
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys over orders: interleave
     customer and order-day bits so a layout sorted on the key bounds
@@ -4776,6 +4867,8 @@ QUERIES = {
     "grouped_split": q_grouped_split,
     "hard_negatives": q_hard_negatives,
     "basket_pairs": q_basket_pairs,
+    "growth_accounting": q_growth_accounting,
+    "rfm_segments": q_rfm_segments,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,

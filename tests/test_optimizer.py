@@ -507,3 +507,11 @@ def test_round4_continuation_queries_plan_shapes(spark):
         f"basket pairing regressed to a self-join\n{p}"
     )
     assert "TakeOrderedAndProject" in p, p
+
+    # growth_accounting / rfm_segments: tuple-only shuffles, no Python.
+    # RFM's three ntile windows run over the post-aggregation customer
+    # frame — the documented single-partition posture (≤1 such
+    # exchange; the three sorts share it).
+    p = shape("growth_accounting")
+    p = shape("rfm_segments")
+    assert p.count("Exchange SinglePartition") <= 1, p
