@@ -2092,6 +2092,39 @@ SELECT cliente,
 FROM scored
 """
 
+# Drift mirror: identical int8 quantization and cross-multiplied
+# integer core; the square runs in HUGEINT (the engine uses
+# DECIMAL(38,0)) — both exact, so the single final double chain
+# (sqrt → normalize → round 9) lands on the same bits.
+ORACLES["embedding_drift"] = """
+WITH dims AS (
+  SELECT label, vec_id % 2 = 0 AS a,
+         CAST(u.i - 1 AS INTEGER) AS dim,
+         GREATEST(-127, LEAST(127,
+           CAST(round(CAST(embedding[u.i] AS DOUBLE) * 127.0, 0) AS INTEGER))) AS q
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u
+),
+per_dim AS (
+  SELECT label, dim,
+         SUM(CASE WHEN a THEN q END) AS sa,
+         SUM(CASE WHEN NOT a THEN q END) AS sb,
+         COUNT(CASE WHEN a THEN 1 END) AS na,
+         COUNT(CASE WHEN NOT a THEN 1 END) AS nb
+  FROM dims GROUP BY 1, 2
+),
+per_label AS (
+  SELECT label,
+         SUM(CAST(sa * nb - sb * na AS HUGEINT) * CAST(sa * nb - sb * na AS HUGEINT)) AS d2,
+         MAX(na) AS n_a, MAX(nb) AS n_b
+  FROM per_dim GROUP BY 1
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(sqrt(CAST(d2 AS DOUBLE)) / (n_a * n_b * 127.0), 9) AS l2_drift
+FROM per_label
+"""
+
 # Truncated-embedding recall mirror: the same first-16-dims cosine
 # (generate_series bound = ordered 16-term fold, identical to the
 # Spark slice+fold), same tie order, recall vs the full-dim exact.

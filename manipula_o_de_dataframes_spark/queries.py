@@ -838,6 +838,59 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic drift detector: per-label L2 distance between the mean
+    embeddings of two corpus halves (vec_id parity stands in for
+    consecutive snapshots) — the query a corpus owner runs against the
+    frozen `label_centroids` baseline to answer "did class k's
+    embedding mass move".
+
+    The core is EXACT integer arithmetic end-to-end: the same fixed-
+    scale int8 quantization as label_centroids, per-(label, dim, half)
+    integer sums, and the mean difference cross-multiplied to dodge
+    division — Σ(s_A·n_B − s_B·n_A)² per label, squared in
+    DECIMAL(38,0) (the cross term reaches ~10²¹, past long range;
+    decimal keeps it exact, DuckDB mirrors in HUGEINT). Only the final
+    sqrt/normalize touches doubles, once, rounded at 9 dp — so the
+    drift number itself hashes cross-engine. Shuffle carries (label,
+    dim, partials) triples with map-side combine; vectors never move.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x.cast("double") * 127.0, 0).cast("int")),
+        ),
+    )
+    half = (F.col("vec_id") % 2 == 0).alias("__a")
+    dims = e.select("label", half, F.posexplode(q).alias("dim", "__q"))
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("__a"), F.col("__q"))).alias("__sa"),
+        F.sum(F.when(~F.col("__a"), F.col("__q"))).alias("__sb"),
+        F.count(F.when(F.col("__a"), F.lit(1))).alias("__na"),
+        F.count(F.when(~F.col("__a"), F.lit(1))).alias("__nb"),
+    )
+    diff = (F.col("__sa") * F.col("__nb") - F.col("__sb") * F.col("__na")).cast(
+        "decimal(38,0)"
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.sum(diff * diff).alias("__d2"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    return per_label.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.sqrt(F.col("__d2").cast("double"))
+            / (F.col("n_a") * F.col("n_b") * F.lit(127.0)),
+            9,
+        ).alias("l2_drift"),
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency / frequency / monetary quintiles per
     customer, concatenated to the classic '555'-style segment code —
@@ -4869,6 +4922,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "growth_accounting": q_growth_accounting,
     "rfm_segments": q_rfm_segments,
+    "embedding_drift": q_embedding_drift,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
