@@ -1100,3 +1100,51 @@ def test_label_centroids_exact_integer_sums(spark, tmp_path):
     assert out[7]["n_vectors"] == 2
     assert out[7]["centroid_sum_q"] == ",".join(["0"] * 64)
     assert out[3]["centroid_sum_q"] == ",".join(["64"] * 64)
+
+
+def _containment_property_docs(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = len(texts)
+    cands = spark.createDataFrame(
+        [(a, b, 0) for a in range(n) for b in range(a + 1, n)],
+        "id_a long, id_b long, n_agree long",
+    )
+    return df, cands
+
+
+def test_containment_dominates_jaccard_on_random_docs(spark):
+    """Lattice invariants on every pair of a small random-ish corpus:
+    0 ≤ jaccard ≤ containment ≤ 1 (min-normalization can only grow the
+    score), and containment hits exactly 1.0 iff one shingle set
+    contains the other."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from manipula_o_de_dataframes_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    words = st.sampled_from("alpha beta gamma delta eps zeta eta theta".split())
+    texts = st.lists(
+        st.lists(words, min_size=3, max_size=12).map(" ".join), min_size=2, max_size=4
+    )
+
+    @given(texts)
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(ts):
+        df, cands = _containment_property_docs(spark, ts)
+        con = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(df, "text", "doc_id", cands).collect()
+        }
+        jac = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(df, "text", "doc_id", cands).collect()
+        }
+        for k, c in con.items():
+            assert 0.0 <= jac[k] <= c <= 1.0, (k, jac[k], c)
+
+    check()
