@@ -2092,6 +2092,29 @@ SELECT cliente,
 FROM scored
 """
 
+# Token-budget mirror: same frozen (md5, doc_id) admission order and
+# whole-doc exclusion at the boundary; integer tokens end to end.
+ORACLES["token_budget_select"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT source, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source AS fonte,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok) * 1000000 // 2000 AS BIGINT) AS utilizacao_ppm
+FROM c WHERE cum <= 2000
+GROUP BY 1
+"""
+
 # Drift mirror: identical int8 quantization and cross-multiplied
 # integer core; the square runs in HUGEINT (the engine uses
 # DECIMAL(38,0)) — both exact, so the single final double chain

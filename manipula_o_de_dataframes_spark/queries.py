@@ -838,6 +838,45 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsetting: admit documents per source, in frozen
+    md5 order, until a fixed token budget is exhausted — the "give me
+    ≤ B tokens per source" selection a training run makes, stated in
+    TOKENS (what the model consumes) rather than the doc quotas of
+    corpus_mix/temperature_mix. The md5 order is a frozen uniform
+    sample (swap in a quality ordering for best-first selection — the
+    plan shape is identical); a doc that would cross the budget line
+    is excluded whole, so the cut is exact and engine-agreed.
+
+    One shuffle on source; the per-source running token sum is a
+    window over (md5, doc_id) — a total order, so the admission set is
+    deterministic. The audit output is per-source (docs kept, tokens
+    kept, utilization ppm): integer-exact everywhere.
+    """
+    budget = 2000
+    d = _docs_parallel(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("__tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.withColumn("__cum", F.sum("__tok").over(w))
+    kept = cum.filter(F.col("__cum") <= budget)
+    return kept.groupBy(F.col("source").alias("fonte")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.expr(f"CAST(sum(__tok) * 1000000 div {budget} AS BIGINT)").alias(
+            "utilizacao_ppm"
+        ),
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic drift detector: per-label L2 distance between the mean
     embeddings of two corpus halves (vec_id parity stands in for
@@ -4923,6 +4962,7 @@ QUERIES = {
     "growth_accounting": q_growth_accounting,
     "rfm_segments": q_rfm_segments,
     "embedding_drift": q_embedding_drift,
+    "token_budget_select": q_token_budget_select,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
