@@ -2092,6 +2092,47 @@ SELECT cliente,
 FROM scored
 """
 
+# Share-of-parent mirror: identical DECIMAL revenue aggregate, each
+# share one rounded double division re-normalized per level.
+ORACLES["share_of_parent"] = """
+WITH agg AS (
+  SELECT r.r_name AS regiao, n.n_name AS nacao,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS dec_total
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT regiao, nacao,
+  CAST(dec_total AS DOUBLE) AS receita,
+  round(CAST(dec_total AS DOUBLE)
+      / CAST(SUM(dec_total) OVER (PARTITION BY regiao) AS DOUBLE), 9) AS share_na_regiao,
+  round(CAST(SUM(dec_total) OVER (PARTITION BY regiao) AS DOUBLE)
+      / CAST(SUM(dec_total) OVER () AS DOUBLE), 9) AS share_regiao_total
+FROM agg
+"""
+
+# Repeat-gap mirror: same (date, orderkey) total order and integer
+# 30-day banding; one-time buyers land in band -1.
+ORACLES["repeat_purchase_gap"] = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+ft AS (
+  SELECT o_custkey, MAX(rn) AS n,
+         date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS gap
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+)
+SELECT CAST(CASE WHEN n < 2 THEN -1 ELSE gap // 30 END AS INTEGER) AS banda_30d,
+       CAST(COUNT(*) AS BIGINT) AS n_clientes
+FROM ft GROUP BY 1
+"""
+
 # Token-budget mirror: same frozen (md5, doc_id) admission order and
 # whole-doc exclusion at the boundary; integer tokens end to end.
 ORACLES["token_budget_select"] = """

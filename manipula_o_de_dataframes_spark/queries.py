@@ -838,6 +838,88 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: revenue per (region, nation) with
+    each nation's share WITHIN its region and each region's share of
+    the grand total — the drill-path ratios a rollup alone doesn't
+    give (percent-of-total is global; share-of-parent re-normalizes at
+    every level).
+
+    One fact aggregate (broadcast dims prune first), then two window
+    sums over the ≤25-row result — the same post-aggregation window
+    posture as percent-of-total. Revenue is DECIMAL-exact; each share
+    is ONE double division rounded 9 dp, so the ratios hash
+    cross-engine.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey", "n_name", "r_name")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("r_name").alias("regiao"), F.col("n_name").alias("nacao"))
+        .agg(F.sum(F.col("l_extendedprice").cast(MONEY)).alias("__dec"))
+    )
+    w_region = Window.partitionBy("regiao")
+    w_all = Window.partitionBy()
+    return agg.select(
+        "regiao",
+        "nacao",
+        F.col("__dec").cast("double").alias("receita"),
+        F.round(
+            F.col("__dec").cast("double") / F.sum("__dec").over(w_region).cast("double"),
+            9,
+        ).alias("share_na_regiao"),
+        F.round(
+            F.sum("__dec").over(w_region).cast("double")
+            / F.sum("__dec").over(w_all).cast("double"),
+            9,
+        ).alias("share_regiao_total"),
+    )
+
+
+def q_repeat_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-second-purchase distribution: the day gap between each
+    customer's first and second order, bucketed into a 30-day-band
+    histogram (plus the one-time-buyer count as band -1) — the
+    conversion-lag curve behind every repeat-purchase target.
+
+    One shuffle on customer; the first two orders come from a
+    row_number over the total (date, orderkey) order, so ties are
+    engine-deterministic. The histogram is integer arithmetic on date
+    diffs — no doubles anywhere.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first_two = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max("__rn").alias("__n"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("__gap"),
+        )
+    )
+    band = F.when(F.col("__n") < 2, F.lit(-1)).otherwise(
+        F.expr("__gap div 30").cast("int")
+    )
+    return (
+        first_two.select(band.alias("banda_30d"))
+        .groupBy("banda_30d")
+        .agg(F.count(F.lit(1)).alias("n_clientes"))
+    )
+
+
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget subsetting: admit documents per source, in frozen
     md5 order, until a fixed token budget is exhausted — the "give me
@@ -4963,6 +5045,8 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "embedding_drift": q_embedding_drift,
     "token_budget_select": q_token_budget_select,
+    "share_of_parent": q_share_of_parent,
+    "repeat_purchase_gap": q_repeat_purchase_gap,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
