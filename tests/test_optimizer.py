@@ -515,3 +515,13 @@ def test_round4_continuation_queries_plan_shapes(spark):
     p = shape("growth_accounting")
     p = shape("rfm_segments")
     assert p.count("Exchange SinglePartition") <= 1, p
+
+    # token_budget_select / repeat_purchase_gap: one key shuffle each
+    # (source / customer), windows inside the partition. share_of_
+    # parent: dims broadcast; the two share windows run over the
+    # ≤25-row aggregate (single-partition posture).
+    p = shape("token_budget_select")
+    p = shape("repeat_purchase_gap")
+    p = shape("share_of_parent")
+    assert "BroadcastExchange" in p, f"dims not broadcast\n{p}"
+    assert p.count("Exchange SinglePartition") <= 1, p
