@@ -2092,6 +2092,24 @@ SELECT cliente,
 FROM scored
 """
 
+# Transition-matrix mirror: same (ts, event_id) total order for the
+# lag pairing, same integer-ppm row normalization.
+ORACLES["event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+pairs AS (
+  SELECT prev AS de, event_type AS para, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT de, para, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY de) AS BIGINT) AS prob_ppm
+FROM pairs
+"""
+
 # Share-of-parent mirror: identical DECIMAL revenue aggregate, each
 # share one rounded double division re-normalized per level.
 ORACLES["share_of_parent"] = """

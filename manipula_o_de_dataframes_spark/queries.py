@@ -838,6 +838,36 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: per user,
+    each consecutive (previous → current) event pair counted, with the
+    row-normalized transition probability in exact integer ppm — the
+    sequence-model view of behavioral data (session_funnel checks ONE
+    fixed path; this measures every observed hop).
+
+    One shuffle on user; the predecessor comes from lag() over the
+    total (ts, event_id) order inside the user partition, so pairing
+    is engine-deterministic under concurrent timestamps. The matrix
+    aggregate shuffles (prev, cur, partial) triples; normalization is
+    a window over the ≤|types|² result. Integer ppm keeps the
+    probabilities hash-stable cross-engine.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("de"), F.col("event_type").alias("para"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "de",
+        "para",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000000 div sum(n) over (partition by de)").alias("prob_ppm"),
+    )
+
+
 def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical share-of-parent: revenue per (region, nation) with
     each nation's share WITHIN its region and each region's share of
@@ -5047,6 +5077,7 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "share_of_parent": q_share_of_parent,
     "repeat_purchase_gap": q_repeat_purchase_gap,
+    "event_transitions": q_event_transitions,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
