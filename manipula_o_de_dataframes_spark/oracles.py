@@ -2748,7 +2748,7 @@ tot AS (SELECT SUM(tn) AS tt, SUM(rcnt) AS rt FROM stats),
 w AS (
   SELECT bucket,
          CAST(round(ln(((tn + 1.0) / (tt + 256.0)) / ((rcnt + 1.0) / (rt + 256.0)))
-                    * 1000000.0, 0) AS BIGINT) AS w
+                    * 10000.0, 0) AS BIGINT) AS w
   FROM stats CROSS JOIN tot
 ),
 per_doc AS (SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket),
@@ -2778,7 +2778,7 @@ v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(tk) AS tok FROM t)),
 model AS (
   SELECT c2.gram,
          CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + CAST(v.v AS DOUBLE)))
-                    * 1000000.0, 0) AS BIGINT) AS lp
+                    * 10000.0, 0) AS BIGINT) AS lp
   FROM c2 JOIN c1 ON string_split(c2.gram, ' ')[1] = c1.w1 CROSS JOIN v
 ),
 scored AS (
@@ -2790,7 +2790,7 @@ final AS (
          CAST(n_bigrams AS BIGINT) AS n_bigrams,
          CAST(lp_sum_scaled AS BIGINT) AS lp_sum_scaled,
          round(CAST(lp_sum_scaled AS DOUBLE)
-               / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 6) AS avg_logp
+               / (CAST(n_bigrams AS DOUBLE) * 10000.0), 6) AS avg_logp
   FROM scored
 )
 SELECT doc_id, n_bigrams, lp_sum_scaled, avg_logp,
@@ -2904,8 +2904,10 @@ FROM z
 
 
 # Drift mirror: naive-epoch-aligned 7-day windows (Spark F.window on
-# TIMESTAMP_NTZ), add-one smoothed KL + L1 per type rounded/1e6-scaled
-# to BIGINT before the per-week sum (exact integer, order-free).
+# TIMESTAMP_NTZ), add-one smoothed Pearson χ² + L1 per type
+# rounded/1e6-scaled to BIGINT before the per-week sum (exact integer,
+# order-free; χ² replaced KL in r5 — rational terms are IEEE-exact
+# cross-engine where ln() is libm-dependent).
 ORACLES["drift_weekly_kl"] = """
 WITH counts AS (
   SELECT TIMESTAMP '1970-01-01'
@@ -2936,10 +2938,12 @@ joined AS (
 ),
 terms AS (
   SELECT wk, nw,
-    CAST(round(((cw + 1.0) / (nw + CAST(t AS DOUBLE)))
-               * ln(((cw + 1.0) / (nw + CAST(t AS DOUBLE)))
-                    / ((cp + 1.0) / (np + CAST(t AS DOUBLE)))) * 1000000.0, 0)
-         AS BIGINT) AS kl_term,
+    CAST(round((((cw + 1.0) / (nw + CAST(t AS DOUBLE)))
+                - ((cp + 1.0) / (np + CAST(t AS DOUBLE))))
+               * (((cw + 1.0) / (nw + CAST(t AS DOUBLE)))
+                  - ((cp + 1.0) / (np + CAST(t AS DOUBLE))))
+               / ((cp + 1.0) / (np + CAST(t AS DOUBLE))) * 1000000.0, 0)
+         AS BIGINT) AS chi2_term,
     CAST(round(abs(CAST(cw AS DOUBLE) / CAST(nw AS DOUBLE)
                    - CAST(cp AS DOUBLE) / CAST(np AS DOUBLE)) * 1000000.0, 0)
          AS BIGINT) AS l1_term
@@ -2947,9 +2951,9 @@ terms AS (
 )
 SELECT strftime(wk, '%Y-%m-%d') AS week_start,
        CAST(MAX(nw) AS BIGINT) AS n_events,
-       CAST(SUM(kl_term) AS BIGINT) AS kl_scaled,
+       CAST(SUM(chi2_term) AS BIGINT) AS chi2_scaled,
        CAST(SUM(l1_term) AS BIGINT) AS l1_scaled,
-       SUM(kl_term) > 1000 AS drifted
+       SUM(chi2_term) > 2000 AS drifted
 FROM terms GROUP BY wk
 """
 
@@ -3009,19 +3013,23 @@ WHERE d.text IS NOT NULL
 
 # Skew-profile mirror: integer counts, per-key entropy/share terms
 # rounded and 1e6-scaled BEFORE summing (exact integer totals).
+# Integer-exact mirror (r5): F₂ = Σ n² is pure BIGINT arithmetic; the
+# two ratio columns and top-20 share each round ONE IEEE-exact rational
+# (the r4 per-key rounded-ln entropy was libm-fragile and is gone).
 ORACLES["join_skew_profile"] = """
 WITH counts AS (SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey),
-summary AS (SELECT SUM(n_rows) AS n, COUNT(*) AS n_keys FROM counts),
-ent AS (
-  SELECT SUM(CAST(round(-(CAST(n_rows AS DOUBLE) / CAST(s.n AS DOUBLE))
-                        * ln(CAST(n_rows AS DOUBLE) / CAST(s.n AS DOUBLE))
-                        * 1000000.0, 0) AS BIGINT)) AS entropy_scaled
-  FROM counts CROSS JOIN summary s
-),
+summary AS (SELECT SUM(n_rows) AS n, COUNT(*) AS n_keys,
+                   SUM(n_rows * n_rows) AS f2_mass
+            FROM counts),
 top AS (
-  SELECT c.o_custkey, c.n_rows, s.n, s.n_keys
+  SELECT c.o_custkey, c.n_rows, s.n, s.n_keys, s.f2_mass
   FROM counts c CROSS JOIN summary s
   ORDER BY c.n_rows DESC, c.o_custkey LIMIT 20
+),
+t20 AS (
+  SELECT CAST(round(CAST(SUM(n_rows) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+                    * 1000000.0, 0) AS BIGINT) AS top20_share_ppm
+  FROM top
 )
 SELECT t.o_custkey, CAST(t.n_rows AS BIGINT) AS n_rows,
        CAST(round(CAST(t.n_rows AS DOUBLE) / CAST(t.n AS DOUBLE) * 1000000.0, 0)
@@ -3029,8 +3037,9 @@ SELECT t.o_custkey, CAST(t.n_rows AS BIGINT) AS n_rows,
        CAST(round(CAST(t.n_rows AS DOUBLE) / CAST(t.n AS DOUBLE)
                   * CAST(t.n_keys AS DOUBLE) * 1000.0, 0) AS BIGINT) AS skew_x_milli,
        CAST(t.n_keys AS BIGINT) AS n_keys,
-       e.entropy_scaled
-FROM top t CROSS JOIN ent e
+       CAST(t.f2_mass AS BIGINT) AS f2_mass,
+       t20.top20_share_ppm
+FROM top t CROSS JOIN t20
 """
 
 

@@ -4,7 +4,7 @@ a live ingest instead of a batch snapshot.
 The stream side produces ONLY the (week, type, count) census (a
 tumbling 7-day windowed count — fixed-size mergeable state per
 (window, type), the cheapest possible streaming aggregate); the
-KL/L1 comparison is the same post-processing the batch query uses
+χ²/L1 comparison is the same post-processing the batch query uses
 (queries._drift_from_counts), so batch and stream share one oracle —
 the kappa-architecture claim ("replay the stream, get the batch
 answer") verified by hash, not asserted.

@@ -756,8 +756,8 @@ def test_drift_kl_zero_for_identical_weeks_positive_for_shift(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert len(out) == 2  # first week has no predecessor
     stable, shifted = out["2024-01-11"], out["2024-01-18"]
-    assert stable["kl_scaled"] == 0 and not stable["drifted"]
-    assert shifted["kl_scaled"] > 100000 and shifted["drifted"]
+    assert stable["chi2_scaled"] == 0 and not stable["drifted"]
+    assert shifted["chi2_scaled"] > 100000 and shifted["drifted"]
     assert shifted["l1_scaled"] > stable["l1_scaled"]
 
 

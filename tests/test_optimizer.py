@@ -358,10 +358,12 @@ def test_round4_new_queries_plan_shapes(spark):
 def test_round4_late_queries_plan_shapes(spark):
     """Shuffle discipline for the late round-4 trio. cross_doc_block_
     dedup: by-block window + by-doc reassembly = exactly 2 hash
-    exchanges. semantic_dedup: within-cell pairs come from a BROADCAST
-    join (a 4-value cell key would cap a shuffle join at 4-way
-    parallelism), so only the dup-distinct and the final vec_id join
-    may hash-shuffle; no nested-loop/cartesian pair generation.
+    exchanges. semantic_dedup: within-cell pairs come from a SIZE-GATED
+    equi-join on (cell, salt) — at smoke scale the planner may
+    broadcast the small side (fits under autoBroadcastJoinThreshold),
+    so only the dup-distinct and the final vec_id join hash-shuffle;
+    no nested-loop/cartesian pair generation (the no-forced-broadcast
+    proof lives in test_semantic_dedup_never_forces_broadcast).
     countmin_heavy_hitters: gram counts + sketch cells + final probe
     agg = 3 hash exchanges, sketch probe side broadcast, all JVM-side
     (seed-prefixed md5, no Python)."""
@@ -378,10 +380,32 @@ def test_round4_late_queries_plan_shapes(spark):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
         assert "BroadcastNestedLoop" not in plan, f"{name}:\n{plan}"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    # the pair stage and the sketch probe must both be broadcast joins
-    for name in ("semantic_dedup", "countmin_heavy_hitters"):
-        plan = _plan(QUERIES[name](spark, SF_SMOKE))
-        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan}"
+    # the sketch probe must be a broadcast join
+    plan = _plan(QUERIES["countmin_heavy_hitters"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, f"countmin lost its broadcast:\n{plan}"
+
+
+def test_semantic_dedup_never_forces_broadcast(spark):
+    """The r4 verdict's one scale bug: semantic_dedup hard-coded
+    F.broadcast(<full embedding table>) — correct result, OOM plan at
+    corpus scale. The r5 rewrite routes pairs through a salted
+    (cell, salt) shuffle join and leaves broadcast to the size
+    estimator. Proof: with autoBroadcastJoinThreshold off (how a
+    100 TB side looks to the planner), the plan must contain NO
+    BroadcastExchange anywhere — any survivor would be a hard-coded
+    hint — and the pair join must be a shuffle join keyed by the
+    salted composite so parallelism is k·s, not k."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["semantic_dedup"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "__salt" in plan and "SortMergeJoin" in plan, plan
 
 
 def test_pmi_and_bloom_plan_shapes(spark):
