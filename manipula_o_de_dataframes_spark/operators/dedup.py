@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .spool import graft_checkpoint as _ckpt
 from .spool import spool as _spool
 
 SHINGLE_K = 3
@@ -335,7 +336,12 @@ def dedup_clusters(
         m = min(N⁻(u) ∪ {u}); rewire u and its smaller neighbors to m.
 
     Both are one groupBy-min + one join per round; per-round state is
-    localCheckpoint'd so lineage stays O(1). Convergence = the edge
+    checkpointed (``spool.graft_checkpoint``: reliable HDFS/S3
+    checkpoint when ``spark.graft.checkpoint.dir`` /
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` is set — required off local mode,
+    where executor-local blocks would make an executor loss
+    mid-fixpoint unrecoverable — else localCheckpoint on local[*])
+    so lineage stays O(1). Convergence = the edge
     multiset signature (count + xxhash64 sum) repeats — at the fixed
     point every edge is (node, component-min) and both stars are
     no-ops. The driver only ever sees the scalar signature, and the
@@ -351,8 +357,8 @@ def dedup_clusters(
         jaccard_pairs(df, text_col, id_col, cands)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
-        .localCheckpoint()
     )
+    edges = _ckpt(edges)
 
     # Work on edges oriented (a=larger, b=smaller); self-loops dropped.
     e = (
@@ -403,8 +409,8 @@ def dedup_clusters(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
             )
-            .localCheckpoint()
         )
+        e = _ckpt(e)
         sig = (obs.get["n"], obs.get["h"])
         if sig == prev_sig:
             converged = True

@@ -253,6 +253,41 @@ def fixed_centroids(k: int = 4, dims: int = 64) -> list[tuple[int, list[float]]]
     ]
 
 
+def ivf_cell_spec(vec, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Column-API executable spec of ``ivf_cell`` (argmax-cosine
+    centroid, ties to the lowest cid, running ``greatest`` over
+    (cosine, −cid) structs — lexicographic struct order makes max
+    cosine win and the smaller cid win ties). The production
+    ``ivf_cell`` renders the identical operations as SQL text; a test
+    pins the two bit-equal so the fast path cannot drift."""
+    best = None
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        cand = F.struct(
+            cosine(vec, lit_vec).alias("cc"), F.lit(-cid).alias("neg_cid")
+        )
+        best = cand if best is None else F.greatest(best, cand)
+    return (-best["neg_cid"]).cast("int")
+
+
+def _cosine_sql(a_sql: str, b_sql: str) -> str:
+    """``cosine`` rendered as SQL text — the same zip_with/aggregate
+    fold in the same order, so parsed values are bit-equal."""
+    dot = (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    na = (
+        f"sqrt(aggregate(transform({a_sql}, x -> "
+        f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+    nb = (
+        f"sqrt(aggregate(transform({b_sql}, x -> "
+        f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+    return f"round({dot} / ({na} * {nb}), 9)"
+
+
 def ivf_cell(vec, centroids: list[tuple[int, list[float]]]) -> Column:
     """IVF cell id: argmax-cosine centroid, ties broken to the lowest cid.
 
@@ -262,16 +297,22 @@ def ivf_cell(vec, centroids: list[tuple[int, list[float]]]) -> Column:
     whole-stage codegen, and file-prunable once the cell is written as a
     partition column at ingest. Implemented as a running ``greatest``
     over (cosine, -cid) structs — struct comparison is lexicographic, so
-    max cosine wins and the smaller cid wins ties.
+    max cosine wins and the smaller cid wins ties. Rendered as one SQL
+    string parsed by a single ``F.expr`` (a k×dims Column build is
+    hundreds of py4j round-trips of driver overhead per plan — the
+    ``_score_sql`` profile); ``ivf_cell_spec`` is the Column-API spec
+    the bit-identity test pins this against.
     """
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
     best = None
     for cid, cvec in centroids:
-        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
-        cand = F.struct(
-            cosine(vec, lit_vec).alias("cc"), F.lit(-cid).alias("neg_cid")
+        arr = "array(" + ", ".join(_dlit(float(x)) for x in cvec) + ")"
+        cand = (
+            f"named_struct('cc', {_cosine_sql(vec_sql, arr)}, "
+            f"'neg_cid', {-cid})"
         )
-        best = cand if best is None else F.greatest(best, cand)
-    return (-best["neg_cid"]).cast("int")
+        best = cand if best is None else f"greatest({best}, {cand})"
+    return F.expr(f"CAST(-(({best}).neg_cid) AS INT)")
 
 
 def kmeans_lite(
@@ -405,45 +446,22 @@ def pq_codebook(
     ]
 
 
-def _sub_sqdist(vec, start: int, centroid: list[float]) -> Column:
-    """Rounded squared L2 distance between ``vec[start:start+len]`` and a
-    literal sub-centroid. Floats cast to double before arithmetic; the
-    sum is left-associated in element order; 9 dp rounding absorbs
-    fold-order ulps (the ``cosine`` convention the oracle gate has
-    validated).
-
-    Deliberately UNROLLED flat arithmetic, not zip_with/aggregate: a PQ
-    plan evaluates this 128× per row (8 subspaces × 16 codes), and
-    higher-order-function lambdas run interpreted with per-call array
-    allocation — measured ~12 ms/row at that multiplicity, a per-ROW
-    cost that would scale straight into a 100 TB disaster. Flat
-    element_at arithmetic stays inside whole-stage codegen (compiled
-    once, split across methods automatically) and performs the
-    IDENTICAL operations in the identical order, so results are
-    bit-equal to the fold form and the DuckDB mirrors are unaffected.
-    """
-    terms = []
-    for i, c in enumerate(centroid):
-        x = F.element_at(vec, start + i + 1).cast("double")
-        d = x - F.lit(float(c))
-        terms.append(d * d)
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
-    return F.round(s, 9)
-
-
 def _sub_score(vec, start: int, centroid: list[float]) -> Column:
     """The FACTORED argmin key: ‖c‖² − 2·x·c, rounded to 9 dp.
 
     Ordering-equivalent to the squared distance (they differ by the
     per-(vector, subspace) constant ‖x‖², so equal scores ⇔ equal
-    distances pre-round), with ~40% fewer expression nodes — the ‖x‖²
-    term would otherwise be recomputed inside all 16 candidates, and
-    Janino compile time of the 128-candidate argmin is the dominant
-    per-plan cost. ‖c‖² is a Python-summed literal (left-assoc IEEE
-    doubles, identical to the oracle's rendered constant); the dot
-    product sums left-associated in element order.
+    distances pre-round), with ~40% fewer expression nodes. ‖c‖² is a
+    Python-summed literal (left-assoc IEEE doubles, identical to the
+    oracle's rendered constant); the dot product sums left-associated
+    in element order.
+
+    This Column-API builder is the EXECUTABLE SPEC: ``pq_code``/
+    ``pq_adc`` render the same expression as a SQL string (one
+    ``F.expr`` parse instead of ~25 py4j round-trips per candidate —
+    see ``_score_sql``), and a property test asserts the two forms are
+    bit-identical on real vectors, so the fast path can never drift
+    from this definition.
     """
     c2 = None
     for c in centroid:
@@ -455,30 +473,69 @@ def _sub_score(vec, start: int, centroid: list[float]) -> Column:
     return F.round(F.lit(float(c2)) - F.lit(2.0) * dot, 9)
 
 
-def pq_code(vec, m: int, codebook: list[tuple[int, int, list[float]]]) -> Column:
+def _dlit(x: float) -> str:
+    """Render a Python float as a Spark SQL DOUBLE literal: ``repr``
+    is the shortest round-trip decimal and Java's parseDouble is
+    correctly rounded, so the parsed double is bit-identical to the
+    ``F.lit(float(x))`` the Column API would build. The ``D`` suffix
+    forces DOUBLE — a bare decimal literal would parse as DECIMAL."""
+    return f"{float(x)!r}D"
+
+
+def _score_sql(vec_sql: str, start: int, centroid: list[float]) -> str:
+    """``_sub_score`` rendered as SQL text — same operations in the
+    same left-associated order, so the analyzed expression tree (and
+    therefore every generated double) is identical to the Column form.
+
+    Why text: building the 8×16-candidate argmin through the Column
+    API costs ~4k py4j round-trips ≈ 6.6 s of DRIVER time per plan —
+    profiled at sf0.1: expression build 6.61 s, Catalyst plan 0.11 s,
+    execution 0.15 s. The r4 bench blamed Janino compile for the ~7 s
+    PQ constant; the profile shows codegen was innocent — the cost was
+    Python building Columns one JVM call at a time. One ``F.expr``
+    parse of the rendered string is ~30 ms for the whole plan.
+    """
+    c2 = None
+    for c in centroid:
+        c2 = c * c if c2 is None else c2 + c * c
+    dot = " + ".join(
+        f"(CAST(element_at({vec_sql}, {start + i + 1}) AS DOUBLE) * {_dlit(c)})"
+        for i, c in enumerate(centroid)
+    )
+    return f"round({_dlit(c2)} - 2.0D * ({dot}), 9)"
+
+
+def _pq_code_sql(
+    vec_sql: str, m: int, codebook: list[tuple[int, int, list[float]]]
+) -> str:
+    """``pq_code`` as SQL text (see ``_score_sql`` for why text)."""
+    rows = [(c, cv) for (mm_, c, cv) in codebook if mm_ == m]
+    sub_dims = len(rows[0][1])
+    structs = ", ".join(
+        f"named_struct('d', {_score_sql(vec_sql, m * sub_dims, cv)}, 'c', {c})"
+        for c, cv in rows
+    )
+    return f"CAST((least({structs})).c AS INT)"
+
+
+def pq_code(
+    vec, m: int, codebook: list[tuple[int, int, list[float]]]
+) -> Column:
     """The subspace-``m`` PQ code: argmin (rounded, factored) distance
     score over that subspace's literal centroids, ties to the lowest
-    code.
+    code. ``vec`` is a column name (or a simple named Column).
 
     A pure map-side expression (zero shuffle, whole-stage codegen) — at
     100 TB encoding is a single scan that compresses each vector to
     n_sub small ints, the representation ADC search and storage use.
     Implemented as a running ``least`` over (score, code) structs —
     lexicographic struct order makes min-score win and the lower code
-    win ties, matching the oracle's ORDER BY score, code.
+    win ties, matching the oracle's ORDER BY score, code. Rendered as
+    one SQL string and parsed once (``_score_sql`` explains the ~6.6 s
+    of py4j round-trips this avoids per plan).
     """
-    rows = [(c, cv) for (mm_, c, cv) in codebook if mm_ == m]
-    sub_dims = len(rows[0][1])
-    best = F.least(
-        *[
-            F.struct(
-                _sub_score(vec, m * sub_dims, cv).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c, cv in rows
-        ]
-    )
-    return best["c"].cast("int")
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    return F.expr(_pq_code_sql(vec_sql, m, codebook))
 
 
 def pq_distance_table(
@@ -534,9 +591,43 @@ def pq_adc(
     """
     n_sub = max(m for m, _, _ in codebook) + 1
     table = pq_distance_table(query, codebook)
-    adc = None
+    vec_sql = data_vec if isinstance(data_vec, str) else data_vec._jc.toString()
+    terms = []
     for m in range(n_sub):
-        lut = F.array(*[F.round(F.lit(v), 9) for v in table[m]])
-        term = F.element_at(lut, pq_code(data_vec, m, codebook) + 1)
-        adc = term if adc is None else adc + term
-    return adc
+        lut = ", ".join(f"round({_dlit(v)}, 9)" for v in table[m])
+        terms.append(
+            f"element_at(array({lut}), ({_pq_code_sql(vec_sql, m, codebook)}) + 1)"
+        )
+    return F.expr(" + ".join(f"({t})" for t in terms))
+
+
+def exact_sqdist(vec, query: list[float]) -> Column:
+    """Exact squared L2 distance to a literal query vector — the
+    full-scan audit arm beside ADC. Rendered as SQL text for the same
+    reason as ``_score_sql`` (a 64-dim unrolled Column build is ~256
+    py4j round-trips of pure driver overhead per plan); the parsed
+    tree performs the identical left-associated (x−q)·(x−q) sum, so
+    values are bit-equal to the Column form and the DuckDB mirror."""
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    terms = " + ".join(
+        f"((CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) - {_dlit(q)}) * "
+        f"(CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) - {_dlit(q)}))"
+        for i, q in enumerate(query)
+    )
+    return F.expr(terms)
+
+
+def adc_from_codes(
+    table: dict[int, list[float]], code_prefix: str = "code_"
+) -> Column:
+    """ADC distance over ALREADY-ENCODED code columns (the serve path:
+    8 one-byte lookups per row, the embedding column never scanned).
+    ``table`` is ``pq_distance_table``'s per-query artifact; each
+    subspace term is an ``element_at`` into a literal 16-float array
+    indexed by the stored code, summed in fixed subspace order —
+    rendered as one SQL expression (see ``_score_sql``)."""
+    terms = []
+    for m in sorted(table):
+        lut = ", ".join(f"round({_dlit(v)}, 9)" for v in table[m])
+        terms.append(f"(element_at(array({lut}), {code_prefix}{m} + 1))")
+    return F.expr(" + ".join(terms))

@@ -80,3 +80,59 @@ def spool(df: DataFrame) -> DataFrame:
     df.write.mode("overwrite").parquet(path)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return df.sparkSession.read.parquet(path)
+
+
+def _resolve_checkpoint(
+    master: str, conf_dir: str | None, env_dir: str | None
+) -> str | None:
+    """Checkpoint-durability resolution, pure so the policy is testable:
+    configured dir → reliable checkpoint there; no dir on local mode →
+    executor-local checkpoint (None); no dir off local mode → loud
+    error, because localCheckpoint blocks live in executor storage and
+    one executor loss mid-fixpoint kills the job unrecoverably."""
+    target = conf_dir or env_dir
+    if target:
+        return target
+    if master.startswith("local"):
+        return None
+    raise RuntimeError(
+        "checkpoint() on a non-local cluster needs a fault-tolerant "
+        "checkpoint dir: set spark.graft.checkpoint.dir (session conf) "
+        "or SPARK_GRAFT_CHECKPOINT_DIR (env) to an HDFS/S3 path — "
+        "localCheckpoint is executor-local and an executor loss "
+        "mid-fixpoint is unrecoverable (same escape pattern as the "
+        "spool root above)"
+    )
+
+
+def graft_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage-truncating eager checkpoint with a durability escape —
+    the iterative-algorithm twin of ``spool()``.
+
+    ``localCheckpoint`` is the right call on local[*] (executors die
+    with the driver anyway, and it skips a filesystem round-trip), but
+    on a real cluster its blocks are EXECUTOR-LOCAL: lose one executor
+    mid-fixpoint and the job dies with no recovery. Resolution:
+    ``spark.graft.checkpoint.dir`` session conf, then
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` env — either routes through
+    ``sparkContext.setCheckpointDir`` + reliable ``df.checkpoint()``
+    (HDFS/S3-backed, survives executor loss); neither set on local
+    mode falls back to ``localCheckpoint``; neither set OFF local mode
+    is a loud error, never a silent durability downgrade. The first
+    resolved dir wins for the SparkContext's lifetime (Spark pins one
+    checkpoint root per context); reliable checkpoint files are
+    cleaned by ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    or the scratch area's TTL policy, the same deal as spool dirs.
+    """
+    spark = df.sparkSession
+    target = _resolve_checkpoint(
+        spark.conf.get("spark.master", ""),
+        spark.conf.get("spark.graft.checkpoint.dir", None),
+        os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"),
+    )
+    if target is None:
+        return df.localCheckpoint()
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(target)
+    return df.checkpoint(eager=True)

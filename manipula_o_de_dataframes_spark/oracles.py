@@ -2056,14 +2056,20 @@ piv AS (
     CAST(COUNT(CASE WHEN st = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected
   FROM status GROUP BY 1
 ),
+mx AS (SELECT MAX(semana) AS mx FROM uw),
 ch AS (
   SELECT p.semana, CAST(COUNT(*) AS BIGINT) AS n_churned
   FROM prev p ANTI JOIN uw u ON u.usuario = p.usuario AND u.semana = p.semana
+  CROSS JOIN mx
+  WHERE p.semana <= mx.mx
   GROUP BY 1
 )
-SELECT piv.semana, piv.n_new, piv.n_retained, piv.n_resurrected,
+SELECT COALESCE(piv.semana, ch.semana) AS semana,
+       COALESCE(piv.n_new, 0) AS n_new,
+       COALESCE(piv.n_retained, 0) AS n_retained,
+       COALESCE(piv.n_resurrected, 0) AS n_resurrected,
        COALESCE(ch.n_churned, 0) AS n_churned
-FROM piv LEFT JOIN ch ON ch.semana = piv.semana
+FROM piv FULL JOIN ch ON ch.semana = piv.semana
 """
 
 # RFM mirror: identical total orders (metric + custkey tie-break) so

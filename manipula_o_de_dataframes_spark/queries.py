@@ -53,7 +53,12 @@ __all__ = ["NO_ORACLE", "QUERIES"]
 # training); hll_mergeable and events_sketches both graduated to
 # oracle-checked projections in round 3 — exact fields + per-engine
 # sketch-accuracy flags instead of raw implementation-defined estimates.
-NO_ORACLE = frozenset({"kmeans_cells"})
+# Empty since r5: every registered query is hash-checkable against its
+# DuckDB oracle. The one legitimately non-oracleable computation —
+# k-means TRAINING (float averaging is reassociation-sensitive) — lives
+# in tests (test_kmeans_training_rows_only), not in the registry;
+# ``kmeans_assign`` carries the family's oracle with fixed centroids.
+NO_ORACLE = frozenset()
 
 
 # --- reference-surface queries (SURVEY §2) ---------------------------------
@@ -797,7 +802,11 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything runs on distinct (user, week) tuples: first-seen is one
     min-aggregate, the retained/resurrected test is a self left-join
     shifted one week (no window state), churn is the same shifted
-    frame anti-joined forward and unioned in as a parallel aggregate.
+    frame anti-joined forward and attached by FULL outer join — so a
+    total-outage week (churned users, zero actives) still surfaces
+    with zeros in the active columns (ADVICE r4), while churn weeks
+    clip to the observed max week (the week after the data ends is
+    right-censored, not churn).
     Epoch-aligned 7-day buckets against the fixed NTZ origin (same
     rule as retention_cohorts) keep both engines bucketing
     identically under any session timezone.
@@ -821,13 +830,25 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("__status", ["new", "retained", "resurrected"])
         .count()
     )
+    # Churn weeks clip to the observed range: the week AFTER the last
+    # observed week is right-censored (every final-week user would
+    # read as churned there purely because the data ends), so it never
+    # appears. The max-week attach is a broadcast one-rower.
+    max_week = puw.agg(F.max("semana").alias("__mx"))
     churned = (
         prev.join(puw, ["usuario", "semana"], "left_anti")
+        .crossJoin(F.broadcast(max_week))
+        .filter(F.col("semana") <= F.col("__mx"))
         .groupBy("semana")
         .agg(F.count(F.lit(1)).alias("n_churned"))
     )
+    # FULL outer, not left from the active side: a total-outage week
+    # (churned users but zero actives) has no status row, and a left
+    # join would drop it — exactly the week the report must flag
+    # (ADVICE r4). Churn counts attach to the week the users went
+    # missing, active counts coalesce to 0.
     return (
-        status.join(churned, "semana", "left")
+        status.join(churned, "semana", "outer")
         .select(
             "semana",
             F.coalesce("new", F.lit(0)).cast("long").alias("n_new"),
@@ -1402,8 +1423,10 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-looped distributed passes (assign = centroid-literal map
     expression; recenter = one small aggregate per round) — the
     training step that yields real IVF centroids. Float averaging is
-    reassociation-sensitive, so this is a rows-only query (NO_ORACLE):
-    cell occupancy comes back, 8 rows, stable schema.
+    reassociation-sensitive, so training has no cross-engine oracle;
+    since r5 it is exercised by tests (rows/schema/occupancy
+    invariants) instead of occupying a rows-only registry slot —
+    ``kmeans_assign`` is the family's hash-checked serving twin.
     """
     e = (
         read_table(spark, sf_dir, "embeddings")
@@ -3514,7 +3537,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Norm once per ROW before the pair join (the cosine_near_dup_pairs
     # discipline: n folds, not 2n² — per pair only the dot remains).
-    withn = cells.select(
+    # Repartition because the source is one parquet split: when the
+    # size estimator picks a broadcast build at small scale, the pair
+    # scoring runs on the PROBE side's partitioning, which would
+    # otherwise be a single task (measured 8.6 s vs 1.5 s at sf0.1).
+    withn = cells.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id", "cell", "embedding", sim.norm(F.col("embedding")).alias("__n")
     )
     a = withn.select(
@@ -4108,13 +4135,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    adc = sim.pq_adc(F.col("embedding"), qvec, cb)
+    adc = sim.pq_adc("embedding", qvec, cb)
     # Exact distance vs the same literal query: left-associated flat sum
     # in element order — identical op order to the oracle's list_sum.
-    exact = None
-    for i, qv in enumerate(qvec):
-        d = F.element_at(F.col("embedding"), i + 1).cast("double") - F.lit(qv)
-        exact = d * d if exact is None else exact + d * d
+    exact = sim.exact_sqdist("embedding", qvec)
     return (
         e.filter(F.col("vec_id") != 0)
         .select(
@@ -4663,18 +4687,59 @@ def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("passes", F.col("n_violations") == 0)
 
 
-_PQ_CODES_SPOOL: dict[tuple[int, str], DataFrame] = {}
+_PQ_CODES_SPOOL: dict[tuple[str, str, tuple], DataFrame] = {}
+
+
+def _snapshot_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """(path, mtime, size) of a snapshot's parquet payload — cheap
+    os.stat metadata, no data read. A regenerated fixture changes
+    mtime/size, so memo entries keyed on it can never serve codes for
+    bytes that are no longer on disk."""
+    import os  # noqa: PLC0415
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    entries = []
+    try:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, name))
+                entries.append((name, int(st.st_mtime), st.st_size))
+        else:
+            st = os.stat(p)
+            entries.append((os.path.basename(p), int(st.st_mtime), st.st_size))
+    except OSError:
+        entries.append(("missing", 0, 0))
+    return tuple(entries)
 
 
 def _pq_codes_spooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The encoded-codes artifact, memoized per (session, snapshot):
     'encode once per snapshot' IS the PQ-index semantic — repeat
     serving calls must reuse the materialization, not re-run the
-    argmin (at 100 TB the codes are columns written at ingest)."""
+    argmin (at 100 TB the codes are columns written at ingest).
+
+    Key = (applicationId, sf_dir, snapshot fingerprint) — NOT
+    ``id(spark)``, which the allocator can reuse after a stopped
+    session is garbage-collected (serving a frame bound to a dead
+    JVM), and not the path alone, which would serve stale codes after
+    a fixture regenerates in place."""
     from .operators.spool import spool
 
-    key = (id(spark), sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _snapshot_fingerprint(sf_dir),
+    )
     if key not in _PQ_CODES_SPOOL:
+        # Evict frames bound to other (possibly stopped) sessions and
+        # superseded fingerprints of THIS snapshot dir; keep live
+        # same-session indexes for other snapshots.
+        for k in [
+            k
+            for k in _PQ_CODES_SPOOL
+            if k[0] != key[0] or k[1] == sf_dir
+        ]:
+            del _PQ_CODES_SPOOL[k]
         _PQ_CODES_SPOOL[key] = spool(q_pq_codes(spark, sf_dir))
     return _PQ_CODES_SPOOL[key]
 
@@ -4704,11 +4769,7 @@ def q_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
     table = sim.pq_distance_table(qvec, cb)
-    adc = None
-    for m in range(8):
-        lut = F.array(*[F.round(F.lit(v), 9) for v in table[m]])
-        term = F.element_at(lut, F.col(f"code_{m}") + 1)
-        adc = term if adc is None else adc + term
+    adc = sim.adc_from_codes(table)
     return (
         codes.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round(adc, 9).alias("adc_dist"))
@@ -4733,10 +4794,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
     adc_top = q_pq_serve(spark, sf_dir).select("vec_id")
-    exact = None
-    for i, qv in enumerate(qvec):
-        d = F.element_at(F.col("embedding"), i + 1).cast("double") - F.lit(qv)
-        exact = d * d if exact is None else exact + d * d
+    exact = sim.exact_sqdist("embedding", qvec)
     exact_top = (
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round(exact, 9).alias("__d"))
@@ -5103,65 +5161,32 @@ def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then round-1-only rows (due a re-check), then round-2-green rows.
 QUERIES = {
     # Dict order = the driver's ~50-row sampling order. Priority: (1)
-    # new this round, (2) implementation changed this round (re-green
-    # the hash), (3) newest green row is r1 (three rounds stale), (4)
-    # newest green row is r2. The r3-green block sits last — freshest.
-    # --- new in round 4 (no driver row yet) ---
-    "containment_near_dup": q_containment_near_dup,
-    "boilerplate_ngrams": q_boilerplate_ngrams,
-    "gapfill_weeks": q_gapfill_weeks,
-    "grouped_split": q_grouped_split,
-    "hard_negatives": q_hard_negatives,
-    "basket_pairs": q_basket_pairs,
-    "growth_accounting": q_growth_accounting,
-    "rfm_segments": q_rfm_segments,
-    "embedding_drift": q_embedding_drift,
-    "token_budget_select": q_token_budget_select,
-    "share_of_parent": q_share_of_parent,
-    "repeat_purchase_gap": q_repeat_purchase_gap,
-    "event_transitions": q_event_transitions,
-    "pq_codes": q_pq_codes,
-    "pq_topk": q_pq_topk,
-    "ivf_pq_topk": q_ivf_pq_topk,
+    # implementation or semantics changed in round 5 (float-policy
+    # rewrites, SQL-rendered PQ/IVF expressions, checkpoint routing,
+    # churn full-outer) — every one needs a fresh green hash; (2)
+    # newest green row is r1 (four rounds stale); (3) newest green row
+    # is r2 — the driver's ~50 sample reaches partway into this block;
+    # rotate the remainder to the front in r6. r3/r4-green rows sit
+    # last, freshest.
+    # --- changed in round 5 ---
+    "join_skew_profile": q_join_skew_profile,
     "drift_weekly_kl": q_drift_weekly_kl,
     "drift_stream": q_drift_stream,
-    "vocab_coverage": q_vocab_coverage,
-    "weekly_trend": q_weekly_trend,
-    "changepoint_weeks": q_changepoint_weeks,
-    "curriculum_order": q_curriculum_order,
-    "quality_calibration": q_quality_calibration,
-    "label_centroids": q_label_centroids,
-    "histogram_quantiles": q_histogram_quantiles,
-    "k_anonymity_audit": q_k_anonymity_audit,
-    "pq_serve": q_pq_serve,
-    "pq_recall": q_pq_recall,
-    "dedup_weights": q_dedup_weights,
-    "contract_checks": q_contract_checks,
-    "bpe_apply": q_bpe_apply,
-    "join_skew_profile": q_join_skew_profile,
-    "adaptive_quality_gate": q_adaptive_quality_gate,
-    "quality_logistic": q_quality_logistic,
     "dsir_weights": q_dsir_weights,
     "ngram_lm_score": q_ngram_lm_score,
-    "bpe_merges": q_bpe_merges,
-    "langid_confusion": q_langid_confusion,
-    "rrf_hybrid_search": q_rrf_hybrid_search,
-    "pmi_collocations": q_pmi_collocations,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "cross_doc_block_dedup": q_cross_doc_block_dedup,
     "semantic_dedup": q_semantic_dedup,
-    "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    "corpus_pipeline": q_corpus_pipeline,
+    "growth_accounting": q_growth_accounting,
+    "pq_codes": q_pq_codes,
+    "pq_topk": q_pq_topk,
+    "pq_serve": q_pq_serve,
+    "pq_recall": q_pq_recall,
+    "ivf_pq_topk": q_ivf_pq_topk,
     "kmeans_assign": q_kmeans_assign,
-    "audio_chunk_near_dup": q_audio_chunk_near_dup,
-    "strip_repeated_blocks": q_strip_repeated_blocks,
-    # --- implementation changed in round 4 (star-contraction CC,
-    #     Levenshtein length-gap prune, multimodal overflow guard) ---
+    "ivf_topk": q_ivf_topk,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
-    "edit_distance_near_dup": q_edit_distance_near_dup,
-    "multimodal_near_dup": q_multimodal_near_dup,
-    # --- newest green row is r1 — three rounds stale ---
+    "corpus_pipeline": q_corpus_pipeline,
+    # --- newest green row is r1 ---
     "multimodal_frames": q_multimodal_frames,
     "tfidf_top_term": q_tfidf_top_term,
     "top_bigrams": q_top_bigrams,
@@ -5172,9 +5197,7 @@ QUERIES = {
     "pending_stream": q_pending_stream,
     "clean_pipeline": q_clean_pipeline,
     "embedding_near_dup": q_embedding_near_dup,
-    "ivf_topk": q_ivf_topk,
-    # --- newest green row is r2 — two rounds stale (perf-suspect trio
-    #     first: the min-of-2 bench needs matching fresh hashes) ---
+    # --- newest green row is r2 ---
     "sales_cube": q_sales_cube,
     "product_client_history": product_client_history,
     "top_k_customers": q_top_k_customers,
@@ -5224,8 +5247,43 @@ QUERIES = {
     "attribution_stream": q_attribution_stream,
     "neighbor_counts": q_neighbor_counts,
     "events_rollup": q_events_rollup,
-    # --- never had a driver row before r3's sweep but green there, or
-    #     r1-green utility rows re-checked r3 ---
+    # --- green in r3/r4 — freshest, sample last ---
+    "containment_near_dup": q_containment_near_dup,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "gapfill_weeks": q_gapfill_weeks,
+    "grouped_split": q_grouped_split,
+    "hard_negatives": q_hard_negatives,
+    "basket_pairs": q_basket_pairs,
+    "rfm_segments": q_rfm_segments,
+    "embedding_drift": q_embedding_drift,
+    "token_budget_select": q_token_budget_select,
+    "share_of_parent": q_share_of_parent,
+    "repeat_purchase_gap": q_repeat_purchase_gap,
+    "event_transitions": q_event_transitions,
+    "vocab_coverage": q_vocab_coverage,
+    "weekly_trend": q_weekly_trend,
+    "changepoint_weeks": q_changepoint_weeks,
+    "curriculum_order": q_curriculum_order,
+    "quality_calibration": q_quality_calibration,
+    "label_centroids": q_label_centroids,
+    "histogram_quantiles": q_histogram_quantiles,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "dedup_weights": q_dedup_weights,
+    "contract_checks": q_contract_checks,
+    "bpe_apply": q_bpe_apply,
+    "adaptive_quality_gate": q_adaptive_quality_gate,
+    "quality_logistic": q_quality_logistic,
+    "bpe_merges": q_bpe_merges,
+    "langid_confusion": q_langid_confusion,
+    "rrf_hybrid_search": q_rrf_hybrid_search,
+    "pmi_collocations": q_pmi_collocations,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "cross_doc_block_dedup": q_cross_doc_block_dedup,
+    "countmin_heavy_hitters": q_countmin_heavy_hitters,
+    "audio_chunk_near_dup": q_audio_chunk_near_dup,
+    "strip_repeated_blocks": q_strip_repeated_blocks,
+    "edit_distance_near_dup": q_edit_distance_near_dup,
+    "multimodal_near_dup": q_multimodal_near_dup,
     "token_profile": q_token_profile,
     "decontaminate": q_decontaminate,
     "price_bands": q_price_bands,
@@ -5249,10 +5307,8 @@ QUERIES = {
     "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
     "near_dup_jaccard_banded": q_near_dup_jaccard_banded,
     "multimodal_features": q_multimodal_features,
-    "kmeans_cells": q_kmeans_cells,
     "revenue_by_nation": q_revenue_by_nation,
     "multimodal_resize": q_multimodal_resize,
-    # --- green in round 3 — freshest, sample last ---
     "temperature_mix": q_temperature_mix,
     "scd2_dim": q_scd2_dim,
     "conversion_forward": q_conversion_forward,

@@ -798,7 +798,10 @@ def test_join_skew_profile_flags_hot_key(spark, tmp_path):
     assert hot["share_ppm"] == 500000          # 50 of 100 rows
     assert hot["skew_x_milli"] == 5500         # 0.5 × 11 keys
     assert hot["n_keys"] == 11
-    assert hot["entropy_scaled"] > 0
+    # F₂ = Σ n² exactly: 50² + 10·5² = 2750 — the self-join output
+    # size this key distribution would produce (integer-exact, r5).
+    assert hot["f2_mass"] == 2750
+    assert hot["top20_share_ppm"] == 1000000   # 11 keys ⇒ top-20 covers all
 
 
 def test_null_text_docs_never_reach_quality_or_dsir_outputs(spark, tmp_path):
@@ -1148,3 +1151,84 @@ def test_containment_dominates_jaccard_on_random_docs(spark):
             assert 0.0 <= jac[k] <= c <= 1.0, (k, jac[k], c)
 
     check()
+
+
+def test_pq_spool_memo_invalidates_on_snapshot_change(spark, tmp_path):
+    """The codes memo keys on (applicationId, dir, snapshot
+    fingerprint) — rewriting the embeddings parquet in place must
+    re-encode, never serve the dead snapshot's codes (ADVICE r4:
+    id(spark) could be reused after GC and the old key ignored
+    in-place fixture rewrites entirely)."""
+    import manipula_o_de_dataframes_spark.queries as Q
+
+    cb = sim.pq_codebook()
+
+    def write(seed):
+        rows = [
+            (i, [((i * 13 + j * 7 + seed) % 11 - 5) / 5.0 for j in range(64)])
+            for i in range(6)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    write(0)
+    first = Q._pq_codes_spooled(spark, str(tmp_path))
+    again = Q._pq_codes_spooled(spark, str(tmp_path))
+    assert first is again, "same snapshot must reuse the memoized frame"
+    rows1 = {tuple(r) for r in first.collect()}
+
+    import time as _t
+
+    _t.sleep(1.1)  # mtime granularity
+    write(3)
+    second = Q._pq_codes_spooled(spark, str(tmp_path))
+    assert second is not first, "rewritten snapshot must re-encode"
+    assert {tuple(r) for r in second.collect()} != rows1
+
+
+def test_growth_accounting_surfaces_total_outage_week(spark, tmp_path):
+    """A week where EVERY user went dark has no active-status row; the
+    full-outer churn attach (ADVICE r4) must still emit that week with
+    n_churned > 0 and zeros elsewhere — it is the single most
+    important row the report can produce."""
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 3)  # any date; weeks are epoch-aligned
+    rows = []
+    for i, (user, week) in enumerate(
+        [(1, 0), (2, 0), (1, 2), (2, 2)]  # week 1 = total outage
+    ):
+        rows.append((i, base + dt.timedelta(days=7 * week), user, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["semana"]: r for r in QUERIES["growth_accounting"](
+        spark, str(tmp_path)).collect()}
+    weeks = sorted(out)
+    assert len(weeks) == 3, f"outage week dropped: {weeks}"
+    outage = out[weeks[1]]
+    assert outage["n_churned"] == 2
+    assert outage["n_new"] == outage["n_retained"] == outage["n_resurrected"] == 0
+    comeback = out[weeks[2]]
+    assert comeback["n_resurrected"] == 2
+
+
+def test_kmeans_training_rows_only(spark):
+    """kmeans_cells left the query registry in r5 (every queries()
+    entry is now hash-checkable; NO_ORACLE is empty) — the training
+    loop's invariants live here instead: 3 Lloyd rounds over the
+    fixture embeddings produce ≤k non-empty cells whose occupancy
+    sums to the corpus size."""
+    from manipula_o_de_dataframes_spark.queries import q_kmeans_cells
+    from tests.conftest import SF_SMOKE
+
+    out = q_kmeans_cells(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 8
+    assert set(out[0].asDict().keys()) == {"cell", "n_vetores"}
+    n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert sum(r["n_vetores"] for r in out) == n

@@ -342,6 +342,56 @@ def test_spool_honors_configured_root(spark, tmp_path, monkeypatch):
         spark.conf.unset("spark.graft.spool.dir")
 
 
+def test_checkpoint_policy_resolution():
+    """graft_checkpoint's durability policy (VERDICT r4 #3): configured
+    dir wins; local mode without one degrades to executor-local; a real
+    cluster without one is a LOUD error, never a silent downgrade."""
+    import pytest
+
+    from manipula_o_de_dataframes_spark.operators.spool import (
+        _resolve_checkpoint,
+    )
+
+    assert _resolve_checkpoint("yarn", "/scratch/ck", None) == "/scratch/ck"
+    assert _resolve_checkpoint("local[32]", None, "/env/ck") == "/env/ck"
+    assert _resolve_checkpoint("local[32]", None, None) is None
+    with pytest.raises(RuntimeError, match="checkpoint dir"):
+        _resolve_checkpoint("spark://host:7077", None, None)
+
+
+def test_cc_fixpoint_uses_reliable_checkpoint_when_configured(
+    spark, tmp_path, monkeypatch
+):
+    """With spark.graft.checkpoint.dir set, the star-contraction rounds
+    must route through sparkContext.setCheckpointDir + df.checkpoint()
+    — files land under the configured root (survivable storage on a
+    cluster) and the clustering result is unchanged."""
+    from manipula_o_de_dataframes_spark.operators.dedup import dedup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again toda"),
+        (3, "the quick brown fox jumps over the lazy dog again"),
+        (4, "a completely different document about spark checkpoints"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ck_root = tmp_path / "reliable_ck"
+    spark.conf.set("spark.graft.checkpoint.dir", str(ck_root))
+    try:
+        out = {
+            r["doc_id"]: r["cluster"]
+            for r in dedup_clusters(d, "text", "doc_id", jaccard_threshold=0.3)
+            .collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.checkpoint.dir")
+    assert out[1] == out[2] == out[3]
+    assert out[4] != out[1]
+    assert ck_root.is_dir() and any(ck_root.rglob("*")), (
+        "no reliable checkpoint files written under the configured root"
+    )
+
+
 def test_gapfill_produces_dense_spine_with_zero_rows(spark):
     """Every week between global min and max must appear for every
     status, absent cells as exact zeros — and zero rows must exist at

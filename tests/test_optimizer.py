@@ -535,8 +535,12 @@ def test_round4_continuation_queries_plan_shapes(spark):
     # growth_accounting / rfm_segments: tuple-only shuffles, no Python.
     # RFM's three ntile windows run over the post-aggregation customer
     # frame — the documented single-partition posture (≤1 such
-    # exchange; the three sorts share it).
+    # exchange; the three sorts share it). Each query asserted in its
+    # own right (an earlier revision overwrote p before asserting —
+    # ADVICE r4 — so three of these pins never ran).
     p = shape("growth_accounting")
+    assert p.count("Exchange SinglePartition") <= 1, p
+
     p = shape("rfm_segments")
     assert p.count("Exchange SinglePartition") <= 1, p
 
@@ -545,7 +549,11 @@ def test_round4_continuation_queries_plan_shapes(spark):
     # parent: dims broadcast; the two share windows run over the
     # ≤25-row aggregate (single-partition posture).
     p = shape("token_budget_select")
+    assert p.count("Exchange SinglePartition") <= 1, p
+
     p = shape("repeat_purchase_gap")
+    assert p.count("Exchange SinglePartition") <= 1, p
+
     p = shape("share_of_parent")
     assert "BroadcastExchange" in p, f"dims not broadcast\n{p}"
     assert p.count("Exchange SinglePartition") <= 1, p

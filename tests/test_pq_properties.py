@@ -57,3 +57,74 @@ def test_distance_table_matches_naive_reference(vec):
             d = float(vec[m * 8 + i]) - c
             ref = ref + d * d
         assert table[m][code] == ref  # bit-identical, not approx
+
+
+def test_sql_rendered_pq_matches_column_built_spec(spark):
+    """pq_code/pq_adc render the argmin as SQL text (one F.expr parse —
+    r5, after profiling showed the ~7 s 'compile constant' was really
+    ~4k py4j round-trips of Column building on the DRIVER). _sub_score
+    stays as the executable Column-API spec; this test pins the two
+    forms bit-identical on real vectors, so the fast path can never
+    drift from the spec."""
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.operators import similarity as sim
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+
+    def spec_code(vec, m):
+        rows = [(c, cv) for (mm_, c, cv) in sim.pq_codebook() if mm_ == m]
+        best = F.least(
+            *[
+                F.struct(
+                    sim._sub_score(vec, m * 8, cv).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cv in rows
+            ]
+        )
+        return best["c"].cast("int")
+
+    cb = sim.pq_codebook()
+    fast = e.select(
+        "vec_id",
+        *[sim.pq_code("embedding", m, cb).alias(f"code_{m}") for m in range(8)],
+    )
+    spec = e.select(
+        "vec_id",
+        *[spec_code(F.col("embedding"), m).alias(f"code_{m}") for m in range(8)],
+    )
+    assert fast.exceptAll(spec).count() == 0
+    assert spec.exceptAll(fast).count() == 0
+
+    qvec = [((i * 7) % 13 - 6) / 6.0 for i in range(64)]
+    spec_exact = None
+    for i, qv in enumerate(qvec):
+        d = F.element_at(F.col("embedding"), i + 1).cast("double") - F.lit(qv)
+        spec_exact = d * d if spec_exact is None else spec_exact + d * d
+    both = e.select(
+        F.round(sim.exact_sqdist("embedding", qvec), 9).alias("fast"),
+        F.round(spec_exact, 9).alias("spec"),
+    )
+    assert both.filter(F.col("fast") != F.col("spec")).count() == 0
+
+
+def test_sql_rendered_ivf_cell_matches_column_built_spec(spark):
+    """ivf_cell renders its argmax-cosine as SQL text (same py4j
+    rationale as pq_code); ivf_cell_spec is the Column-API spec. The
+    two must assign bit-identical cells on real vectors."""
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.operators import similarity as sim
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = sim.fixed_centroids()
+    both = e.select(
+        sim.ivf_cell("embedding", cents).alias("fast"),
+        sim.ivf_cell_spec(F.col("embedding"), cents).alias("spec"),
+    )
+    assert both.filter(F.col("fast") != F.col("spec")).count() == 0

@@ -351,3 +351,47 @@ def test_csv_failfast_raises_on_malformed_rows(spark, tmp_path):
         read_csv_table(
             spark, str(p), schema="id long, score double"
         ).collect()
+
+
+def test_distributed_excel_ingest_parses_on_executors(spark, tmp_path):
+    """S1–S3 fleet-scale path (VERDICT r4 stretch): many workbooks →
+    binaryFile scan → executor-side stdlib parse. Rows from every
+    file must land with lineage, typed per the probe schema, and the
+    plan must show the parse INSIDE the distributed stage (an Arrow
+    python node over a binaryFile scan, nothing driver-side)."""
+    from manipula_o_de_dataframes_spark.sources import xlsx_lite
+    from manipula_o_de_dataframes_spark.sources.io import read_excel_distributed
+
+    for k in range(3):
+        xlsx_lite.write_sheets(
+            str(tmp_path / f"lote_{k}.xlsx"),
+            {
+                "Plan": [
+                    ["cliente", "valor", "ok"],
+                    [f"c{k}a", 10.5 + k, True],
+                    [f"c{k}b", 20.5 + k, False],
+                ]
+            },
+        )
+    df = read_excel_distributed(spark, str(tmp_path), sheet_name="Plan")
+    assert df.columns == ["cliente", "valor", "ok", "source_file"]
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r["source_file"] for r in rows} == {f"lote_{k}.xlsx" for k in range(3)}
+    got = {(r["cliente"], r["valor"], r["ok"]) for r in rows}
+    assert ("c1a", 11.5, True) in got and ("c2b", 22.5, False) in got
+    assert dict(df.dtypes)["valor"] == "double"
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" in plan or "BinaryFile" in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_distributed_excel_ingest_empty_dir_is_loud(spark, tmp_path):
+    import pytest as _pytest
+
+    from manipula_o_de_dataframes_spark.sources.io import read_excel_distributed
+
+    (tmp_path / "not_excel.txt").write_text("x")
+    with _pytest.raises(ValueError, match="no .xlsx files"):
+        read_excel_distributed(spark, str(tmp_path))
