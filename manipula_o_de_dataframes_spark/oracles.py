@@ -3486,6 +3486,85 @@ SELECT query_id, query_label, vec_id, neg_label, cos_sim
 FROM ranked WHERE rn <= 5
 """
 
+# PageRank mirror: distinct directed co-purchase edges, 3 unrolled
+# integer-ppm power iterations — r' = 150000 + (85·Σ r//deg)//100,
+# pure BIGINT arithmetic, zero rounding sites (bit-exact by
+# construction; // on positive BIGINTs matches Spark's div).
+ORACLES["pagerank_items"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+r1 AS (
+  SELECT e.v AS node, 150000 + (85 * SUM(r0.r // d.deg)) // 100 AS r
+  FROM edges e JOIN deg d ON d.u = e.u JOIN r0 ON r0.node = e.u
+  GROUP BY e.v
+),
+r2 AS (
+  SELECT e.v AS node, 150000 + (85 * SUM(r1.r // d.deg)) // 100 AS r
+  FROM edges e JOIN deg d ON d.u = e.u JOIN r1 ON r1.node = e.u
+  GROUP BY e.v
+),
+r3 AS (
+  SELECT e.v AS node, 150000 + (85 * SUM(r2.r // d.deg)) // 100 AS r
+  FROM edges e JOIN deg d ON d.u = e.u JOIN r2 ON r2.node = e.u
+  GROUP BY e.v
+)
+SELECT r3.node AS part, d.deg AS degree, CAST(r3.r AS BIGINT) AS rank_ppm
+FROM r3 JOIN deg d ON d.u = r3.node
+ORDER BY rank_ppm DESC, part LIMIT 20
+"""
+
+# Prefix-group mirror: identical 12-token prefix key; groups >= 2.
+ORACLES["prefix_dup_groups"] = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(str_split(text, ' '), 1, 12), ' ') AS pfx
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT MIN(doc_id) AS rep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       MIN(pfx) AS prefix
+FROM keyed GROUP BY md5(pfx)
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, rep_doc_id
+"""
+
+# Winsorized-stats mirror: rank-selected exact p5/p95 under the pinned
+# (value, event_id) order, comparison-only clipping, DECIMAL(18,2)
+# sums with ONE final rounded division.
+ORACLES["winsorized_stats"] = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS lo,
+         MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi
+  FROM ranked GROUP BY 1
+)
+SELECT e.event_type AS tipo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(b.lo) AS p5,
+       MIN(b.hi) AS p95,
+       round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_raw,
+       round(CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_winsor,
+       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events e JOIN bounds b ON b.event_type = e.event_type
+GROUP BY 1
+"""
+
 ORACLES["basket_pairs"] = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (

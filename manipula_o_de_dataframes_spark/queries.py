@@ -749,6 +749,176 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-ppm PageRank over the product co-purchase graph — link
+    analysis on the item graph (the relational face of the crawl-graph
+    centrality a web-corpus pipeline uses for quality priors; Page et
+    al. 1999). Edges: distinct directed part pairs sharing an order
+    (the ``basket_pairs`` fan-out, symmetric); 3 unrolled power
+    iterations of r' = 0.15 + 0.85·Σ r(u)/deg(u), uniform start.
+
+    Float policy: ranks live as ppm BIGINTs (start 1,000,000 = uniform
+    × N) and every iteration is pure integer arithmetic —
+    ``r div deg`` per edge, ``(85 · Σ) div 100`` per node — so the
+    fixpoint is bit-identical cross-engine with NO rounding sites at
+    all (the BPE-merges precedent: unroll the loop, keep integers).
+    Symmetric edges mean no dangling mass; truncation loss per step is
+    < deg ppm, the standard price of fixed-point PageRank.
+
+    Scale: the basket fan-out is quadratic only within an order
+    (bounded, ~7 lineitems); the degree-annotated edge list is SPOOLED
+    once (without it every iteration would recompute the whole basket
+    fan-out lineage — measured 31 exchanges vs ≤12), then each
+    iteration is ONE shuffle of (node, rank) tuples joined against the
+    spooled edges — the Pregel shape with census-row payloads, never
+    baskets. 3 iterations = 3 joins; top-20 is TakeOrderedAndProject
+    under a total order.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    ps = F.col("__ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    ab = baskets.select(F.explode(pair_structs).alias("__p")).select(
+        "__p.u", "__p.v"
+    )
+    edges = ab.unionAll(ab.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_deg = spool(edges.join(deg, "u"))
+    deg = edges_deg.select("u", "__deg").distinct()
+    r = deg.select(F.col("u").alias("node"), F.lit(1000000).cast("long").alias("__r"))
+    for _ in range(3):
+        r = (
+            edges_deg.join(r, edges_deg["u"] == r["node"])
+            .groupBy("v")
+            .agg(F.sum(F.expr("__r div __deg")).alias("__s"))
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(150000) + F.expr("(85 * __s) div 100")).cast("long").alias("__r"),
+            )
+        )
+    return (
+        r.join(deg, r["node"] == deg["u"])
+        .select(
+            F.col("node").alias("part"),
+            F.col("__deg").cast("long").alias("degree"),
+            F.col("__r").alias("rank_ppm"),
+        )
+        .orderBy(F.col("rank_ppm").desc(), "part")
+        .limit(20)
+    )
+
+
+def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-prefix duplicate groups: documents whose first 12 tokens
+    are identical — the crawl-artifact class (shared boilerplate
+    headers, truncated re-crawls, templated pages) that slips past
+    whole-document MinHash when tails diverge but is pure noise for
+    training mixes. The operational sibling of ``containment`` /
+    ``cross_doc_block_dedup`` at the cheapest possible granularity.
+
+    One shuffle of (prefix-md5, doc_id, source) triples — text never
+    leaves the scan — then group stats for groups of ≥ 2: size,
+    distinct sources (cross-source prefix sharing is the template
+    signal), representative min doc_id, and the prefix itself for
+    triage. At 100 TB this is exactly exact-dedup's cost profile with
+    a 12-token key instead of the full text digest.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    prefix = F.array_join(F.slice(toks, 1, 12), " ")
+    keyed = d.select(
+        "doc_id", "source", prefix.alias("__pfx"), F.md5(prefix).alias("__k")
+    )
+    groups = (
+        keyed.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("rep_doc_id"),
+            F.min("__pfx").alias("prefix"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return groups.select(
+        "rep_doc_id", "n_docs", "n_sources", "prefix"
+    ).orderBy(F.col("n_docs").desc(), "rep_doc_id")
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: clip ``events.value`` to
+    its exact [p5, p95] per event type, then report the robust mean
+    beside the raw mean and the clip count — the outlier-resistant
+    summary a metrics pipeline publishes when a bot flood or a sensor
+    glitch would otherwise drag the mean (the REPAIR counterpart to
+    ``outlier_flags``' detection).
+
+    Exactness: p5/p95 are rank-selected at (p·n + 99) div 100 under
+    the pinned (value, event_id) total order (the histogram_quantiles
+    exact-arm convention — no interpolation, the bound IS a data
+    value); clipping is pure comparison (least/greatest, no float
+    arithmetic); means sum DECIMAL(18,2)-cast values (the
+    rolling_user_spend convention) so the only double op is one final
+    division rounded to 9 dp. Scale: one shuffle to rank within type,
+    a ≤|types|-row bounds broadcast back, one aggregate — the clip
+    bound join is the k-means-centroid model-artifact posture.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("__rn") == F.expr("(5 * __n + 99) div 100"), F.col("value"))
+        ).alias("__lo"),
+        F.min(
+            F.when(F.col("__rn") == F.expr("(95 * __n + 99) div 100"), F.col("value"))
+        ).alias("__hi"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")).alias("__w"),
+        (F.col("value") < F.col("__lo")).cast("long").alias("__below"),
+        (F.col("value") > F.col("__hi")).cast("long").alias("__above"),
+        "__lo",
+        "__hi",
+    )
+    return (
+        clipped.groupBy(F.col("event_type").alias("tipo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__lo").alias("p5"),
+            F.min("__hi").alias("p95"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.col("__w").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_winsor"),
+            (F.sum("__below") + F.sum("__above")).cast("long").alias("n_clipped"),
+        )
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the top-20 part pairs by number of
     orders containing both — the relational twin of pmi_collocations
@@ -5168,6 +5338,10 @@ QUERIES = {
     # is r2 — the driver's ~50 sample reaches partway into this block;
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
+    # --- new in round 5 (no driver row yet) ---
+    "pagerank_items": q_pagerank_items,
+    "prefix_dup_groups": q_prefix_dup_groups,
+    "winsorized_stats": q_winsorized_stats,
     # --- changed in round 5 ---
     "join_skew_profile": q_join_skew_profile,
     "drift_weekly_kl": q_drift_weekly_kl,

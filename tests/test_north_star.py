@@ -1232,3 +1232,67 @@ def test_kmeans_training_rows_only(spark):
     assert set(out[0].asDict().keys()) == {"cell", "n_vetores"}
     n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
     assert sum(r["n_vetores"] for r in out) == n
+
+
+def test_pagerank_hub_outranks_leaves(spark, tmp_path):
+    """A star basket graph: part 1 co-occurs with every leaf (hub),
+    leaves only with the hub — after 3 integer-ppm iterations the hub
+    must rank strictly above every leaf, and ranks must be exact
+    integers (no rounding sites anywhere)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = []
+    # orders 0..9: each contains the hub (part 1) and one leaf (10+k)
+    for k in range(10):
+        rows += [(k, 1), (k, 10 + k)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["part"]: r for r in QUERIES["pagerank_items"](
+        spark, str(tmp_path)).collect()}
+    hub, leaves = out[1], [out[10 + k] for k in range(10)]
+    assert hub["degree"] == 10 and all(lf["degree"] == 1 for lf in leaves)
+    assert all(hub["rank_ppm"] > lf["rank_ppm"] for lf in leaves)
+    # leaves are symmetric -> identical ranks
+    assert len({lf["rank_ppm"] for lf in leaves}) == 1
+
+
+def test_prefix_dup_groups_catches_shared_header(spark, tmp_path):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    header = " ".join(f"w{i}" for i in range(12))
+    docs = [
+        (1, header + " tail one entirely different", "en", "a", 10),
+        (2, header + " another divergent tail here", "en", "b", 10),
+        (3, header + " third tail", "en", "a", 10),
+        (4, "no shared prefix at all in this document text body", "en", "a", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["prefix_dup_groups"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["rep_doc_id"] == 1 and g["n_docs"] == 3 and g["n_sources"] == 2
+    assert g["prefix"] == header
+
+
+def test_winsorized_mean_resists_outlier(spark, tmp_path):
+    import datetime as dt
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 20), i, "click",
+             float(i % 10 + 1), "{}") for i in range(100)]
+    rows.append((100, dt.datetime(2024, 1, 2), 5, "click", 100000.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["winsorized_stats"](spark, str(tmp_path)).collect()[0]
+    assert out["n"] == 101
+    assert out["mean_raw"] > 900           # outlier drags the raw mean
+    assert out["mean_winsor"] < 15         # winsorized shrugs it off
+    assert out["n_clipped"] >= 1
+    assert out["p5"] >= 1.0 and out["p95"] <= 10.0

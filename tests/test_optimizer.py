@@ -557,3 +557,27 @@ def test_round4_continuation_queries_plan_shapes(spark):
     p = shape("share_of_parent")
     assert "BroadcastExchange" in p, f"dims not broadcast\n{p}"
     assert p.count("Exchange SinglePartition") <= 1, p
+
+
+def test_round5_new_queries_plan_shapes(spark):
+    """Shuffle discipline for the r5 trio. pagerank_items: basket
+    collect + pair count + degree + 3 iteration joins — all tuple
+    shuffles, no Python, no cartesian. prefix_dup_groups: ONE hash
+    exchange of (md5, id, source) triples. winsorized_stats: rank
+    window + bounds broadcast + final agg; the clip-bounds side must
+    broadcast (model-artifact posture)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name, want in (
+        ("pagerank_items", 12),
+        ("prefix_dup_groups", 2),
+        ("winsorized_stats", 4),
+    ):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        got = plan.count("Exchange hashpartitioning")
+        assert got <= want, f"{name}: {got} exchanges (want <= {want})\n{plan}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        assert "BroadcastNestedLoop" not in plan, f"{name}:\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    plan = _plan(QUERIES["winsorized_stats"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, f"clip bounds not broadcast\n{plan}"
