@@ -478,8 +478,14 @@ def _dlit(x: float) -> str:
     is the shortest round-trip decimal and Java's parseDouble is
     correctly rounded, so the parsed double is bit-identical to the
     ``F.lit(float(x))`` the Column API would build. The ``D`` suffix
-    forces DOUBLE — a bare decimal literal would parse as DECIMAL."""
-    return f"{float(x)!r}D"
+    forces DOUBLE — a bare decimal literal would parse as DECIMAL.
+    Non-finite values are a loud error: ``repr`` gives 'inf'/'nan',
+    which the SQL lexer would reject with a far less useful message
+    (and no PQ/IVF model artifact may legitimately contain them)."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite model constant cannot be inlined: {v!r}")
+    return f"{v!r}D"
 
 
 def _score_sql(vec_sql: str, start: int, centroid: list[float]) -> str:

@@ -3565,6 +3565,19 @@ FROM events e JOIN bounds b ON b.event_type = e.event_type
 GROUP BY 1
 """
 
+# Nation-enrich mirror (batch + stream share it — kappa parity):
+# inner join user_id = c_custkey, decimal sums cast at the edge.
+ORACLES["event_value_by_nation"] = """
+SELECT n.n_name AS nacao,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+ORACLES["enrich_stream"] = ORACLES["event_value_by_nation"]
+
 ORACLES["basket_pairs"] = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (

@@ -749,6 +749,45 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation event-value rollup through the customer→nation
+    dimension — the batch twin of ``enrich_stream`` (both share ONE
+    oracle, the drift_stream kappa-parity pattern). Inner join on
+    user_id = c_custkey: feed rows without a matching customer drop,
+    mirrored in the oracle.
+
+    Scale: the dim is broadcast (customer is the reference's
+    10k-row-dimension posture); the fact scans once, aggregates
+    map-side, and only |nations| (count, decimal sum) partials
+    shuffle. DECIMAL keeps the totals partitioning-independent.
+    """
+    from .streaming.enrich import _finalize, _nation_dim  # noqa: PLC0415
+
+    e = read_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = _nation_dim(spark, sf_dir)
+    agg = (
+        e.join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__v"),
+        )
+    )
+    return _finalize(agg)
+
+
+def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``event_value_by_nation``: the live feed
+    joined MAP-SIDE to the static customer→nation dim (stream-static
+    join — zero join state, the production dim-enrich shape), rolled
+    up per nation in complete mode and drained availableNow
+    (streaming/enrich.py). Shares the batch twin's oracle: replay the
+    stream, get the batch answer, verified by hash."""
+    from .streaming.enrich import enrich_stream  # noqa: PLC0415
+
+    return enrich_stream(spark, sf_dir)
+
+
 def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-ppm PageRank over the product co-purchase graph — link
     analysis on the item graph (the relational face of the crawl-graph
@@ -5339,6 +5378,8 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "event_value_by_nation": q_event_value_by_nation,
+    "enrich_stream": q_enrich_stream,
     "pagerank_items": q_pagerank_items,
     "prefix_dup_groups": q_prefix_dup_groups,
     "winsorized_stats": q_winsorized_stats,

@@ -395,3 +395,17 @@ def test_distributed_excel_ingest_empty_dir_is_loud(spark, tmp_path):
     (tmp_path / "not_excel.txt").write_text("x")
     with _pytest.raises(ValueError, match="no .xlsx files"):
         read_excel_distributed(spark, str(tmp_path))
+
+
+def test_stream_static_enrich_matches_batch_exactly(spark):
+    """Kappa parity for the stream-static dim enrich: replaying the
+    staged feed through the map-side dimension join must reproduce the
+    batch rollup row-for-row (decimal sums make this exact, not
+    approximate)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    batch = {tuple(r) for r in QUERIES["event_value_by_nation"](spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in QUERIES["enrich_stream"](spark, SF_SMOKE).collect()}
+    assert batch == stream and len(batch) > 0
