@@ -3565,6 +3565,23 @@ FROM events e JOIN bounds b ON b.event_type = e.event_type
 GROUP BY 1
 """
 
+# Keyset-page mirror: the cursor (last row of page 3) computed in-SQL
+# — the engine fetches it driver-side (bounded one-rower), identical
+# value either way; the page is the same seek predicate + LIMIT.
+ORACLES["keyset_page"] = """
+WITH cur AS (
+  SELECT o_orderdate AS d0, o_orderkey AS k0
+  FROM (SELECT o_orderdate, o_orderkey FROM orders
+        ORDER BY o_orderdate, o_orderkey LIMIT 60)
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+)
+SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS data
+FROM orders o CROSS JOIN cur
+WHERE o.o_orderdate > cur.d0
+   OR (o.o_orderdate = cur.d0 AND o.o_orderkey > cur.k0)
+ORDER BY o.o_orderdate, o.o_orderkey LIMIT 20
+"""
+
 # Nation-enrich mirror (batch + stream share it — kappa parity):
 # inner join user_id = c_custkey, decimal sums cast at the edge.
 ORACLES["event_value_by_nation"] = """

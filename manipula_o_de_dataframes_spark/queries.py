@@ -198,6 +198,52 @@ def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paginate(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], page=3, page_size=25)
 
 
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the scale-correct counterpart to
+    ``paginate_orders``' offset pagination. OFFSET N is O(N) per page
+    at any engine (the sort must produce and discard N rows before the
+    page); a keyset cursor turns every page into an O(page) indexed
+    seek: WHERE (sort key) > (cursor) ORDER BY sort key LIMIT k.
+
+    Page 4 (size 20) under (o_orderdate, o_orderkey): the cursor — the
+    last row of page 3 — is fetched with one bounded 60-row top-k
+    (driver-side single-row artifact, the model-constant posture; in
+    production the CLIENT carries it), then the page query is a pure
+    filter + TakeOrderedAndProject whose date bound PUSHES DOWN to the
+    parquet scan (plan-pinned) — at 100 TB with date-partitioned
+    layout the seek prunes partitions while OFFSET reads them all.
+    """
+    page_size, page = 20, 4
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cursor = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(page_size * (page - 1))
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    # The cursor's timestamp must become an NTZ literal via a WALL-CLOCK
+    # string parse: F.lit(datetime) infers session-tz TimestampType, and
+    # comparing that against the NTZ sort column shifts by the session
+    # offset — under America/Sao_Paulo the page silently re-included the
+    # cursor row (caught by the r5 full-surface non-UTC parity sweep).
+    d0 = F.to_timestamp_ntz(
+        F.lit(cursor["o_orderdate"].strftime("%Y-%m-%d %H:%M:%S"))
+    )
+    k0 = cursor["o_orderkey"]
+    return (
+        o.filter(
+            (F.col("o_orderdate") > d0)
+            | ((F.col("o_orderdate") == d0) & (F.col("o_orderkey") > F.lit(k0)))
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(page_size)
+        .select(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("data")
+        )
+    )
+
+
 def q_top_k_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """top-k: 10 richest customers, tie-broken by key."""
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
@@ -5378,6 +5424,7 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "keyset_page": q_keyset_page,
     "event_value_by_nation": q_event_value_by_nation,
     "enrich_stream": q_enrich_stream,
     "pagerank_items": q_pagerank_items,

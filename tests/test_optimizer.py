@@ -581,3 +581,18 @@ def test_round5_new_queries_plan_shapes(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     plan = _plan(QUERIES["winsorized_stats"](spark, SF_SMOKE))
     assert "BroadcastExchange" in plan, f"clip bounds not broadcast\n{plan}"
+
+
+def test_keyset_page_seek_pushes_down_and_takeordered(spark):
+    """The seek's entire point at scale: the cursor's date bound must
+    reach the parquet scan as a pushed filter (partition-prunable with
+    a date layout) and the page must plan as TakeOrderedAndProject —
+    never a global sort + skip like OFFSET pagination."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["keyset_page"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the filter list is long enough that toString truncates it before
+    # the closing bracket — match the prefix, not a bracketed group
+    assert "PushedFilters: [Or(GreaterThan(o_orderdate" in plan, plan
+    assert "Exchange" not in plan, f"seek page must not shuffle\n{plan}"

@@ -34,3 +34,31 @@ def test_no_oracle_rows_only(spark, name):
     result = QUERIES[name](spark, SF_SMOKE)
     assert len(result.columns) > 0
     assert result.count() > 0
+
+
+TZ_SENSITIVE = [
+    # timestamp-rendering / date-cursor / week-bucketing queries — the
+    # surface where a session-tz literal or cast silently shifts rows
+    "keyset_page", "date_slice_metrics", "weekly_snapshots",
+    "retention_cohorts", "drift_weekly_kl", "event_attribution",
+    "growth_accounting", "sessionize_events",
+]
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_parity_under_non_utc_session(spark, name):
+    """The driver's session timezone is unknown; every timestamp edge
+    must hold under a non-UTC session. This caught a real bug in r5:
+    F.lit(<collected datetime>) infers session-tz TimestampType, and
+    comparing it against a TIMESTAMP_NTZ column shifts by the session
+    offset — keyset_page silently re-included its cursor row under
+    America/Sao_Paulo while staying green under the suite's UTC."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+    try:
+        result = QUERIES[name](spark, SF_SMOKE)
+        oracle = run_oracle(ORACLES[name], SF_SMOKE)
+        issues = compare(result, oracle)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert not issues, f"{name} under SP tz: " + " | ".join(issues)
