@@ -303,7 +303,7 @@ def ivf_cell(vec, centroids: list[tuple[int, list[float]]]) -> Column:
     ``_score_sql`` profile); ``ivf_cell_spec`` is the Column-API spec
     the bit-identity test pins this against.
     """
-    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    vec_sql = _vec_sql(vec)
     best = None
     for cid, cvec in centroids:
         arr = "array(" + ", ".join(_dlit(float(x)) for x in cvec) + ")"
@@ -473,6 +473,24 @@ def _sub_score(vec, start: int, centroid: list[float]) -> Column:
     return F.round(F.lit(float(c2)) - F.lit(2.0) * dot, 9)
 
 
+def _vec_sql(vec) -> str:
+    """Resolve the vector argument of a SQL-rendered expression to a
+    backquoted column reference. Accepts a column NAME (str) or a
+    plain named Column (``F.col("embedding")``); anything else —
+    derived Columns, dotted paths — is a loud error, because
+    ``_jc.toString()`` of a non-attribute Column is not valid SQL and
+    an unquoted reserved word ('order') would misparse silently."""
+    import re as _re  # noqa: PLC0415
+
+    name = vec if isinstance(vec, str) else vec._jc.toString()
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            "SQL-rendered vector expressions need a simple column name; "
+            f"got {name!r} — select/alias the vector to a plain column first"
+        )
+    return f"`{name}`"
+
+
 def _dlit(x: float) -> str:
     """Render a Python float as a Spark SQL DOUBLE literal: ``repr``
     is the shortest round-trip decimal and Java's parseDouble is
@@ -540,7 +558,7 @@ def pq_code(
     one SQL string and parsed once (``_score_sql`` explains the ~6.6 s
     of py4j round-trips this avoids per plan).
     """
-    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    vec_sql = _vec_sql(vec)
     return F.expr(_pq_code_sql(vec_sql, m, codebook))
 
 
@@ -597,7 +615,7 @@ def pq_adc(
     """
     n_sub = max(m for m, _, _ in codebook) + 1
     table = pq_distance_table(query, codebook)
-    vec_sql = data_vec if isinstance(data_vec, str) else data_vec._jc.toString()
+    vec_sql = _vec_sql(data_vec)
     terms = []
     for m in range(n_sub):
         lut = ", ".join(f"round({_dlit(v)}, 9)" for v in table[m])
@@ -614,7 +632,7 @@ def exact_sqdist(vec, query: list[float]) -> Column:
     py4j round-trips of pure driver overhead per plan); the parsed
     tree performs the identical left-associated (x−q)·(x−q) sum, so
     values are bit-equal to the Column form and the DuckDB mirror."""
-    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    vec_sql = _vec_sql(vec)
     terms = " + ".join(
         f"((CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) - {_dlit(q)}) * "
         f"(CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) - {_dlit(q)}))"

@@ -118,11 +118,20 @@ def graft_checkpoint(df: DataFrame) -> DataFrame:
     ``sparkContext.setCheckpointDir`` + reliable ``df.checkpoint()``
     (HDFS/S3-backed, survives executor loss); neither set on local
     mode falls back to ``localCheckpoint``; neither set OFF local mode
-    is a loud error, never a silent durability downgrade. The first
-    resolved dir wins for the SparkContext's lifetime (Spark pins one
-    checkpoint root per context); reliable checkpoint files are
+    is a loud error, never a silent durability downgrade. If the
+    SparkContext's checkpoint dir points anywhere OUTSIDE the resolved
+    target (a previous caller set a different root — possibly a
+    since-deleted temp dir), it is re-pointed at the target rather
+    than silently reused: the conf is the source of truth, not
+    whoever called setCheckpointDir first. Reliable checkpoint files are
     cleaned by ``spark.cleaner.referenceTracking.cleanCheckpoints``
     or the scratch area's TTL policy, the same deal as spool dirs.
+
+    The frame is persisted around the eager checkpoint: without it
+    Spark computes the lineage TWICE (once for the eager
+    materialization, once writing the checkpoint files) — the
+    documented ``RDD.checkpoint`` recommendation, and a 2× per-round
+    cost on the CC fixpoint otherwise.
     """
     spark = df.sparkSession
     target = _resolve_checkpoint(
@@ -133,6 +142,18 @@ def graft_checkpoint(df: DataFrame) -> DataFrame:
     if target is None:
         return df.localCheckpoint()
     sc = spark.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isEmpty():
+    current = sc._jsc.sc().getCheckpointDir()
+    # setCheckpointDir(root) creates a fresh UUID subdir under root, so
+    # "already pointed at this target" = current dir starts with target
+    # (scheme-insensitively: Spark stores the resolved file:/ URI).
+    cur = "" if current.isEmpty() else str(current.get())
+    for scheme in ("file:", ""):
+        if cur.startswith(scheme + target):
+            break
+    else:
         sc.setCheckpointDir(target)
-    return df.checkpoint(eager=True)
+    df = df.persist()
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()

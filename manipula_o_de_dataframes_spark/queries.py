@@ -4946,10 +4946,13 @@ _PQ_CODES_SPOOL: dict[tuple[str, str, tuple], DataFrame] = {}
 
 
 def _snapshot_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
-    """(path, mtime, size) of a snapshot's parquet payload — cheap
+    """(path, mtime_ns, size) of a snapshot's parquet payload — cheap
     os.stat metadata, no data read. A regenerated fixture changes
     mtime/size, so memo entries keyed on it can never serve codes for
-    bytes that are no longer on disk."""
+    bytes that are no longer on disk. ``st_mtime_ns``, not whole
+    seconds: a same-second same-size in-place rewrite (deterministic
+    generators produce same-size output) must still change the key —
+    the same reasoning ``_staged_snapshot_paths`` documents."""
     import os  # noqa: PLC0415
 
     p = os.path.join(sf_dir, f"{table}.parquet")
@@ -4958,10 +4961,10 @@ def _snapshot_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
         if os.path.isdir(p):
             for name in sorted(os.listdir(p)):
                 st = os.stat(os.path.join(p, name))
-                entries.append((name, int(st.st_mtime), st.st_size))
+                entries.append((name, st.st_mtime_ns, st.st_size))
         else:
             st = os.stat(p)
-            entries.append((os.path.basename(p), int(st.st_mtime), st.st_size))
+            entries.append((os.path.basename(p), st.st_mtime_ns, st.st_size))
     except OSError:
         entries.append(("missing", 0, 0))
     return tuple(entries)

@@ -228,12 +228,21 @@ def read_excel_distributed(
         .load(path)
         .select("path", "content")
     )
-    probe_rows = bins.orderBy("path").limit(1).collect()
-    if not probe_rows:
+    # Probe in two steps: paths only first (binaryFile prunes the
+    # content column when unprojected), then ONE file's bytes — a
+    # single-step probe with content in the projection would inflate
+    # every workbook in the fleet just to pick the first row.
+    first = bins.select("path").orderBy("path").limit(1).collect()
+    if not first:
         raise ValueError(f"no .xlsx files under {path!r}")
+    probe_bytes = (
+        spark.read.format("binaryFile")
+        .load(first[0]["path"])
+        .select("content")
+        .collect()[0]["content"]
+    )
     cols, types, _ = _infer_table(
-        xlsx_lite.read_rows(_io.BytesIO(probe_rows[0]["content"]), sheet_name),
-        header,
+        xlsx_lite.read_rows(_io.BytesIO(probe_bytes), sheet_name), header
     )
     schema = StructType(
         [StructField(c, t) for c, t in zip(cols, types)]
@@ -247,8 +256,22 @@ def read_excel_distributed(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 rows = xlsx_lite.read_rows(_io.BytesIO(bytes(content)), sheet_name)
-                _, _, data = _infer_table(rows, header)
+                file_cols, _, data = _infer_table(rows, header)
                 base = os.path.basename(str(p))
+                # Homogeneity contract, enforced LOUDLY: a file wider
+                # than the probe schema would silently lose its extra
+                # cells, and a renamed column would land values under
+                # the wrong name — both are errors, never data loss.
+                # (Fewer columns than the probe is the ordered-ingest
+                # missing→null semantic and pads with None.)
+                if len(file_cols) > len(cols) or list(file_cols) != list(
+                    cols[: len(file_cols)]
+                ):
+                    raise ValueError(
+                        f"workbook {base!r} header {file_cols!r} does not "
+                        f"match the probe schema {cols!r} — distributed "
+                        "xlsx ingest requires homogeneous workbooks"
+                    )
                 for r in data:
                     padded = (list(r) + [None] * len(cols))[: len(cols)]
                     out.append(

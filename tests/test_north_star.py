@@ -1178,10 +1178,7 @@ def test_pq_spool_memo_invalidates_on_snapshot_change(spark, tmp_path):
     assert first is again, "same snapshot must reuse the memoized frame"
     rows1 = {tuple(r) for r in first.collect()}
 
-    import time as _t
-
-    _t.sleep(1.1)  # mtime granularity
-    write(3)
+    write(3)  # st_mtime_ns keying: no same-second blind window
     second = Q._pq_codes_spooled(spark, str(tmp_path))
     assert second is not first, "rewritten snapshot must re-encode"
     assert {tuple(r) for r in second.collect()} != rows1

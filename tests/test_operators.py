@@ -424,3 +424,24 @@ def test_grouped_split_never_straddles_a_source(spark):
         .count()
     )
     assert straddlers == 0
+
+
+def test_graft_checkpoint_repoints_stale_dir(spark, tmp_path):
+    """The conf is the source of truth: if someone already pinned the
+    SparkContext's checkpoint root elsewhere (possibly a deleted temp
+    dir), graft_checkpoint must re-point to the configured target, not
+    silently reuse the stale root (r5 review finding)."""
+    from manipula_o_de_dataframes_spark.operators.spool import graft_checkpoint
+
+    stale = tmp_path / "stale_root"
+    target = tmp_path / "configured_root"
+    spark.sparkContext.setCheckpointDir(str(stale))
+    spark.conf.set("spark.graft.checkpoint.dir", str(target))
+    try:
+        out = graft_checkpoint(spark.range(5))
+        assert out.count() == 5
+        assert target.is_dir() and any(target.rglob("*")), (
+            "checkpoint files did not land under the configured target"
+        )
+    finally:
+        spark.conf.unset("spark.graft.checkpoint.dir")

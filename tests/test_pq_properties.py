@@ -171,3 +171,27 @@ def test_dlit_renders_bit_exact_doubles(spark):
     for bad in (float("nan"), float("inf"), float("-inf")):
         with _pytest.raises(ValueError, match="non-finite"):
             _dlit(bad)
+
+
+def test_vec_sql_backquotes_and_rejects_nonsimple(spark):
+    """The SQL renderers must keep working when the vector column is a
+    reserved word (backquoted) and fail LOUDLY for derived Columns —
+    an unquoted 'order' would misparse, a toString'd expression would
+    inject garbage SQL."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "vec_id long, order array<float>"
+    )
+    cb = sim.pq_codebook()
+    row = df.select(sim.pq_code("order", 0, cb).alias("c")).collect()[0]
+    assert 0 <= row["c"] < 16
+
+    assert sim._vec_sql(F.col("embedding")) == "`embedding`"
+    with _pytest.raises(ValueError, match="simple column name"):
+        sim._vec_sql("a b")
+    with _pytest.raises(ValueError, match="simple column name"):
+        sim._vec_sql(F.col("e")["v"])

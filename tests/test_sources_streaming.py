@@ -409,3 +409,25 @@ def test_stream_static_enrich_matches_batch_exactly(spark):
     batch = {tuple(r) for r in QUERIES["event_value_by_nation"](spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in QUERIES["enrich_stream"](spark, SF_SMOKE).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_distributed_excel_ingest_rejects_heterogeneous_workbooks(spark, tmp_path):
+    """A workbook wider than the probe schema (or with renamed
+    columns) must fail LOUDLY — the r5 review found the first version
+    silently truncated extra cells, contradicting _infer_table's
+    'never silently dropped' contract."""
+    import pytest as _pytest
+
+    from manipula_o_de_dataframes_spark.sources import xlsx_lite
+    from manipula_o_de_dataframes_spark.sources.io import read_excel_distributed
+
+    xlsx_lite.write_sheets(
+        str(tmp_path / "a_first.xlsx"),
+        {"S": [["cliente", "valor"], ["c1", 1.0]]},
+    )
+    xlsx_lite.write_sheets(
+        str(tmp_path / "b_wider.xlsx"),
+        {"S": [["cliente", "valor", "extra"], ["c2", 2.0, "lost?"]]},
+    )
+    with _pytest.raises(Exception, match="homogeneous"):
+        read_excel_distributed(spark, str(tmp_path), sheet_name="S").collect()
