@@ -3565,6 +3565,83 @@ FROM events e JOIN bounds b ON b.event_type = e.event_type
 GROUP BY 1
 """
 
+# Triangle mirror: same id-oriented wedge close; clustering is one
+# rational double rounded at the edge.
+ORACLES["triangle_counts"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.c
+  FROM (SELECT u AS a, v AS b FROM edges) e1
+  JOIN (SELECT u AS a, v AS c FROM edges) e2 ON e1.a = e2.a AND e1.b < e2.c
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.u = e1.b AND e3.v = e2.c)
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+  ) GROUP BY 1
+)
+SELECT p.node AS part, d.deg AS degree, p.triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * CAST(p.triangles AS DOUBLE)
+                       / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 9)
+            ELSE 0.0 END AS clustering
+FROM per_node p JOIN deg d ON d.node = p.node
+ORDER BY p.triangles DESC, part LIMIT 10
+"""
+
+# MaxSim mirror: identical 64-char chunking, integer byte-stride
+# features, one rounded double cosine per pair, DECIMAL(12,9) MaxSim
+# sum (order-free).
+ORACLES["maxsim_search"] = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS c_idx,
+         substr(text, CAST(i AS INT) * 64 + 1, 64) AS ck
+  FROM docs, LATERAL unnest(generate_series(0,
+       CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS t(i)
+),
+feats AS (
+  SELECT doc_id, c_idx,
+         COALESCE(list_sum(list_transform(generate_series(1, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s0,
+         COALESCE(list_sum(list_transform(generate_series(2, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s1,
+         COALESCE(list_sum(list_transform(generate_series(3, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s2,
+         COALESCE(list_sum(list_transform(generate_series(4, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s3,
+         COALESCE(list_sum(list_transform(generate_series(5, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s4,
+         COALESCE(list_sum(list_transform(generate_series(6, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s5,
+         COALESCE(list_sum(list_transform(generate_series(7, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s6,
+         COALESCE(list_sum(list_transform(generate_series(8, length(ck), 8), j -> ascii(substr(ck, j, 1)))), 0) AS s7
+  FROM chunks
+),
+withss AS (SELECT *, s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3 + s4 * s4 + s5 * s5 + s6 * s6 + s7 * s7 AS ss FROM feats WHERE s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3 + s4 * s4 + s5 * s5 + s6 * s6 + s7 * s7 > 0),
+probe AS (SELECT MIN(doc_id) AS qid FROM docs),
+q AS (
+  SELECT w.c_idx AS q_idx, w.* EXCLUDE (doc_id, c_idx)
+  FROM withss w CROSS JOIN probe p WHERE w.doc_id = p.qid
+),
+pairs AS (
+  SELECT f.doc_id, q.q_idx,
+         round(CAST((f.s0 * q.s0 + f.s1 * q.s1 + f.s2 * q.s2 + f.s3 * q.s3 + f.s4 * q.s4 + f.s5 * q.s5 + f.s6 * q.s6 + f.s7 * q.s7) AS DOUBLE)
+               / (sqrt(CAST(f.ss AS DOUBLE)) * sqrt(CAST(q.ss AS DOUBLE))), 9) AS c
+  FROM withss f CROSS JOIN probe p CROSS JOIN q
+  WHERE f.doc_id <> p.qid
+),
+per_q AS (SELECT doc_id, q_idx, MAX(c) AS mx FROM pairs GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_probe_chunks,
+       CAST(SUM(CAST(mx AS DECIMAL(12,9))) AS DOUBLE) AS maxsim
+FROM per_q GROUP BY doc_id
+ORDER BY maxsim DESC, doc_id LIMIT 10
+"""
+
 # Keyset-page mirror: the cursor (last row of page 3) computed in-SQL
 # — the engine fetches it driver-side (bounded one-rower), identical
 # value either way; the page is the same seek predicate + LIMIT.

@@ -834,6 +834,217 @@ def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_stream(spark, sf_dir)
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient on the
+    co-purchase graph — the subgraph-counting companion to
+    ``pagerank_items``'s centrality (community cohesion: a part whose
+    neighbors also co-occur with each other anchors a bundle; one
+    whose neighbors never meet is a bridge). The MapReduce classic
+    (Suri & Vassilvitskii, WWW'11): orient edges low→high id, join
+    wedges against the edge set, so every triangle {a<b<c} is found
+    exactly once as the wedge (a–b, a–c) closed by edge (b–c).
+
+    Integer-exact throughout: triangle counts are BIGINTs; the local
+    clustering coefficient 2·T(v)/(deg(v)·(deg(v)−1)) is ONE rational
+    double rounded at the edge (IEEE-exact cross-engine). Scale: edges
+    orient LOW-degree → HIGH-degree (ties to the lower id), so wedges
+    form only at low-degree apexes — the O(m^1.5) bound that makes
+    triangle counting tractable on POWER-LAW graphs (real co-purchase
+    and crawl graphs), where the naive Σ deg² explodes at hub nodes.
+    Measured honestly: this fixture's graph is degree-UNIFORM (sf0.1:
+    20k nodes, 1.2M edges, avg deg 120, max 222), so orientation only
+    trims 7.2 → 6.3 s — the ~36M wedge closures are the real work
+    here, and the optimization's value shows on skewed graphs, not
+    this one. The triangle SET is orientation-independent, so the
+    oracle keeps the simpler id-orientation and hashes identical
+    results; shuffles carry (node, node, deg) tuples only. Top-10 by
+    (triangles, part).
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    ps = F.col("__ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.u", "__p.v")
+        .distinct()
+    )  # u < v by sorted-array construction
+    from .operators.spool import spool  # noqa: PLC0415
+
+    edges = spool(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    # Degree-orient: src = the (deg, id)-smaller endpoint. Wedges then
+    # form only at low-degree apexes (Suri–Vassilvitskii), and the
+    # closing edge between b and c carries the same orientation, so
+    # each triangle closes exactly once.
+    du = deg.select(F.col("node").alias("u"), F.col("__deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("__deg").alias("__dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("__ddst"),
+    )
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("__ddst").alias("__db")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("__ddst").alias("__dc")
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("__db") < F.col("__dc"))
+        | ((F.col("__db") == F.col("__dc")) & (F.col("b") < F.col("c")))
+    )
+    tris = wedges.join(
+        oriented,
+        (wedges["b"] == oriented["src"]) & (wedges["c"] == oriented["dst"]),
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        per_node.join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("__deg").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.when(
+                F.col("__deg") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("triangles").cast("double")
+                    / (
+                        F.col("__deg").cast("double")
+                        * (F.col("__deg").cast("double") - 1.0)
+                    ),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy(F.col("triangles").desc(), "part")
+        .limit(10)
+    )
+
+
+def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+    2020): score each document against the probe doc as the SUM over
+    probe chunks of the MAX cosine to any document chunk — the
+    fine-grained relevance model that whole-doc embeddings blur (a doc
+    matching every part of the query beats one matching a single part
+    strongly). Probe = the corpus's min doc_id; chunks = 64-char
+    windows; chunk features = 8-dim byte-stride sums (the
+    ``embed_stub`` convention — deterministic stand-ins for real chunk
+    encoders, with the plumbing and the math real and mirrored).
+
+    Float policy: chunk features are exact integer byte sums, each
+    pair cosine is ONE double expression over exact integers
+    (dot/(√ssa·√ssb), round 9 — sqrt and ÷ are IEEE-correctly-rounded,
+    so bit-exact cross-engine), the per-(doc, probe-chunk) max is over
+    rounded values, and the MaxSim sum runs in DECIMAL(12,9) so
+    addition order cannot matter. Zero-norm chunks are excluded (their
+    cosine is 0/0) in both engines.
+
+    Scale: this IS the ColBERT serving shape — the probe's chunk table
+    is a bounded broadcast (one doc), document chunk features compute
+    map-side in the scan (at 100 TB they are a precomputed index
+    column, like PQ codes), and the shuffle carries only
+    (doc, probe_chunk, max-partial) tuples with map-side max combine.
+    Nothing quadratic in the corpus; per-doc cost is |doc chunks| ×
+    |probe chunks| inside the map stage.
+    """
+    chunk_w, dims = 64, 8
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    n_chunks = F.ceil(F.length("text") / F.lit(chunk_w)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c_idx"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "c_idx",
+        F.expr(f"substr(text, c_idx * {chunk_w} + 1, {chunk_w})").alias("__ck"),
+    )
+    # The CASE guard: Spark's sequence(a, b, step) requires a <= b for a
+    # positive step (a final chunk shorter than the stride offset would
+    # throw); DuckDB's generate_series just returns empty — the guard
+    # makes both produce an exact 0 for strides past the chunk end.
+    stride_sum = [
+        F.expr(
+            f"CASE WHEN length(__ck) >= {c + 1} THEN "
+            f"aggregate(transform(sequence({c + 1}, length(__ck), {dims}), "
+            f"j -> ascii(substr(__ck, j, 1))), 0L, (acc, x) -> acc + x) "
+            f"ELSE 0L END"
+        ).alias(f"s{c}")
+        for c in range(dims)
+    ]
+    feats = chunks.select("doc_id", "c_idx", *stride_sum).withColumn(
+        "__ss",
+        sum(F.col(f"s{c}") * F.col(f"s{c}") for c in range(dims)),
+    ).filter(F.col("__ss") > 0)
+    probe_id = d.agg(F.min("doc_id").alias("__qid"))
+    q = (
+        feats.join(F.broadcast(probe_id), feats["doc_id"] == probe_id["__qid"])
+        .select(
+            F.col("c_idx").alias("q_idx"),
+            *[F.col(f"s{c}").alias(f"q{c}") for c in range(dims)],
+            F.col("__ss").alias("__qss"),
+        )
+    )
+    dot = None
+    for c in range(dims):
+        t = F.col(f"s{c}") * F.col(f"q{c}")
+        dot = t if dot is None else dot + t
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col("__ss").cast("double")) * F.sqrt(F.col("__qss").cast("double"))),
+        9,
+    )
+    pairs = (
+        feats.crossJoin(F.broadcast(probe_id))
+        .filter(F.col("doc_id") != F.col("__qid"))
+        .join(F.broadcast(q))
+        .select("doc_id", "q_idx", cos.alias("__cos"))
+    )
+    per_q = pairs.groupBy("doc_id", "q_idx").agg(F.max("__cos").alias("__mx"))
+    return (
+        per_q.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe_chunks"),
+            F.sum(F.col("__mx").cast("decimal(12,9)"))
+            .cast("double")
+            .alias("maxsim"),
+        )
+        .orderBy(F.col("maxsim").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-ppm PageRank over the product co-purchase graph — link
     analysis on the item graph (the relational face of the crawl-graph
@@ -5427,6 +5638,8 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "triangle_counts": q_triangle_counts,
+    "maxsim_search": q_maxsim_search,
     "keyset_page": q_keyset_page,
     "event_value_by_nation": q_event_value_by_nation,
     "enrich_stream": q_enrich_stream,

@@ -1293,3 +1293,48 @@ def test_winsorized_mean_resists_outlier(spark, tmp_path):
     assert out["mean_winsor"] < 15         # winsorized shrugs it off
     assert out["n_clipped"] >= 1
     assert out["p5"] >= 1.0 and out["p95"] <= 10.0
+
+
+def test_maxsim_ranks_full_match_over_partial(spark, tmp_path):
+    """Late-interaction semantics: a doc containing EVERY probe chunk
+    must outscore a doc containing only one of them, which must
+    outscore an unrelated doc — the fine-grained behavior whole-doc
+    embeddings blur (and the reason MaxSim exists)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    a = "alpha bravo charlie delta " * 8        # probe: ~2 chunks
+    partial = a[:64] + " zz " + "completely different padding text here " * 4
+    unrelated = "0123456789 " * 20
+    docs = [
+        (1, a, "en", "s", len(a)),              # min doc_id -> probe
+        (2, a + " tail", "en", "s", 10),        # full match
+        (3, partial, "en", "s", 10),            # one-chunk match
+        (4, unrelated, "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r["maxsim"] for r in QUERIES["maxsim_search"](
+        spark, str(tmp_path)).collect()}
+    assert 1 not in out                          # probe excluded
+    assert out[2] > out[3] > out[4]
+
+
+def test_triangle_counts_on_known_graph(spark, tmp_path):
+    """K4 plus a pendant: every K4 node sits in C(3,2)=3 triangles; the
+    pendant (part 9, degree 1 via its own order with part 1) is in
+    none. Clustering: K4 nodes with degree 3 have 3/C(3,2)=1.0 except
+    part 1, whose extra pendant edge dilutes it to 3/C(4,2)=0.5."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [(0, p) for p in (1, 2, 3, 4)]     # one order with K4
+    rows += [(1, 1), (1, 9)]                  # pendant edge 1-9
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["part"]: r for r in QUERIES["triangle_counts"](
+        spark, str(tmp_path)).collect()}
+    assert 9 not in out
+    assert all(out[p]["triangles"] == 3 for p in (1, 2, 3, 4))
+    assert out[2]["clustering"] == 1.0 and out[1]["clustering"] == 0.5
+    assert out[1]["degree"] == 4 and out[2]["degree"] == 3

@@ -596,3 +596,30 @@ def test_keyset_page_seek_pushes_down_and_takeordered(spark):
     # the closing bracket — match the prefix, not a bracketed group
     assert "PushedFilters: [Or(GreaterThan(o_orderdate" in plan, plan
     assert "Exchange" not in plan, f"seek page must not shuffle\n{plan}"
+
+
+def test_maxsim_plan_broadcasts_probe_and_stays_jvm(spark):
+    """ColBERT serving shape: probe chunks broadcast, doc chunk
+    features map-side, shuffles carry only (doc, q_idx, max) tuples —
+    two hash exchanges (per-q max, per-doc sum), no Python, no
+    cartesian pair generation against the corpus."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["maxsim_search"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_triangle_counts_plan_shape(spark):
+    """Wedge-close discipline: the spooled edge list feeds wedge and
+    closing joins as tuple-only shuffles — no Python, no cartesian,
+    no data-proportional broadcast forced by the query."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["triangle_counts"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 8, plan
