@@ -3565,6 +3565,56 @@ FROM events e JOIN bounds b ON b.event_type = e.event_type
 GROUP BY 1
 """
 
+# K-center mirror: greedy trajectory replayed with 4 unrolled CTE
+# levels; distances are the same left-assoc 64-term rational chains
+# the engine renders, argmax/argmin ties to the lowest id / earliest
+# center.
+ORACLES["kcenter_coreset"] = """
+WITH c0 AS (SELECT embedding AS v FROM embeddings
+       WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+d0 AS (SELECT e.vec_id, e.embedding, round(((CAST(e.embedding[1] AS DOUBLE) - CAST(c0.v[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(c0.v[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(c0.v[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(c0.v[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(c0.v[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(c0.v[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(c0.v[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(c0.v[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(c0.v[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(c0.v[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(c0.v[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(c0.v[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(c0.v[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(c0.v[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(c0.v[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(c0.v[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(c0.v[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(c0.v[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(c0.v[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(c0.v[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(c0.v[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(c0.v[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(c0.v[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(c0.v[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(c0.v[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(c0.v[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(c0.v[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(c0.v[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(c0.v[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(c0.v[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(c0.v[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(c0.v[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(c0.v[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(c0.v[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(c0.v[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(c0.v[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(c0.v[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(c0.v[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(c0.v[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(c0.v[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(c0.v[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(c0.v[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(c0.v[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(c0.v[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(c0.v[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(c0.v[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(c0.v[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(c0.v[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(c0.v[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(c0.v[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(c0.v[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(c0.v[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(c0.v[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(c0.v[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(c0.v[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(c0.v[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(c0.v[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(c0.v[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(c0.v[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(c0.v[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(c0.v[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(c0.v[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(c0.v[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(c0.v[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(c0.v[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(c0.v[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(c0.v[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(c0.v[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(c0.v[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(c0.v[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(c0.v[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(c0.v[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(c0.v[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(c0.v[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(c0.v[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(c0.v[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(c0.v[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(c0.v[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(c0.v[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(c0.v[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(c0.v[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(c0.v[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(c0.v[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(c0.v[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(c0.v[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(c0.v[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(c0.v[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(c0.v[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(c0.v[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(c0.v[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(c0.v[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(c0.v[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(c0.v[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(c0.v[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(c0.v[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(c0.v[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(c0.v[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(c0.v[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(c0.v[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(c0.v[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(c0.v[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(c0.v[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(c0.v[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(c0.v[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(c0.v[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(c0.v[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(c0.v[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(c0.v[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(c0.v[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(c0.v[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(c0.v[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(c0.v[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(c0.v[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(c0.v[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(c0.v[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(c0.v[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(c0.v[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(c0.v[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(c0.v[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(c0.v[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(c0.v[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(c0.v[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(c0.v[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(c0.v[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(c0.v[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(c0.v[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(c0.v[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(c0.v[64] AS DOUBLE))), 9) AS d
+       FROM embeddings e CROSS JOIN c0),p1 AS (SELECT vec_id, embedding FROM d0
+       ORDER BY d DESC, vec_id LIMIT 1),
+d1 AS (SELECT e.vec_id, e.embedding,
+         least(e.d, round(((CAST(e.embedding[1] AS DOUBLE) - CAST(p.embedding[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(p.embedding[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(p.embedding[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(p.embedding[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(p.embedding[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(p.embedding[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(p.embedding[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(p.embedding[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(p.embedding[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(p.embedding[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(p.embedding[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(p.embedding[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(p.embedding[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(p.embedding[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(p.embedding[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(p.embedding[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(p.embedding[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(p.embedding[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(p.embedding[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(p.embedding[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(p.embedding[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(p.embedding[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(p.embedding[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(p.embedding[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(p.embedding[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(p.embedding[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(p.embedding[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(p.embedding[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(p.embedding[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(p.embedding[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(p.embedding[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(p.embedding[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(p.embedding[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(p.embedding[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(p.embedding[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(p.embedding[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(p.embedding[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(p.embedding[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(p.embedding[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(p.embedding[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(p.embedding[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(p.embedding[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(p.embedding[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(p.embedding[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(p.embedding[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(p.embedding[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(p.embedding[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(p.embedding[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(p.embedding[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(p.embedding[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(p.embedding[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(p.embedding[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(p.embedding[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(p.embedding[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(p.embedding[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(p.embedding[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(p.embedding[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(p.embedding[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(p.embedding[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(p.embedding[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(p.embedding[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(p.embedding[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(p.embedding[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(p.embedding[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(p.embedding[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(p.embedding[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(p.embedding[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(p.embedding[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(p.embedding[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(p.embedding[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(p.embedding[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(p.embedding[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(p.embedding[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(p.embedding[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(p.embedding[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(p.embedding[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(p.embedding[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(p.embedding[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(p.embedding[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(p.embedding[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(p.embedding[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(p.embedding[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(p.embedding[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(p.embedding[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(p.embedding[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(p.embedding[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(p.embedding[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(p.embedding[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(p.embedding[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(p.embedding[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(p.embedding[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(p.embedding[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(p.embedding[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(p.embedding[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(p.embedding[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(p.embedding[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(p.embedding[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(p.embedding[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(p.embedding[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(p.embedding[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(p.embedding[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(p.embedding[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(p.embedding[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(p.embedding[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(p.embedding[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(p.embedding[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(p.embedding[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(p.embedding[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(p.embedding[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(p.embedding[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(p.embedding[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(p.embedding[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(p.embedding[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(p.embedding[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(p.embedding[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(p.embedding[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(p.embedding[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(p.embedding[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(p.embedding[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(p.embedding[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(p.embedding[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(p.embedding[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(p.embedding[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(p.embedding[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(p.embedding[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(p.embedding[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(p.embedding[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(p.embedding[64] AS DOUBLE))), 9)) AS d
+       FROM d0 e CROSS JOIN p1 p),p2 AS (SELECT vec_id, embedding FROM d1
+       ORDER BY d DESC, vec_id LIMIT 1),
+d2 AS (SELECT e.vec_id, e.embedding,
+         least(e.d, round(((CAST(e.embedding[1] AS DOUBLE) - CAST(p.embedding[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(p.embedding[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(p.embedding[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(p.embedding[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(p.embedding[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(p.embedding[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(p.embedding[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(p.embedding[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(p.embedding[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(p.embedding[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(p.embedding[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(p.embedding[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(p.embedding[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(p.embedding[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(p.embedding[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(p.embedding[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(p.embedding[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(p.embedding[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(p.embedding[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(p.embedding[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(p.embedding[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(p.embedding[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(p.embedding[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(p.embedding[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(p.embedding[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(p.embedding[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(p.embedding[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(p.embedding[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(p.embedding[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(p.embedding[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(p.embedding[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(p.embedding[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(p.embedding[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(p.embedding[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(p.embedding[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(p.embedding[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(p.embedding[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(p.embedding[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(p.embedding[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(p.embedding[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(p.embedding[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(p.embedding[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(p.embedding[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(p.embedding[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(p.embedding[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(p.embedding[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(p.embedding[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(p.embedding[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(p.embedding[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(p.embedding[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(p.embedding[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(p.embedding[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(p.embedding[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(p.embedding[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(p.embedding[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(p.embedding[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(p.embedding[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(p.embedding[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(p.embedding[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(p.embedding[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(p.embedding[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(p.embedding[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(p.embedding[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(p.embedding[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(p.embedding[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(p.embedding[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(p.embedding[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(p.embedding[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(p.embedding[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(p.embedding[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(p.embedding[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(p.embedding[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(p.embedding[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(p.embedding[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(p.embedding[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(p.embedding[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(p.embedding[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(p.embedding[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(p.embedding[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(p.embedding[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(p.embedding[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(p.embedding[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(p.embedding[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(p.embedding[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(p.embedding[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(p.embedding[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(p.embedding[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(p.embedding[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(p.embedding[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(p.embedding[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(p.embedding[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(p.embedding[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(p.embedding[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(p.embedding[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(p.embedding[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(p.embedding[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(p.embedding[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(p.embedding[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(p.embedding[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(p.embedding[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(p.embedding[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(p.embedding[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(p.embedding[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(p.embedding[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(p.embedding[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(p.embedding[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(p.embedding[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(p.embedding[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(p.embedding[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(p.embedding[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(p.embedding[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(p.embedding[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(p.embedding[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(p.embedding[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(p.embedding[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(p.embedding[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(p.embedding[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(p.embedding[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(p.embedding[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(p.embedding[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(p.embedding[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(p.embedding[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(p.embedding[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(p.embedding[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(p.embedding[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(p.embedding[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(p.embedding[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(p.embedding[64] AS DOUBLE))), 9)) AS d
+       FROM d1 e CROSS JOIN p2 p),p3 AS (SELECT vec_id, embedding FROM d2
+       ORDER BY d DESC, vec_id LIMIT 1),
+d3 AS (SELECT e.vec_id, e.embedding,
+         least(e.d, round(((CAST(e.embedding[1] AS DOUBLE) - CAST(p.embedding[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(p.embedding[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(p.embedding[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(p.embedding[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(p.embedding[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(p.embedding[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(p.embedding[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(p.embedding[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(p.embedding[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(p.embedding[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(p.embedding[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(p.embedding[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(p.embedding[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(p.embedding[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(p.embedding[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(p.embedding[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(p.embedding[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(p.embedding[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(p.embedding[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(p.embedding[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(p.embedding[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(p.embedding[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(p.embedding[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(p.embedding[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(p.embedding[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(p.embedding[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(p.embedding[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(p.embedding[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(p.embedding[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(p.embedding[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(p.embedding[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(p.embedding[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(p.embedding[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(p.embedding[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(p.embedding[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(p.embedding[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(p.embedding[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(p.embedding[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(p.embedding[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(p.embedding[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(p.embedding[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(p.embedding[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(p.embedding[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(p.embedding[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(p.embedding[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(p.embedding[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(p.embedding[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(p.embedding[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(p.embedding[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(p.embedding[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(p.embedding[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(p.embedding[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(p.embedding[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(p.embedding[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(p.embedding[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(p.embedding[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(p.embedding[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(p.embedding[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(p.embedding[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(p.embedding[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(p.embedding[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(p.embedding[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(p.embedding[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(p.embedding[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(p.embedding[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(p.embedding[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(p.embedding[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(p.embedding[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(p.embedding[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(p.embedding[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(p.embedding[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(p.embedding[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(p.embedding[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(p.embedding[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(p.embedding[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(p.embedding[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(p.embedding[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(p.embedding[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(p.embedding[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(p.embedding[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(p.embedding[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(p.embedding[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(p.embedding[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(p.embedding[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(p.embedding[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(p.embedding[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(p.embedding[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(p.embedding[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(p.embedding[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(p.embedding[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(p.embedding[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(p.embedding[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(p.embedding[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(p.embedding[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(p.embedding[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(p.embedding[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(p.embedding[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(p.embedding[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(p.embedding[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(p.embedding[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(p.embedding[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(p.embedding[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(p.embedding[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(p.embedding[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(p.embedding[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(p.embedding[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(p.embedding[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(p.embedding[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(p.embedding[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(p.embedding[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(p.embedding[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(p.embedding[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(p.embedding[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(p.embedding[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(p.embedding[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(p.embedding[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(p.embedding[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(p.embedding[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(p.embedding[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(p.embedding[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(p.embedding[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(p.embedding[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(p.embedding[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(p.embedding[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(p.embedding[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(p.embedding[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(p.embedding[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(p.embedding[64] AS DOUBLE))), 9)) AS d
+       FROM d2 e CROSS JOIN p3 p),
+dists AS (
+  SELECT e.vec_id,
+         round(((CAST(e.embedding[1] AS DOUBLE) - CAST(c0.v[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(c0.v[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(c0.v[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(c0.v[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(c0.v[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(c0.v[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(c0.v[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(c0.v[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(c0.v[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(c0.v[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(c0.v[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(c0.v[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(c0.v[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(c0.v[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(c0.v[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(c0.v[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(c0.v[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(c0.v[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(c0.v[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(c0.v[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(c0.v[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(c0.v[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(c0.v[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(c0.v[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(c0.v[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(c0.v[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(c0.v[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(c0.v[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(c0.v[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(c0.v[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(c0.v[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(c0.v[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(c0.v[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(c0.v[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(c0.v[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(c0.v[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(c0.v[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(c0.v[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(c0.v[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(c0.v[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(c0.v[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(c0.v[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(c0.v[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(c0.v[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(c0.v[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(c0.v[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(c0.v[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(c0.v[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(c0.v[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(c0.v[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(c0.v[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(c0.v[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(c0.v[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(c0.v[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(c0.v[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(c0.v[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(c0.v[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(c0.v[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(c0.v[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(c0.v[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(c0.v[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(c0.v[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(c0.v[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(c0.v[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(c0.v[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(c0.v[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(c0.v[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(c0.v[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(c0.v[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(c0.v[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(c0.v[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(c0.v[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(c0.v[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(c0.v[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(c0.v[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(c0.v[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(c0.v[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(c0.v[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(c0.v[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(c0.v[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(c0.v[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(c0.v[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(c0.v[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(c0.v[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(c0.v[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(c0.v[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(c0.v[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(c0.v[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(c0.v[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(c0.v[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(c0.v[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(c0.v[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(c0.v[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(c0.v[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(c0.v[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(c0.v[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(c0.v[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(c0.v[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(c0.v[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(c0.v[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(c0.v[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(c0.v[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(c0.v[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(c0.v[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(c0.v[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(c0.v[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(c0.v[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(c0.v[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(c0.v[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(c0.v[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(c0.v[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(c0.v[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(c0.v[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(c0.v[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(c0.v[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(c0.v[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(c0.v[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(c0.v[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(c0.v[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(c0.v[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(c0.v[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(c0.v[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(c0.v[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(c0.v[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(c0.v[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(c0.v[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(c0.v[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(c0.v[64] AS DOUBLE))), 9) AS dd0, round(((CAST(e.embedding[1] AS DOUBLE) - CAST(p1.embedding[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(p1.embedding[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(p1.embedding[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(p1.embedding[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(p1.embedding[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(p1.embedding[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(p1.embedding[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(p1.embedding[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(p1.embedding[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(p1.embedding[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(p1.embedding[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(p1.embedding[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(p1.embedding[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(p1.embedding[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(p1.embedding[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(p1.embedding[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(p1.embedding[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(p1.embedding[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(p1.embedding[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(p1.embedding[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(p1.embedding[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(p1.embedding[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(p1.embedding[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(p1.embedding[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(p1.embedding[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(p1.embedding[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(p1.embedding[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(p1.embedding[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(p1.embedding[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(p1.embedding[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(p1.embedding[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(p1.embedding[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(p1.embedding[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(p1.embedding[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(p1.embedding[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(p1.embedding[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(p1.embedding[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(p1.embedding[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(p1.embedding[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(p1.embedding[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(p1.embedding[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(p1.embedding[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(p1.embedding[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(p1.embedding[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(p1.embedding[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(p1.embedding[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(p1.embedding[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(p1.embedding[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(p1.embedding[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(p1.embedding[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(p1.embedding[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(p1.embedding[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(p1.embedding[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(p1.embedding[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(p1.embedding[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(p1.embedding[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(p1.embedding[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(p1.embedding[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(p1.embedding[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(p1.embedding[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(p1.embedding[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(p1.embedding[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(p1.embedding[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(p1.embedding[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(p1.embedding[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(p1.embedding[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(p1.embedding[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(p1.embedding[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(p1.embedding[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(p1.embedding[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(p1.embedding[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(p1.embedding[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(p1.embedding[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(p1.embedding[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(p1.embedding[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(p1.embedding[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(p1.embedding[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(p1.embedding[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(p1.embedding[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(p1.embedding[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(p1.embedding[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(p1.embedding[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(p1.embedding[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(p1.embedding[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(p1.embedding[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(p1.embedding[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(p1.embedding[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(p1.embedding[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(p1.embedding[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(p1.embedding[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(p1.embedding[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(p1.embedding[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(p1.embedding[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(p1.embedding[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(p1.embedding[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(p1.embedding[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(p1.embedding[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(p1.embedding[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(p1.embedding[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(p1.embedding[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(p1.embedding[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(p1.embedding[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(p1.embedding[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(p1.embedding[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(p1.embedding[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(p1.embedding[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(p1.embedding[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(p1.embedding[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(p1.embedding[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(p1.embedding[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(p1.embedding[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(p1.embedding[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(p1.embedding[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(p1.embedding[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(p1.embedding[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(p1.embedding[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(p1.embedding[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(p1.embedding[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(p1.embedding[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(p1.embedding[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(p1.embedding[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(p1.embedding[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(p1.embedding[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(p1.embedding[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(p1.embedding[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(p1.embedding[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(p1.embedding[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(p1.embedding[64] AS DOUBLE))), 9) AS dd1, round(((CAST(e.embedding[1] AS DOUBLE) - CAST(p2.embedding[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(p2.embedding[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(p2.embedding[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(p2.embedding[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(p2.embedding[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(p2.embedding[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(p2.embedding[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(p2.embedding[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(p2.embedding[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(p2.embedding[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(p2.embedding[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(p2.embedding[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(p2.embedding[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(p2.embedding[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(p2.embedding[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(p2.embedding[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(p2.embedding[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(p2.embedding[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(p2.embedding[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(p2.embedding[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(p2.embedding[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(p2.embedding[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(p2.embedding[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(p2.embedding[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(p2.embedding[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(p2.embedding[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(p2.embedding[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(p2.embedding[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(p2.embedding[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(p2.embedding[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(p2.embedding[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(p2.embedding[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(p2.embedding[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(p2.embedding[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(p2.embedding[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(p2.embedding[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(p2.embedding[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(p2.embedding[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(p2.embedding[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(p2.embedding[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(p2.embedding[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(p2.embedding[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(p2.embedding[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(p2.embedding[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(p2.embedding[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(p2.embedding[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(p2.embedding[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(p2.embedding[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(p2.embedding[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(p2.embedding[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(p2.embedding[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(p2.embedding[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(p2.embedding[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(p2.embedding[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(p2.embedding[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(p2.embedding[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(p2.embedding[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(p2.embedding[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(p2.embedding[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(p2.embedding[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(p2.embedding[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(p2.embedding[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(p2.embedding[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(p2.embedding[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(p2.embedding[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(p2.embedding[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(p2.embedding[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(p2.embedding[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(p2.embedding[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(p2.embedding[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(p2.embedding[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(p2.embedding[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(p2.embedding[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(p2.embedding[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(p2.embedding[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(p2.embedding[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(p2.embedding[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(p2.embedding[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(p2.embedding[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(p2.embedding[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(p2.embedding[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(p2.embedding[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(p2.embedding[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(p2.embedding[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(p2.embedding[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(p2.embedding[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(p2.embedding[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(p2.embedding[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(p2.embedding[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(p2.embedding[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(p2.embedding[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(p2.embedding[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(p2.embedding[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(p2.embedding[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(p2.embedding[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(p2.embedding[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(p2.embedding[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(p2.embedding[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(p2.embedding[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(p2.embedding[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(p2.embedding[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(p2.embedding[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(p2.embedding[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(p2.embedding[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(p2.embedding[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(p2.embedding[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(p2.embedding[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(p2.embedding[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(p2.embedding[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(p2.embedding[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(p2.embedding[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(p2.embedding[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(p2.embedding[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(p2.embedding[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(p2.embedding[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(p2.embedding[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(p2.embedding[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(p2.embedding[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(p2.embedding[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(p2.embedding[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(p2.embedding[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(p2.embedding[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(p2.embedding[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(p2.embedding[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(p2.embedding[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(p2.embedding[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(p2.embedding[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(p2.embedding[64] AS DOUBLE))), 9) AS dd2, round(((CAST(e.embedding[1] AS DOUBLE) - CAST(p3.embedding[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(p3.embedding[1] AS DOUBLE))) + ((CAST(e.embedding[2] AS DOUBLE) - CAST(p3.embedding[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(p3.embedding[2] AS DOUBLE))) + ((CAST(e.embedding[3] AS DOUBLE) - CAST(p3.embedding[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(p3.embedding[3] AS DOUBLE))) + ((CAST(e.embedding[4] AS DOUBLE) - CAST(p3.embedding[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(p3.embedding[4] AS DOUBLE))) + ((CAST(e.embedding[5] AS DOUBLE) - CAST(p3.embedding[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(p3.embedding[5] AS DOUBLE))) + ((CAST(e.embedding[6] AS DOUBLE) - CAST(p3.embedding[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(p3.embedding[6] AS DOUBLE))) + ((CAST(e.embedding[7] AS DOUBLE) - CAST(p3.embedding[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(p3.embedding[7] AS DOUBLE))) + ((CAST(e.embedding[8] AS DOUBLE) - CAST(p3.embedding[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(p3.embedding[8] AS DOUBLE))) + ((CAST(e.embedding[9] AS DOUBLE) - CAST(p3.embedding[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(p3.embedding[9] AS DOUBLE))) + ((CAST(e.embedding[10] AS DOUBLE) - CAST(p3.embedding[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(p3.embedding[10] AS DOUBLE))) + ((CAST(e.embedding[11] AS DOUBLE) - CAST(p3.embedding[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(p3.embedding[11] AS DOUBLE))) + ((CAST(e.embedding[12] AS DOUBLE) - CAST(p3.embedding[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(p3.embedding[12] AS DOUBLE))) + ((CAST(e.embedding[13] AS DOUBLE) - CAST(p3.embedding[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(p3.embedding[13] AS DOUBLE))) + ((CAST(e.embedding[14] AS DOUBLE) - CAST(p3.embedding[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(p3.embedding[14] AS DOUBLE))) + ((CAST(e.embedding[15] AS DOUBLE) - CAST(p3.embedding[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(p3.embedding[15] AS DOUBLE))) + ((CAST(e.embedding[16] AS DOUBLE) - CAST(p3.embedding[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(p3.embedding[16] AS DOUBLE))) + ((CAST(e.embedding[17] AS DOUBLE) - CAST(p3.embedding[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(p3.embedding[17] AS DOUBLE))) + ((CAST(e.embedding[18] AS DOUBLE) - CAST(p3.embedding[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(p3.embedding[18] AS DOUBLE))) + ((CAST(e.embedding[19] AS DOUBLE) - CAST(p3.embedding[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(p3.embedding[19] AS DOUBLE))) + ((CAST(e.embedding[20] AS DOUBLE) - CAST(p3.embedding[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(p3.embedding[20] AS DOUBLE))) + ((CAST(e.embedding[21] AS DOUBLE) - CAST(p3.embedding[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(p3.embedding[21] AS DOUBLE))) + ((CAST(e.embedding[22] AS DOUBLE) - CAST(p3.embedding[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(p3.embedding[22] AS DOUBLE))) + ((CAST(e.embedding[23] AS DOUBLE) - CAST(p3.embedding[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(p3.embedding[23] AS DOUBLE))) + ((CAST(e.embedding[24] AS DOUBLE) - CAST(p3.embedding[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(p3.embedding[24] AS DOUBLE))) + ((CAST(e.embedding[25] AS DOUBLE) - CAST(p3.embedding[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(p3.embedding[25] AS DOUBLE))) + ((CAST(e.embedding[26] AS DOUBLE) - CAST(p3.embedding[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(p3.embedding[26] AS DOUBLE))) + ((CAST(e.embedding[27] AS DOUBLE) - CAST(p3.embedding[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(p3.embedding[27] AS DOUBLE))) + ((CAST(e.embedding[28] AS DOUBLE) - CAST(p3.embedding[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(p3.embedding[28] AS DOUBLE))) + ((CAST(e.embedding[29] AS DOUBLE) - CAST(p3.embedding[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(p3.embedding[29] AS DOUBLE))) + ((CAST(e.embedding[30] AS DOUBLE) - CAST(p3.embedding[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(p3.embedding[30] AS DOUBLE))) + ((CAST(e.embedding[31] AS DOUBLE) - CAST(p3.embedding[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(p3.embedding[31] AS DOUBLE))) + ((CAST(e.embedding[32] AS DOUBLE) - CAST(p3.embedding[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(p3.embedding[32] AS DOUBLE))) + ((CAST(e.embedding[33] AS DOUBLE) - CAST(p3.embedding[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(p3.embedding[33] AS DOUBLE))) + ((CAST(e.embedding[34] AS DOUBLE) - CAST(p3.embedding[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(p3.embedding[34] AS DOUBLE))) + ((CAST(e.embedding[35] AS DOUBLE) - CAST(p3.embedding[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(p3.embedding[35] AS DOUBLE))) + ((CAST(e.embedding[36] AS DOUBLE) - CAST(p3.embedding[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(p3.embedding[36] AS DOUBLE))) + ((CAST(e.embedding[37] AS DOUBLE) - CAST(p3.embedding[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(p3.embedding[37] AS DOUBLE))) + ((CAST(e.embedding[38] AS DOUBLE) - CAST(p3.embedding[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(p3.embedding[38] AS DOUBLE))) + ((CAST(e.embedding[39] AS DOUBLE) - CAST(p3.embedding[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(p3.embedding[39] AS DOUBLE))) + ((CAST(e.embedding[40] AS DOUBLE) - CAST(p3.embedding[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(p3.embedding[40] AS DOUBLE))) + ((CAST(e.embedding[41] AS DOUBLE) - CAST(p3.embedding[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(p3.embedding[41] AS DOUBLE))) + ((CAST(e.embedding[42] AS DOUBLE) - CAST(p3.embedding[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(p3.embedding[42] AS DOUBLE))) + ((CAST(e.embedding[43] AS DOUBLE) - CAST(p3.embedding[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(p3.embedding[43] AS DOUBLE))) + ((CAST(e.embedding[44] AS DOUBLE) - CAST(p3.embedding[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(p3.embedding[44] AS DOUBLE))) + ((CAST(e.embedding[45] AS DOUBLE) - CAST(p3.embedding[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(p3.embedding[45] AS DOUBLE))) + ((CAST(e.embedding[46] AS DOUBLE) - CAST(p3.embedding[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(p3.embedding[46] AS DOUBLE))) + ((CAST(e.embedding[47] AS DOUBLE) - CAST(p3.embedding[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(p3.embedding[47] AS DOUBLE))) + ((CAST(e.embedding[48] AS DOUBLE) - CAST(p3.embedding[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(p3.embedding[48] AS DOUBLE))) + ((CAST(e.embedding[49] AS DOUBLE) - CAST(p3.embedding[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(p3.embedding[49] AS DOUBLE))) + ((CAST(e.embedding[50] AS DOUBLE) - CAST(p3.embedding[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(p3.embedding[50] AS DOUBLE))) + ((CAST(e.embedding[51] AS DOUBLE) - CAST(p3.embedding[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(p3.embedding[51] AS DOUBLE))) + ((CAST(e.embedding[52] AS DOUBLE) - CAST(p3.embedding[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(p3.embedding[52] AS DOUBLE))) + ((CAST(e.embedding[53] AS DOUBLE) - CAST(p3.embedding[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(p3.embedding[53] AS DOUBLE))) + ((CAST(e.embedding[54] AS DOUBLE) - CAST(p3.embedding[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(p3.embedding[54] AS DOUBLE))) + ((CAST(e.embedding[55] AS DOUBLE) - CAST(p3.embedding[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(p3.embedding[55] AS DOUBLE))) + ((CAST(e.embedding[56] AS DOUBLE) - CAST(p3.embedding[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(p3.embedding[56] AS DOUBLE))) + ((CAST(e.embedding[57] AS DOUBLE) - CAST(p3.embedding[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(p3.embedding[57] AS DOUBLE))) + ((CAST(e.embedding[58] AS DOUBLE) - CAST(p3.embedding[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(p3.embedding[58] AS DOUBLE))) + ((CAST(e.embedding[59] AS DOUBLE) - CAST(p3.embedding[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(p3.embedding[59] AS DOUBLE))) + ((CAST(e.embedding[60] AS DOUBLE) - CAST(p3.embedding[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(p3.embedding[60] AS DOUBLE))) + ((CAST(e.embedding[61] AS DOUBLE) - CAST(p3.embedding[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(p3.embedding[61] AS DOUBLE))) + ((CAST(e.embedding[62] AS DOUBLE) - CAST(p3.embedding[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(p3.embedding[62] AS DOUBLE))) + ((CAST(e.embedding[63] AS DOUBLE) - CAST(p3.embedding[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(p3.embedding[63] AS DOUBLE))) + ((CAST(e.embedding[64] AS DOUBLE) - CAST(p3.embedding[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(p3.embedding[64] AS DOUBLE))), 9) AS dd3
+  FROM embeddings e CROSS JOIN c0 CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3
+),
+assigned AS (
+  SELECT vec_id,
+         CASE
+           WHEN dd3 < least(dd0, dd1, dd2) THEN 3
+           WHEN dd2 < least(dd0, dd1) THEN 2
+           WHEN dd1 < dd0 THEN 1
+           ELSE 0 END AS c,
+         least(dd0, dd1, dd2, dd3) AS d
+  FROM dists
+),
+centers AS (
+  SELECT 0 AS center_idx, (SELECT MIN(vec_id) FROM embeddings) AS center_vec_id
+  UNION ALL SELECT 1, vec_id FROM p1
+  UNION ALL SELECT 2, vec_id FROM p2
+  UNION ALL SELECT 3, vec_id FROM p3
+)
+SELECT c.center_idx, c.center_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       MAX(a.d) AS coverage_radius
+FROM assigned a JOIN centers c ON c.center_idx = a.c
+GROUP BY 1, 2
+ORDER BY center_idx
+"""
+
 # Triangle mirror: same id-oriented wedge close; clustering is one
 # rational double rounded at the edge.
 ORACLES["triangle_counts"] = """

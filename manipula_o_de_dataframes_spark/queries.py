@@ -834,6 +834,84 @@ def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_stream(spark, sf_dir)
 
 
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-center greedy coreset selection (Gonzalez 1985, the 2-approx
+    farthest-point heuristic; Sener & Savarese 2018 for its coreset
+    use): pick k=4 maximally-spread vectors — the diverse-subset
+    selection a training pipeline runs when it wants coverage of the
+    embedding space rather than a uniform sample (actively used for
+    data-efficient finetuning / eval-set construction). Start at the
+    min vec_id, then 3× take the vector FARTHEST from the chosen set.
+
+    Determinism: distances are the SQL-rendered ``exact_sqdist``
+    against literal center vectors (rational ops on exact floats,
+    round 9 — bit-identical cross-engine), argmax ties break to the
+    lowest vec_id, so the greedy trajectory is engine-exact and the
+    DuckDB oracle replays it with 4 unrolled CTE levels. Each chosen
+    center is a bounded ONE-ROW collect (the k-means-centroid model-
+    artifact posture); everything else is map-side.
+
+    Scale: per round one scan computing least(prev_min, dist-to-new-
+    center) — k scans total, zero shuffles until the final ≤k-row
+    assignment count. At 100 TB this is exactly how coreset selection
+    runs: k bounded, distances fused into the scan, the only driver
+    state k vectors. Output: each center with its assigned-vector
+    count and coverage radius (the max assigned distance — the
+    quantity the 2-approx bounds).
+    """
+    k = 4
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # each collect returns the row WITH its vector — one bounded
+    # one-row job per center, never a separate vector-fetch scan
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(first["vec_id"], [float(x) for x in first["embedding"]])]
+    cur = e.select(
+        "vec_id",
+        "embedding",
+        F.round(sim.exact_sqdist("embedding", centers[0][1]), 9).alias("__d"),
+    )
+    for _ in range(k - 1):
+        far = cur.orderBy(F.col("__d").desc(), "vec_id").limit(1).collect()[0]
+        centers.append((far["vec_id"], [float(x) for x in far["embedding"]]))
+        cur = cur.select(
+            "vec_id",
+            "embedding",
+            F.least(
+                F.col("__d"),
+                F.round(sim.exact_sqdist("embedding", centers[-1][1]), 9),
+            ).alias("__d"),
+        )
+    # assign each vector to its nearest center (distance ties to the
+    # earlier-chosen center), then per-center occupancy + radius
+    assign = F.lit(0)
+    best = F.round(sim.exact_sqdist("embedding", centers[0][1]), 9)
+    for i in range(1, k):
+        di = F.round(sim.exact_sqdist("embedding", centers[i][1]), 9)
+        assign = F.when(di < best, F.lit(i)).otherwise(assign)
+        best = F.least(best, di)
+    assigned = e.select(assign.alias("__c"), best.alias("__d"))
+    center_tbl = spark.createDataFrame(
+        [(i, cid) for i, (cid, _) in enumerate(centers)],
+        "center_idx int, center_vec_id long",
+    )
+    return (
+        assigned.groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.max("__d").alias("coverage_radius"),
+        )
+        .join(F.broadcast(center_tbl), F.col("__c") == F.col("center_idx"))
+        .select(
+            "center_idx",
+            "center_vec_id",
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            "coverage_radius",
+        )
+        .orderBy("center_idx")
+    )
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient on the
     co-purchase graph — the subgraph-counting companion to
@@ -5638,6 +5716,7 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "kcenter_coreset": q_kcenter_coreset,
     "triangle_counts": q_triangle_counts,
     "maxsim_search": q_maxsim_search,
     "keyset_page": q_keyset_page,

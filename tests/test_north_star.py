@@ -1338,3 +1338,30 @@ def test_triangle_counts_on_known_graph(spark, tmp_path):
     assert all(out[p]["triangles"] == 3 for p in (1, 2, 3, 4))
     assert out[2]["clustering"] == 1.0 and out[1]["clustering"] == 0.5
     assert out[1]["degree"] == 4 and out[2]["degree"] == 3
+
+
+def test_kcenter_picks_spread_and_covers(spark, tmp_path):
+    """Three tight clusters + the greedy start: k-center must pick one
+    representative per distant cluster before densifying anywhere —
+    the property that makes it a coverage (not density) sampler."""
+    rows = []
+    # cluster A at 0, B at +10 on dim 0, C at +10 on dim 1; 5 pts each
+    for i in range(5):
+        eps = i * 0.01
+        rows.append((i, [0.0 + eps] + [0.0] * 63))
+        rows.append((10 + i, [10.0 + eps] + [0.0] * 63))
+        rows.append((20 + i, [0.0 + eps, 10.0] + [0.0] * 62))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    out = QUERIES["kcenter_coreset"](spark, str(tmp_path)).collect()
+    assert [r["center_idx"] for r in out] == [0, 1, 2, 3]
+    picked = {r["center_vec_id"] for r in out}
+    assert 0 in picked                       # greedy start = min id
+    # after 3 picks every cluster has a center -> radii collapse
+    clusters = [{0,1,2,3,4},{10,11,12,13,14},{20,21,22,23,24}]
+    assert all(any(c & picked for c in clusters) for c in clusters)
+    assert sum(r["n_assigned"] for r in out) == 15
+    assert max(r["coverage_radius"] for r in out) < 1.0

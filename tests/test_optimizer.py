@@ -623,3 +623,17 @@ def test_triangle_counts_plan_shape(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 8, plan
+
+
+def test_kcenter_assignment_plan_is_map_side(spark):
+    """The greedy's scan shape: the final assignment pass is map-only
+    distance expressions over the scan plus a tiny occupancy agg and
+    a broadcast center join — no Python, no cartesian, at most the
+    one aggregate exchange."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["kcenter_coreset"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastExchange" in plan, plan
