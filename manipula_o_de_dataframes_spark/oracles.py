@@ -3535,6 +3535,82 @@ HAVING COUNT(*) >= 2
 ORDER BY n_docs DESC, rep_doc_id
 """
 
+# Label-propagation mirror: the same symmetric basket edge list, then
+# 3 unrolled synchronous rounds — vote count per (node, neighbor
+# label), ROW_NUMBER under (count DESC, label ASC) picks the adopted
+# label; all-integer so the trajectory hashes exactly.
+ORACLES["label_propagation"] = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+v1 AS (SELECT e.v AS node, l.lbl, COUNT(*) AS c
+       FROM edges e JOIN l0 l ON l.node = e.u GROUP BY 1, 2),
+l1 AS (SELECT node, lbl FROM (
+         SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         FROM v1) WHERE rn = 1),
+v2 AS (SELECT e.v AS node, l.lbl, COUNT(*) AS c
+       FROM edges e JOIN l1 l ON l.node = e.u GROUP BY 1, 2),
+l2 AS (SELECT node, lbl FROM (
+         SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         FROM v2) WHERE rn = 1),
+v3 AS (SELECT e.v AS node, l.lbl, COUNT(*) AS c
+       FROM edges e JOIN l2 l ON l.node = e.u GROUP BY 1, 2),
+l3 AS (SELECT node, lbl FROM (
+         SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         FROM v3) WHERE rn = 1)
+SELECT lbl AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_part
+FROM l3 GROUP BY 1
+ORDER BY n_members DESC, community
+"""
+
+# Winnowing mirror: positional 3-gram md5s (DuckDB list slice is
+# 1-based inclusive: toks[i:i+2] = Spark slice(toks,i,3)), window-of-4
+# list_min, distinct fingerprints, then the same capped bucket pair
+# join — every output column a BIGINT over lexicographic md5 minima.
+ORACLES["winnow_near_dup"] = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(toks)-2, 1)+1),
+         i -> md5(array_to_string(toks[i:i+2], ' '))) AS hs
+  FROM t
+),
+fp AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-3, 1)+1),
+         i -> list_min(hs[i:i+3]))) AS fps
+  FROM sh
+),
+ex AS (
+  SELECT doc_id, len(fps) AS nfp, unnest(fps) AS f FROM fp
+),
+kept AS (
+  SELECT e.doc_id, e.nfp, e.f FROM ex e
+  JOIN (SELECT f FROM ex GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50) c
+    ON c.f = e.f
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps,
+       CAST(MIN(a.nfp) AS BIGINT) AS fps_a,
+       CAST(MIN(b.nfp) AS BIGINT) AS fps_b,
+       (CAST(COUNT(*) AS BIGINT) * 1000000)
+         // least(CAST(MIN(a.nfp) AS BIGINT), CAST(MIN(b.nfp) AS BIGINT))
+         AS containment_ppm
+FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY shared_fps DESC, doc_a, doc_b
+"""
+
 # Winsorized-stats mirror: rank-selected exact p5/p95 under the pinned
 # (value, event_id) order, comparison-only clipping, DECIMAL(18,2)
 # sums with ONE final rounded division.

@@ -1231,6 +1231,186 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("n_docs").desc(), "rep_doc_id")
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the product co-purchase graph — the clustering
+    companion to ``pagerank_items`` (centrality) and
+    ``triangle_counts`` (cohesion): which groups of parts sell
+    together? Init label = node id; 3 unrolled synchronous rounds of
+    "adopt the most frequent neighbor label", ties broken to the
+    SMALLEST label — the determinism rule that makes an otherwise
+    order-sensitive heuristic bit-exact cross-engine (async LPA is
+    nondeterministic by construction; synchronous + total tie order is
+    the reproducible variant, the χ²/BPE unrolled-loop precedent).
+    Output: one row per surviving community — size, representative
+    min part — the training-mix-style census of basket clusters.
+
+    All-integer trajectory: labels are part keys, votes are counts, the
+    argmax is ROW_NUMBER under (count DESC, label ASC) — no floats
+    anywhere, so the DuckDB oracle replays all 3 rounds with unrolled
+    CTEs and hashes exactly.
+
+    Scale: the basket fan-out (quadratic only within an order, ~7
+    items) runs ONCE into a spooled symmetric edge list; each round is
+    one (node, label) join against the spool + a (node, label) vote
+    count + a per-node window — census-row payloads, the Pregel shape,
+    never baskets. 3 rounds = fixed depth; at 100 TB rounds would be
+    checkpointed via ``graft_checkpoint`` exactly like the CC fixpoint.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    ps = F.col("__ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    ab = baskets.select(F.explode(pair_structs).alias("__p")).select("__p.u", "__p.v")
+    edges = spool(
+        ab.unionAll(ab.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    lab = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("__lbl")
+    )
+    w = Window.partitionBy("__v").orderBy(F.col("__c").desc(), F.col("__lbl"))
+    for _ in range(3):
+        votes = (
+            edges.join(lab, edges["u"] == lab["node"])
+            .groupBy(F.col("v").alias("__v"), "__lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        lab = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__v").alias("node"), "__lbl")
+        )
+    return (
+        lab.groupBy("__lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").alias("min_part"),
+        )
+        .select(F.col("__lbl").alias("community"), "n_members", "min_part")
+        .orderBy(F.col("n_members").desc(), "community")
+    )
+
+
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer, Wilkerson &
+    Aiken SIGMOD 2003 — the MOSS local fingerprinting algorithm): the
+    fourth dedup family beside md5-exact, MinHash and SimHash, and the
+    one with a POSITIONAL guarantee the others lack — any shared run of
+    w+k−1 = 6 tokens is certain to share a fingerprint (window min of
+    w = 4 consecutive k = 3-gram hashes), so winnowing catches copied
+    PASSAGES inside otherwise-different documents, the plagiarism /
+    license-text / quote-chain case whole-set MinHash dilutes away.
+
+    Per doc: positional 3-gram md5s (order kept — unlike ``shingles``,
+    repetition matters here), window-of-4 minima, distinct = the
+    fingerprint set (density ≈ 2/(w+1), guaranteed max gap w). Pairs
+    then form exactly like banded LSH: explode → (fp, doc) →
+    within-bucket lower-id pairs, with a frequency cap (fp in > 50
+    docs = boilerplate, dropped — MOSS's own "too common to mean
+    anything" rule) bounding every bucket's quadratic at 50². Shared
+    count ≥ 2 plus an integer containment_ppm = shared·1e6 div
+    min(|A|,|B|) make the output pure BIGINTs over md5 lexicographic
+    minima — bit-identical cross-engine, no floats anywhere.
+
+    Scale: text never leaves the scan; only (fp, id, |fps|) triples
+    shuffle (the MinHash-LSH payload shape); the fingerprint stage is
+    SPOOLED so the self-join's two sides share one materialization
+    instead of recomputing the md5 pipeline (the ``simhash_near_dup``
+    precedent). At 100 TB the fp-frequency cap is the knob that keeps
+    template storms from quadratic blowup — same posture as the LSH
+    band-bucket cap.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    # STAGED projections, one array per step: each alias is referenced
+    # more than once downstream, so CollapseProject keeps it a real
+    # per-row attribute instead of inlining the producing expression
+    # into every lambda use site (inlined, slice(sh, i, 4) re-evaluates
+    # the whole md5 array PER WINDOW INDEX — O(n²) md5s, measured 115 s
+    # vs 3 s at sf0.1; the minhash_signature staging precedent).
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    n = F.size(F.col("__toks"))
+    s = t.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, 3))),
+        ).alias("__hs"),
+    )
+    m = F.size(F.col("__hs"))
+    # SPOOL the per-doc fingerprint arrays (the signature artifact —
+    # the simhash_near_dup posture): the explode's Generate would
+    # otherwise inline the whole fps expression chain and re-evaluate
+    # it PER OUTPUT FINGERPRINT (measured 90 s vs 1.9 s at sf0.1 —
+    # a repartition barrier does NOT block the inlining, only a real
+    # materialization does), and the bucket self-join's two sides plus
+    # the frequency census all share this one materialization.
+    docs = spool(
+        s.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(m - F.lit(3), F.lit(1))),
+                    lambda i: F.array_min(F.slice(F.col("__hs"), i, 4)),
+                )
+            ).alias("__fps"),
+        )
+    )
+    ex = docs.select(
+        "doc_id",
+        F.size("__fps").cast("long").alias("__nfp"),
+        F.explode("__fps").alias("__fp"),
+    )
+    cnt = ex.groupBy("__fp").agg(F.count(F.lit(1)).alias("__nd"))
+    kept = ex.join(
+        cnt.filter((F.col("__nd") >= 2) & (F.col("__nd") <= 50)).select("__fp"),
+        "__fp",
+    )
+    a = kept.select(
+        "__fp", F.col("doc_id").alias("doc_a"), F.col("__nfp").alias("__na")
+    )
+    b = kept.select(
+        "__fp", F.col("doc_id").alias("doc_b"), F.col("__nfp").alias("__nb")
+    )
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_fps"),
+            F.min("__na").alias("fps_a"),
+            F.min("__nb").alias("fps_b"),
+        )
+        .filter(F.col("shared_fps") >= 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            "fps_a",
+            "fps_b",
+            F.expr("(shared_fps * 1000000) div least(fps_a, fps_b)").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+    )
+
+
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type value statistics: clip ``events.value`` to
     its exact [p5, p95] per event type, then report the robust mean
@@ -5716,6 +5896,8 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "winnow_near_dup": q_winnow_near_dup,
+    "label_propagation": q_label_propagation,
     "kcenter_coreset": q_kcenter_coreset,
     "triangle_counts": q_triangle_counts,
     "maxsim_search": q_maxsim_search,

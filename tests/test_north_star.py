@@ -1365,3 +1365,56 @@ def test_kcenter_picks_spread_and_covers(spark, tmp_path):
     assert all(any(c & picked for c in clusters) for c in clusters)
     assert sum(r["n_assigned"] for r in out) == 15
     assert max(r["coverage_radius"] for r in out) < 1.0
+
+
+def test_winnow_catches_copied_passage_and_caps_boilerplate(spark, tmp_path):
+    """Winnowing's positional guarantee: a shared run of >= w+k-1 = 6
+    tokens must share a fingerprint, so a copied passage inside
+    otherwise-different docs pairs up — while a fingerprint present in
+    > 50 docs (pure boilerplate) is dropped and creates no pairs."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, "intro one two three " + passage + " outro red green blue", "en", "s1"),
+        (2, "different preamble here " + passage + " and a different tail", "en", "s2"),
+        (3, "nothing in common with anything else at all whatsoever here", "en", "s3"),
+    ]
+    # 60 identical boilerplate docs: every fingerprint lands in 60 > 50
+    # docs -> capped out, no pair explosion from the template storm
+    rows += [
+        (100 + i, "cookie banner accept terms privacy policy contact us", "en", "s4")
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    out = QUERIES["winnow_near_dup"](spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs, out
+    r = pairs[(1, 2)]
+    assert r["shared_fps"] >= 2
+    assert 0 < r["containment_ppm"] <= 1000000
+    # doc 3 never pairs; the 60 boilerplate docs never pair
+    assert all(a < 100 and b < 100 for a, b in pairs), out
+    assert not any(3 in p for p in pairs), out
+
+
+def test_label_propagation_separates_cliques(spark, tmp_path):
+    """Two K4 cliques joined by one bridge edge: 3 synchronous rounds
+    with ties-to-min must converge each clique onto its own min-derived
+    label — two communities of 4, the bridge never merges them (each
+    endpoint is outvoted by its own clique)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [(0, p) for p in (1, 2, 3, 4)]       # clique A
+    rows += [(1, p) for p in (10, 11, 12, 13)]  # clique B
+    rows += [(2, 4), (2, 10)]                   # bridge 4-10
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["label_propagation"](spark, str(tmp_path)).collect()
+    got = {r["community"]: (r["n_members"], r["min_part"]) for r in out}
+    assert got == {1: (4, 1), 10: (4, 10)}, out

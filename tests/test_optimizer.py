@@ -637,3 +637,34 @@ def test_kcenter_assignment_plan_is_map_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_winnow_plan_shuffles_fingerprints_not_text(spark):
+    """Winnowing's scale shape: the pair stage reads the SPOOLED
+    (fp, id, nfp) triples — no text column in the join lineage, no
+    Python, no cartesian; bucket join + pair agg + final sort are the
+    only exchanges."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    df = QUERIES["winnow_near_dup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+    # the pair join consumes the spool, not the documents scan
+    assert "text" not in plan, plan
+
+
+def test_label_propagation_plan_is_pregel_shaped(spark):
+    """Each LPA round consumes the SPOOLED edge list (the basket
+    fan-out runs once), joins (node, label) tuples, and windows per
+    node — no Python, no cartesian, no basket recomputation; the
+    lineitem scan must NOT appear in the final plan's lineage."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["label_propagation"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "lineitem" not in plan, plan
