@@ -3535,6 +3535,94 @@ HAVING COUNT(*) >= 2
 ORDER BY n_docs DESC, rep_doc_id
 """
 
+# CDC mirror: identical index-based chunk extents (boundary at tokens
+# whose md5 starts with '0'; chunk j spans (bpos[j-1]+1 .. bpos[j]),
+# tail to n), empty chunks filtered, census over md5(chunk).
+ORACLES["cdc_chunk_dedup"] = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks)+1), i -> substr(md5(toks[i]), 1, 1) = '0') AS bpos
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(1, len(bpos)+2), j -> array_to_string(
+             toks[(CASE WHEN j = 1 THEN 1 ELSE bpos[j-1]+1 END)
+                  :(CASE WHEN j <= len(bpos) THEN bpos[j] ELSE len(toks) END)], ' ')),
+           s -> s <> '') AS chunks
+  FROM b
+),
+ex AS (SELECT doc_id, unnest(chunks) AS chunk FROM c),
+census AS (
+  SELECT md5(chunk) AS chunk_md5,
+         MIN(chunk) AS chunk,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM ex GROUP BY 1
+)
+SELECT chunk_md5, chunk,
+       CAST(len(str_split(chunk, ' ')) AS BIGINT) AS tok_len,
+       n_docs, n_occ
+FROM census
+WHERE n_docs >= 2 AND len(str_split(chunk, ' ')) >= 2
+ORDER BY n_docs DESC, n_occ DESC, chunk_md5
+"""
+
+# TrustRank mirror: seeds = top-20 by (degree DESC, node), then 3
+# unrolled personalized-restart iterations in the pagerank_items
+# integer-ppm policy (r div deg per edge, (85·Σ) div 100 per node,
+# restart only on seeds).
+ORACLES["trust_propagation"] = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+seeds AS (
+  SELECT u AS node FROM (
+    SELECT u, ROW_NUMBER() OVER (ORDER BY d DESC, u) AS rn FROM deg
+  ) WHERE rn <= 20
+),
+r0 AS (
+  SELECT deg.u AS node,
+         CASE WHEN s.node IS NULL THEN 0 ELSE 1000000 END AS r
+  FROM deg LEFT JOIN seeds s ON s.node = deg.u
+),
+a1 AS (SELECT e.v, SUM(r.r // deg.d) AS s
+       FROM edges e JOIN r0 r ON r.node = e.u JOIN deg ON deg.u = e.u GROUP BY 1),
+r1 AS (SELECT deg.u AS node,
+              CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END
+                + (85 * COALESCE(a1.s, 0)) // 100 AS r
+       FROM deg LEFT JOIN a1 ON a1.v = deg.u LEFT JOIN seeds s ON s.node = deg.u),
+a2 AS (SELECT e.v, SUM(r.r // deg.d) AS s
+       FROM edges e JOIN r1 r ON r.node = e.u JOIN deg ON deg.u = e.u GROUP BY 1),
+r2 AS (SELECT deg.u AS node,
+              CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END
+                + (85 * COALESCE(a2.s, 0)) // 100 AS r
+       FROM deg LEFT JOIN a2 ON a2.v = deg.u LEFT JOIN seeds s ON s.node = deg.u),
+a3 AS (SELECT e.v, SUM(r.r // deg.d) AS s
+       FROM edges e JOIN r2 r ON r.node = e.u JOIN deg ON deg.u = e.u GROUP BY 1),
+r3 AS (SELECT deg.u AS node,
+              CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END
+                + (85 * COALESCE(a3.s, 0)) // 100 AS r
+       FROM deg LEFT JOIN a3 ON a3.v = deg.u LEFT JOIN seeds s ON s.node = deg.u)
+SELECT r3.node AS part,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS INT) AS is_seed,
+       CAST(r3.r AS BIGINT) AS trust_ppm
+FROM r3 JOIN deg ON deg.u = r3.node LEFT JOIN seeds s ON s.node = r3.node
+WHERE r3.r > 0
+ORDER BY trust_ppm DESC, part
+LIMIT 30
+"""
+
 # Label-propagation mirror: the same symmetric basket edge list, then
 # 3 unrolled synchronous rounds — vote count per (node, neighbor
 # label), ROW_NUMBER under (count DESC, label ASC) picks the adopted

@@ -1231,6 +1231,171 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("n_docs").desc(), "rep_doc_id")
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-doc chunk census (the
+    rsync/LBFS boundary trick — Muthitacharoen et al. SOSP 2001; the
+    CDC family FastCDC popularized): cut each document where
+    md5(token) starts with hex '0' (P = 1/16 → ~16-token expected
+    chunks), so chunk boundaries are CONTENT-anchored — an insertion
+    early in a doc shifts fixed-size blocks (``strip_repeated_blocks``
+    / ``cross_doc_block_dedup``) but leaves every later CDC chunk
+    intact. The census lists multi-token chunks appearing in ≥ 2
+    distinct docs: the shared-passage inventory a storage or
+    training-data dedup layer keeps (and the variable-length complement to the fixed-block
+    census).
+
+    Determinism: boundaries, chunk extents and keys are md5/BIGINT
+    derived; output is (chunk md5, text, token length, doc count,
+    occurrence count) — integer-exact, no floats.
+
+    Scale: tokenization and chunking fuse into the scan; the chunk
+    frame is SPOOLED before explode (the winnow lesson: Generate
+    inlines non-trivial array-producing expressions and re-evaluates
+    them per output element — only real materialization blocks it),
+    then ONE (chunk-md5 → counts) shuffle of census rows. Chunk text
+    rides the shuffle only for the representative min() — at 100 TB
+    you'd key on the digest alone and fetch text by join, the same
+    posture as exact dedup's md5 groupBy.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    n = F.size(F.col("__toks"))
+    b = t.select(
+        "doc_id",
+        "__toks",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(F.md5(F.element_at(F.col("__toks"), i)), 1, 1)
+            == "0",
+        ).alias("__bpos"),
+    )
+    nb = F.size(F.col("__bpos"))
+    start = lambda j: F.when(j == 1, F.lit(1)).otherwise(  # noqa: E731
+        F.element_at(F.col("__bpos"), j - 1) + 1
+    )
+    end = lambda j: F.when(  # noqa: E731
+        j <= nb, F.element_at(F.col("__bpos"), j)
+    ).otherwise(F.size(F.col("__toks")))
+    chunks = b.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), nb + 1),
+                lambda j: F.concat_ws(
+                    " ", F.slice(F.col("__toks"), start(j), end(j) - start(j) + 1)
+                ),
+            ),
+            lambda c: c != "",
+        ).alias("__chunks"),
+    )
+    ex = spool(chunks).select("doc_id", F.explode("__chunks").alias("__chunk"))
+    return (
+        ex.groupBy(F.md5("__chunk").alias("chunk_md5"))
+        .agg(
+            F.min("__chunk").alias("chunk"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .withColumn("tok_len", F.size(F.split(F.col("chunk"), " ")).cast("long"))
+        .filter((F.col("n_docs") >= 2) & (F.col("tok_len") >= 2))
+        .select("chunk_md5", "chunk", "tok_len", "n_docs", "n_occ")
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk_md5")
+    )
+
+
+def q_trust_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded trust propagation (TrustRank, Gyöngyi, Garcia-Molina &
+    Pedersen VLDB 2004) on the co-purchase graph — the quality-prior
+    pattern a web-corpus pipeline runs when it has a small vetted seed
+    set and wants link-structure to extend it: personalized PageRank
+    whose restart mass lands ONLY on the seeds, so trust decays with
+    distance from the vetted core instead of spreading uniformly
+    (``pagerank_items`` is the unpersonalized twin).
+
+    Seeds: the 20 highest-degree nodes under the total (degree DESC,
+    node ASC) order — the deterministic stand-in for an editorial
+    whitelist. 3 unrolled iterations of
+    r' = seed·150000 + (85·Σ r(u) div deg(u)) div 100 from an
+    all-mass-on-seeds start — the ``pagerank_items`` integer-ppm
+    policy (BIGINT throughout, zero rounding sites, bit-exact
+    cross-engine); non-seed nodes never receive restart mass, so
+    unreachable nodes stay at 0 and drop from the top-k naturally.
+
+    Scale: same Pregel shape as PageRank — spooled degree-annotated
+    edge list computed once, each iteration one (node, rank) shuffle;
+    the seed table is a bounded top-k (broadcast-sized model
+    artifact). Output: top 30 by trust with seed flag and degree.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    ps = F.col("__ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    ab = baskets.select(F.explode(pair_structs).alias("__p")).select("__p.u", "__p.v")
+    edges = ab.unionAll(ab.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_deg = spool(edges.join(deg, "u"))
+    deg = edges_deg.select("u", "__deg").distinct()
+    seeds = (
+        deg.orderBy(F.col("__deg").desc(), "u")
+        .limit(20)
+        .select(F.col("u").alias("node"), F.lit(1).alias("__seed"))
+    )
+    # node table (id, degree, seed flag) spooled too: every iteration
+    # and the final projection join it, and without the spool each of
+    # the ~5 references re-runs the distinct + top-k lineage over the
+    # edge list (wall ~equal at sf0.1 where nodes are tiny, but the
+    # recomputation count grows with iterations — the spool pins it)
+    nodes = spool(
+        deg.join(seeds, deg["u"] == seeds["node"], "left").select(
+            F.col("u").alias("node"),
+            F.col("__deg"),
+            F.coalesce(F.col("__seed"), F.lit(0)).alias("__seed"),
+        )
+    )
+    r = nodes.select("node", (F.col("__seed") * F.lit(1000000)).cast("long").alias("__r"))
+    for _ in range(3):
+        agg = (
+            edges_deg.join(r, edges_deg["u"] == r["node"])
+            .groupBy("v")
+            .agg(F.sum(F.expr("__r div __deg")).alias("__s"))
+        )
+        r = nodes.join(agg, nodes["node"] == agg["v"], "left").select(
+            "node",
+            (
+                F.col("__seed") * F.lit(150000)
+                + F.expr("(85 * coalesce(__s, 0)) div 100")
+            ).cast("long").alias("__r"),
+        )
+    return (
+        r.join(nodes, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("__deg").cast("long").alias("degree"),
+            F.col("__seed").cast("int").alias("is_seed"),
+            F.col("__r").alias("trust_ppm"),
+        )
+        .filter(F.col("trust_ppm") > 0)
+        .orderBy(F.col("trust_ppm").desc(), "part")
+        .limit(30)
+    )
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) on the product co-purchase graph — the clustering
@@ -5898,6 +6063,8 @@ QUERIES = {
     # --- new in round 5 (no driver row yet) ---
     "winnow_near_dup": q_winnow_near_dup,
     "label_propagation": q_label_propagation,
+    "trust_propagation": q_trust_propagation,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "kcenter_coreset": q_kcenter_coreset,
     "triangle_counts": q_triangle_counts,
     "maxsim_search": q_maxsim_search,

@@ -1418,3 +1418,56 @@ def test_label_propagation_separates_cliques(spark, tmp_path):
     out = QUERIES["label_propagation"](spark, str(tmp_path)).collect()
     got = {r["community"]: (r["n_members"], r["min_part"]) for r in out}
     assert got == {1: (4, 1), 10: (4, 10)}, out
+
+
+def test_trust_propagation_decays_from_seeds_only(spark, tmp_path):
+    """A 25-clique (top-degree -> the 20 seeds live here) plus a
+    disconnected pair: trust reaches every clique node (non-seeds get
+    propagated mass only, so strictly less than the seed floor), while
+    the unreachable pair receives no restart and no propagation —
+    trust 0, excluded from the output entirely."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [(0, p) for p in range(1, 26)]   # 25-clique, degree 24 each
+    rows += [(1, 100), (1, 101)]            # disconnected pair, degree 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["trust_propagation"](spark, str(tmp_path)).collect()
+    parts = {r["part"] for r in out}
+    assert parts <= set(range(1, 26)) and 100 not in parts and 101 not in parts
+    seeds = {r["part"] for r in out if r["is_seed"] == 1}
+    assert seeds == set(range(1, 21))       # degree tie -> lowest 20 ids
+    nonseed = [r for r in out if r["is_seed"] == 0]
+    assert nonseed and all(r["trust_ppm"] > 0 for r in nonseed)
+    floor = min(r["trust_ppm"] for r in out if r["is_seed"] == 1)
+    assert all(r["trust_ppm"] < floor for r in nonseed)
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark, tmp_path):
+    """The CDC property fixed-size blocks lack: an insertion at the
+    head of a doc only perturbs chunks up to the next content-defined
+    boundary — every later chunk re-aligns and dedups. 'hash' is a
+    boundary token (md5 starts with '0'), so doc B = 'zz ' + doc A
+    shares all of A's post-first-boundary chunks."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    a = "aa bb hash cc dd hash ee ff gg"
+    rows = [
+        (1, a, "en", "s1"),
+        (2, "zz " + a, "en", "s2"),
+        (3, "totally unrelated words only here", "en", "s3"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["cdc_chunk_dedup"](spark, str(tmp_path)).collect()
+    shared = {r["chunk"]: r for r in out}
+    # 'ee' is ALSO a boundary token, so A's tail splits into
+    # ['ee'] (single-token, below the tok_len >= 2 floor) + ['ff gg']
+    assert set(shared) == {"cc dd hash", "ff gg"}, out
+    assert all(r["n_docs"] == 2 and r["n_occ"] == 2 for r in out)
+    # the head chunks differ ('aa bb hash' vs 'zz aa bb hash') -> not shared
+    assert "aa bb hash" not in shared

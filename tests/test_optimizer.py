@@ -668,3 +668,29 @@ def test_label_propagation_plan_is_pregel_shaped(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "lineitem" not in plan, plan
+
+
+def test_trust_propagation_plan_reuses_edge_spool(spark):
+    """TrustRank's Pregel shape: every iteration joins the SPOOLED
+    degree-annotated edge list — the basket fan-out (lineitem scan)
+    must not appear in the final plan; no Python, no cartesian."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["trust_propagation"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "lineitem" not in plan, plan
+
+
+def test_cdc_census_plan_is_one_shuffle_over_spool(spark):
+    """CDC's census shape: the explode consumes the SPOOLED chunk
+    arrays (no re-derivation from text), then one md5-keyed aggregate
+    plus the final sort — no Python, no cartesian."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cdc_chunk_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "text" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
