@@ -1471,3 +1471,36 @@ def test_cdc_chunks_survive_prefix_insertion(spark, tmp_path):
     assert all(r["n_docs"] == 2 and r["n_occ"] == 2 for r in out)
     # the head chunks differ ('aa bb hash' vs 'zz aa bb hash') -> not shared
     assert "aa bb hash" not in shared
+
+
+def test_winnow_guarantee_on_random_shared_runs(spark, tmp_path):
+    """The winnowing theorem, exercised on randomized inputs: any two
+    docs sharing a run of >= 2w+k-1 = 14 tokens share >= 2 window
+    minima, whatever the surrounding junk. 5 seeded pairs with
+    disjoint vocabularies (so no cross-pair fingerprints), one job."""
+    import random
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rng = random.Random(20260814)
+    rows = []
+    expected = set()
+    for p in range(5):
+        vocab = [f"w{p}x{i}" for i in range(30)]
+        run = [rng.choice(vocab) for _ in range(rng.randint(14, 20))]
+        pre_a = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        pre_b = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        post_a = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        post_b = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        a_id, b_id = 10 * p, 10 * p + 1
+        rows.append((a_id, " ".join(pre_a + run + post_a), "en", f"s{p}"))
+        rows.append((b_id, " ".join(pre_b + run + post_b), "en", f"s{p}"))
+        expected.add((a_id, b_id))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["winnow_near_dup"](spark, str(tmp_path)).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert expected <= found, (expected - found, out)
