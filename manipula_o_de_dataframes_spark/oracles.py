@@ -3535,6 +3535,35 @@ HAVING COUNT(*) >= 2
 ORDER BY n_docs DESC, rep_doc_id
 """
 
+# EWMA mirror: same epoch-week window, exact DECIMAL cents, then the
+# prefix fold per week index — list_reduce's first-element-as-init
+# convention equals the engine's slice-from-2 + x1 init; the divide is
+# the same arithmetic shift.
+ORACLES["ewma_weekly"] = """
+WITH weekly AS (
+  SELECT TIMESTAMP '1970-01-01'
+           + CAST(FLOOR(date_diff('second', TIMESTAMP '1970-01-01', ts) / 604800)
+                  AS BIGINT) * INTERVAL 7 DAY AS wk,
+         event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type, list(x ORDER BY wk) AS xs, list(wk ORDER BY wk) AS ws
+  FROM weekly GROUP BY 1
+),
+ex AS (
+  SELECT event_type, unnest(range(1, len(xs)+1)) AS i, xs, ws FROM arr
+)
+SELECT event_type,
+       ws[i] AS week_start,
+       xs[i] AS actual_cents,
+       list_reduce(xs[1:i], (acc, x) -> (7*acc + x) >> 3) AS ewma_cents,
+       xs[i] - list_reduce(xs[1:i], (acc, x) -> (7*acc + x) >> 3) AS dev_cents
+FROM ex
+ORDER BY event_type, week_start
+"""
+
 # CDC mirror: identical index-based chunk extents (boundary at tokens
 # whose md5 starts with '0'; chunk j spans (bpos[j-1]+1 .. bpos[j]),
 # tail to n), empty chunks filtered, census over md5(chunk).

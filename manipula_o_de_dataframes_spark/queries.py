@@ -1231,6 +1231,67 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("n_docs").desc(), "rep_doc_id")
 
 
+def q_ewma_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over weekly event value (Roberts 1959 — the
+    exponentially-weighted monitor that reacts to small sustained
+    level shifts CUSUM's peak statistic and the χ² drift monitor both
+    smear): per event type, s₁ = x₁ and sₜ = (7·sₜ₋₁ + xₜ) div 8
+    (α = 1/8 as an exact dyadic rational), reported per week beside
+    the actual and the signed deviation.
+
+    Float policy: weekly totals become integer CENTS via one exact
+    DECIMAL sum ×100, and the recurrence is pure BIGINT — a
+    sequential fold no windowed SUM can express order-independently,
+    made engine-exact by running it in the ARRAY domain:
+    ``aggregate(slice(...))`` prefix folds over the week-sorted
+    per-type array, mirrored by DuckDB ``list_reduce`` (whose
+    first-element-as-init convention equals our slice-from-2 + x₁
+    init). O(weeks²) per type — weeks is a bounded census axis, the
+    same posture as the drift grid.
+
+    Scale: ONE map-side-combined (type, week) decimal aggregation over
+    the fact scan; everything after operates on |types|·|weeks| census
+    rows collected into |types| bounded arrays. The per-type state is
+    an array of weekly cents — kilobytes at any corpus size.
+    """
+    e = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    win = F.window("ts", "7 days")
+    weekly = (
+        e.groupBy(win["start"].alias("__wk"), "event_type")
+        .agg((dsum_dec("value") * 100).cast("long").alias("__x"))
+    )
+    arr = weekly.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__wk").alias("w"), F.col("__x").alias("x")))
+        ).alias("__a")
+    )
+    a = F.col("__a")
+    # the integer recurrence (7·acc + x) div 8 as a BIGINT shift —
+    # never through double division, whose 53-bit mantissa would go
+    # inexact on large cent totals (α = 1/8 is dyadic precisely so the
+    # divide is a shift)
+    series = F.transform(
+        F.sequence(F.lit(1), F.size(a)),
+        lambda i: F.struct(
+            F.element_at(a, i)["w"].alias("w"),
+            F.element_at(a, i)["x"].alias("x"),
+            F.aggregate(
+                F.slice(a, 2, i - 1),
+                F.element_at(a, 1)["x"],
+                lambda acc, s: F.shiftright(F.lit(7) * acc + s["x"], 3),
+            ).alias("s"),
+        ),
+    )
+    ex = arr.select("event_type", F.explode(series).alias("__p"))
+    return ex.select(
+        "event_type",
+        F.col("__p.w").alias("week_start"),
+        F.col("__p.x").alias("actual_cents"),
+        F.col("__p.s").alias("ewma_cents"),
+        (F.col("__p.x") - F.col("__p.s")).alias("dev_cents"),
+    ).orderBy("event_type", "week_start")
+
+
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + cross-doc chunk census (the
     rsync/LBFS boundary trick — Muthitacharoen et al. SOSP 2001; the
@@ -6065,6 +6126,7 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "trust_propagation": q_trust_propagation,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "ewma_weekly": q_ewma_weekly,
     "kcenter_coreset": q_kcenter_coreset,
     "triangle_counts": q_triangle_counts,
     "maxsim_search": q_maxsim_search,

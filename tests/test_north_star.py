@@ -1504,3 +1504,29 @@ def test_winnow_guarantee_on_random_shared_runs(spark, tmp_path):
     out = QUERIES["winnow_near_dup"](spark, str(tmp_path)).collect()
     found = {(r["doc_a"], r["doc_b"]) for r in out}
     assert expected <= found, (expected - found, out)
+
+
+def test_ewma_weekly_recurrence_exact(spark, tmp_path):
+    """Hand-checked fold: weekly totals 8.00, 16.00, 4.00 give
+    s1=800, s2=(7*800+1600)>>3=900, s3=(7*900+400)>>3=837 cents —
+    the dyadic alpha=1/8 recurrence in exact integers."""
+    from datetime import datetime
+
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [
+        (1, datetime(1970, 1, 1, 12), 1, "buy", 8.0, None),
+        (2, datetime(1970, 1, 8, 12), 1, "buy", 16.0, None),
+        (3, datetime(1970, 1, 15, 12), 1, "buy", 4.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["ewma_weekly"](spark, str(tmp_path)).collect()
+    assert [(r["actual_cents"], r["ewma_cents"], r["dev_cents"]) for r in out] == [
+        (800, 800, 0),
+        (1600, 900, 700),
+        (400, 837, -437),
+    ], out
