@@ -591,6 +591,41 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-order co-purchase pairs (u < v), one row per occurrence.
+
+    ONE fact shuffle: lineitem co-locates by order, each order's parts
+    collapse to a sorted set riding that same shuffle, and the a<b
+    pairs are generated EXPRESSION-side from the array (sortedness
+    gives both the < order and within-basket dedup for free) — a
+    self-join would cost distinct + join re-shuffles instead. The
+    quadratic is bounded within an order (~7 lineitems in TPC-H
+    shape, the LSH-bucket discipline applied to baskets).
+
+    Shared spine of the graph family — ``basket_pairs``,
+    ``pagerank_items``, ``triangle_counts``, ``label_propagation``,
+    ``trust_propagation`` all start here; callers add distinct /
+    symmetric union per their graph semantics.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    ps = F.col("__ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return baskets.select(F.explode(pair_structs).alias("__p")).select("__p.u", "__p.v")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, quality score, language-ID, fingerprint."""
     d = _docs_parallel(spark, sf_dir)
@@ -938,27 +973,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     results; shuffles carry (node, node, deg) tuples only. Top-10 by
     (triangles, part).
     """
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
-    )
-    ps = F.col("__ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.size(ps)),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    edges = (
-        baskets.select(F.explode(pair_structs).alias("__p"))
-        .select("__p.u", "__p.v")
-        .distinct()
-    )  # u < v by sorted-array construction
+    edges = _basket_pairs(spark, sf_dir).distinct()  # u < v by construction
     from .operators.spool import spool  # noqa: PLC0415
 
     edges = spool(edges)
@@ -1149,25 +1164,7 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a total order.
     """
     from .operators.spool import spool  # noqa: PLC0415
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
-    )
-    ps = F.col("__ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.size(ps)),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    ab = baskets.select(F.explode(pair_structs).alias("__p")).select(
-        "__p.u", "__p.v"
-    )
+    ab = _basket_pairs(spark, sf_dir)
     edges = ab.unionAll(ab.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
     edges_deg = spool(edges.join(deg, "u"))
@@ -1391,23 +1388,7 @@ def q_trust_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.spool import spool  # noqa: PLC0415
 
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
-    )
-    ps = F.col("__ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.size(ps)),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    ab = baskets.select(F.explode(pair_structs).alias("__p")).select("__p.u", "__p.v")
+    ab = _basket_pairs(spark, sf_dir)
     edges = ab.unionAll(ab.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
     edges_deg = spool(edges.join(deg, "u"))
@@ -1485,23 +1466,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.spool import spool  # noqa: PLC0415
 
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
-    )
-    ps = F.col("__ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.size(ps)),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    ab = baskets.select(F.explode(pair_structs).alias("__p")).select("__p.u", "__p.v")
+    ab = _basket_pairs(spark, sf_dir)
     edges = spool(
         ab.unionAll(ab.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
@@ -1716,24 +1681,8 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-20 is TakeOrderedAndProject with a total-order
     tie-break, so the cut is engine-deterministic.
     """
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
-    )
-    ps = F.col("__ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.size(ps)),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
-    pairs = baskets.select(F.explode(pair_structs).alias("__p")).select(
-        "__p.part_a", "__p.part_b"
+    pairs = _basket_pairs(spark, sf_dir).select(
+        F.col("u").alias("part_a"), F.col("v").alias("part_b")
     )
     counts = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("n_orders"))
     return counts.orderBy(

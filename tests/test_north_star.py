@@ -1362,7 +1362,7 @@ def test_kcenter_picks_spread_and_covers(spark, tmp_path):
     assert 0 in picked                       # greedy start = min id
     # after 3 picks every cluster has a center -> radii collapse
     clusters = [{0,1,2,3,4},{10,11,12,13,14},{20,21,22,23,24}]
-    assert all(any(c & picked for c in clusters) for c in clusters)
+    assert all(c & picked for c in clusters)
     assert sum(r["n_assigned"] for r in out) == 15
     assert max(r["coverage_radius"] for r in out) < 1.0
 

@@ -694,3 +694,16 @@ def test_cdc_census_plan_is_one_shuffle_over_spool(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "text" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ewma_plan_is_one_fact_agg_no_python(spark):
+    """EWMA's scale shape: one map-side-combined (week, type) decimal
+    aggregate over the fact scan, one per-type collect — the array
+    fold is pure JVM HOF expressions, no Python, no cartesian."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["ewma_weekly"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial" in plan.lower(), plan  # map-side combine on the fact agg

@@ -41,7 +41,7 @@ TZ_SENSITIVE = [
     # surface where a session-tz literal or cast silently shifts rows
     "keyset_page", "date_slice_metrics", "weekly_snapshots",
     "retention_cohorts", "drift_weekly_kl", "event_attribution",
-    "growth_accounting", "sessionize_events",
+    "growth_accounting", "sessionize_events", "ewma_weekly",
 ]
 
 
