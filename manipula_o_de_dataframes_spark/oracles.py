@@ -3535,6 +3535,60 @@ HAVING COUNT(*) >= 2
 ORDER BY n_docs DESC, rep_doc_id
 """
 
+# k-core mirror: same u<v edge list, k = rank-selected median degree,
+# 3 unrolled peel rounds; census = (nodes-with-an-edge, edges) per
+# round, all integers.
+ORACLES["kcore_peel"] = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+d0 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY 1
+),
+kth AS (
+  SELECT deg AS k FROM (
+    SELECT deg, node, ROW_NUMBER() OVER (ORDER BY deg, node) AS rn,
+           COUNT(*) OVER () AS n
+    FROM d0
+  ) WHERE rn = (n + 1) // 2
+),
+k1 AS (SELECT node FROM d0, kth WHERE deg >= k),
+e1 AS (SELECT p.u, p.v FROM pairs p
+       JOIN k1 a ON a.node = p.u JOIN k1 b ON b.node = p.v),
+d1 AS (SELECT node, COUNT(*) AS deg FROM (
+         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+k2 AS (SELECT node FROM d1, kth WHERE deg >= k),
+e2 AS (SELECT p.u, p.v FROM e1 p
+       JOIN k2 a ON a.node = p.u JOIN k2 b ON b.node = p.v),
+d2 AS (SELECT node, COUNT(*) AS deg FROM (
+         SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+k3 AS (SELECT node FROM d2, kth WHERE deg >= k),
+e3 AS (SELECT p.u, p.v FROM e2 p
+       JOIN k3 a ON a.node = p.u JOIN k3 b ON b.node = p.v),
+d3 AS (SELECT node, COUNT(*) AS deg FROM (
+         SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1),
+census AS (
+  SELECT 0 AS round, (SELECT COUNT(*) FROM d0) AS n_nodes,
+         (SELECT COUNT(*) FROM pairs) AS n_edges
+  UNION ALL
+  SELECT 1, (SELECT COUNT(*) FROM d1), (SELECT COUNT(*) FROM e1)
+  UNION ALL
+  SELECT 2, (SELECT COUNT(*) FROM d2), (SELECT COUNT(*) FROM e2)
+  UNION ALL
+  SELECT 3, (SELECT COUNT(*) FROM d3), (SELECT COUNT(*) FROM e3)
+)
+SELECT CAST(round AS INT) AS round,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST((SELECT k FROM kth) AS BIGINT) AS k_threshold
+FROM census ORDER BY round
+"""
+
 # EWMA mirror: same epoch-week window, exact DECIMAL cents, then the
 # prefix fold per week index — list_reduce's first-element-as-init
 # convention equals the engine's slice-from-2 + x1 init; the divide is

@@ -1228,6 +1228,74 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("n_docs").desc(), "rep_doc_id")
 
 
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling census (Seidman 1983; Batagelj–Zaveršnik
+    for the peel): 3 unrolled rounds of "drop nodes with degree < k,
+    re-derive the induced subgraph" on the co-purchase graph, with
+    k = the exact MEDIAN original degree (rank-selected at
+    (n+1) div 2 under the (degree, node) total order — the
+    histogram_quantiles exact-arm convention), so the threshold adapts
+    to any scale without a data-dependent loop count. The census
+    (nodes, edges per round) is the graph-quality audit a link-corpus
+    pipeline runs before trusting centrality: a collapsing core means
+    the graph is hairball-plus-tendrils; a stable one means cohesion.
+    Fixed depth keeps the trajectory engine-exact (the LPA/BPE
+    unrolled-loop precedent) — the true fixpoint is this loop run to
+    stability, checkpointed via ``graft_checkpoint`` at cluster scale.
+
+    Scale: each round is two degree aggregations + two semi-joins of
+    census-row payloads ((node, degree) pairs, edge endpoints); every
+    round's induced edge list is SPOOLED — without it round r's
+    lineage contains round r−1 TWICE (degree + filter), an
+    exponential replay. All-integer output.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    edges = spool(_basket_pairs(spark, sf_dir).distinct())  # u < v
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
+
+    deg0 = degrees(edges)
+    w = Window.orderBy("__deg", "node")
+    kf = (
+        deg0.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(F.col("__deg").alias("__k"))
+    )
+    rows = []
+    cur, curdeg = edges, deg0
+    for rnd in range(4):
+        rows.append(
+            curdeg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+            .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        if rnd == 3:
+            break
+        kept = curdeg.crossJoin(F.broadcast(kf)).filter(
+            F.col("__deg") >= F.col("__k")
+        ).select("node")
+        cur = spool(
+            cur.join(kept.withColumnRenamed("node", "u"), "u").join(
+                kept.withColumnRenamed("node", "v"), "v"
+            ).select("u", "v")
+        )
+        curdeg = degrees(cur)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.crossJoin(F.broadcast(kf.select(F.col("__k").cast("long").alias("k_threshold")))).orderBy(
+        "round"
+    )
+
+
 def q_ewma_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart over weekly event value (Roberts 1959 — the
     exponentially-weighted monitor that reacts to small sustained
@@ -6076,6 +6144,7 @@ QUERIES = {
     "trust_propagation": q_trust_propagation,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "ewma_weekly": q_ewma_weekly,
+    "kcore_peel": q_kcore_peel,
     "kcenter_coreset": q_kcenter_coreset,
     "triangle_counts": q_triangle_counts,
     "maxsim_search": q_maxsim_search,

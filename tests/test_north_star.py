@@ -1530,3 +1530,20 @@ def test_ewma_weekly_recurrence_exact(spark, tmp_path):
         (1600, 900, 700),
         (400, 837, -437),
     ], out
+
+
+def test_kcore_peel_stable_core_vs_tendril(spark, tmp_path):
+    """6-clique + one pendant: median degree k=5, so round 1 peels the
+    pendant (and its edge), after which the clique is a stable 5-core
+    — the census must show the collapse-then-stability signature."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [(0, p) for p in (1, 2, 3, 4, 5, 6)]  # 6-clique
+    rows += [(1, 1), (1, 7)]                     # pendant 7 on node 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["kcore_peel"](spark, str(tmp_path)).collect()
+    got = [(r["round"], r["n_nodes"], r["n_edges"]) for r in out]
+    assert got == [(0, 7, 16), (1, 6, 15), (2, 6, 15), (3, 6, 15)], out
+    assert all(r["k_threshold"] == 5 for r in out)

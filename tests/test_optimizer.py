@@ -707,3 +707,15 @@ def test_ewma_plan_is_one_fact_agg_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "partial" in plan.lower(), plan  # map-side combine on the fact agg
+
+
+def test_kcore_plan_peels_spooled_edges(spark):
+    """k-core rounds consume SPOOLED induced edge lists (the basket
+    fan-out never replays); the only nested-loop join is the bounded
+    one-row k-threshold broadcast. No Python anywhere."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["kcore_peel"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "lineitem" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
