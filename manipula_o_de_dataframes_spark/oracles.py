@@ -3535,6 +3535,35 @@ HAVING COUNT(*) >= 2
 ORDER BY n_docs DESC, rep_doc_id
 """
 
+# Benford mirror: identical inlined ppm literals (no engine evaluates
+# a log), exact DECIMAL cents, integer ppm shares and deviations.
+ORACLES["benford_audit"] = """
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+obs AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM c WHERE cents > 0 GROUP BY 1
+),
+t AS (SELECT SUM(n_obs) AS total FROM obs),
+bl AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                        (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                        (9, 45757)) AS v(digit, benford_ppm)
+)
+SELECT o.digit,
+       CAST(o.n_obs AS BIGINT) AS n_obs,
+       (o.n_obs * 1000000) // t.total AS obs_ppm,
+       CAST(bl.benford_ppm AS BIGINT) AS benford_ppm,
+       ((o.n_obs * 1000000) // t.total - bl.benford_ppm)
+         * ((o.n_obs * 1000000) // t.total - bl.benford_ppm) // bl.benford_ppm
+         AS chi2_ppm
+FROM obs o CROSS JOIN t JOIN bl ON bl.digit = o.digit
+ORDER BY o.digit
+"""
+
 # k-core mirror: same u<v edge list, k = rank-selected median degree,
 # 3 unrolled peel rounds; census = (nodes-with-an-edge, edges) per
 # round, all integers.

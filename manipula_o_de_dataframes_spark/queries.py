@@ -1228,6 +1228,68 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("n_docs").desc(), "rep_doc_id")
 
 
+# Benford first-digit proportions in ppm: round(log10(1 + 1/d) * 1e6).
+# Mathematical constants inlined as identical literals in the Spark
+# plan and the DuckDB oracle (the pq_distance_table convention — no
+# engine evaluates a transcendental), and they sum to exactly 1e6.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order line prices
+    (Benford 1938; Nigrini's fraud-audit use): compare the observed
+    leading-digit distribution against log10(1+1/d) — the standard
+    screen for fabricated or truncated monetary data a warehouse runs
+    per ingest batch. TPC-H prices are formulaic, NOT Benford — the
+    audit exists to REPORT deviation, and here it honestly reports a
+    large one (a correct negative control).
+
+    Float policy: prices become exact DECIMAL cents; the leading digit
+    of cents equals the leading digit of the price (×100 shifts the
+    decimal point, not the significand). Benford targets are inlined
+    ppm literals (they sum to exactly 1e6), observed shares are
+    integer ppm, and the per-digit χ²-style deviation
+    (obs−exp)² div exp is pure BIGINT — no transcendental evaluated
+    anywhere, no rounding site at all.
+
+    Scale: ONE map-side-combined 9-group aggregate fused into the fact
+    scan; the digit table is a 9-row broadcast. Nothing else.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_extendedprice"
+    )
+    cents = (F.col("l_extendedprice").cast(MONEY) * 100).cast("long")
+    obs = (
+        li.select(cents.alias("__c"))
+        .filter(F.col("__c") > 0)
+        .groupBy(F.substring(F.col("__c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # total via a global window over the 9-row digit census (not a
+    # separate agg, which would re-run the fact scan lineage twice)
+    obs = obs.withColumn("__t", F.sum("n_obs").over(Window.partitionBy()))
+    bl = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit int, benford_ppm long"
+    )
+    return (
+        obs.join(F.broadcast(bl), "digit")
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.expr("(n_obs * 1000000) div __t").alias("obs_ppm"),
+            "benford_ppm",
+            F.expr(
+                "((n_obs * 1000000) div __t - benford_ppm)"
+                " * ((n_obs * 1000000) div __t - benford_ppm) div benford_ppm"
+            ).alias("chi2_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
 def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling census (Seidman 1983; Batagelj–Zaveršnik
     for the peel): 3 unrolled rounds of "drop nodes with degree < k,
@@ -6145,6 +6207,7 @@ QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "ewma_weekly": q_ewma_weekly,
     "kcore_peel": q_kcore_peel,
+    "benford_audit": q_benford_audit,
     "kcenter_coreset": q_kcenter_coreset,
     "triangle_counts": q_triangle_counts,
     "maxsim_search": q_maxsim_search,

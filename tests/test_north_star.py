@@ -1547,3 +1547,23 @@ def test_kcore_peel_stable_core_vs_tendril(spark, tmp_path):
     got = [(r["round"], r["n_nodes"], r["n_edges"]) for r in out]
     assert got == [(0, 7, 16), (1, 6, 15), (2, 6, 15), (3, 6, 15)], out
     assert all(r["k_threshold"] == 5 for r in out)
+
+
+def test_benford_audit_counts_leading_cents_digit(spark, tmp_path):
+    """Digits come from exact cents (0.95 -> 95 -> digit 9, not 0);
+    ppm shares are integer-exact against a hand-built distribution."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    prices = [1.00, 1.00, 19.99, 2.50, 2.50, 0.95]   # digits 1,1,1,2,2,9
+    rows = [(i, i, p) for i, p in enumerate(prices)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["digit"]: r for r in QUERIES["benford_audit"](spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n_obs"] == 3 and out[1]["obs_ppm"] == 500000
+    assert out[2]["n_obs"] == 2 and out[2]["obs_ppm"] == 333333
+    assert out[9]["n_obs"] == 1 and out[9]["obs_ppm"] == 166666
+    assert out[1]["benford_ppm"] == 301030
+    # (500000-301030)^2 // 301030 = 131517
+    assert out[1]["chi2_ppm"] == (500000 - 301030) ** 2 // 301030

@@ -719,3 +719,17 @@ def test_kcore_plan_peels_spooled_edges(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "lineitem" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_benford_plan_is_single_fact_agg(spark):
+    """Benford's shape: one map-side-combined 9-group aggregate fused
+    into the fact scan (plus the parallel-read repartition); the total
+    is a global window over the 9-row census, the digit table rides a
+    broadcast — no Python, no re-scan of the fact side."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["benford_audit"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastExchange" in plan, plan
