@@ -3535,6 +3535,32 @@ HAVING COUNT(*) >= 2
 ORDER BY n_docs DESC, rep_doc_id
 """
 
+# Balanced-shards mirror: same (n_chars DESC, doc_id) rank, same
+# snake assignment, integer skew vs the ideal eighth.
+ORACLES["balanced_shards"] = """
+WITH ranked AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+  FROM documents
+),
+assigned AS (
+  SELECT n_chars,
+         CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
+  FROM ranked
+),
+per AS (
+  SELECT CAST(shard AS INT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY 1
+),
+g AS (SELECT SUM(total_chars) AS grand FROM per)
+SELECT shard, n_docs, total_chars,
+       ((total_chars - grand // 8) * 1000000) // (grand // 8) AS skew_ppm
+FROM per CROSS JOIN g
+ORDER BY shard
+"""
+
 # Benford mirror: identical inlined ppm literals (no engine evaluates
 # a log), exact DECIMAL cents, integer ppm shares and deviations.
 ORACLES["benford_audit"] = """

@@ -1238,6 +1238,60 @@ _BENFORD_PPM = {
 }
 
 
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment audit: assign documents to 8
+    output shards by snake-order rank (sort by size DESC, shard =
+    zigzag(rank) so the biggest 8 docs land on 8 different shards and
+    each shard alternates picking from the large and small end — the
+    deterministic one-pass approximation of greedy longest-processing-
+    time bin packing, LPT, Graham 1969). This is the layout step a
+    corpus pipeline runs before writing training shards: equal-SIZE
+    shards (not equal-count) keep data-parallel readers in step, and
+    doc-count-based splitting skews badly under heavy-tailed sizes.
+
+    Output: per-shard census — docs, total chars, and the skew vs the
+    ideal equal split in ppm ((total − ideal)·1e6 div ideal, ideal =
+    grand div 8) — all BIGINT, rank ties pinned by (n_chars DESC,
+    doc_id). At 100 TB the rank is the only global stage and it ranks
+    (size, id) census pairs, not documents; the assignment is a pure
+    expression over the rank (the curriculum_order single-partition
+    caveat and its two-pass scale-out apply identically).
+
+    Snake order: shard = rank%8 on even passes, 7−rank%8 on odd —
+    pass p = rank div 8.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select(
+        "n_chars", (F.row_number().over(w) - 1).alias("__r")
+    )
+    shard = F.when(
+        F.expr("(__r div 8) % 2 = 0"), F.expr("__r % 8")
+    ).otherwise(F.expr("7 - (__r % 8)"))
+    per = (
+        ranked.select(shard.cast("int").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    per = per.withColumn(
+        "__grand", F.sum("total_chars").over(Window.partitionBy())
+    )
+    # skew can be NEGATIVE — probed before trusting: Spark `div` and
+    # DuckDB `//` BOTH truncate toward zero (-7 div 8 = -7//8 = 0), so
+    # the plain quotient is cross-engine exact on negatives too
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        F.expr(
+            "((total_chars - __grand div 8) * 1000000) div (__grand div 8)"
+        ).alias("skew_ppm"),
+    ).orderBy("shard")
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit audit of order line prices
     (Benford 1938; Nigrini's fraud-audit use): compare the observed
@@ -6208,6 +6262,7 @@ QUERIES = {
     "ewma_weekly": q_ewma_weekly,
     "kcore_peel": q_kcore_peel,
     "benford_audit": q_benford_audit,
+    "balanced_shards": q_balanced_shards,
     "kcenter_coreset": q_kcenter_coreset,
     "triangle_counts": q_triangle_counts,
     "maxsim_search": q_maxsim_search,

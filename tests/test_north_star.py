@@ -1567,3 +1567,19 @@ def test_benford_audit_counts_leading_cents_digit(spark, tmp_path):
     assert out[1]["benford_ppm"] == 301030
     # (500000-301030)^2 // 301030 = 131517
     assert out[1]["chi2_ppm"] == (500000 - 301030) ** 2 // 301030
+
+
+def test_balanced_shards_snake_balances_linear_sizes(spark, tmp_path):
+    """Sizes 16..1 over 8 shards: snake pairing gives every shard one
+    pick from the large end and its mirror from the small end
+    (16+1, 15+2, ...) -> all totals 17, zero skew everywhere."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = [(i, "x", "en", "s", 16 - i) for i in range(16)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["balanced_shards"](spark, str(tmp_path)).collect()
+    assert [r["shard"] for r in out] == list(range(8))
+    assert all(r["n_docs"] == 2 and r["total_chars"] == 17 for r in out), out
+    assert all(r["skew_ppm"] == 0 for r in out), out

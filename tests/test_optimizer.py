@@ -733,3 +733,14 @@ def test_benford_plan_is_single_fact_agg(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_balanced_shards_plan_ranks_census_not_text(spark):
+    """The rank stage orders (n_chars, doc_id) pairs only — the text
+    column must never enter the plan; no Python, no cartesian."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["balanced_shards"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "text" not in plan, plan
