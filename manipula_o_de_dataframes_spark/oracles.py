@@ -4049,3 +4049,195 @@ SELECT
 FROM documents
 GROUP BY 1
 """
+
+# Interval proration: identical integer largest-remainder split — week
+# i gets cents // n plus one extra cent while i < cents % n; weeks are
+# Monday-truncated on both engines, spans clamped to >= 1 week.
+ORACLES["revenue_recognition"] = """
+WITH j AS (
+  SELECT CAST(date_trunc('week', o.o_orderdate) AS DATE) AS wk0,
+         CAST(date_trunc('week', l.l_shipdate) AS DATE) AS wk1,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+p AS (
+  SELECT wk0, cents,
+         GREATEST(CAST(wk1 - wk0 AS BIGINT) // 7 + 1, 1) AS n
+  FROM j
+),
+e AS (
+  SELECT wk0 + CAST(i * 7 AS BIGINT) * INTERVAL 1 DAY AS wk,
+         cents // n + (CASE WHEN i < cents % n THEN 1 ELSE 0 END) AS amt
+  FROM p, unnest(generate_series(0, n - 1)) AS t(i)
+)
+SELECT strftime(CAST(wk AS DATE), '%Y-%m-%d') AS semana,
+       CAST(SUM(amt) AS BIGINT) AS recognized_cents,
+       COUNT(*) AS n_line_weeks
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+# Interval sweep: +1 at open, -1 the day after close; running sum per
+# nation; peak row rank-selected under (open_cnt DESC, date ASC).
+ORACLES["open_order_concurrency"] = """
+WITH close AS (
+  SELECT l_orderkey, CAST(date_trunc('day', MAX(l_shipdate)) AS DATE) AS closed
+  FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT c.c_nationkey,
+         CAST(date_trunc('day', o.o_orderdate) AS DATE) AS opened,
+         GREATEST(cl.closed, CAST(date_trunc('day', o.o_orderdate) AS DATE)) AS closed
+  FROM orders o
+  JOIN close cl ON cl.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+),
+deltas AS (
+  SELECT c_nationkey, opened AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT c_nationkey, closed + INTERVAL 1 DAY, -1 FROM spans
+),
+daily AS (
+  SELECT c_nationkey, CAST(d AS DATE) AS d, SUM(delta) AS dd
+  FROM deltas GROUP BY 1, 2
+),
+cum AS (
+  SELECT c_nationkey, d,
+         SUM(dd) OVER (PARTITION BY c_nationkey ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_cnt
+  FROM daily
+),
+ranked AS (
+  SELECT c_nationkey, d, open_cnt,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY open_cnt DESC, d ASC) AS rn
+  FROM cum
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(open_cnt AS BIGINT) AS peak_open,
+       strftime(d, '%Y-%m-%d') AS peak_date
+FROM ranked WHERE rn = 1 ORDER BY 1
+"""
+
+# 2-D skyline per brand: dominated iff a strictly-cheaper same-brand
+# part reaches the size (RANGE frame ending at 1 PRECEDING on exact
+# cents) or a same-price part is strictly larger.
+ORACLES["pareto_frontier"] = """
+WITH p AS (
+  SELECT p_brand, p_partkey,
+         CAST(p_size AS BIGINT) AS size,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+  FROM part
+),
+f AS (
+  SELECT p_brand, p_partkey, size, price_cents,
+         MAX(size) OVER (PARTITION BY p_brand ORDER BY price_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m_cheaper,
+         MAX(size) OVER (PARTITION BY p_brand, price_cents) AS m_tie
+  FROM p
+)
+SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey, size, price_cents
+FROM f
+WHERE (m_cheaper IS NULL OR m_cheaper < size) AND m_tie <= size
+ORDER BY p_brand, price_cents, p_partkey
+"""
+
+# Column profiler: identical engine-exact string renderings (BIGINT
+# casts, explicit date format, exact cents), modal tie-break
+# (count DESC, value ASC).
+ORACLES["column_profile"] = """
+WITH stacked AS (
+  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents',
+         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+  FROM orders
+),
+vc AS (
+  SELECT col_name, val, COUNT(*) AS n
+  FROM stacked WHERE val IS NOT NULL GROUP BY 1, 2
+),
+stats AS (
+  SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_nonnull,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM vc GROUP BY 1
+),
+top AS (
+  SELECT col_name, val AS top_val, n AS top_n
+  FROM (SELECT col_name, val, n,
+               ROW_NUMBER() OVER (PARTITION BY col_name
+                                  ORDER BY n DESC, val ASC) AS rn
+        FROM vc)
+  WHERE rn = 1
+)
+SELECT s.col_name, s.n_nonnull, s.n_distinct, t.top_val,
+       CAST(t.top_n AS BIGINT) AS top_n,
+       (t.top_n * 1000000) // s.n_nonnull AS top_share_ppm
+FROM stats s JOIN top t ON t.col_name = s.col_name
+ORDER BY s.col_name
+"""
+
+# MV maintenance identity: the oracle RECOMPUTES the weekly view from
+# the full table — hash-equality proves refresh(base, delta) ==
+# recompute(all) for the engine's full-outer coalesce-and-add merge.
+ORACLES["mv_refresh"] = """
+SELECT o_orderstatus AS status,
+       strftime(CAST(date_trunc('week', o_orderdate) AS DATE), '%Y-%m-%d') AS semana,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS valor_total,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# AllPairs prefix filtering, integer-exact: prefix len = l - ceil(.7 l)
+# + 1 with ceil as (7l+9)//10; length filter 7*max <= 10*min; verify
+# 10*inter >= 7*union. Tokens = distinct non-empty space-split words,
+# global (df, token) order.
+ORACLES["prefix_jaccard_join"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+    FROM documents WHERE text IS NOT NULL
+     AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+  ) WHERE tok <> ''
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.tok,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS len,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn
+  FROM toks t JOIN dfreq f ON f.tok = t.tok
+),
+pref AS (
+  SELECT doc_id, tok, len FROM ranked
+  WHERE rn <= len - (9 * len + 9) // 10 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.len AS la, b.len AS lb
+  FROM pref a JOIN pref b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND 9 * GREATEST(a.len, b.len) <= 10 * LEAST(a.len, b.len)
+),
+inter AS (
+  SELECT c.id_a, c.id_b, c.la, c.lb, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(la + lb - n_inter AS BIGINT) AS n_union,
+       (n_inter * 1000000) // (la + lb - n_inter) AS jaccard_ppm
+FROM inter
+WHERE 10 * n_inter >= 9 * (la + lb - n_inter)
+ORDER BY 1, 2
+"""

@@ -6242,6 +6242,404 @@ def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_stream(spark, sf_dir)
 
 
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue recognition by interval proration: each order
+    line's value is spread evenly across the weeks between the order
+    week and the ship week — the accrual-accounting / subscription-
+    amortization staple (recognize revenue over the service interval,
+    not at the booking instant) that every finance warehouse computes.
+
+    Integer allocation with NO float anywhere: the line's exact cents
+    are split largest-remainder-style — every week gets
+    ``cents div n`` and the FIRST ``cents mod n`` weeks get one extra
+    cent (a deterministic front-loaded remainder), so per-line
+    allocations sum back to the line's cents EXACTLY and the weekly
+    totals are bit-identical in any engine and any partitioning.
+
+    Scale shape: lineitem⋈orders is the canonical co-partitioned
+    fact-fact key join (both shuffle once on orderkey — at a real
+    deployment both sides are bucketed on it and the shuffle
+    disappears); the explode emits only (week, amt) integer pairs
+    (≈6.6 rows/line here), and the final weekly aggregate map-side
+    combines to |weeks| rows per task before its one census shuffle.
+    The sequence() being exploded is built from two cheap scalars, so
+    Generate's producer-inlining hazard (the winnow lesson) does not
+    apply.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("__wk0"),
+        F.date_trunc("week", "l_shipdate").cast("date").alias("__wk1"),
+        (F.col("l_extendedprice").cast(MONEY) * 100).cast("long").alias("__cents"),
+    )
+    j = j.withColumn(
+        "__n",
+        F.greatest(
+            F.expr("datediff(__wk1, __wk0) div 7 + 1"), F.lit(1)
+        ).cast("long"),
+    )
+    ex = j.select(
+        "__wk0",
+        "__n",
+        "__cents",
+        F.explode(F.expr("sequence(0, __n - 1)")).alias("__i"),
+    ).select(
+        F.expr("date_add(__wk0, cast(__i * 7 as int))").alias("__wk"),
+        F.expr(
+            "__cents div __n + (case when __i < __cents % __n then 1 else 0 end)"
+        ).alias("__amt"),
+    )
+    return (
+        ex.groupBy("__wk")
+        .agg(
+            F.sum("__amt").cast("long").alias("recognized_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_line_weeks"),
+        )
+        .select(
+            F.date_format("__wk", "yyyy-MM-dd").alias("semana"),
+            "recognized_cents",
+            "n_line_weeks",
+        )
+        .orderBy("semana")
+    )
+
+
+def q_open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open orders per nation via the classic interval
+    sweep (+1 at open, −1 the day after close): each order is "open"
+    from its order date to its last line's ship date, and the answer
+    is the max of the running sum of boundary deltas — the capacity /
+    work-in-progress metric an ops dashboard wants, computed WITHOUT
+    materializing any day-level interval expansion.
+
+    The sweep is why this scales: intervals average ~46 days, so an
+    explode-by-day plan would emit 46× the fact rows; boundary deltas
+    emit exactly 2 per order, the daily census collapses them to
+    (nation, date) rows, and the cumulative window runs over at most
+    |calendar| rows per nation. Peak date is rank-selected under the
+    (open_count desc, date asc) total order, so ties resolve
+    identically in any engine. All-integer output; one rank window
+    per nation partition.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
+    close = li.groupBy("l_orderkey").agg(
+        F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("__close")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.date_trunc("day", "o_orderdate").cast("date").alias("__open")
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spans = (
+        o.join(close, o["o_orderkey"] == close["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # the synthetic feed contains ship dates BEFORE the order date;
+        # clamp so every interval is well-formed (open ≤ close) instead
+        # of letting a reversed span decrement the sweep before its +1
+        .select(
+            "c_nationkey", "__open", F.greatest("__close", "__open").alias("__close")
+        )
+    )
+    deltas = spans.select(
+        "c_nationkey", F.col("__open").alias("__d"), F.lit(1).alias("__delta")
+    ).unionAll(
+        spans.select(
+            "c_nationkey",
+            F.date_add("__close", 1).alias("__d"),
+            F.lit(-1).alias("__delta"),
+        )
+    )
+    daily = deltas.groupBy("c_nationkey", "__d").agg(F.sum("__delta").alias("__dd"))
+    wcum = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.withColumn("__open_cnt", F.sum("__dd").over(wcum))
+    wrank = Window.partitionBy("c_nationkey").orderBy(
+        F.col("__open_cnt").desc(), F.col("__d").asc()
+    )
+    return (
+        cum.withColumn("__rn", F.row_number().over(wrank))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("__open_cnt").cast("long").alias("peak_open"),
+            F.date_format("__d", "yyyy-MM-dd").alias("peak_date"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline, Börzsönyi/Kossmann/Stocker
+    ICDE 2001) of parts under (minimize retail price, maximize size):
+    a part is dominated iff some same-brand part is no-worse in both
+    dimensions and strictly better in one — the "best tradeoff set"
+    query behind product-selection and multi-objective pruning.
+
+    The naive skyline is an all-pairs dominance test; the 2-D
+    sort-scan equivalence makes it two windows instead: under a price
+    ordering, a part is dominated exactly when (a) the max size among
+    STRICTLY cheaper parts reaches its size (a RANGE frame ending at
+    -1 excludes price ties, so equal-price parts never dominate via
+    this path), or (b) a same-price part has strictly larger size.
+    Both windows partition by brand (~800 parts each here; bounded by
+    catalog, not corpus) — no global sort, no self-join, all-integer
+    values (exact cents / sizes), so the frontier is engine-exact
+    including equal-price-equal-size twins (neither dominates; both
+    stay).
+    """
+    p = read_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        (F.col("p_retailprice").cast(MONEY) * 100).cast("long").alias("price_cents"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy("p_brand", "price_cents")
+    flagged = p.select(
+        "p_brand",
+        "p_partkey",
+        "size",
+        "price_cents",
+        F.max("size").over(w_cheaper).alias("__m_cheaper"),
+        F.max("size").over(w_tie).alias("__m_tie"),
+    )
+    return (
+        flagged.filter(
+            (F.col("__m_cheaper").isNull() | (F.col("__m_cheaper") < F.col("size")))
+            & (F.col("__m_tie") <= F.col("size"))
+        )
+        .select(
+            "p_brand",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "size",
+            "price_cents",
+        )
+        .orderBy("p_brand", "price_cents", "p_partkey")
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over orders: per column, the non-null
+    count, exact distinct count, the modal value, and its share —
+    the ingest-time data-quality census (cardinality estimation,
+    key-candidate detection, constant-column detection) a catalog
+    service materializes for every table it onboards.
+
+    All five profiled columns are rendered to strings through
+    engine-exact paths (BIGINT casts, explicit date format, exact
+    cents — NEVER a raw double→string, whose formatting is
+    engine-defined). One ``stack`` unpivot fuses into the scan, the
+    (column, value) census map-side combines to the value domain, and
+    the per-column rollup + modal rank touch only census rows — the
+    profile costs one value-domain shuffle regardless of table width
+    convention. Modal tie-break is the (count desc, value asc) total
+    order.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.expr(
+            "stack(5,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'o_custkey', cast(o_custkey as string),"
+            " 'o_orderdate', date_format(o_orderdate, 'yyyy-MM-dd'),"
+            " 'o_totalprice_cents',"
+            " cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string)"
+            ") as (col_name, val)"
+        )
+    ).filter(F.col("val").isNotNull())
+    vc = stacked.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("__n"))
+    stats = vc.groupBy("col_name").agg(
+        F.sum("__n").cast("long").alias("n_nonnull"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    w = Window.partitionBy("col_name").orderBy(F.col("__n").desc(), F.col("val").asc())
+    top = (
+        vc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("col_name", F.col("val").alias("top_val"), F.col("__n").alias("top_n"))
+    )
+    return (
+        stats.join(top, "col_name")
+        .select(
+            "col_name",
+            "n_nonnull",
+            "n_distinct",
+            "top_val",
+            F.col("top_n").cast("long").alias("top_n"),
+            F.expr("top_n * 1000000 div n_nonnull").alias("top_share_ppm"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a weekly
+    (status, week) revenue MV is built as BASE (orders before
+    1998-01-01) merged with a DELTA batch (orders on/after it) via a
+    full-outer coalesce-and-add — the self-maintainable-view algebra
+    (sum/count partials merge associatively) behind every warehouse's
+    incremental refresh.
+
+    The oracle recomputes the view DIRECTLY from the full table, so
+    the hash gate proves the maintenance identity refresh(base, delta)
+    ≡ recompute(all) — partial sums stay DECIMAL end to end (exact ⇒
+    merge order and partitioning can't perturb them) and cast to
+    double once at the edge. Scale shape: base and delta each
+    aggregate map-side before their census shuffle; the merge touches
+    only (status, week) MV rows, so a daily refresh costs the DELTA
+    scan plus an MV-sized join — never a re-scan of the base fact.
+    """
+    pivot = "1998-01-01"
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("__wk"),
+        F.col("o_totalprice").cast(MONEY).alias("__dec"),
+        "o_orderdate",
+    )
+
+    def agg(side: DataFrame) -> DataFrame:
+        return side.groupBy("o_orderstatus", "__wk").agg(
+            F.sum("__dec").alias("__rev"), F.count(F.lit(1)).alias("__n")
+        )
+
+    base = agg(o.filter(F.col("o_orderdate") < F.lit(pivot)))
+    delta = agg(o.filter(F.col("o_orderdate") >= F.lit(pivot)))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d,
+        (F.col("b.o_orderstatus") == F.col("d.o_orderstatus"))
+        & (F.col("b.__wk") == F.col("d.__wk")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.o_orderstatus"), F.col("d.o_orderstatus")).alias("status"),
+        F.coalesce(F.col("b.__wk"), F.col("d.__wk")).alias("__wk"),
+        (
+            F.coalesce(F.col("b.__rev"), F.lit(0).cast(MONEY))
+            + F.coalesce(F.col("d.__rev"), F.lit(0).cast(MONEY))
+        ).alias("__rev"),
+        (F.coalesce(F.col("b.__n"), F.lit(0)) + F.coalesce(F.col("d.__n"), F.lit(0))).alias(
+            "__n"
+        ),
+    )
+    return merged.select(
+        "status",
+        F.date_format("__wk", "yyyy-MM-dd").alias("semana"),
+        F.col("__rev").cast("double").alias("valor_total"),
+        F.col("__n").cast("long").alias("n_orders"),
+    ).orderBy("status", "semana")
+
+
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join at threshold 0.9 via prefix
+    filtering (AllPairs, Bayardo/Ma/Srikant WWW 2007; the PPJoin
+    family): two documents' token sets can reach Jaccard ≥ t only if
+    the RAREST ``|x| − ⌈t·|x|⌉ + 1`` tokens of each (under one global
+    (df, token) order) intersect — so candidate pairs come from a join
+    on prefix tokens only, then exact verification. The deterministic
+    complement to MinHash banding: zero false negatives by theorem,
+    no probability knob.
+
+    Runs over a deterministic 1/8 audit sample (md5(doc_id) bucket,
+    the train_split convention) — the production posture: this corpus
+    is pathologically dense (measured: ~5.1M true pairs at t = 0.7
+    over all 5k sf0.1 docs, ~1.0M at t = 0.9 — 40% of ALL pairs are
+    near-dups), and when the true pair set is itself quadratic, the
+    exact join's OUTPUT is the bottleneck, not the algorithm. Real
+    pipelines therefore run banded MinHash for the full-corpus sweep
+    (``near_dup_jaccard_banded``) and reserve the zero-false-negative
+    exact join for sampled audits / flagged partitions — exactly the
+    composition registered here.
+
+    All-integer filter chain: prefix length uses
+    ``⌈9ℓ/10⌉ = (9ℓ+9) div 10``; the length pre-filter keeps pairs
+    with ``9·max(ℓa,ℓb) ≤ 10·min`` (necessary for j ≥ 0.9 since
+    inter ≤ min); the verify accepts ``10·inter ≥ 9·(ℓa+ℓb−inter)``.
+    Similarity is reported as exact integer ppm — no float anywhere.
+
+    Scale shape: prefixes hold the globally RAREST ~0.1ℓ tokens per
+    doc, so the candidate join's per-token buckets are small by
+    construction (rare-first ordering is WHY AllPairs scales — a
+    stopword never lands in a prefix); the verify joins candidates
+    back to token lists keyed on doc_id, shuffling (pair, token)
+    tuples bounded by candidate count × doc length. The global df
+    census map-side combines; token ranks are per-doc windows.
+    """
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    wlen = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy("__df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("__len", F.count(F.lit(1)).over(wlen))
+        .withColumn("__rn", F.row_number().over(wrank))
+    )
+    pref = ranked.filter(
+        F.col("__rn") <= F.col("__len") - F.expr("(9 * __len + 9) div 10") + 1
+    ).select("doc_id", "tok", "__len")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(9) * F.greatest(F.col("a.__len"), F.col("b.__len"))
+                <= F.lit(10) * F.least(F.col("a.__len"), F.col("b.__len"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.__len").alias("__la"),
+            F.col("b.__len").alias("__lb"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "__la", "__lb")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.filter(
+            F.lit(10) * F.col("__inter")
+            >= F.lit(9) * (F.col("__la") + F.col("__lb") - F.col("__inter"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__inter").cast("long").alias("n_inter"),
+            (F.col("__la") + F.col("__lb") - F.col("__inter"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr(
+                "__inter * 1000000 div (__la + __lb - __inter)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -6255,6 +6653,12 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "prefix_jaccard_join": q_prefix_jaccard_join,
+    "revenue_recognition": q_revenue_recognition,
+    "open_order_concurrency": q_open_order_concurrency,
+    "pareto_frontier": q_pareto_frontier,
+    "column_profile": q_column_profile,
+    "mv_refresh": q_mv_refresh,
     "winnow_near_dup": q_winnow_near_dup,
     "label_propagation": q_label_propagation,
     "trust_propagation": q_trust_propagation,

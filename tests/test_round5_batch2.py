@@ -1,0 +1,224 @@
+"""Round-5 second batch: proration, interval sweep, skyline, column
+profile, MV refresh, prefix-filtered exact Jaccard join.
+
+Each query's oracle parity runs in test_oracle_parity; these tests pin
+the INVARIANTS parity alone can't see (conservation, dominance
+correctness vs brute force, zero false negatives, plan shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.functions.formatting import MONEY
+from manipula_o_de_dataframes_spark.queries import QUERIES
+from manipula_o_de_dataframes_spark.sources.io import read_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_recognition_conserves_cents(spark):
+    """The largest-remainder split must re-sum to EXACTLY the corpus's
+    total line cents — no cent created or destroyed by the proration."""
+    out = QUERIES["revenue_recognition"](spark, SF_SMOKE)
+    recognized = out.agg(F.sum("recognized_cents")).collect()[0][0]
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    o = read_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    total = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select((F.col("l_extendedprice").cast(MONEY) * 100).cast("long").alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert recognized == total
+
+
+def test_revenue_recognition_weeks_are_mondays(spark):
+    rows = QUERIES["revenue_recognition"](spark, SF_SMOKE).select("semana").collect()
+    import datetime
+
+    assert rows
+    for r in rows:
+        d = datetime.date.fromisoformat(r[0])
+        assert d.weekday() == 0, r[0]
+
+
+def test_open_order_concurrency_matches_brute_force(spark):
+    """The sweep's peak must equal the brute-force day-explode count of
+    open intervals (computed here per nation at smoke scale)."""
+    out = {
+        r["nationkey"]: (r["peak_open"], r["peak_date"])
+        for r in QUERIES["open_order_concurrency"](spark, SF_SMOKE).collect()
+    }
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    close = li.groupBy("l_orderkey").agg(
+        F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("closed")
+    )
+    spans = (
+        o.join(close, o["o_orderkey"] == close["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_nationkey",
+            F.date_trunc("day", "o_orderdate").cast("date").alias("opened"),
+            "closed",
+        )
+        .select(
+            "c_nationkey", "opened", F.greatest("closed", "opened").alias("closed")
+        )
+    )
+    days = spans.select(
+        "c_nationkey",
+        F.explode(F.expr("sequence(opened, closed, interval 1 day)")).alias("d"),
+    )
+    brute = (
+        days.groupBy("c_nationkey", "d")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+        .groupBy("c_nationkey")
+        .agg(F.max("n_open").alias("peak"))
+        .collect()
+    )
+    assert brute
+    for r in brute:
+        assert out[r["c_nationkey"]][0] == r["peak"], r
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """Window-based skyline == the O(n²) NOT EXISTS dominance scan."""
+    out = QUERIES["pareto_frontier"](spark, SF_SMOKE)
+    got = {(r["p_brand"], r["p_partkey"]) for r in out.collect()}
+    p = read_table(spark, SF_SMOKE, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        (F.col("p_retailprice").cast(MONEY) * 100).cast("long").alias("pc"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("b.pc") <= F.col("a.pc"))
+            & (F.col("b.size") >= F.col("a.size"))
+            & ((F.col("b.pc") < F.col("a.pc")) | (F.col("b.size") > F.col("a.size"))),
+            "left_semi",
+        )
+        .select("p_brand", "p_partkey")
+        .collect()
+    )
+    dom = {(r["p_brand"], r["p_partkey"]) for r in dominated}
+    allkeys = {(r["p_brand"], r["p_partkey"]) for r in p.collect()}
+    assert got == allkeys - dom
+    assert got, "smoke frontier should be non-empty"
+
+
+def test_column_profile_covers_all_five_columns(spark):
+    rows = {r["col_name"]: r for r in QUERIES["column_profile"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice_cents",
+    }
+    n = read_table(spark, SF_SMOKE, "orders").count()
+    for r in rows.values():
+        assert r["n_nonnull"] == n
+        assert 1 <= r["n_distinct"] <= n
+        assert 0 < r["top_share_ppm"] <= 1_000_000
+    # status is low-cardinality, custkey is near-key — the profile
+    # must expose that spread
+    assert rows["o_orderstatus"]["n_distinct"] < 10
+    assert rows["o_custkey"]["n_distinct"] > rows["o_orderstatus"]["n_distinct"]
+
+
+def test_mv_refresh_base_and_delta_both_nonempty(spark):
+    """The pivot must actually split the data — otherwise the merge
+    degenerates to a recompute and proves nothing."""
+    o = read_table(spark, SF_SMOKE, "orders")
+    before = o.filter(F.col("o_orderdate") < F.lit("1998-01-01")).count()
+    after = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).count()
+    assert before > 0 and after > 0, (before, after)
+
+
+def test_prefix_jaccard_zero_false_negatives(spark):
+    """AllPairs' guarantee: every sampled pair with exact Jaccard ≥ 0.9
+    appears in the output (brute-force all-pairs over the 1/8 sample)."""
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in QUERIES["prefix_jaccard_join"](spark, SF_SMOKE).collect()
+    }
+    d = (
+        read_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+        )
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .select(
+            "doc_id", F.filter("toks", lambda t: t != "").alias("toks")
+        )
+        .collect()
+    )
+    docs = {r["doc_id"]: set(r["toks"]) for r in d}
+    ids = sorted(docs)
+    expected = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            inter = len(docs[x] & docs[y])
+            union = len(docs[x] | docs[y])
+            if union and 10 * inter >= 9 * union:
+                expected[(x, y)] = inter * 1_000_000 // union
+    assert out == expected
+    assert expected, "smoke sample should contain at least one 0.9-pair"
+
+
+def test_round5_batch2_plan_shapes(spark):
+    """No Python in any hot path; joins/aggs shuffle where they must
+    and nowhere else; dimension attaches broadcast."""
+
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        return p
+
+    # proration: the orderkey co-partition join (2 exchanges) + the
+    # weekly census (1) + the output sort; explode must be map-side
+    # (a Generate with no exchange between join and aggregate).
+    p = shape("revenue_recognition")
+    assert "Generate explode" in p, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+    # sweep: orderkey close-agg + join, daily census, per-nation
+    # window — never a day-level explode.
+    p = shape("open_order_concurrency")
+    assert "Generate" not in p, f"sweep must not explode days\n{p}"
+    assert "BroadcastExchange" in p, f"customer dim not broadcast\n{p}"
+
+    # skyline: two windows over the same brand partition; no self-join.
+    p = shape("pareto_frontier")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, (
+        f"skyline regressed to a dominance self-join\n{p}"
+    )
+
+    # profiler: the (col,val) census + per-col rollup; the stack
+    # unpivot must fuse into the scan stage (no exchange before the
+    # first partial aggregate).
+    p = shape("column_profile")
+    assert p.count("Exchange hashpartitioning") <= 4, p
+
+    # MV refresh: two map-side-combined aggs + the MV-row merge; the
+    # full-outer join touches only census rows.
+    p = shape("mv_refresh")
+    assert p.count("Exchange hashpartitioning") <= 4, p
+
+    # AllPairs: token-keyed candidate join + pair verify; all
+    # expression-side.
+    p = shape("prefix_jaccard_join")
+    assert "Generate explode" in p, p
