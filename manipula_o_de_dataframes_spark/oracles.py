@@ -4241,3 +4241,114 @@ FROM inter
 WHERE 10 * n_inter >= 9 * (la + lb - n_inter)
 ORDER BY 1, 2
 """
+
+# Discrete-time hazard: same NTZ-origin week arithmetic; at_risk is the
+# descending cumulative of the tenure census.
+ORACLES["hazard_weekly"] = """
+WITH e AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS sec
+  FROM events
+),
+pu AS (
+  SELECT user_id, MIN(sec) AS fs, MAX(sec) AS ls FROM e GROUP BY 1
+),
+g AS (SELECT MAX(sec) AS gmax FROM e),
+u AS (
+  SELECT (ls - fs) // 604800 AS L,
+         (gmax - fs) // 604800 AS obs
+  FROM pu CROSS JOIN g
+),
+census AS (
+  SELECT L,
+         SUM(CASE WHEN obs > L THEN 1 ELSE 0 END) AS churn,
+         SUM(CASE WHEN obs <= L THEN 1 ELSE 0 END) AS cens,
+         COUNT(*) AS n
+  FROM u GROUP BY 1
+)
+SELECT CAST(L AS BIGINT) AS week_k,
+       CAST(SUM(n) OVER (ORDER BY L DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS at_risk,
+       CAST(churn AS BIGINT) AS n_churned,
+       CAST(cens AS BIGINT) AS n_censored,
+       (churn * 1000000) // (SUM(n) OVER (ORDER BY L DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         AS hazard_ppm
+FROM census ORDER BY week_k
+"""
+
+# Gaps-and-islands: key - row_number() group id, top-20 by
+# (length DESC, start ASC), island total attached cross-join.
+ORACLES["key_gap_islands"] = """
+WITH f AS (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+),
+i AS (
+  SELECT o_orderkey,
+         o_orderkey - ROW_NUMBER() OVER (ORDER BY o_orderkey) AS isl
+  FROM f
+),
+groups AS (
+  SELECT isl, MIN(o_orderkey) AS start_key, MAX(o_orderkey) AS end_key,
+         COUNT(*) AS len
+  FROM i GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_islands FROM groups),
+top AS (
+  SELECT start_key, end_key, len FROM groups
+  ORDER BY len DESC, start_key ASC LIMIT 20
+)
+SELECT CAST(start_key AS BIGINT) AS start_key,
+       CAST(end_key AS BIGINT) AS end_key,
+       CAST(len AS BIGINT) AS island_len,
+       n_islands
+FROM top CROSS JOIN total
+"""
+
+# F2 self-join size: exact vs the x16-scaled 1/16 md5-bucket key sample.
+ORACLES["join_size_estimate"] = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+),
+actual AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n * n) AS BIGINT) AS f2_actual
+  FROM counts
+),
+sampled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(n * n) * 16 AS BIGINT) AS f2_est
+  FROM counts
+  WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+)
+SELECT n_keys, n_sampled, f2_actual, f2_est,
+       ((f2_est - f2_actual) * 1000000) // f2_actual AS err_ppm
+FROM actual CROSS JOIN sampled
+"""
+
+# ISO weekday from pure integer day arithmetic (origin 1990-01-01 is a
+# Monday); means in exact tenths of a cent; index = exact integer
+# cross-scaled division.
+ORACLES["weekday_seasonality"] = """
+WITH e AS (
+  SELECT CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', ts) / 86400)
+              AS BIGINT) AS days,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+census AS (
+  SELECT days % 7 + 1 AS dow_iso,
+         COUNT(*) AS n,
+         CAST(SUM(v) * 100 AS BIGINT) AS cents
+  FROM e GROUP BY 1
+),
+g AS (SELECT SUM(cents) AS g_cents, SUM(n) AS g_n FROM census)
+SELECT CAST(dow_iso AS INT) AS dow_iso,
+       CAST(n AS BIGINT) AS n_events,
+       cents,
+       (cents * 10) // n AS mean_milli,
+       ((cents * 10) // n) * 1000000 // ((g_cents * 10) // g_n) AS index_ppm
+FROM census CROSS JOIN g
+ORDER BY dow_iso
+"""

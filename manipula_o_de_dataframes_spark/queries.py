@@ -6640,6 +6640,192 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis over user activity: for each
+    tenure week k, the at-risk population, churn terminations,
+    right-censored exits, and the hazard rate — the retention
+    statistic that (unlike ``retention_cohorts``' grid) respects
+    CENSORING: a user whose observation window ends while they are
+    still active is not a churner, they just stop contributing to the
+    risk set (Kaplan–Meier's discrete sibling).
+
+    Definitions, all integer: tenure L(u) = weeks from a user's first
+    to last event; observable window obs(u) = weeks from first event
+    to the corpus max timestamp; churned(u) ⟺ obs(u) > L(u) (they
+    stopped while more time was watchable), else censored. at_risk(k)
+    = |{u : L(u) ≥ k}| via a descending cumulative over the ≤|weeks|
+    tenure census; hazard_ppm = churned·10⁶ div at_risk — a single
+    exact integer division per output row. Week arithmetic uses the
+    tz-free NTZ-origin seconds (``seconds_since_origin``), so the
+    result is identical under any session timezone.
+
+    Scale: one (user, min, max) aggregate over the fact scan, the
+    corpus max as a one-row broadcast, then everything runs on the
+    tenure census (≤ observation weeks rows).
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", tmp.seconds_since_origin("ts").alias("__sec")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("__sec").alias("__fs"), F.max("__sec").alias("__ls")
+    )
+    gmax = e.agg(F.max("__sec").alias("__gmax"))
+    u = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(__ls - __fs) div 604800").alias("__L"),
+        F.expr("(__gmax - __fs) div 604800").alias("__obs"),
+    )
+    census = u.groupBy("__L").agg(
+        F.sum(F.when(F.col("__obs") > F.col("__L"), 1).otherwise(0)).alias("__churn"),
+        F.sum(F.when(F.col("__obs") <= F.col("__L"), 1).otherwise(0)).alias("__cens"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (
+        Window.orderBy(F.col("__L").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        census.withColumn("__at_risk", F.sum("__n").over(w))
+        .select(
+            F.col("__L").cast("long").alias("week_k"),
+            F.col("__at_risk").cast("long").alias("at_risk"),
+            F.col("__churn").cast("long").alias("n_churned"),
+            F.col("__cens").cast("long").alias("n_censored"),
+            F.expr("__churn * 1000000 div __at_risk").alias("hazard_ppm"),
+        )
+        .orderBy("week_k")
+    )
+
+
+def q_key_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the finished-order key space: contiguous
+    ``o_orderkey`` runs within status 'F', reported as the 20 longest
+    islands plus the total island count — the classic sequence audit
+    (ingest-completeness holes, ID-allocation runs, tombstone spans)
+    every warehouse eventually writes, in its canonical
+    key-minus-row_number form: consecutive keys share
+    ``key − row_number()``, so islands fall out of ONE window and ONE
+    aggregate, no self-join, no explode.
+
+    The global row_number is the documented single-partition edge
+    (curriculum_order's caveat): at 100 TB you'd two-pass it — count
+    rows per key-range bucket, prefix-sum the bucket offsets on the
+    ≤|buckets| census, then rank within buckets — the same plan this
+    query's window degenerates to when Spark's range partitioner
+    kicks in. Output is pure BIGINT; top-20 cut is deterministic
+    under (length desc, start asc).
+    """
+    f = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    wseq = Window.orderBy("o_orderkey")
+    isl = f.withColumn(
+        "__isl", F.col("o_orderkey") - F.row_number().over(wseq)
+    )
+    groups = isl.groupBy("__isl").agg(
+        F.min("o_orderkey").alias("start_key"),
+        F.max("o_orderkey").alias("end_key"),
+        F.count(F.lit(1)).alias("__len"),
+    )
+    total = groups.agg(F.count(F.lit(1)).cast("long").alias("n_islands"))
+    top = (
+        groups.orderBy(F.col("__len").desc(), F.col("start_key").asc())
+        .limit(20)
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        F.col("start_key").cast("long").alias("start_key"),
+        F.col("end_key").cast("long").alias("end_key"),
+        F.col("__len").cast("long").alias("island_len"),
+        "n_islands",
+    )
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based join-cardinality estimation audit: the exact
+    self-join size of events on user_id (F₂ = Σ n_u² — the number a
+    cost-based optimizer must bound before picking a join strategy)
+    versus the estimate from a deterministic 1/16 KEY-HASH sample
+    (md5 bucket '0'), scaled ×16. Hash-sampling BY KEY keeps every
+    occurrence of a sampled key, so each sampled term n_u² is exact
+    and the scaled sum is the textbook unbiased estimator — the
+    correctness condition row-level Bernoulli sampling violates
+    (it deflates heavy keys quadratically). The audit reports both
+    numbers and the signed error, which is the calibration check a
+    CBO's statistics pipeline runs against ground truth.
+
+    All-integer: exact BIGINT counts, squares, sums; err_ppm is one
+    exact division of two integers. One map-side-combined key census;
+    the sample leg reuses it (no second scan — same lineage, a filter
+    over the census).
+    """
+    counts = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    actual = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("__n") * F.col("__n")).alias("f2_actual"),
+    )
+    sampled = counts.filter(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        (F.sum(F.col("__n") * F.col("__n")) * 16).alias("f2_est"),
+    )
+    return actual.crossJoin(F.broadcast(sampled)).select(
+        "n_keys",
+        "n_sampled",
+        F.col("f2_actual").cast("long").alias("f2_actual"),
+        F.col("f2_est").cast("long").alias("f2_est"),
+        F.expr(
+            "(f2_est - f2_actual) * 1000000 div f2_actual"
+        ).alias("err_ppm"),
+    )
+
+
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index over event value: per ISO weekday
+    (1 = Monday), event count, exact cents, the mean in tenths of a
+    cent, and the index vs the all-week mean in ppm — the seasonal
+    profile a forecaster or anomaly detector normalizes by before
+    comparing a Tuesday to a Sunday.
+
+    Weekday extraction is PURE INTEGER and tz-free: the NTZ origin
+    (1990-01-01) is a Monday, so ``(sec div 86400) % 7 + 1`` IS the
+    ISO weekday — no engine date function (Spark's dayofweek starts
+    Sunday=1, DuckDB's Sunday=0; this formula sidesteps the whole
+    disagreement and any session-timezone shift). Means are exact
+    integer divisions of decimal-derived cents; the index divides two
+    such means via integer cross-scaling — every rounding site exact.
+
+    Scale: ONE map-side-combined 7-group aggregate fused into the
+    scan; the global row is a window over the 7-row census (the
+    benford_audit pattern — no second scan of the fact).
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        F.floor(tmp.seconds_since_origin("ts") / F.lit(86400))
+        .cast("long")
+        .alias("__days"),
+        F.col("value").cast(MONEY).alias("__v"),
+    )
+    census = e.groupBy(F.expr("__days % 7 + 1").alias("dow_iso")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("__v") * 100).cast("long").alias("__cents"),
+    )
+    census = census.withColumn(
+        "__g_cents", F.sum("__cents").over(Window.partitionBy())
+    ).withColumn("__g_n", F.sum("__n").over(Window.partitionBy()))
+    return census.select(
+        F.col("dow_iso").cast("int").alias("dow_iso"),
+        F.col("__n").cast("long").alias("n_events"),
+        F.col("__cents").alias("cents"),
+        F.expr("__cents * 10 div __n").alias("mean_milli"),
+        F.expr(
+            "(__cents * 10 div __n) * 1000000 div (__g_cents * 10 div __g_n)"
+        ).alias("index_ppm"),
+    ).orderBy("dow_iso")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -6653,6 +6839,10 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "hazard_weekly": q_hazard_weekly,
+    "key_gap_islands": q_key_gap_islands,
+    "join_size_estimate": q_join_size_estimate,
+    "weekday_seasonality": q_weekday_seasonality,
     "prefix_jaccard_join": q_prefix_jaccard_join,
     "revenue_recognition": q_revenue_recognition,
     "open_order_concurrency": q_open_order_concurrency,

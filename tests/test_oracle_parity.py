@@ -42,6 +42,8 @@ TZ_SENSITIVE = [
     "keyset_page", "date_slice_metrics", "weekly_snapshots",
     "retention_cohorts", "drift_weekly_kl", "event_attribution",
     "growth_accounting", "sessionize_events", "ewma_weekly",
+    "hazard_weekly", "weekday_seasonality", "revenue_recognition",
+    "open_order_concurrency", "mv_refresh",
 ]
 
 

@@ -222,3 +222,71 @@ def test_round5_batch2_plan_shapes(spark):
     # expression-side.
     p = shape("prefix_jaccard_join")
     assert "Generate explode" in p, p
+
+
+def test_hazard_weekly_risk_set_accounting(spark):
+    """at_risk(min week) == total users; at_risk is non-increasing in
+    k; every user terminates exactly once (churn + censored == users)."""
+    rows = QUERIES["hazard_weekly"](spark, SF_SMOKE).collect()
+    users = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["at_risk"] == users
+    risks = [r["at_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    assert sum(r["n_churned"] + r["n_censored"] for r in rows) == users
+    for r in rows:
+        assert 0 <= r["hazard_ppm"] <= 1_000_000
+
+
+def test_key_gap_islands_are_maximal_runs(spark):
+    """Each reported island is a contiguous all-'F' key run whose
+    neighbors (start-1, end+1) are NOT status 'F'."""
+    rows = QUERIES["key_gap_islands"](spark, SF_SMOKE).collect()
+    assert rows
+    fkeys = {
+        r["o_orderkey"]
+        for r in read_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .collect()
+    }
+    for r in rows:
+        s, e = r["start_key"], r["end_key"]
+        assert r["island_len"] == e - s + 1
+        assert all(k in fkeys for k in range(s, e + 1))
+        assert s - 1 not in fkeys and e + 1 not in fkeys
+    # n_islands is a corpus-wide constant across rows
+    assert len({r["n_islands"] for r in rows}) == 1
+
+
+def test_join_size_estimate_actual_is_true_join_size(spark):
+    """f2_actual must equal the real row count of the self-join."""
+    row = QUERIES["join_size_estimate"](spark, SF_SMOKE).collect()[0]
+    e = read_table(spark, SF_SMOKE, "events").select("user_id")
+    true_size = e.alias("a").join(e.alias("b"), "user_id").count()
+    assert row["f2_actual"] == true_size
+    assert row["n_sampled"] <= row["n_keys"]
+
+
+def test_weekday_seasonality_dow_formula(spark):
+    """The integer dow formula must agree with Python's isoweekday on
+    the actual event timestamps."""
+    rows = QUERIES["weekday_seasonality"](spark, SF_SMOKE).collect()
+    n_total = read_table(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    sample = (
+        read_table(spark, SF_SMOKE, "events").select("ts").limit(50).collect()
+    )
+    from collections import Counter
+
+    got_by_dow = {r["dow_iso"]: r for r in rows}
+    py = Counter(t["ts"].isoweekday() for t in sample)
+    for dow in py:
+        assert dow in got_by_dow
+    # index averages to ~1e6 across the census (weighted by count)
+    wsum = sum(r["index_ppm"] * r["n_events"] for r in rows)
+    assert abs(wsum / n_total - 1_000_000) < 2_000
