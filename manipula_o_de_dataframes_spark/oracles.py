@@ -4352,3 +4352,114 @@ SELECT CAST(dow_iso AS INT) AS dow_iso,
 FROM census CROSS JOIN g
 ORDER BY dow_iso
 """
+
+# Point-in-time state diff: same (sec DESC, event_id DESC) latest-row
+# selection, integer NTZ-second cutoff literal (2024-01-15).
+ORACLES["state_snapshot_diff"] = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS sec
+  FROM events
+),
+a AS (
+  SELECT user_id, event_type AS old_state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY sec DESC, event_id DESC) AS rn
+    FROM e WHERE sec <= 1074124800
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT user_id, event_type AS new_state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY sec DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+diff AS (
+  SELECT CASE WHEN a.old_state IS NULL THEN 'added'
+              WHEN a.old_state <> b.new_state THEN 'changed'
+              ELSE 'unchanged' END AS change_kind,
+         COALESCE(a.old_state, '<none>') AS old_state,
+         b.new_state
+  FROM b LEFT JOIN a ON a.user_id = b.user_id
+)
+SELECT change_kind, old_state, new_state, COUNT(*) AS n_users
+FROM diff GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+# Zipf rank*freq constancy over the top-50 census; median product
+# rank-selected at (n+1)//2 under the (product, rank) total order.
+ORACLES["zipf_audit"] = """
+WITH toks AS (
+  SELECT unnest(str_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT tok, COUNT(*) AS freq FROM toks WHERE tok <> '' GROUP BY 1
+),
+top AS (
+  SELECT tok, freq, rank, rank * freq AS rf_product FROM (
+    SELECT tok, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank
+    FROM counts
+  ) WHERE rank <= 50
+),
+med AS (
+  SELECT rf_product AS m FROM (
+    SELECT rf_product, rank,
+           ROW_NUMBER() OVER (ORDER BY rf_product, rank) AS mrn,
+           COUNT(*) OVER () AS cnt
+    FROM top
+  ) WHERE mrn = (cnt + 1) // 2
+)
+SELECT CAST(rank AS INT) AS rank, tok,
+       CAST(freq AS BIGINT) AS freq,
+       CAST(rf_product AS BIGINT) AS rf_product,
+       ((rf_product - m) * 1000000) // m AS dev_ppm
+FROM top CROSS JOIN med
+ORDER BY rank
+"""
+
+# TPC-H Q3 on the fixture calendar; revenue = exact DECIMAL
+# price*(1-discount) summed as DECIMAL, one double cast at the edge.
+ORACLES["tpch_q3"] = """
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d'),
+         o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# TPC-H Q5 on the fixture calendar: ASIA nations, 1996, local
+# suppliers (c_nationkey = s_nationkey).
+ORACLES["tpch_q5"] = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+"""

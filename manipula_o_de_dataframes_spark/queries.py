@@ -6826,6 +6826,208 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dow_iso")
 
 
+def q_state_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state diff (the CDC audit): each user's state is
+    their LATEST event type; the query diffs the state snapshot as of
+    2024-01-15 against the end-of-corpus snapshot and reports the
+    (change_kind, old_state, new_state) census — added (first seen
+    after the cutoff), changed (latest type differs), unchanged. The
+    check a replication / downstream-sync pipeline runs to reconcile
+    two snapshot exports; append-only facts mean "removed" cannot
+    occur, and the census honestly has no such rows.
+
+    Latest-event selection pins the (sec desc, event_id desc) total
+    order, so ties at the same second resolve identically in any
+    engine. The cutoff is an integer NTZ-origin second literal
+    (1074124800 = 2024-01-15), so no timestamp literal ever meets the
+    session timezone. Both snapshots derive from ONE scan lineage
+    (the cutoff one is a filter), each aggregates to a user-state row
+    before the user-keyed full-outer diff — shuffles carry (user,
+    state) pairs, the census is |states|² rows.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        tmp.seconds_since_origin("ts").alias("__sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("__sec").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", F.col("event_type").alias(out))
+        )
+
+    a = latest(e.filter(F.col("__sec") <= F.lit(1074124800)), "old_state")
+    b = latest(e, "new_state")
+    diff = a.join(b, "user_id", "full_outer").select(
+        F.when(F.col("old_state").isNull(), F.lit("added"))
+        .when(F.col("old_state") != F.col("new_state"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_kind"),
+        F.coalesce(F.col("old_state"), F.lit("<none>")).alias("old_state"),
+        "new_state",
+    )
+    return (
+        diff.groupBy("change_kind", "old_state", "new_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("change_kind", "old_state", "new_state")
+    )
+
+
+def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: for the 50 most
+    frequent tokens, rank × frequency (Zipf predicts a constant) and
+    each token's signed ppm deviation from the TOP-50 MEDIAN product —
+    the quick corpus-health screen (natural text hugs the constant;
+    template/boilerplate-dominated corpora bulge, which this corpus
+    honestly shows). Zipf's usual log-log regression needs ln();
+    the rank·freq constancy check is the same diagnostic in PURE
+    INTEGER arithmetic — the repo's float policy applied to a
+    statistics routine.
+
+    Rank is deterministic under (freq desc, token asc); the median is
+    rank-selected at (n+1) div 2 over the 50-row census (the
+    histogram_quantiles exact-arm convention); deviation is one exact
+    integer division per row. One map-side-combined token census
+    shuffle; everything after runs on ≤50 rows.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    wr = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 50)
+        .withColumn("rf_product", F.col("rank") * F.col("freq"))
+    )
+    wmed = Window.orderBy("rf_product", "rank")
+    med = (
+        top.withColumn("__mrn", F.row_number().over(wmed))
+        .withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("__mrn") == F.expr("(__cnt + 1) div 2"))
+        .select(F.col("rf_product").alias("__med"))
+    )
+    return top.crossJoin(F.broadcast(med)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "tok",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("rf_product").cast("long").alias("rf_product"),
+        F.expr("(rf_product - __med) * 1000000 div __med").alias("dev_ppm"),
+    ).orderBy("rank")
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to the fixture calendar:
+    top-10 unshipped-as-of-1998-06-01 BUILDING-segment orders by
+    discounted revenue Σ price·(1−discount) — the canonical
+    3-table OLAP join the benchmark uses to exercise join order and
+    early aggregation.
+
+    Revenue stays exact: discounts live on the 0.01 grid so the
+    DECIMAL(18,2) cast is lossless and price·(1−disc) is an exact
+    DECIMAL product, summed as DECIMAL and cast to double once (the
+    repo's money rule). Plan shape Catalyst should pick and the plan
+    test pins: customer (segment-filtered) BROADCASTS into orders,
+    lineitem⋈orders shuffles on orderkey (the one big-big edge),
+    partial aggregation rides the same key so the final group-by is
+    shuffle-free, top-10 via TakeOrderedAndProject — never a global
+    sort. Date bounds are string-literal NTZ comparisons (wall-clock,
+    session-tz-free) that push into the parquet scan.
+    """
+    cutoff = "1998-06-01"
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    ).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(MONEY)
+            * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY))
+        ).alias("__rev"),
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("__rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            "revenue",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) adapted to the fixture
+    calendar: 1996 discounted revenue per ASIA nation where the
+    supplier and customer share the nation — the benchmark's 6-table
+    join exercising star-dimension broadcast against one big-big
+    fact edge.
+
+    The c_nationkey = s_nationkey predicate is Q5's point: it cannot
+    be pushed to either scan, so the optimizer must order the joins to
+    apply it early. Plan shape: region→nation→supplier collapse to a
+    broadcast-sized supplier dimension; customer broadcasts into
+    orders; lineitem⋈orders is the only shuffle join; revenue is the
+    same exact-DECIMAL discount product as Q3, one cast to double at
+    the edge. All dimension filters (region name, date window) prune
+    at the scan.
+    """
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(MONEY)
+            * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY))
+        ).alias("__rev"),
+    )
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(sn),
+            (li["l_suppkey"] == sn["s_suppkey"])
+            & (c["c_nationkey"] == sn["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("__rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -6839,6 +7041,10 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "state_snapshot_diff": q_state_snapshot_diff,
+    "zipf_audit": q_zipf_audit,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -43,7 +43,8 @@ TZ_SENSITIVE = [
     "retention_cohorts", "drift_weekly_kl", "event_attribution",
     "growth_accounting", "sessionize_events", "ewma_weekly",
     "hazard_weekly", "weekday_seasonality", "revenue_recognition",
-    "open_order_concurrency", "mv_refresh",
+    "open_order_concurrency", "mv_refresh", "state_snapshot_diff",
+    "tpch_q3", "tpch_q5",
 ]
 
 

@@ -290,3 +290,83 @@ def test_weekday_seasonality_dow_formula(spark):
     # index averages to ~1e6 across the census (weighted by count)
     wsum = sum(r["index_ppm"] * r["n_events"] for r in rows)
     assert abs(wsum / n_total - 1_000_000) < 2_000
+
+
+def test_state_snapshot_diff_census_accounts_for_every_user(spark):
+    rows = QUERIES["state_snapshot_diff"](spark, SF_SMOKE).collect()
+    users = read_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == users
+    kinds = {r["change_kind"] for r in rows}
+    assert kinds <= {"added", "changed", "unchanged"}
+    for r in rows:
+        if r["change_kind"] == "added":
+            assert r["old_state"] == "<none>"
+        if r["change_kind"] == "changed":
+            assert r["old_state"] != r["new_state"]
+        if r["change_kind"] == "unchanged":
+            assert r["old_state"] == r["new_state"]
+
+
+def test_zipf_audit_rank_is_true_frequency_order(spark):
+    rows = QUERIES["zipf_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert r["rf_product"] == r["rank"] * r["freq"]
+    # median row has dev_ppm == 0 by construction
+    assert any(r["dev_ppm"] == 0 for r in rows)
+
+
+def test_tpch_q3_revenue_is_exact_decimal(spark):
+    """Each order's revenue must equal the per-line exact decimal sum."""
+    rows = QUERIES["tpch_q3"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    from decimal import Decimal
+
+    for r in rows[:3]:
+        lines = (
+            li.filter(
+                (F.col("l_orderkey") == r["l_orderkey"])
+                & (F.col("l_shipdate") > F.lit("1998-06-01"))
+            )
+            .select("l_extendedprice", "l_discount")
+            .collect()
+        )
+        expect = sum(
+            Decimal(str(x["l_extendedprice"])).quantize(Decimal("0.01"))
+            * (1 - Decimal(str(x["l_discount"])).quantize(Decimal("0.01")))
+            for x in lines
+        )
+        assert float(expect) == r["revenue"], (r, expect)
+
+
+def test_round5_batch4_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        return p
+
+    # Q3: customer broadcasts, ONE shuffle join edge max
+    # (lineitem-orders), top-10 via TakeOrderedAndProject (no global
+    # sort), both date filters pushed to the scans.
+    p = shape("tpch_q3")
+    assert "BroadcastExchange" in p, p
+    assert "TakeOrderedAndProject" in p, f"top-10 regressed to a global sort\n{p}"
+    assert "PushedFilters" in p, p
+
+    # Q5: every dimension broadcasts; lineitem-orders is the only
+    # shuffle join.
+    p = shape("tpch_q5")
+    assert p.count("BroadcastHashJoin") >= 3, f"dims not broadcast\n{p}"
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1, p
+
+    # snapshot diff: both snapshots share one scan lineage; shuffles
+    # carry (user, state) pairs.
+    p = shape("state_snapshot_diff")
+    assert "Generate" not in p, p
+
+    # zipf: one token census shuffle; everything else on <=50 rows.
+    p = shape("zipf_audit")
+    assert "Generate explode" in p, p
