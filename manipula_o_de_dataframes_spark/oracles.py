@@ -4463,3 +4463,104 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name ASC
 """
+
+# Cross-batch stateful totals: two deliveries of the same snapshot =>
+# exactly 2x the batch aggregate; per-VALUE cent rounding mirrored by
+# the exact DECIMAL cast (2-dp data), double render once at the edge.
+ORACLES["stream_running_totals"] = """
+SELECT event_type AS key,
+       CAST(2 * COUNT(*) AS BIGINT) AS n,
+       CAST(2 * SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS DOUBLE) / 100 AS total
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+# Floored ledger fold: same week-sorted nets; prefix folds use
+# list_prepend(0, ...) so list_reduce's first-element-as-init IS the
+# zero init; peak = max over the prefix-fold values (ewma pattern).
+ORACLES["capped_balance"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', ts) / 604800)
+              AS BIGINT) AS wk,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS c
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+weekly AS (
+  SELECT user_id, wk, SUM(c) AS net FROM e GROUP BY 1, 2
+),
+arr AS (
+  SELECT user_id, list(net ORDER BY wk) AS nets FROM weekly GROUP BY 1
+),
+folds AS (
+  SELECT user_id, len(nets) AS n_weeks,
+         [list_reduce(list_prepend(CAST(0 AS BIGINT), nets[1:k]),
+                      (acc, x) -> GREATEST(CAST(0 AS BIGINT), acc + x))
+          FOR k IN range(1, len(nets) + 1)] AS prefix
+  FROM arr
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_weeks AS BIGINT) AS n_weeks,
+       prefix[-1] AS final_cents,
+       list_max(prefix) AS peak_cents
+FROM folds ORDER BY user_id
+"""
+
+# LTV cohort curves: first-purchase-week cohorts, per-(cohort, age)
+# census with running cumulative and exact per-member LTV.
+ORACLES["ltv_cohorts"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', ts) / 604800)
+              AS BIGINT) AS wk,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+cohorts AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_users FROM cohorts GROUP BY 1),
+cells AS (
+  SELECT c.cohort, e.wk - c.cohort AS age_weeks,
+         COUNT(DISTINCT e.user_id) AS n_active,
+         SUM(e.cents) AS rev_cents
+  FROM e JOIN cohorts c ON c.user_id = e.user_id
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, age_weeks, n_active, rev_cents,
+         SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents
+  FROM cells
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+       CAST(c.age_weeks AS BIGINT) AS age_weeks,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(c.rev_cents AS BIGINT) AS rev_cents,
+       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       (c.cum_cents * 10) // s.cohort_users AS ltv_per_user_milli
+FROM cum c JOIN sizes s ON s.cohort = c.cohort
+ORDER BY cohort_week, age_weeks
+"""
+
+# Dense-rank top-3 with ties kept: the output set is fully determined
+# by the quantities, no tie-break column.
+ORACLES["topk_with_ties"] = """
+WITH qty AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT p.p_brand, q.l_partkey AS p_partkey, q.total_qty,
+         DENSE_RANK() OVER (PARTITION BY p.p_brand
+                            ORDER BY q.total_qty DESC) AS qty_rank
+  FROM qty q JOIN part p ON p.p_partkey = q.l_partkey
+)
+SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey, total_qty,
+       CAST(qty_rank AS INT) AS qty_rank
+FROM ranked WHERE qty_rank <= 3
+ORDER BY p_brand, qty_rank, p_partkey
+"""

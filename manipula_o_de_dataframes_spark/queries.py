@@ -7028,6 +7028,167 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (``applyInPandasWithState``) made
+    driver-checkable: per-type running (count, exact-cents total)
+    state carried across REAL micro-batch boundaries — the snapshot is
+    staged as two deliveries with ``maxFilesPerTrigger=1``, so
+    availableNow runs one batch per delivery and every key's state
+    survives a boundary. The oracle computes 2× the batch aggregate,
+    so the cross-batch accumulation arithmetic is hash-verified, not
+    just smoke-tested (upgrades §2.10's one remaining pass(T)-only
+    streaming edge).
+
+    The worker accumulates integer cents (per-VALUE rounding, then an
+    int sum — a rounded float batch-sum would make the total depend on
+    how rows split across batches) and renders the double once on
+    emit. Scale: state is (n, cents) per key in the state store,
+    partitioned by key; the Python worker sees one key's delta per
+    batch — O(batch) memory, never O(history).
+    """
+    from .streaming.stateful import running_totals_drained  # noqa: PLC0415
+
+    return running_totals_drained(spark, sf_dir)
+
+
+def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored running balance (credit/debit ledger with no negative
+    carry): per user, weekly net cents (purchases credit, errors
+    debit) folded in week order through bal ← max(0, bal + net) — the
+    inventory/wallet recurrence that is NOT expressible as a windowed
+    SUM because the clamp makes it non-associative; any partitioning-
+    dependent evaluation order changes the answer, so determinism has
+    to come from an explicit sequential fold.
+
+    The fold runs in the ARRAY domain (the ewma_weekly precedent):
+    nets are collected per user, sorted by week, and folded by
+    ``F.aggregate`` with an integer-only step — bit-exact in any
+    engine, mirrored by DuckDB prefix folds. Peak balance comes from
+    the prefix-fold maximum (O(weeks²) over ≤5-element census arrays —
+    census rows, not events). One (user, week) aggregate shuffle, one
+    (user) collect shuffle; arrays are per-user week censuses, bounded
+    by the calendar.
+    """
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    week = F.floor(tmp.seconds_since_origin("ts") / F.lit(604800)).cast("long")
+    cents = (F.col("value").cast(MONEY) * 100).cast("long")
+    net = F.sum(
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+    ).alias("__net")
+    weekly = e.groupBy("user_id", week.alias("__wk")).agg(net)
+    arr = weekly.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("__wk", "__net"))).alias("__pairs")
+    )
+    nets = F.transform(F.col("__pairs"), lambda p: p["__net"])
+    step = lambda acc, x: F.greatest(F.lit(0).cast("long"), acc + x)  # noqa: E731
+    prefix = F.transform(
+        F.sequence(F.lit(1), F.size(nets)),
+        lambda k: F.aggregate(
+            F.slice(nets, F.lit(1), k), F.lit(0).cast("long"), step
+        ),
+    )
+    return arr.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.size("__pairs").cast("long").alias("n_weeks"),
+        F.element_at(prefix, -1).alias("final_cents"),
+        F.array_max(prefix).alias("peak_cents"),
+    ).orderBy("user_id")
+
+
+def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-purchase
+    week, and for each (cohort, weeks-since-first-purchase) cell the
+    active purchasers, exact revenue cents, the running cumulative,
+    and cumulative LTV per cohort member in tenths of a cent — the
+    payback-period table a growth team reads off (retention_cohorts
+    counts heads; LTV accumulates value, which is the decision
+    number).
+
+    Weeks are tz-free NTZ-origin indices. The cumulative is a window
+    over the (cohort, age) census (≤ weeks² rows); LTV-per-user is one
+    exact integer division per cell (cum·10 div cohort size). Facts
+    shuffle once on user (cohort assignment via min-week), once on
+    (cohort, age); both map-side combine.
+    """
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.floor(tmp.seconds_since_origin("ts") / F.lit(604800))
+        .cast("long")
+        .alias("__wk"),
+        (F.col("value").cast(MONEY) * 100).cast("long").alias("__cents"),
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("__wk").alias("__cohort"))
+    sizes = cohorts.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        e.join(cohorts, "user_id")
+        .groupBy("__cohort", (F.col("__wk") - F.col("__cohort")).alias("age_weeks"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.sum("__cents").alias("rev_cents"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("__cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("rev_cents").over(wcum))
+        .join(F.broadcast(sizes), "__cohort")
+        .select(
+            F.col("__cohort").cast("long").alias("cohort_week"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.expr("cum_cents * 10 div cohort_users").alias("ltv_per_user_milli"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand top-3 parts by shipped quantity with TIES KEPT
+    (dense_rank, not row_number): the leaderboard semantic where two
+    parts on equal quantity share the podium instead of one being
+    dropped by an arbitrary tie-break — the output SET is then fully
+    determined by the data (no tie-break column choice to defend),
+    which is exactly why a hash gate can pin it. Quantities are
+    integers in double's clothing (1–50 grid), cast to BIGINT exact.
+
+    One (partkey) aggregate rides the lineitem scan, the part
+    dimension broadcasts, and the rank window partitions by brand
+    (catalog-bounded). Contrast registered deliberately with
+    ``top_k_customers``' row_number cut — the two top-k semantics a
+    warehouse must keep straight.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("__q")
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = li.groupBy("l_partkey").agg(F.sum("__q").alias("total_qty"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc())
+    return (
+        qty.join(F.broadcast(p), qty["l_partkey"] == p["p_partkey"])
+        .withColumn("qty_rank", F.dense_rank().over(w))
+        .filter(F.col("qty_rank") <= 3)
+        .select(
+            "p_brand",
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+            F.col("qty_rank").cast("int").alias("qty_rank"),
+        )
+        .orderBy("p_brand", "qty_rank", "p_partkey")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -7041,6 +7202,10 @@ QUERIES = {
     # rotate the remainder to the front in r6. r3/r4-green rows sit
     # last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "stream_running_totals": q_stream_running_totals,
+    "capped_balance": q_capped_balance,
+    "ltv_cohorts": q_ltv_cohorts,
+    "topk_with_ties": q_topk_with_ties,
     "state_snapshot_diff": q_state_snapshot_diff,
     "zipf_audit": q_zipf_audit,
     "tpch_q3": q_tpch_q3,

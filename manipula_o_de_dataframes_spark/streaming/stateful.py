@@ -53,3 +53,70 @@ def running_totals_stream(stream_df: DataFrame, key_col: str, value_col: str) ->
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_drained(spark, sf_dir: str) -> DataFrame:
+    """Drive the stateful operator across REAL micro-batch boundaries
+    and return the final per-type running totals.
+
+    The events snapshot is staged as TWO deliveries with
+    ``maxFilesPerTrigger=1``, so availableNow runs (at least) two
+    micro-batches and every key's state genuinely persists across a
+    batch boundary — the thing a single-batch drain cannot test. The
+    update-mode sink then holds one emission per key per batch; the
+    final state is the row with the largest ``n`` (counts only grow),
+    rank-selected under (n desc) per key. Because both deliveries are
+    the same snapshot, the final totals are exactly 2× the batch
+    aggregate — which is what the DuckDB oracle computes, making the
+    cross-batch state arithmetic hash-verified.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from .joins import drain_shuffle_partitions  # noqa: PLC0415
+
+    watch_dir = tempfile.mkdtemp(prefix="manipula_stateful_in_")
+    ckpt_dir = tempfile.mkdtemp(prefix="manipula_stateful_ckpt_")
+    name = "running_totals_" + uuid.uuid4().hex
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        os.symlink(src, os.path.join(watch_dir, "delivery1.parquet"))
+        os.symlink(src, os.path.join(watch_dir, "delivery2.parquet"))
+        # partial schema: only the two columns the operator touches —
+        # sidesteps the fixture's variable ts unit entirely, and
+        # maxFilesPerTrigger=1 forces one micro-batch PER delivery so
+        # state truly crosses a batch boundary
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch_dir)
+        )
+        totals = running_totals_stream(stream, "event_type", "value")
+        with drain_shuffle_partitions(spark):
+            (
+                totals.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt_dir)
+                .start()
+                .awaitTermination()
+            )
+        sink = spark.table(name)
+        emitted = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", F.col("n").cast("long").alias("n"), "total")
+        .orderBy("key")
+    )

@@ -44,7 +44,7 @@ TZ_SENSITIVE = [
     "growth_accounting", "sessionize_events", "ewma_weekly",
     "hazard_weekly", "weekday_seasonality", "revenue_recognition",
     "open_order_concurrency", "mv_refresh", "state_snapshot_diff",
-    "tpch_q3", "tpch_q5",
+    "tpch_q3", "tpch_q5", "capped_balance", "ltv_cohorts",
 ]
 
 

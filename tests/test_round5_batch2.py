@@ -370,3 +370,101 @@ def test_round5_batch4_plan_shapes(spark):
     # zipf: one token census shuffle; everything else on <=50 rows.
     p = shape("zipf_audit")
     assert "Generate explode" in p, p
+
+
+def test_stream_running_totals_crosses_batch_boundary(spark):
+    """Final n must be exactly 2x the snapshot count per type (two
+    staged deliveries), proving the state survived the batch split."""
+    rows = {r["key"]: r for r in QUERIES["stream_running_totals"](spark, SF_SMOKE).collect()}
+    batch = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(batch)
+    for k, r in rows.items():
+        assert r["n"] == 2 * batch[k], (k, r["n"], batch[k])
+
+
+def test_capped_balance_matches_python_fold(spark):
+    out = {
+        r["user_id"]: (r["final_cents"], r["peak_cents"], r["n_weeks"])
+        for r in QUERIES["capped_balance"](spark, SF_SMOKE).collect()
+    }
+    import manipula_o_de_dataframes_spark.operators.temporal as tmp
+
+    raw = (
+        read_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(tmp.seconds_since_origin("ts") / F.lit(604800)).alias("wk"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    weekly = defaultdict(int)
+    for r in raw:
+        sign = 1 if r["event_type"] == "purchase" else -1
+        weekly[(r["user_id"], r["wk"])] += sign * r["c"]
+    per_user = defaultdict(list)
+    for (u, wk), net in weekly.items():
+        per_user[u].append((wk, net))
+    for u, pairs in per_user.items():
+        bal, peak = 0, 0
+        for _, net in sorted(pairs):
+            bal = max(0, bal + net)
+            peak = max(peak, bal)
+        assert out[u] == (bal, peak, len(pairs)), u
+    assert set(out) == set(per_user)
+
+
+def test_ltv_cohorts_cumulative_is_monotone_and_complete(spark):
+    rows = QUERIES["ltv_cohorts"](spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_week"]].append(r)
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_weeks"])
+        run = 0
+        for r in rs:
+            run += r["rev_cents"]
+            assert r["cum_cents"] == run
+            assert r["n_active"] <= r["cohort_users"]
+        # age 0 always exists (the first purchase defines the cohort)
+        assert rs[0]["age_weeks"] == 0
+
+
+def test_topk_with_ties_keeps_whole_tie_groups(spark):
+    rows = QUERIES["topk_with_ties"](spark, SF_SMOKE).collect()
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    p = read_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    qty = {
+        (r["p_brand"], r["p_partkey"]): r["tq"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.sum("q").alias("tq"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    per_brand = defaultdict(list)
+    for (b, pk), tq in qty.items():
+        per_brand[b].append((tq, pk))
+    expected = set()
+    for b, vals in per_brand.items():
+        top3 = sorted({tq for tq, _ in vals}, reverse=True)[:3]
+        for tq, pk in vals:
+            if tq in top3:
+                expected.add((b, pk, tq))
+    got = {(r["p_brand"], r["p_partkey"], r["total_qty"]) for r in rows}
+    assert got == expected
