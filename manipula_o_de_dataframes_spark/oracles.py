@@ -4464,6 +4464,77 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name ASC
 """
 
+# Q1/Q6/Q18: money math on tight decimals sized to the data —
+# (12,2) price × (4,2) rate factors multiply exactly to (22,6) with
+# no engine rounding (the generic 18,2 triple product would blow
+# Spark's 38-digit cap and silently re-round). Averages are one IEEE
+# division of an exact decimal-sum numerator by the exact count.
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag,
+       l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-08-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q4"] = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+ORACLES["tpch_q6"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_quantity < 24
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+ORACLES["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c.c_name,
+       c.c_custkey,
+       o.o_orderkey,
+       strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice,
+       b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
 # Cross-batch stateful totals: two deliveries of the same snapshot =>
 # exactly 2x the batch aggregate; per-VALUE cent rounding mirrored by
 # the exact DECIMAL cast (2-dp data), double render once at the edge.

@@ -7028,6 +7028,166 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tight decimal types for the TPC-H money math. The generic MONEY
+# (18,2) overflows Spark's 38-digit precision cap on the Q1 triple
+# product (18,2)×(18,2)×(18,2) → precision 56, which Spark silently
+# re-rounds — a hash hazard. Sized to the data instead: max
+# l_extendedprice ≈ 105k → (12,2); discount/tax live on the 0.01 grid
+# in [0, 0.10] / [0, 0.08] → factor fits (4,2). Products then climb
+# (12,2)×(4,2)=(17,4)×(4,2)=(22,6): exact, identical in Spark and
+# DuckDB, no engine ever rounds.
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the benchmark's map-side-
+    combine showcase — a full-fact scan collapsing to 6 groups, so at
+    100 TB the shuffle carries one partial-agg row per task per
+    (returnflag, linestatus), never data. Adapted to the fixture
+    calendar (shipdate cutoff 2001-08-01 vs the spec's enddate−90d).
+
+    Float policy: every sum is an exact DECIMAL sum cast to double
+    once at the edge; the three averages are ONE IEEE division of
+    that exact numerator by the exact count (division is correctly
+    rounded, so cross-engine bit-identical — only transcendentals are
+    not). Quantity is integral in the fixture, so sum_qty is a pure
+    BIGINT sum.
+
+    Plan: single scan, partial aggregate inside WholeStageCodegen,
+    one 6-row exchange, sort of 6 rows. The cutoff pushes into the
+    parquet scan as an NTZ literal.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-08-01")
+    )
+    disc_price = F.col("l_extendedprice").cast(_PRICE) * (
+        F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE)
+    )
+    charge = disc_price * (F.lit(1).cast(_RATE) + F.col("l_tax").cast(_RATE))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_PRICE)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("bigint")).cast("double") / n).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(_PRICE)).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(_RATE)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) adapted to the fixture
+    schema: the fixture lacks commit/receipt dates, so "late" is a
+    line shipped more than 90 days after the order date — same
+    EXISTS-semi-join shape, same point: the fact table must be
+    *semi*-joined (each order counted once no matter how many late
+    lines), which Spark expresses as LEFT SEMI with the non-equi
+    lateness predicate riding the orderkey hash join.
+
+    1996 order window prunes at the orders scan. At scale both sides
+    are big: the semi-join shuffles on orderkey and short-circuits
+    per probe row — strictly cheaper than join-then-distinct, which
+    is the anti-pattern this query exists to demonstrate against.
+    Output is 5 integer rows: trivially exact.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): one scan, three pushed
+    predicates, one exact sum — the benchmark's pure scan-efficiency
+    probe. At 100 TB this query IS predicate pushdown: shipdate/
+    quantity/discount all reach the parquet reader (`PushedFilters`),
+    and the aggregate is a single partial-combined scalar.
+
+    The discount band compares on the integer cent grid
+    (round(disc·100) ∈ [5,7]) rather than raw doubles — 0.05 has no
+    exact binary representation, and `BETWEEN 0.05 AND 0.07` on
+    doubles is the classic silently-engine-dependent boundary; the
+    revenue product is the exact (12,2)×(4,2) decimal, cast to double
+    once.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_quantity") < 24)
+        & F.round(F.col("l_discount") * 100, 0).cast("bigint").between(5, 7)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_PRICE) * F.col("l_discount").cast(_RATE)
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 250, with their customer — the benchmark's
+    aggregate-then-join pattern. The HAVING aggregate runs FIRST
+    (lineitem groupBy orderkey, map-side combined, >250 filter drops
+    ~99% of groups), so the join back to orders carries only
+    surviving keys — at 100 TB the orderkey shuffle is the only big
+    edge and the post-filter join input is tiny. Customer broadcasts.
+    Joining before aggregating — the naive reading of the SQL — would
+    shuffle the full fact twice; this plan is why the query is in the
+    benchmark.
+
+    o_totalprice passes through unchanged from parquet (bit-identical
+    by construction); sum_qty is integral → BIGINT.
+    """
+    big = (
+        read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -7210,6 +7370,10 @@ QUERIES = {
     "zipf_audit": q_zipf_audit,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q18": q_tpch_q18,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -468,3 +468,65 @@ def test_topk_with_ties_keeps_whole_tie_groups(spark):
                 expected.add((b, pk, tq))
     got = {(r["p_brand"], r["p_partkey"], r["total_qty"]) for r in rows}
     assert got == expected
+
+
+def test_tpch_classics_plan_shapes(spark):
+    """Plan pins for the Q1/Q4/Q6/Q18 additions — each exists to
+    demonstrate one specific 100 TB posture, so the plan IS the test."""
+
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        return p
+
+    # Q1: one scan, map-side partial agg, ONE exchange carrying 6
+    # partial rows, shipdate pushed to the reader.
+    p = shape("tpch_q1")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "PushedFilters" in p, p
+    assert "HashAggregate" in p, p
+
+    # Q4: LEFT SEMI on orderkey (each order counted once), never
+    # join-then-distinct; the 1996 window pushes to the orders scan.
+    p = shape("tpch_q4")
+    assert "LeftSemi" in p, f"EXISTS did not stay a semi-join\n{p}"
+    assert "Distinct" not in p, p
+    assert "PushedFilters" in p, p
+
+    # Q6: pure scan probe — zero joins, scalar agg, quantity+date
+    # pushed down (the cent-grid discount band is a cast so it
+    # filters post-scan; quantity and shipdate must reach the reader).
+    p = shape("tpch_q6")
+    assert "Join" not in p, p
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:300], p
+
+    # Q18: aggregate-then-join — the HAVING agg must sit BELOW the
+    # orders join, customer broadcasts, top-100 never global-sorts.
+    p = shape("tpch_q18")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, f"top-100 regressed to a global sort\n{p}"
+    join_pos = p.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = p.find("ShuffledHashJoin")
+    agg_pos = p.rfind("HashAggregate")
+    assert agg_pos > join_pos >= 0 or join_pos == -1, (
+        f"quantity agg not below the orders join\n{p}"
+    )
+
+
+def test_tpch_q1_averages_are_exact_division(spark):
+    """avg = exact-decimal numerator / exact count, one IEEE divide."""
+    rows = QUERIES["tpch_q1"](spark, SF_SMOKE).collect()
+    assert len(rows) == 6  # 3 returnflags x 2 linestatuses
+    for r in rows:
+        assert r["avg_qty"] == r["sum_qty"] / r["count_order"]
+        assert r["avg_price"] == r["sum_base_price"] / r["count_order"]
+        assert r["sum_charge"] >= r["sum_disc_price"] >= 0
+
+
+def test_tpch_q18_threshold_is_strict(spark):
+    rows = QUERIES["tpch_q18"](spark, SF_SMOKE).collect()
+    assert rows, "sf0.001 has 25 orders above 250"
+    assert all(r["sum_qty"] > 250 for r in rows)
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
