@@ -4535,6 +4535,103 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
 LIMIT 100
 """
 
+# Inter-source shingle containment: same 3-word shingles as the
+# boilerplate mirror; the ≤ half-the-sources cap excludes universal
+# boilerplate and bounds the pair fan-out, numerator and denominator
+# both on the capped gram set.
+ORACLES["source_overlap_matrix"] = """
+WITH shing AS (
+  SELECT doc_id, source, CASE WHEN text IS NULL THEN NULL ELSE list_distinct(list_transform(
+    generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
+    i -> array_to_string((str_split(text, ' '))[i:i+2], ' ')
+  )) END AS sh
+  FROM documents
+), sg AS (
+  SELECT DISTINCT source, unnest(sh) AS shingle FROM shing
+), nsrc AS (SELECT COUNT(DISTINCT source) AS s FROM sg),
+capped AS (
+  SELECT source, shingle FROM (
+    SELECT source, shingle, COUNT(*) OVER (PARTITION BY shingle) AS n_src FROM sg
+  ) WHERE n_src <= (SELECT s // 2 FROM nsrc)
+), vocab AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM capped GROUP BY 1
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared_grams,
+       va.n_grams AS n_a, vb.n_grams AS n_b,
+       s.shared_grams * 1000000 // va.n_grams AS containment_a_ppm,
+       s.shared_grams * 1000000 // vb.n_grams AS containment_b_ppm
+FROM shared s
+JOIN vocab va ON va.source = s.src_a
+JOIN vocab vb ON vb.source = s.src_b
+ORDER BY s.shared_grams DESC, s.src_a, s.src_b
+LIMIT 30
+"""
+
+# Zone-map audit mirror: identical md5-prefix hash bucket, identical
+# integer epoch-day range bucket, all-integer outputs.
+ORACLES["zonemap_prune_audit"] = """
+WITH base AS (
+  SELECT l_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+  FROM lineitem
+), lim AS (SELECT MIN(d) AS d_lo, MAX(d) AS d_hi FROM base),
+lay AS (
+  SELECT 'hash_orderkey' AS layout,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+         d
+  FROM base
+  UNION ALL
+  SELECT 'range_shipdate' AS layout,
+         (d - l.d_lo) * 64 // (l.d_hi - l.d_lo + 1) AS bucket,
+         d
+  FROM base CROSS JOIN lim l
+), zones AS (
+  SELECT layout, bucket, MAX(d) AS max_d, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lay GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       SUM(n_rows) AS rows_total,
+       SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
+           THEN n_rows ELSE 0 END) AS rows_skipped,
+       SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
+           THEN n_rows ELSE 0 END) * 1000000 // SUM(n_rows) AS skip_ppm
+FROM zones GROUP BY layout ORDER BY layout
+"""
+
+# MAD mirror: exact-cents integers, interpolated medians (half-integer
+# doubles — exact both engines), one 4.4478-literal multiply fence.
+ORACLES["mad_outliers"] = """
+WITH c AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY 1
+), dev AS (
+  SELECT c.event_type, ABS(CAST(c.cents AS DOUBLE) - m.med) AS adev, m.med
+  FROM c JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad, MAX(med) AS med
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(m.med) AS med_cents,
+       MAX(m.mad) AS mad_cents,
+       CAST(SUM(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(SUM(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // COUNT(*) AS outlier_ppm
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
 # Cross-batch stateful totals: two deliveries of the same snapshot =>
 # exactly 2x the batch aggregate; per-VALUE cent rounding mirrored by
 # the exact DECIMAL cast (2-dp data), double render once at the edge.

@@ -7188,6 +7188,201 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: for each source pair, how
+    many 3-word shingles they share, and what fraction of each side's
+    shingle vocabulary that is (ppm) — the diagnostic a pretraining
+    pipeline runs before mixing crawls, because cross-source overlap
+    is double-counted mass the dedup pass must pay for.
+
+    Universal boilerplate is excluded BY CONSTRUCTION: only shingles
+    present in at most half the sources count as overlap signal (a
+    navigation footer in 19/20 sources says nothing about pairwise
+    contamination). The cap is also the skew guard — a shingle in s
+    sources fans out s·(s−1)/2 pairs, so bounding s bounds the
+    self-join blow-up; without it one viral string would quadratically
+    dominate the pair shuffle at corpus scale.
+
+    Plan: one (source, shingle)-distinct shuffle folds into a
+    per-shingle source-set aggregate (the cap is a `size()` filter on
+    that set — no window, no second pass), then pairs come from a
+    JVM-side combination explode of each sorted source array — NO
+    self-join: a shingle in s sources emits its s·(s−1)/2 pairs
+    locally, so the only post-census shuffles are the two tiny
+    (src_a, src_b) / (source) count aggregates. The census lineage is
+    traversed once per output branch (pairs, vocabulary) — at real
+    scale you'd spool the census once (the `corpus_pipeline` spool
+    pattern), which this shape admits without re-keying.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    sg = d.select(
+        "source", F.explode(dd.shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    n_sources = d.select("source").distinct().count()  # bounded: source census
+    bysh = (
+        sg.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") <= n_sources // 2)
+    )
+    vocab = bysh.select(F.explode("srcs").alias("source")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda a, i: F.filter(
+                F.transform(F.col("srcs"), lambda b: F.struct(a.alias("src_a"), b.alias("src_b"))),
+                lambda st: st["src_a"] < st["src_b"],
+            ),
+        )
+    )
+    shared = (
+        bysh.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    va = vocab.select(F.col("source").alias("src_a"), F.col("n_grams").alias("n_a"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "n_a",
+            "n_b",
+            F.expr("shared_grams * 1000000 div n_a").alias("containment_a_ppm"),
+            F.expr("shared_grams * 1000000 div n_b").alias("containment_b_ppm"),
+        )
+        .orderBy(F.col("shared_grams").desc(), "src_a", "src_b")
+        .limit(30)
+    )
+
+
+def q_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-skipping) effectiveness audit: the same
+    lineitem rows bucketed into 64 "files" under two physical layouts
+    — hash-on-orderkey (arrival order) vs range-on-shipdate (what a
+    sort/Z-order write produces) — then, for the predicate
+    `l_shipdate ≥ 2000-01-01`, how many buckets a reader could skip
+    on min/max stats alone. This is THE reason layout matters at
+    100 TB: identical bytes, identical predicate, and the clustered
+    layout skips most of the scan while the hash layout skips ~none
+    (every bucket spans the full date range, so no max falls below
+    the cutoff).
+
+    Everything is integer (epoch-day min/max, row counts, ppm by
+    integer division). Buckets come from arithmetic, not a global
+    sort: the hash bucket is the engine-standard md5-prefix mod, and
+    the range bucket is a linear map of epoch-day onto [0,64) using
+    the broadcast corpus min/max — one scan, one 128-group aggregate,
+    one 2-row rollup.
+    """
+    cutoff_day = F.datediff(F.lit("2000-01-01"), F.lit("1970-01-01"))
+    li = read_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).alias("d"),
+    )
+    ext = li.crossJoin(
+        F.broadcast(
+            li.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+        )
+    )
+    hash_b = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 64
+    )
+    range_b = F.expr("(d - d_lo) * 64 div (d_hi - d_lo + 1)")
+    both = ext.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("hash_orderkey").alias("layout"), hash_b.alias("bucket")),
+                F.struct(F.lit("range_shipdate").alias("layout"), range_b.alias("bucket")),
+            )
+        ).alias("lb"),
+        "d",
+    ).select("lb.layout", "lb.bucket", "d")
+    zones = both.groupBy("layout", "bucket").agg(
+        F.max("d").alias("max_d"), F.count(F.lit(1)).alias("n_rows")
+    )
+    pruned = F.col("max_d") < cutoff_day
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(pruned.cast("long")).alias("n_pruned"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.when(pruned, F.col("n_rows")).otherwise(F.lit(0))).alias(
+                "rows_skipped"
+            ),
+        )
+        .select(
+            "layout",
+            "n_buckets",
+            "n_pruned",
+            "rows_total",
+            "rows_skipped",
+            F.expr("rows_skipped * 1000000 div rows_total").alias("skip_ppm"),
+        )
+        .orderBy("layout")
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type via MAD (median absolute
+    deviation) — the estimator quality pipelines use when the metric
+    itself is contaminated, because unlike the Tukey/IQR gate
+    (`outlier_flags`) a 50% breakdown point means the fences don't
+    move no matter how wild the tail is.
+
+    Exactness: values become exact cents (DECIMAL cast ×100 →
+    BIGINT); the two medians are exact interpolated percentiles over
+    integers (midpoint (a+b)/2 — one IEEE add+divide, bit-identical
+    cross-engine); the fence is ONE multiply of the MAD by the
+    literal 4.4478 (= 3σ · the 1.4826 normal-consistency constant) —
+    no transcendentals anywhere, per the repo float policy.
+
+    Two aggregate-then-broadcast passes (median, then MAD of the
+    residuals) and a final flag count: three small shuffles keyed by
+    event_type, facts never re-shuffle wider than the census.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast(MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"), F.max("med").alias("med")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum((F.col("adev") > F.lit(4.4478) * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "med_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -7374,6 +7569,9 @@ QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q18": q_tpch_q18,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "zonemap_prune_audit": q_zonemap_prune_audit,
+    "mad_outliers": q_mad_outliers,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -45,7 +45,7 @@ TZ_SENSITIVE = [
     "hazard_weekly", "weekday_seasonality", "revenue_recognition",
     "open_order_concurrency", "mv_refresh", "state_snapshot_diff",
     "tpch_q3", "tpch_q5", "capped_balance", "ltv_cohorts",
-    "tpch_q1", "tpch_q4", "tpch_q18",
+    "tpch_q1", "tpch_q4", "tpch_q18", "zonemap_prune_audit",
 ]
 
 

@@ -530,3 +530,60 @@ def test_tpch_q18_threshold_is_strict(spark):
     assert all(r["sum_qty"] > 250 for r in rows)
     prices = [r["o_totalprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_round5_continuation_trio_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # overlap matrix: distinct census + shingle window + pair agg —
+    # the self-join must ride the shingle key, never nested-loop.
+    p = shape("source_overlap_matrix")
+    assert "BroadcastNestedLoop" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 6, p
+
+    # zone-map audit: one scan feeding both layouts via explode, a
+    # 128-group aggregate, a 2-row rollup; min/max attach broadcasts.
+    p = shape("zonemap_prune_audit")
+    assert p.count("Exchange hashpartitioning") <= 4, p
+    assert "BroadcastExchange" in p, p
+    assert "Generate explode" in p, p
+
+    # MAD: census-keyed shuffles only, both stat tables broadcast back.
+    p = shape("mad_outliers")
+    assert p.count("Exchange hashpartitioning") <= 4, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_zonemap_clustered_layout_actually_skips(spark):
+    """The audit's whole point: range layout prunes, hash layout
+    can't (every hash bucket spans the full date range)."""
+    rows = {r["layout"]: r for r in QUERIES["zonemap_prune_audit"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"hash_orderkey", "range_shipdate"}
+    assert rows["range_shipdate"]["skip_ppm"] > rows["hash_orderkey"]["skip_ppm"]
+    assert rows["range_shipdate"]["n_pruned"] > 0
+    for r in rows.values():
+        assert r["rows_skipped"] <= r["rows_total"]
+        assert r["n_pruned"] <= r["n_buckets"] <= 64
+
+
+def test_mad_outliers_fence_is_robust(spark):
+    rows = QUERIES["mad_outliers"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n"]
+        assert r["mad_cents"] >= 0
+        assert r["outlier_ppm"] == r["n_outliers"] * 1000000 // r["n"]
+
+
+def test_source_overlap_matrix_bounds(spark):
+    rows = QUERIES["source_overlap_matrix"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["shared_grams"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["containment_a_ppm"] <= 1_000_000
+        assert 0 <= r["containment_b_ppm"] <= 1_000_000
