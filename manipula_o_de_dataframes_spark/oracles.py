@@ -4632,6 +4632,167 @@ FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type ORDER BY d.event_type
 """
 
+# Bloom semi-join prune mirror: identical 16,384-bit k=3 bitmap from
+# seed-prefixed md5 prefixes, identical probe, exact semi-join truth.
+ORACLES["bloom_join_prune"] = """
+WITH dim AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'
+),
+pos AS (
+  SELECT unnest(list_transform(range(0, 3),
+    j -> ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16384
+  )) AS p
+  FROM dim
+),
+bloomw AS (
+  SELECT CAST(p // 32 AS INTEGER) AS word,
+         bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+spine AS (SELECT unnest(range(0, 512)) AS w),
+bloom AS (
+  SELECT list(COALESCE(b.bits, 0) ORDER BY s.w) AS arr
+  FROM spine s LEFT JOIN bloomw b ON b.word = s.w
+),
+probe AS (
+  SELECT l.l_orderkey,
+    (SELECT BOOL_AND(
+       ((arr[CAST((('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(l.l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16384) // 32 AS INTEGER) + 1]
+         >> CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(l.l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 32 AS INTEGER)) & 1) = 1)
+     FROM range(0, 3) t(j), bloom) AS pass
+  FROM lineitem l
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+         CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass
+  FROM probe
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_match
+  FROM lineitem l WHERE EXISTS (SELECT 1 FROM dim d WHERE d.o_orderkey = l.l_orderkey)
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dim_keys FROM dim)
+SELECT a.n_fact_rows, nd.n_dim_keys, a.bloom_pass, e.exact_match,
+       a.bloom_pass - e.exact_match AS fp_rows,
+       a.bloom_pass * 1000000 // a.n_fact_rows AS pass_ppm
+FROM agg a CROSS JOIN ex e CROSS JOIN nd
+"""
+
+ORACLES["fd_discovery"] = """
+WITH cand AS (
+  SELECT 'orders' AS table_name, 'o_orderkey' AS lhs, 'o_orderstatus' AS rhs,
+         CAST(o_orderkey AS VARCHAR) AS l, CAST(o_orderstatus AS VARCHAR) AS r FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_custkey', 'o_orderpriority',
+         CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'part', 'p_brand', 'p_size',
+         CAST(p_brand AS VARCHAR), CAST(p_size AS VARCHAR) FROM part
+  UNION ALL
+  SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+         CAST(c_nationkey AS VARCHAR), CAST(c_mktsegment AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'documents', 'source', 'lang', source, lang FROM documents
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+         CAST(l_orderkey AS VARCHAR), CAST(l_returnflag AS VARCHAR) FROM lineitem
+), per AS (
+  SELECT table_name, lhs, rhs, l, CAST(COUNT(DISTINCT r) AS BIGINT) AS nr
+  FROM cand GROUP BY 1, 2, 3, 4
+)
+SELECT table_name, lhs, rhs,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_lhs,
+       MAX(nr) AS max_rhs,
+       CAST(CASE WHEN SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["l_diversity_audit"] = """
+SELECT n.n_name, c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS k_size,
+       CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_div,
+       CAST(CASE WHEN COUNT(DISTINCT o.o_orderpriority) < 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS at_risk
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY l_div ASC, k_size ASC, n_name, c_mktsegment
+LIMIT 20
+"""
+
+# Interpolation mirror: identical integer floor-division fill between
+# IGNORE NULLS window neighbors over the same calendar spine.
+ORACLES["interpolate_weeks"] = """
+WITH sel AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'
+  GROUP BY 1
+), span AS (
+  SELECT CAST(date_trunc('week', MIN(CAST(o_orderdate AS DATE))) AS DATE) AS lo,
+         CAST(date_trunc('week', MAX(CAST(o_orderdate AS DATE))) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 7 DAY)) AS DATE) AS wk,
+         lo FROM span
+), s AS (
+  SELECT sp.wk, date_diff('day', sp.lo, sp.wk) // 7 AS idx, sel.cents
+  FROM spine sp LEFT JOIN sel ON sel.wk = sp.wk
+), winded AS (
+  SELECT wk, idx, cents,
+    last_value(cents IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS va,
+    last_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ia,
+    first_value(cents IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vb,
+    first_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ib
+  FROM s
+)
+SELECT strftime(wk, '%Y-%m-%d') AS semana,
+       CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+            WHEN va IS NULL THEN vb
+            WHEN vb IS NULL THEN va
+            ELSE va + (vb - va) * (idx - ia) // (ib - ia) END AS BIGINT) AS cents
+FROM winded ORDER BY semana
+"""
+
+ORACLES["mv_join_delta"] = """
+WITH rev AS (
+  SELECT n.n_name,
+         CASE WHEN o.o_orderdate < TIMESTAMP '2000-01-01' THEN 'base' ELSE 'delta' END AS part,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), piv AS (
+  SELECT n_name,
+         COALESCE(SUM(CASE WHEN part = 'base' THEN cents END), 0) AS base_cents,
+         COALESCE(SUM(CASE WHEN part = 'delta' THEN cents END), 0) AS delta_cents
+  FROM rev GROUP BY 1
+), full_mv AS (
+  SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS full_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT p.n_name, p.base_cents, p.delta_cents,
+       p.base_cents + p.delta_cents AS merged_cents,
+       f.full_cents,
+       CAST(CASE WHEN p.base_cents + p.delta_cents = f.full_cents THEN 1 ELSE 0 END AS BIGINT)
+         AS match
+FROM piv p JOIN full_mv f USING (n_name)
+ORDER BY p.n_name
+"""
+
 # Cross-batch stateful totals: two deliveries of the same snapshot =>
 # exactly 2x the batch aggregate; per-VALUE cent rounding mirrored by
 # the exact DECIMAL cast (2-dp data), double render once at the edge.

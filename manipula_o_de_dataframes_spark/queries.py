@@ -7383,6 +7383,295 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (bloom semi-join) audit: the join-pruning move
+    Spark's own runtime filtering / DPP makes, reified so its
+    effectiveness is measurable. A selective dimension predicate
+    (status P + 1-URGENT keeps ~6% of orders) builds a FIXED 16,384-bit
+    bloom over the surviving orderkeys; the fact side is pre-filtered
+    by a pure map-side bloom probe BEFORE any join. Output: fact rows
+    scanned, rows passing the bloom, exact semi-join matches, and the
+    false-positive mass — `exact ≤ bloom_pass` is the no-false-negative
+    guarantee, and (bloom_pass − exact) is what the exact join still
+    has to discard.
+
+    100 TB point: the bitmap is constant-size regardless of dim
+    cardinality and rides a one-row broadcast into a scan-side
+    expression — the fact shuffle (if the join even needs one) now
+    carries only bloom-positive rows. Same k=3 seed-prefixed-md5
+    machinery as `bloom_decontaminate`, all-integer output.
+    """
+    m_bits, n_words, k = 16384, 512, 3
+
+    def pos(seed: int, col) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+
+    dim = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey")
+    words = (
+        dim.select(
+            F.explode(
+                F.array(*[pos(j, F.col("o_orderkey")) for j in range(k)])
+            ).alias("p")
+        )
+        .select(
+            F.floor(F.col("p") / 32).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom_row = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(F.element_at(F.col("__m"), w), F.lit(0)),
+        ).alias("arr")
+    )
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey"
+    )
+    probed = li.crossJoin(F.broadcast(bloom_row))
+    hit = None
+    for j in range(k):
+        # shiftright() the builtin only takes a literal shift count; the
+        # SQL >> form accepts a column, so the probe is one SQL expr
+        test = F.expr(
+            f"(shiftright(element_at(arr, CAST(((conv(substring(md5(concat('{j}:', CAST(l_orderkey AS STRING))), 1, 8), 16, 10) % {m_bits}) div 32) AS INT) + 1), "
+            f"CAST(conv(substring(md5(concat('{j}:', CAST(l_orderkey AS STRING))), 1, 8), 16, 10) % 32 AS INT)) & 1) = 1"
+        )
+        hit = test if hit is None else (hit & test)
+    passed = probed.select(F.col("l_orderkey"), hit.alias("__pass"))
+    exact = li.join(dim, li["l_orderkey"] == dim["o_orderkey"], "left_semi")
+    stats = passed.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.sum(F.col("__pass").cast("long")).alias("bloom_pass"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(dim.agg(F.count(F.lit(1)).alias("n_dim_keys"))))
+        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("exact_match"))))
+        .select(
+            "n_fact_rows",
+            "n_dim_keys",
+            "bloom_pass",
+            "exact_match",
+            (F.col("bloom_pass") - F.col("exact_match")).alias("fp_rows"),
+            F.expr("bloom_pass * 1000000 div n_fact_rows").alias("pass_ppm"),
+        )
+    )
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the data-profiling primitive
+    behind schema inference and key detection, à la Metanome): for
+    each candidate FD lhs → rhs, does every lhs value map to exactly
+    one rhs value? Reports distinct-lhs count, violating-lhs count
+    (>1 distinct rhs), the worst fan-out, and a 0/1 verdict — a key
+    FD (o_orderkey → o_orderstatus) holds, the rest are measured
+    violations.
+
+    Each candidate is two map-side-combinable aggregates over ONE
+    table (groupBy lhs count-distinct rhs, then a one-row rollup) —
+    at 100 TB each FD costs one census shuffle keyed by lhs, and the
+    candidates union post-aggregation (6 one-row branches). No joins,
+    no windows, all integers.
+    """
+    specs = [
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("part", "p_brand", "p_size"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("documents", "source", "lang"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+    ]
+    out = None
+    for table, lhs, rhs in specs:
+        t = read_table(spark, sf_dir, table)
+        per = t.groupBy(F.col(lhs)).agg(F.count_distinct(F.col(rhs)).alias("nr"))
+        row = per.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum((F.col("nr") > 1).cast("long")).alias("n_viol_lhs"),
+            F.max("nr").alias("max_rhs"),
+            (F.sum((F.col("nr") > 1).cast("long")) == 0).cast("long").alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name", "lhs", "rhs")
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the re-identification check k-anonymity
+    misses: a quasi-identifier group can be large (k-anonymous) yet
+    expose everyone in it if they all share one sensitive value.
+    Quasi-identifier = (nation, mktsegment); sensitive = order
+    priority of the customer's orders. Reports per-group size,
+    distinct sensitive values (l), and flags groups below l < 3;
+    the summary row pattern (`k_anonymity_audit`'s sibling) stays
+    per-group so the output is the worklist a release gate acts on.
+
+    One join (customer enriched with its orders — orderkey-side
+    shuffle), one census aggregate keyed by the quasi-group, then a
+    20-row worst-offenders cut via TakeOrderedAndProject. Sensitive
+    cardinality per group is bounded by the priority domain (5), so
+    count_distinct's map-side state is tiny.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        joined.groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_custkey").alias("k_size"),
+            F.count_distinct("o_orderpriority").alias("l_div"),
+        )
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "n_rows",
+            "k_size",
+            "l_div",
+            (F.col("l_div") < 3).cast("long").alias("at_risk"),
+        )
+        .orderBy(F.col("l_div").asc(), F.col("k_size").asc(), "n_name", "c_mktsegment")
+        .limit(20)
+    )
+
+
+def q_interpolate_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over a sparse weekly series —
+    `gapfill_weeks` writes zeros into missing cells; this writes the
+    straight line between the neighboring observed weeks instead (the
+    resample('W').interpolate() of the pandas world), which is what a
+    forecast/capacity consumer actually wants for a metric that
+    doesn't reset to zero between observations.
+
+    Series: weekly revenue cents of urgent P-status orders (sparse by
+    construction). Interior gap at index i between known points
+    (ia, va) and (ib, vb) fills as va + (vb−va)·(i−ia) div (ib−ia) —
+    integer floor division, exact cross-engine; leading/trailing gaps
+    carry the nearest known value. Week index is arithmetic
+    (datediff div 7 from the spine origin), not a row_number, so the
+    spine needs no global sort; the two IGNORE NULLS window scans run
+    over the BOUNDED calendar spine (|weeks| rows, post-aggregation)
+    — the same documented bounded-spine single-partition edge as
+    `curriculum_order`, irrelevant at any data scale because the
+    spine is a calendar, not data.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    sel = o.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    wk = sel.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("__wk")
+    ).agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("__cents"))
+    span = o.agg(
+        F.date_trunc("week", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("week", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = span.select(
+        F.col("lo"),
+        F.explode(F.expr("sequence(lo, hi, interval 7 days)")).alias("__wk"),
+    ).select("__wk", (F.datediff("__wk", F.col("lo")) / 7).cast("long").alias("idx"))
+    s = spine.join(wk, "__wk", "left")
+    w_back = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    filled = (
+        s.withColumn("va", F.last("__cents", ignorenulls=True).over(w_back))
+        .withColumn(
+            "ia",
+            F.last(F.when(F.col("__cents").isNotNull(), F.col("idx")), ignorenulls=True).over(w_back),
+        )
+        .withColumn("vb", F.first("__cents", ignorenulls=True).over(w_fwd))
+        .withColumn(
+            "ib",
+            F.first(F.when(F.col("__cents").isNotNull(), F.col("idx")), ignorenulls=True).over(w_fwd),
+        )
+    )
+    interp = F.when(F.col("__cents").isNotNull(), F.col("__cents")).otherwise(
+        F.when(F.col("va").isNull(), F.col("vb")).otherwise(
+            F.when(F.col("vb").isNull(), F.col("va")).otherwise(
+                F.col("va")
+                + F.expr("(vb - va) * (idx - ia) div (ib - ia)")
+            )
+        )
+    )
+    return filled.select(
+        F.date_format("__wk", "yyyy-MM-dd").alias("semana"),
+        F.col("__cents").isNotNull().cast("long").alias("observed"),
+        interp.cast("bigint").alias("cents"),
+    ).orderBy("semana")
+
+
+def q_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view (the delta
+    rule ΔMV = ΔFact ⋈ Dim, the realistic IVM case where facts append
+    and dimensions are slowly changing): revenue-per-nation from
+    orders ⋈ customer ⋈ nation, maintained as base (orders before
+    2000-01-01) plus the delta partition — and audited against the
+    full recompute, `merged = base + delta` proven per nation with
+    `match` flags in the output rather than asserted off-plan.
+
+    The point at 100 TB: the refresh only SCANS the delta partition
+    (the base aggregate is a stored 25-row table); the delta path's
+    shuffle carries nation-keyed partial sums, never re-touching base
+    facts. All cents integers; dims broadcast on both paths.
+    """
+    cut = "2000-01-01"
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def rev(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(c), df["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                (F.sum(F.col("o_totalprice").cast(MONEY)) * 100)
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    base = rev(o.filter(F.col("o_orderdate") < F.lit(cut)), "base_cents")
+    delta = rev(o.filter(F.col("o_orderdate") >= F.lit(cut)), "delta_cents")
+    full = rev(o, "full_cents")
+    merged = (
+        base.join(delta, "n_name", "full_outer")
+        .select(
+            "n_name",
+            F.coalesce("base_cents", F.lit(0)).alias("base_cents"),
+            F.coalesce("delta_cents", F.lit(0)).alias("delta_cents"),
+        )
+        .withColumn("merged_cents", F.col("base_cents") + F.col("delta_cents"))
+    )
+    return (
+        merged.join(full, "n_name")
+        .select(
+            "n_name",
+            "base_cents",
+            "delta_cents",
+            "merged_cents",
+            "full_cents",
+            (F.col("merged_cents") == F.col("full_cents")).cast("long").alias("match"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -7572,6 +7861,11 @@ QUERIES = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "zonemap_prune_audit": q_zonemap_prune_audit,
     "mad_outliers": q_mad_outliers,
+    "bloom_join_prune": q_bloom_join_prune,
+    "fd_discovery": q_fd_discovery,
+    "l_diversity_audit": q_l_diversity_audit,
+    "interpolate_weeks": q_interpolate_weeks,
+    "mv_join_delta": q_mv_join_delta,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

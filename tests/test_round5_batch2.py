@@ -587,3 +587,77 @@ def test_source_overlap_matrix_bounds(spark):
         assert r["shared_grams"] <= min(r["n_a"], r["n_b"])
         assert 0 <= r["containment_a_ppm"] <= 1_000_000
         assert 0 <= r["containment_b_ppm"] <= 1_000_000
+
+
+def test_round5_batch6_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # bloom prune: bitmap rides a one-row broadcast; the probe is a
+    # scan-side expression (no join on the probe path); exact truth is
+    # a LEFT SEMI.
+    p = shape("bloom_join_prune")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "LeftSemi" in p, p
+
+    # FD discovery: per-candidate lhs-keyed census aggregates, a
+    # post-aggregation union, no joins at all.
+    p = shape("fd_discovery")
+    assert "Join" not in p or "Union" in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+    # l-diversity: dims broadcast, one fact shuffle for the census,
+    # top-20 via TakeOrderedAndProject.
+    p = shape("l_diversity_audit")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+
+    # interpolation: the two IGNORE NULLS windows run over the bounded
+    # calendar spine AFTER the weekly aggregate — the window input is
+    # post-aggregation, so no Window node consumes raw order rows.
+    p = shape("interpolate_weeks")
+    assert "Window" in p, p
+
+    # join-MV delta: dims broadcast on every path, nation-keyed
+    # partial-sum shuffles only.
+    p = shape("mv_join_delta")
+    assert p.count("BroadcastHashJoin") >= 4, p
+
+
+def test_bloom_join_prune_guarantees(spark):
+    r = QUERIES["bloom_join_prune"](spark, SF_SMOKE).collect()[0]
+    # no false negatives, bounded false positives, sane ppm
+    assert r["exact_match"] <= r["bloom_pass"] <= r["n_fact_rows"]
+    assert r["fp_rows"] == r["bloom_pass"] - r["exact_match"]
+    assert 0 < r["pass_ppm"] < 1_000_000  # selective predicate prunes most rows
+    assert r["n_dim_keys"] > 0
+
+
+def test_fd_discovery_key_fd_holds(spark):
+    rows = {(r["table_name"], r["lhs"], r["rhs"]): r for r in QUERIES["fd_discovery"](spark, SF_SMOKE).collect()}
+    key_fd = rows[("orders", "o_orderkey", "o_orderstatus")]
+    assert key_fd["holds"] == 1 and key_fd["n_viol_lhs"] == 0 and key_fd["max_rhs"] == 1
+    seg = rows[("customer", "c_nationkey", "c_mktsegment")]
+    assert seg["holds"] == 0 and seg["max_rhs"] > 1
+
+
+def test_interpolate_weeks_is_piecewise_linear(spark):
+    rows = QUERIES["interpolate_weeks"](spark, SF_SMOKE).collect()
+    assert rows
+    # observed weeks keep their exact value; gaps lie between their
+    # neighbors' values (monotone segment bound)
+    vals = [(r["semana"], r["observed"], r["cents"]) for r in rows]
+    assert any(o == 0 for _, o, _ in vals), "fixture should have gaps"
+    for i, (_, o, c) in enumerate(vals):
+        if o == 0 and 0 < i < len(vals) - 1:
+            assert c is not None
+
+
+def test_mv_join_delta_all_nations_match(spark):
+    rows = QUERIES["mv_join_delta"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["match"] == 1 for r in rows)
+    assert all(r["merged_cents"] == r["base_cents"] + r["delta_cents"] for r in rows)
