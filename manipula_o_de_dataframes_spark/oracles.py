@@ -4793,6 +4793,91 @@ FROM piv p JOIN full_mv f USING (n_name)
 ORDER BY p.n_name
 """
 
+# Theil–Sen mirror: identical one-division slopes, identical lower
+# median by rank selection under (slope, wk_a, wk_b) — no interpolation
+# anywhere, so no arithmetic can diverge.
+ORACLES["theilsen_trend"] = """
+WITH census AS (
+  SELECT n.n_name AS nation,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.nation, a.wk AS wk_a, b.wk AS wk_b,
+         CAST(b.cents - a.cents AS DOUBLE) / CAST(b.wk - a.wk AS DOUBLE) AS slope
+  FROM census a JOIN census b ON a.nation = b.nation AND a.wk < b.wk
+), ranked AS (
+  SELECT nation, slope,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY slope, wk_a, wk_b) AS rn,
+         COUNT(*) OVER (PARTITION BY nation) AS n_pairs
+  FROM pairs
+)
+SELECT nation, CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope AS ts_slope_cents_per_week
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+ORDER BY nation
+"""
+
+# χ² mirror: identical md5-parity arm split, identical DOUBLE op order
+# (left-assoc products of exact integer counts), one rounding site.
+ORACLES["ab_contingency_chi2"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), armed AS (
+  SELECT ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         conv
+  FROM per_user
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM armed
+)
+SELECT a, b, c, d,
+       a * 1000000 // (a + b) AS conv_a_ppm,
+       c * 1000000 // (c + d) AS conv_b_ppm,
+       CAST(round(
+         CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN CAST(0 AS DOUBLE) ELSE
+         CAST(a + b + c + d AS DOUBLE) * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+         / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END
+         * 1e6, 0) AS BIGINT) AS chi2_micro
+FROM cells
+"""
+
+# Path mirror: sessionize_events' exact gap rule, leads in the same
+# user window, third-event-in-session guard, top-20 total order.
+ORACLES["event_paths"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+    SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM flagged
+), tri AS (
+  SELECT event_type AS e1,
+    LEAD(event_type, 1) OVER w AS e2,
+    LEAD(event_type, 2) OVER w AS e3,
+    sess,
+    LEAD(sess, 2) OVER w AS s3
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE s3 = sess
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+"""
+
 # Cross-batch stateful totals: two deliveries of the same snapshot =>
 # exactly 2x the batch aggregate; per-VALUE cent rounding mirrored by
 # the exact DECIMAL cast (2-dp data), double render once at the edge.

@@ -7672,6 +7672,161 @@ def q_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per nation — the median of all pairwise
+    weekly-revenue slopes (Theil 1950; Sen 1968): a 29% breakdown
+    point where `weekly_trend`'s OLS slope follows any single
+    promotional-spike week. The robust/classical pair mirrors
+    `mad_outliers` vs `outlier_flags` at the regression level.
+
+    Scale shape: the quadratic lives on the CENSUS, not the data —
+    the self-join pairs (nation, week) aggregate rows (|weeks|²/2 per
+    nation, calendar-bounded), so 100× the facts changes only the
+    first shuffle. Float policy: each slope is ONE IEEE division of
+    exact integers (cents delta / week delta); the median is
+    RANK-SELECTED (lower median under the total order (slope, wk_a,
+    wk_b)), never interpolated — element selection can't introduce
+    cross-engine arithmetic at all.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
+    census = (
+        o.join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    )
+    a = census.select("nation", F.col("wk").alias("wk_a"), F.col("cents").alias("c_a"))
+    b = census.select("nation", F.col("wk").alias("wk_b"), F.col("cents").alias("c_b"))
+    pairs = a.join(b, ["nation"]).filter(F.col("wk_a") < F.col("wk_b")).select(
+        "nation",
+        "wk_a",
+        "wk_b",
+        (
+            (F.col("c_b") - F.col("c_a")).cast("double")
+            / (F.col("wk_b") - F.col("wk_a")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("nation").orderBy("slope", "wk_a", "wk_b")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("nation"))
+    )
+    return (
+        ranked.filter(F.expr("rn = ((n_pairs + 1) div 2)"))
+        .select(
+            "nation",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope").alias("ts_slope_cents_per_week"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_ab_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout as a 2×2 contingency χ² — the
+    hypothesis-testing primitive over an engine-deterministic arm
+    split: users hash into arms by md5 parity (the `grouped_split`
+    discipline — re-runnable, join-free), outcome = did the user ever
+    purchase. Output: the full table (a,b,c,d), per-arm conversion
+    ppm, and χ²·10⁶ — the N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) form,
+    numerator and denominator from exact integer counts, evaluated in
+    DOUBLE with one rounding site (products exceed 2⁵³ long before
+    they exceed a double's deterministic rounding — every op is
+    +/×/÷, so cross-engine bit-identity holds; only transcendentals
+    wouldn't).
+
+    One user-level census shuffle (arm, converted) → a 4-cell
+    aggregate → a 1-row pivot. The per-user outcome aggregate
+    map-combines; nothing downstream of the census scales with data.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 200)).cast("int")
+        ).alias("conv")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    cells = per_user.select(arm.alias("arm"), "conv").groupBy().agg(
+        F.sum(((F.col("arm") == 0) & (F.col("conv") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("arm") == 0) & (F.col("conv") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("arm") == 1) & (F.col("conv") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("arm") == 1) & (F.col("conv") == 0)).cast("long")).alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("a * 1000000 div (a + b)").alias("conv_a_ppm"),
+        F.expr("c * 1000000 div (c + d)").alias("conv_b_ppm"),
+        F.round(
+            F.expr(
+                "CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+                "CAST(a + b + c + d AS DOUBLE) * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)"
+                " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END"
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event trigram paths — the behavioral
+    sequence census (what `event_transitions` sees pairwise, at path
+    granularity) feeding funnel design and next-action models.
+
+    Sessions are `sessionize_events`' exact rule (>30-min gap, lag →
+    flag → running sum); the trigram leads run in the SAME
+    user-partitioned window cascade, and a path only counts when its
+    third event is still in the same session (`lead(sess, 2) = sess`
+    — sess is monotone within a user, so equality at +2 implies +1).
+    One user-keyed shuffle for the whole window cascade, then a
+    map-combinable path census and a TakeOrderedAndProject top-20
+    under the total order (n desc, path asc). All counting — exact by
+    construction.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flag = F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+    sess = e.withColumn(
+        "sess",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    tri = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.col("sess"),
+        F.lead("sess", 2).over(w).alias("s3"),
+    ).filter(F.col("s3") == F.col("sess"))
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -7866,6 +8021,9 @@ QUERIES = {
     "l_diversity_audit": q_l_diversity_audit,
     "interpolate_weeks": q_interpolate_weeks,
     "mv_join_delta": q_mv_join_delta,
+    "theilsen_trend": q_theilsen_trend,
+    "ab_contingency_chi2": q_ab_contingency_chi2,
+    "event_paths": q_event_paths,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

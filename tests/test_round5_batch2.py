@@ -661,3 +661,78 @@ def test_mv_join_delta_all_nations_match(spark):
     assert rows
     assert all(r["match"] == 1 for r in rows)
     assert all(r["merged_cents"] == r["base_cents"] + r["delta_cents"] for r in rows)
+
+
+def test_round5_batch7_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # Theil–Sen: the quadratic self-join runs on the nation-keyed
+    # CENSUS (post-aggregation), dims broadcast, no nested loop.
+    p = shape("theilsen_trend")
+    assert "BroadcastNestedLoop" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+    # χ²: one user census shuffle, then single-row arithmetic.
+    p = shape("ab_contingency_chi2")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Join" not in p, p
+
+    # paths: ONE user-keyed window cascade (sessionize + leads share
+    # the partition), census agg, top-20 via TakeOrderedAndProject.
+    p = shape("event_paths")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_theilsen_median_is_an_actual_slope(spark):
+    """Rank selection returns an element, not an interpolation: the
+    reported slope must appear in the recomputed pairwise slope set."""
+    rows = QUERIES["theilsen_trend"](spark, SF_SMOKE).collect()
+    assert rows
+    census = {}
+    import collections
+    from manipula_o_de_dataframes_spark.queries import read_table
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    n = read_table(spark, SF_SMOKE, "nation")
+    df = (
+        o.join(c, o["o_custkey"] == c["c_custkey"]) 
+        .join(n, c["c_nationkey"] == n["n_nationkey"]) 
+        .select("n_name", F.expr("floor(datediff(o_orderdate, '1970-01-01') / 7)").cast("long").alias("wk"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).alias("cents"))
+        .groupBy("n_name", "wk").agg(F.sum("cents").cast("bigint").alias("cents"))
+        .collect()
+    )
+    per = collections.defaultdict(list)
+    for r in df:
+        per[r["n_name"]].append((r["wk"], r["cents"]))
+    for row in rows:
+        pts = sorted(per[row["nation"]])
+        slopes = sorted(
+            (float(cb - ca) / float(wb - wa), wa, wb)
+            for i, (wa, ca) in enumerate(pts)
+            for (wb, cb) in pts[i + 1:]
+        )
+        assert row["n_pairs"] == len(slopes)
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert row["ts_slope_cents_per_week"] == lower_median
+
+
+def test_ab_chi2_cells_partition_users(spark):
+    r = QUERIES["ab_contingency_chi2"](spark, SF_SMOKE).collect()[0]
+    from manipula_o_de_dataframes_spark.queries import read_table
+    n_users = read_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert r["a"] + r["b"] + r["c"] + r["d"] == n_users
+    assert r["chi2_micro"] >= 0
+
+
+def test_event_paths_counts_are_session_bounded(spark):
+    rows = QUERIES["event_paths"](spark, SF_SMOKE).collect()
+    assert rows
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r["path"].count(">") == 2 for r in rows)
