@@ -4878,6 +4878,84 @@ FROM tri WHERE s3 = sess
 GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
 """
 
+# Latency deciles: same tz-free epoch-minute deltas, same exact
+# rank-selection (element at ceil(p*n/100) under (delta, user)).
+ORACLES["conversion_latency"] = """
+WITH su AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+             THEN date_diff('second', TIMESTAMP '1990-01-01', ts) END) AS s0
+  FROM events WHERE event_type IN ('signup', 'purchase') GROUP BY 1
+), pu AS (
+  SELECT e.user_id,
+         MIN(date_diff('second', TIMESTAMP '1990-01-01', e.ts)) AS p0,
+         MAX(su.s0) AS s0
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND date_diff('second', TIMESTAMP '1990-01-01', e.ts) >= su.s0
+  GROUP BY 1
+), deltas AS (
+  SELECT user_id, (p0 - s0) // 60 AS delta_min FROM pu WHERE s0 IS NOT NULL
+), ranked AS (
+  SELECT user_id, delta_min,
+         ROW_NUMBER() OVER (ORDER BY delta_min, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM deltas
+)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       CAST(r.rn AS BIGINT) AS rank,
+       CAST(r.delta_min AS BIGINT) AS delta_min,
+       CAST(r.n AS BIGINT) AS n_users
+FROM ranked r
+JOIN (SELECT unnest([10, 25, 50, 75, 90]) AS pct) p
+  ON r.rn = (p.pct * r.n + 99) // 100
+ORDER BY pct
+"""
+
+ORACLES["backlog_aging"] = """
+WITH last_ship AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), open_orders AS (
+  SELECT o.o_orderkey, o.o_totalprice,
+         date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2000-01-01') AS age
+  FROM orders o JOIN last_ship s ON o.o_orderkey = s.l_orderkey
+  WHERE o.o_orderdate <= TIMESTAMP '2000-01-01'
+    AND s.last_ship > TIMESTAMP '2000-01-01'
+)
+SELECT CASE WHEN age <= 30 THEN '00-030d'
+            WHEN age <= 90 THEN '031-090d'
+            WHEN age <= 180 THEN '091-180d'
+            WHEN age <= 365 THEN '181-365d'
+            ELSE '365d+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS value_cents,
+       CAST(MAX(age) AS BIGINT) AS oldest_days
+FROM open_orders GROUP BY 1 ORDER BY 1
+"""
+
+# Watermark finalization replay (append mode): the sink holds exactly
+# the on-time hour windows whose end ≤ max(on-time ts) − 30 min, with
+# pure on-time counts — every late row for a finalized window was
+# dropped by the watermark filter, and still-open windows are never
+# flushed by the availableNow drain.
+ORACLES["stream_late_drop"] = """
+WITH tagged AS (
+  SELECT ts,
+    (('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 8 = 0)
+      AS is_late
+  FROM events
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM tagged WHERE NOT is_late
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS janela,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tagged t, wm
+WHERE NOT t.is_late
+GROUP BY 1
+HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT wm FROM wm)
+ORDER BY 1
+"""
+
 # Cross-batch stateful totals: two deliveries of the same snapshot =>
 # exactly 2x the batch aggregate; per-VALUE cent rounding mirrored by
 # the exact DECIMAL cast (2-dp data), double render once at the edge.

@@ -7827,6 +7827,120 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from each user's FIRST
+    signup to their first purchase AFTER it, summarized as exact
+    rank-selected deciles — the latency funnel metric
+    (`conversion_forward` finds the pairs; this publishes the
+    distribution a growth team actually quotes).
+
+    Exactness: deltas are integer minutes from tz-free epoch-second
+    arithmetic; each decile is the ELEMENT at rank ⌈p·n/100⌉ under the
+    total order (delta, user_id) — rank selection, never
+    interpolation (the `winsorized_stats`/`histogram_quantiles` exact
+    arm). Shape: one user-keyed aggregate (min signup ts, min
+    qualifying purchase ts ride the same shuffle via conditional
+    min), then deciles over the bounded per-user census.
+    """
+    e = read_table(spark, sf_dir, "events")
+    secs = tmp.seconds_since_origin("ts")
+    per_user = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", secs)).alias("s0"),
+        )
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(per_user), "user_id")
+        .filter(secs >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min(secs).alias("p0"), F.max("s0").alias("s0"))
+    )
+    deltas = purch.filter(F.col("s0").isNotNull()).select(
+        "user_id", F.expr("(p0 - s0) div 60").alias("delta_min")
+    )
+    w = Window.orderBy("delta_min", "user_id")
+    ranked = deltas.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    pct = F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90)])).alias("pct")
+    spine = ranked.select("rn", "delta_min", "n").crossJoin(
+        ranked.agg(F.max("n").alias("__n")).select(pct, "__n")
+    )
+    return (
+        spine.filter(F.col("rn") == F.expr("(pct * __n + 99) div 100"))
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("rn").cast("long").alias("rank"),
+            F.col("delta_min").cast("long").alias("delta_min"),
+            F.col("n").cast("long").alias("n_users"),
+        )
+        .orderBy("pct")
+    )
+
+
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging at a snapshot date — the operations
+    staple (how old is the work still in flight?): an order is OPEN at
+    2000-01-01 if placed on/before it and its LAST line ships after
+    it; age buckets 0–30 / 31–90 / 91–180 / 181–365 / 365+ days with
+    order count and exact value cents per bucket.
+
+    The aggregate-then-join discipline (Q18's): lineitem collapses to
+    per-order max shipdate FIRST (one orderkey census shuffle), joins
+    orders, and only then buckets — integer day arithmetic
+    throughout, bucket edges as a literal CASE so both engines bin
+    identically. 5-row output.
+    """
+    snap = "2000-01-01"
+    last_ship = (
+        read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= F.lit(snap)
+    )
+    open_orders = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"]
+    ).filter(F.col("last_ship") > F.lit(snap))
+    age = F.datediff(F.lit(snap), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "00-030d")
+        .when(age <= 90, "031-090d")
+        .when(age <= 180, "091-180d")
+        .when(age <= 365, "181-365d")
+        .otherwise("365d+")
+    )
+    return (
+        open_orders.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast(MONEY)) * 100)
+            .cast("bigint")
+            .alias("value_cents"),
+            F.max(age).cast("long").alias("oldest_days"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data audit — see
+    `streaming/stateful.py:late_drop_drained`: a deterministic md5
+    shard of the snapshot arrives one micro-batch late behind a
+    30-minute watermark; finalized hour windows drop their late rows,
+    still-open windows accept them, and the DuckDB oracle replays the
+    acceptance rule exactly — the watermark DROP path under the hash
+    gate (upgrades §2.10 beyond happy-path accumulation).
+    """
+    from .streaming.stateful import late_drop_drained  # noqa: PLC0415
+
+    return late_drop_drained(spark, sf_dir)
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8024,6 +8138,9 @@ QUERIES = {
     "theilsen_trend": q_theilsen_trend,
     "ab_contingency_chi2": q_ab_contingency_chi2,
     "event_paths": q_event_paths,
+    "conversion_latency": q_conversion_latency,
+    "backlog_aging": q_backlog_aging,
+    "stream_late_drop": q_stream_late_drop,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

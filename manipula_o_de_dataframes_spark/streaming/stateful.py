@@ -120,3 +120,127 @@ def running_totals_drained(spark, sf_dir: str) -> DataFrame:
         .select("key", F.col("n").cast("long").alias("n"), "total")
         .orderBy("key")
     )
+
+
+def late_drop_drained(spark, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics made hash-checkable: hourly event
+    counts where a deterministic ~1/8 md5 shard of the snapshot
+    arrives one micro-batch LATE, behind a 30-minute watermark.
+
+    Staging: delivery 1 = the on-time 7/8, delivery 2 = an EMPTY
+    heartbeat, delivery 3 = the late shard. The heartbeat exists
+    because Spark's late-record filter runs one batch BEHIND the
+    eviction watermark (measured: a late row arriving in the batch
+    right after the data that should expire it is still accepted,
+    aggregated, and flushed — `dropped=0`; the same row one batch
+    later is dropped — `dropped=1`). With the heartbeat in between,
+    the late batch filters against wm = max(on-time ts) − 30 min and
+    every late row whose hour window is already finalized
+    (window end ≤ wm) is genuinely dropped
+    (`numRowsDroppedByWatermark` > 0, exposed via the
+    `last_dropped` hook and asserted in tests; note the metric counts
+    the map-side-combined window PARTIALS hitting the state store —
+    one per distinct finalized late window — not raw input rows). APPEND mode is the
+    semantics under test: the sink holds exactly the finalized
+    windows with pure on-time counts; update mode would hide the
+    drop (measured: it aggregates the late rows, re-emits the old
+    windows, then evicts — dropped=0, removed=529). The DuckDB
+    oracle replays the finalization rule; the cross-batch ACCEPT
+    path is `stream_running_totals`' job.
+
+    The three deliveries are real parquet files with forced mtime
+    order (maxFilesPerTrigger=1 → one micro-batch each).
+    """
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..sources.io import read_table  # noqa: PLC0415
+    from .joins import drain_shuffle_partitions  # noqa: PLC0415
+
+    watch_dir = tempfile.mkdtemp(prefix="manipula_late_in_")
+    ckpt_dir = tempfile.mkdtemp(prefix="manipula_late_ckpt_")
+    stage_dir = tempfile.mkdtemp(prefix="manipula_late_stage_")
+    name = "late_drop_" + uuid.uuid4().hex
+    try:
+        e = read_table(spark, sf_dir, "events").select("event_id", "ts")
+        is_late = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("late:"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+            == 0
+        )
+        for i, part in enumerate(
+            (e.filter(~is_late), e.filter(F.lit(False)), e.filter(is_late)),
+            start=1,
+        ):
+            out = os.path.join(stage_dir, f"d{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(out)
+            src = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+            dst = os.path.join(watch_dir, f"delivery{i}.parquet")
+            shutil.copyfile(src, dst)
+            os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        stream = spark.readStream.schema("event_id long, ts timestamp_ntz").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(watch_dir)
+        # withWatermark rejects TIMESTAMP_NTZ; build the required LTZ
+        # instant NUMERICALLY (epoch seconds of the wall clock), which
+        # is session-tz-independent — a plain NTZ→LTZ cast would shift
+        # by the session offset and misalign hour windows in
+        # half-hour-offset zones. The window start converts back to an
+        # NTZ wall time the same arithmetic way before rendering.
+        ts_i = F.expr(
+            "timestamp_seconds(timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', ts))"
+        )
+        agg = (
+            stream.select(ts_i.alias("ts_i"))
+            .withWatermark("ts_i", "30 minutes")
+            .groupBy(F.window("ts_i", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format(
+                    F.expr(
+                        "timestampadd(SECOND, CAST(unix_timestamp(window.start) AS INT), "
+                        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))"
+                    ),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("janela"),
+                "n",
+            )
+        )
+        with drain_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt_dir)
+                .start()
+            )
+            q.awaitTermination()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+        )
+        sink = spark.table(name)
+        emitted = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    late_drop_drained.last_dropped = dropped  # test hook: the real drop count
+    return emitted.select("janela", F.col("n").cast("long").alias("n")).orderBy(
+        "janela"
+    )

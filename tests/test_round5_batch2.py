@@ -736,3 +736,73 @@ def test_event_paths_counts_are_session_bounded(spark):
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert all(r["path"].count(">") == 2 for r in rows)
+
+
+def test_round5_batch8_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # latency deciles: user-keyed aggregates + bounded census windows.
+    p = shape("conversion_latency")
+    assert "BroadcastNestedLoop" not in p, p
+
+    # backlog aging: the Q18 aggregate-then-join discipline — the
+    # lineitem max-shipdate agg must sit BELOW the orders join.
+    p = shape("backlog_aging")
+    join_pos = max(p.find("SortMergeJoin"), p.find("ShuffledHashJoin"), p.find("BroadcastHashJoin"))
+    agg_pos = p.rfind("HashAggregate")
+    assert agg_pos > join_pos >= 0, f"last-ship agg not below the join\n{p}"
+
+
+def test_stream_late_drop_really_drops(spark):
+    """The drop path must engage: the measured numRowsDroppedByWatermark
+    equals the late rows whose hour window was finalized, and no late
+    row leaks into any emitted count."""
+    import duckdb
+    from manipula_o_de_dataframes_spark.streaming.stateful import late_drop_drained
+
+    rows = {r["janela"]: r["n"] for r in QUERIES["stream_late_drop"](spark, SF_SMOKE).collect()}
+    assert rows
+    con = duckdb.connect()
+    # the metric counts map-side-combined PARTIALS, i.e. one row per
+    # distinct finalized late window (all 117 late input rows at this
+    # SF collapse to their 107 distinct hour windows before the state
+    # store applies the watermark filter)
+    expected_drops = con.execute(f"""
+      WITH tagged AS (
+        SELECT ts,
+          (('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 8 = 0) AS is_late
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+      ), wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM tagged WHERE NOT is_late)
+      SELECT COUNT(DISTINCT date_trunc('hour', t.ts)) FROM tagged t, wm
+      WHERE t.is_late AND date_trunc('hour', t.ts) + INTERVAL 1 HOUR <= wm.wm
+    """).fetchone()[0]
+    assert late_drop_drained.last_dropped == expected_drops > 0
+    # emitted counts are pure on-time: totals must equal on-time rows
+    # in finalized windows, strictly fewer than the full snapshot
+    total = con.execute(f"SELECT COUNT(*) FROM read_parquet('{SF_SMOKE}/events.parquet')").fetchone()[0]
+    assert sum(rows.values()) < total
+
+
+def test_conversion_latency_ranks_are_exact(spark):
+    rows = QUERIES["conversion_latency"](spark, SF_SMOKE).collect()
+    assert [r["pct"] for r in rows] == [10, 25, 50, 75, 90]
+    n = rows[0]["n_users"]
+    for r in rows:
+        assert r["rank"] == (r["pct"] * n + 99) // 100
+        assert r["n_users"] == n
+    deltas = [r["delta_min"] for r in rows]
+    assert deltas == sorted(deltas)
+
+
+def test_backlog_aging_buckets_partition_open_orders(spark):
+    rows = QUERIES["backlog_aging"](spark, SF_SMOKE).collect()
+    assert rows
+    edges = {"00-030d": 30, "031-090d": 90, "091-180d": 180, "181-365d": 365}
+    for r in rows:
+        if r["age_bucket"] in edges:
+            assert r["oldest_days"] <= edges[r["age_bucket"]]
+        assert r["n_orders"] > 0 and r["value_cents"] > 0
