@@ -4956,6 +4956,58 @@ HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT wm FROM wm)
 ORDER BY 1
 """
 
+ORACLES["embedding_dim_profile"] = """
+WITH dims AS (
+  SELECT t.i - 1 AS dim,
+         CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(q) AS min_micro,
+       MAX(q) AS max_micro,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_micro
+FROM dims GROUP BY 1 ORDER BY 1
+"""
+
+# Split-point mirror: identical dyadic-fraction exact quantiles over
+# integer cents, identical boundary-count bucket assignment.
+ORACLES["range_split_points"] = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT quantile_cont(cents, [
+    0.03125,0.0625,0.09375,0.125,0.15625,0.1875,0.21875,0.25,
+    0.28125,0.3125,0.34375,0.375,0.40625,0.4375,0.46875,0.5,
+    0.53125,0.5625,0.59375,0.625,0.65625,0.6875,0.71875,0.75,
+    0.78125,0.8125,0.84375,0.875,0.90625,0.9375,0.96875
+  ]) AS bounds, COUNT(*) AS n_rows
+  FROM c
+), assigned AS (
+  SELECT len(list_filter(b.bounds, x -> x <= CAST(c.cents AS DOUBLE))) AS bucket,
+         b.n_rows
+  FROM c CROSS JOIN b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_bucket,
+       (COUNT(*) - MAX(n_rows) // 32) * 1000000 // (MAX(n_rows) // 32)
+         AS skew_vs_ideal_ppm
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["grouping_sets_rollup"] = """
+SELECT COALESCE(n.n_name, '(all)') AS nation,
+       COALESCE(c.c_mktsegment, '(all)') AS segment,
+       CAST(GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS acctbal_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name, c.c_mktsegment), (n.n_name), ())
+ORDER BY gid, nation, segment
+"""
+
 # Cross-batch stateful totals: two deliveries of the same snapshot =>
 # exactly 2x the batch aggregate; per-VALUE cent rounding mirrored by
 # the exact DECIMAL cast (2-dp data), double render once at the edge.

@@ -7941,6 +7941,122 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_drop_drained(spark, sf_dir)
 
 
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION profile of the embedding table (n, min, max, mean
+    per coordinate) — the normalization pre-flight for any vector
+    pipeline: a dimension whose scale dwarfs the rest dominates every
+    cosine/L2 downstream, and this census is how you find it.
+    `label_centroids` slices by label; this slices by coordinate.
+
+    Determinism: each float quantizes ONCE to micro-units
+    (round(x·10⁶) → BIGINT) and everything downstream is integer
+    min/max/sum — the distributed mean is bit-reproducible because
+    integer partials re-associate freely (float sums don't); one IEEE
+    division renders the mean. Shuffle carries (dim, partial) rows
+    with map-side combine — 64 groups, vectors never move whole.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select("embedding")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("bigint"),
+    )
+    dims = e.select(F.posexplode(q).alias("dim", "__q"))
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__q").alias("min_micro"),
+            F.max("__q").alias("max_micro"),
+            F.sum("__q").alias("sum_micro"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            "min_micro",
+            "max_micro",
+            (F.col("sum_micro").cast("double") / F.col("n")).alias("mean_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+def q_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition planner audit: the 31 split points a
+    `repartitionByRange(32)` of orders by total price would ideally
+    use (exact 1/32 quantiles of the cents distribution), and the
+    occupancy each resulting bucket actually gets — including the
+    honest failure mode this audit exists to expose: EQUAL keys
+    cannot be split across range partitions, so heavy ties bound the
+    achievable balance no matter how good the boundaries are.
+
+    Exactness: boundaries are exact interpolated quantiles over
+    integer cents with DYADIC fractions i/32 — (b−a)·k/32 and
+    (1−k/32)·a+… are both exactly representable for cent-scale
+    integers, so Spark's and DuckDB's interpolation formulas agree
+    bit-for-bit (a non-dyadic fraction would not be safe; that's why
+    the bucket count is a power of two). Assignment is a map-side
+    comparison against the 31-element broadcast boundary array
+    (`size(filter(bounds ≤ cents))`); one 32-group census closes it.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("bigint").alias("cents")
+    )
+    fracs = [i / 32.0 for i in range(1, 32)]
+    bounds = o.agg(
+        F.percentile("cents", F.lit(fracs)).alias("bounds"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        F.size(
+            F.filter(F.col("bounds"), lambda b: b <= F.col("cents").cast("double"))
+        ).alias("bucket"),
+        "n_rows",
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_bucket"), F.max("n_rows").alias("__n"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_bucket",
+            F.expr("(n_bucket - __n div 32) * 1000000 div (__n div 32)").alias(
+                "skew_vs_ideal_ppm"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GROUPING SETS in one pass — (nation, segment), (nation),
+    and grand-total rows from a single scan with `grouping_id`
+    disambiguating the levels (`sales_cube` shows CUBE; this is the
+    surgical subset a report actually wants, without the unused
+    (segment)-only level CUBE would also pay for). Customer counts
+    and exact account-balance cents per cell.
+
+    Catalyst expands grouping sets into one Expand + one aggregate —
+    a single shuffle carrying each input row once per MATCHED set
+    (2-3 rows here), which is the point vs three separate scans.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).createOrReplaceTempView(
+        "__gs_cust"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, '(all)') AS nation,
+               COALESCE(c_mktsegment, '(all)') AS segment,
+               CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS acctbal_cents
+        FROM __gs_cust
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+        ORDER BY gid, nation, segment
+        """
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8141,6 +8257,9 @@ QUERIES = {
     "conversion_latency": q_conversion_latency,
     "backlog_aging": q_backlog_aging,
     "stream_late_drop": q_stream_late_drop,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "range_split_points": q_range_split_points,
+    "grouping_sets_rollup": q_grouping_sets_rollup,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -806,3 +806,58 @@ def test_backlog_aging_buckets_partition_open_orders(spark):
         if r["age_bucket"] in edges:
             assert r["oldest_days"] <= edges[r["age_bucket"]]
         assert r["n_orders"] > 0 and r["value_cents"] > 0
+
+
+def test_round5_batch9_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # dim profile: posexplode → ONE 64-group map-combined aggregate.
+    p = shape("embedding_dim_profile")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "Generate" in p, p
+
+    # split points: boundaries ride a one-row broadcast; assignment is
+    # a scan-side expression; one census shuffle closes it.
+    p = shape("range_split_points")
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
+
+    # grouping sets: ONE Expand + one aggregate, never three scans.
+    p = shape("grouping_sets_rollup")
+    assert "Expand" in p, p
+    assert p.count("Scan parquet") <= 2, p  # customer + nation
+
+
+def test_range_split_points_buckets_are_balanced_up_to_ties(spark):
+    rows = QUERIES["range_split_points"](spark, SF_SMOKE).collect()
+    assert [r["bucket"] for r in rows] == list(range(32))
+    total = sum(r["n_bucket"] for r in rows)
+    from manipula_o_de_dataframes_spark.queries import read_table
+    assert total == read_table(spark, SF_SMOKE, "orders").count()
+    # price cents at this SF are near-unique → every bucket within 10%
+    ideal = total // 32
+    for r in rows:
+        assert abs(r["n_bucket"] - ideal) <= max(2, ideal // 10), rows
+
+
+def test_grouping_sets_levels_are_consistent(spark):
+    rows = QUERIES["grouping_sets_rollup"](spark, SF_SMOKE).collect()
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    per_nation = {r["nation"]: r for r in rows if r["gid"] == 1}
+    cells = [r for r in rows if r["gid"] == 0]
+    assert grand[0]["n_customers"] == sum(r["n_customers"] for r in per_nation.values())
+    for nat, nrow in per_nation.items():
+        sub = [r for r in cells if r["nation"] == nat]
+        assert nrow["n_customers"] == sum(r["n_customers"] for r in sub)
+        assert nrow["acctbal_cents"] == sum(r["acctbal_cents"] for r in sub)
+
+
+def test_embedding_dim_profile_bounds(spark):
+    rows = QUERIES["embedding_dim_profile"](spark, SF_SMOKE).collect()
+    assert [r["dim"] for r in rows] == list(range(64))
+    for r in rows:
+        assert r["min_micro"] <= r["mean_micro"] <= r["max_micro"]
