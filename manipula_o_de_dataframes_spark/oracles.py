@@ -4997,6 +4997,70 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM assigned GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["weighted_median_price"] = """
+WITH lines AS (
+  SELECT n.n_name,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), cum AS (
+  SELECT n_name, cents,
+         SUM(qty) OVER (PARTITION BY n_name ORDER BY cents, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(qty) OVER (PARTITION BY n_name) AS total
+  FROM lines
+), hit AS (
+  SELECT n_name, cents, cum, total,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cum) AS rn
+  FROM cum WHERE cum * 2 >= total
+)
+SELECT n_name AS nation, cents AS wmedian_cents, CAST(total AS BIGINT) AS total_qty
+FROM hit WHERE rn = 1 ORDER BY nation
+"""
+
+ORACLES["twab_balance"] = """
+WITH stepped AS (
+  SELECT user_id,
+    date_diff('second', TIMESTAMP '1990-01-01', ts) AS t,
+    SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             WHEN event_type = 'error'
+             THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal,
+    LEAD(date_diff('second', TIMESTAMP '1990-01-01', ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM((t_next - t) * bal) AS DOUBLE) / SUM(t_next - t) AS twab_cents,
+       CAST(SUM(t_next - t) AS BIGINT) AS obs_seconds,
+       CAST(MAX(bal) AS BIGINT) AS peak_cents
+FROM stepped WHERE t_next IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["order_count_gini"] = """
+WITH counts AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x FROM orders GROUP BY 1
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(x) AS total_orders,
+       CAST(round(
+         (CAST(2 AS DOUBLE) * CAST(SUM(i * x) AS DOUBLE)
+            / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+          - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         * 1e6, 0) AS BIGINT) AS gini_micro
+FROM ranked
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

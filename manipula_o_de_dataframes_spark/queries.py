@@ -8057,6 +8057,141 @@ def q_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per nation — the
+    inventory-weighted "typical price" (an unweighted median over
+    line rows would let a thousand 1-unit lines outvote one
+    10,000-unit line). Classic cumulative-weight rank selection:
+    sort each nation's lines by (cents, orderkey, linenumber),
+    running quantity sum, pick the FIRST row where 2·cum ≥ total —
+    the lower weighted median, an element selection (no
+    interpolation, nothing to diverge cross-engine).
+
+    Shape: one nation-keyed shuffle+sort window over the lines (the
+    honest cost of any order statistic over raw facts — at 100 TB
+    you'd pre-aggregate to a (nation, cents) census first, which this
+    plan admits: the window key set wouldn't change), then a
+    per-nation argmin. All integers.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast(MONEY) * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lines = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "cents", "qty", "l_orderkey", "l_linenumber")
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "l_orderkey", "l_linenumber")
+    cum = lines.select(
+        "n_name",
+        "cents",
+        F.sum("qty").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("qty").over(Window.partitionBy("n_name")).alias("total"),
+    ).filter(F.col("cum") * 2 >= F.col("total"))
+    w2 = Window.partitionBy("n_name").orderBy("cum")
+    return (
+        cum.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("cents").alias("wmedian_cents"),
+            F.col("total").alias("total_qty"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_twab_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average balance per user — the interest-accrual /
+    exposure metric where a plain mean is wrong (holding R$1000 for
+    29 days then R$0 for 1 is not the same as the reverse): balance
+    steps at each ledger event (purchases credit, errors debit), and
+    the average weighs each balance level by how long it was held.
+
+    All integer until the final division: running balance in cents
+    (windowed sum — associative, unlike `capped_balance`'s clamped
+    fold), holding duration in seconds via tz-free epoch arithmetic
+    (the observation closes at the user's LAST event of any type, so
+    the final level carries real duration), Σ balance·seconds as
+    BIGINT (bounded: cents ≤ 10⁸ · seconds ≤ 3·10⁶ per hold at this
+    span — document before 100 TB: promote to DECIMAL(38,0) partials)
+    — ONE IEEE division renders the answer. One user-keyed window
+    cascade, one census aggregate.
+    """
+    e = read_table(spark, sf_dir, "events")
+    secs = tmp.seconds_since_origin("ts")
+    cents = (F.col("value").cast(MONEY) * 100).cast("long")
+    delta = F.when(F.col("event_type") == "purchase", cents).when(
+        F.col("event_type") == "error", -cents
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        secs.alias("t"),
+        F.sum(delta).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("bal"),
+        F.lead(secs).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum((F.col("t_next") - F.col("t")) * F.col("bal")).alias("__num"),
+            F.sum(F.col("t_next") - F.col("t")).alias("obs_seconds"),
+            F.max("bal").alias("peak_cents"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            (F.col("__num").cast("double") / F.col("obs_seconds")).alias("twab_cents"),
+            F.col("obs_seconds").cast("long").alias("obs_seconds"),
+            F.col("peak_cents").cast("long").alias("peak_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_order_count_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order counts across customers — the
+    standard inequality summary beside `join_skew_profile`'s F₂
+    (F₂ bounds the self-join blow-up; Gini answers "how concentrated
+    is the workload" on the analyst's 0–1 scale). Exact rational
+    core: over counts sorted ascending with rank i,
+    G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n — every term BIGINT, two
+    IEEE divisions and one subtraction at the edge, rounded once to
+    micro units.
+
+    Shape: one custkey census shuffle, then the rank window runs over
+    the CENSUS (|customers| rows, not orders); the Σ i·x and Σ x
+    moments are one more census aggregate. Ties take the pinned
+    (count, custkey) order — Gini is tie-order-invariant, the pin is
+    purely for engine determinism.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = counts.select("x", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("total_orders"),
+        F.round(
+            (
+                (F.lit(2).cast("double") * F.sum(F.col("i") * F.col("x")))
+                / (F.count(F.lit(1)) * F.sum("x")).cast("double")
+                - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8260,6 +8395,9 @@ QUERIES = {
     "embedding_dim_profile": q_embedding_dim_profile,
     "range_split_points": q_range_split_points,
     "grouping_sets_rollup": q_grouping_sets_rollup,
+    "weighted_median_price": q_weighted_median_price,
+    "twab_balance": q_twab_balance,
+    "order_count_gini": q_order_count_gini,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

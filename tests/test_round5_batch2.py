@@ -861,3 +861,92 @@ def test_embedding_dim_profile_bounds(spark):
     assert [r["dim"] for r in rows] == list(range(64))
     for r in rows:
         assert r["min_micro"] <= r["mean_micro"] <= r["max_micro"]
+
+
+def test_round5_batch10_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # weighted median: dims broadcast; the nation sort-window is the
+    # one honest heavy stage.
+    p = shape("weighted_median_price")
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+    # TWAB: window and groupBy share the user key — ONE fact shuffle.
+    p = shape("twab_balance")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+    # Gini: custkey census shuffle + census rank; no joins.
+    p = shape("order_count_gini")
+    assert "Join" not in p, p
+
+
+def test_weighted_median_dominates_by_quantity(spark):
+    """The reported element must be a real price and sit at the
+    weighted midpoint: quantity strictly below it < half total."""
+    rows = QUERIES["weighted_median_price"](spark, SF_SMOKE).collect()
+    assert rows
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    n = read_table(spark, SF_SMOKE, "nation")
+    full = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"]) 
+        .join(c, o["o_custkey"] == c["c_custkey"]) 
+        .join(n, c["c_nationkey"] == n["n_nationkey"]) 
+        .select("n_name", (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+                F.col("l_quantity").cast("long").alias("qty"))
+        .collect()
+    )
+    import collections
+    per = collections.defaultdict(list)
+    for r in full:
+        per[r["n_name"]].append((r["cents"], r["qty"]))
+    for row in rows:
+        pts = per[row["nation"]]
+        total = sum(q for _, q in pts)
+        assert total == row["total_qty"]
+        below = sum(q for cents, q in pts if cents < row["wmedian_cents"])
+        at_or_below = sum(q for cents, q in pts if cents <= row["wmedian_cents"])
+        assert below * 2 < total <= at_or_below * 2
+
+
+def test_twab_matches_python_fold(spark):
+    rows = {r["user_id"]: r for r in QUERIES["twab_balance"](spark, SF_SMOKE).collect()}
+    assert rows
+    import manipula_o_de_dataframes_spark.operators.temporal as tmp_mod
+    e = read_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "event_type",
+        tmp_mod.seconds_since_origin("ts").alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).collect()
+    import collections
+    per = collections.defaultdict(list)
+    for r in e:
+        per[r["user_id"]].append((r["t"], r["event_id"], r["event_type"], r["cents"]))
+    for uid, evs in per.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        bal, num, dur, peak = 0, 0, 0, None
+        for i, (t, _, typ, cents) in enumerate(evs):
+            bal += cents if typ == "purchase" else (-cents if typ == "error" else 0)
+            if i + 1 < len(evs):
+                dt = evs[i + 1][0] - t
+                num += dt * bal
+                dur += dt
+                peak = bal if peak is None else max(peak, bal)
+        if dur == 0:
+            assert uid not in rows or rows[uid]["obs_seconds"] == 0
+            continue
+        r = rows[uid]
+        assert r["obs_seconds"] == dur
+        assert r["twab_cents"] == num / dur
+        assert r["peak_cents"] == peak
+
+
+def test_gini_bounds_and_moments(spark):
+    r = QUERIES["order_count_gini"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["gini_micro"] < 1_000_000
+    assert r["total_orders"] >= r["n_customers"] > 0
