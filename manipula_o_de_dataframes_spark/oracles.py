@@ -5061,6 +5061,72 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
 FROM ranked
 """
 
+ORACLES["ks_length_drift"] = """
+WITH d AS (SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+counts AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM d),
+srcs AS (SELECT DISTINCT source FROM d),
+totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
+allc AS (
+  SELECT v, SUM(CAST(cnt AS BIGINT)) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM (SELECT v, COUNT(*) AS cnt FROM d GROUP BY 1)
+),
+grid AS (
+  SELECT s.source, va.v, COALESCE(c.cnt, 0) AS cnt
+  FROM vals va CROSS JOIN srcs s
+  LEFT JOIN counts c ON c.source = s.source AND c.v = va.v
+),
+cums AS (
+  SELECT g.source, g.v,
+         SUM(g.cnt) OVER (PARTITION BY g.source ORDER BY g.v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+         a.cum_all, t.n_s, gr.n_all
+  FROM grid g
+  JOIN allc a ON a.v = g.v
+  JOIN totals t ON t.source = g.source
+  CROSS JOIN grand gr
+),
+ranked AS (
+  SELECT source, v, cum_s, cum_all, n_s, n_all,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY abs(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s) DESC, v ASC) AS rn
+  FROM cums
+)
+SELECT source,
+       n_s AS n_docs,
+       v AS argmax_len,
+       abs(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s)
+         * 1000000 // (n_s * (n_all - n_s)) AS ks_d_ppm
+FROM ranked WHERE rn = 1 ORDER BY source
+"""
+
+ORACLES["scd2_pit_join"] = """
+WITH versioned AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         TIMESTAMP '1990-01-01' AS eff_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1998-01-01'
+              ELSE TIMESTAMP '9999-12-31' END AS eff_to,
+         'v1' AS ver
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 10000,
+         TIMESTAMP '1998-01-01', TIMESTAMP '9999-12-31', 'v2'
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT n.n_name, vd.ver,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(vd.bal) AS pit_bal_cents
+FROM orders o
+JOIN versioned vd ON o.o_custkey = vd.c_custkey
+  AND o.o_orderdate >= vd.eff_from AND o.o_orderdate < vd.eff_to
+JOIN nation n ON vd.c_nationkey = n.n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

@@ -8192,6 +8192,146 @@ def q_order_count_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift of the document-length
+    distribution, each source vs the rest of the corpus — the
+    distribution-shape screen that catches what mean/median
+    comparisons miss (a source whose lengths are bimodal can match
+    the corpus mean exactly). D is computed EXACTLY in integers: at
+    every observed length v, the CDF gap |cum_s·n_r − cum_r·n_s| is
+    a cross-multiplied BIGINT (no division until the final ppm
+    render), and the max is rank-selected with the gap value and its
+    argmax length in the output.
+
+    Shape: one (source, length) census shuffle; the dense
+    source×length grid is census-sized (distinct lengths are bounded
+    by the length domain, not the corpus — documented 100 TB posture:
+    bucket lengths first if the domain ever grows); two window scans
+    per source partition over that grid.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("n_chars").isNotNull())
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    values = d.select(F.col("n_chars").alias("v")).distinct()
+    sources = d.select("source").distinct()
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    grand = d.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        values.crossJoin(F.broadcast(sources))
+        .join(counts, ["source", "v"], "left")
+        .select("source", "v", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    all_counts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt_all")
+    )
+    w_s = Window.partitionBy("source").orderBy("v")
+    w_all = Window.orderBy("v")
+    cums = (
+        grid.withColumn("cum_s", F.sum("cnt").over(w_s))
+        .join(
+            all_counts.withColumn("cum_all", F.sum("cnt_all").over(w_all)).select(
+                "v", "cum_all"
+            ),
+            "v",
+        )
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    gap = F.abs(
+        F.col("cum_s") * (F.col("n_all") - F.col("n_s"))
+        - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        gap.desc(), F.col("v").asc()
+    )
+    return (
+        cums.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.col("v").alias("argmax_len"),
+            F.expr(
+                "abs(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s)"
+                " * 1000000 div (n_s * (n_all - n_s))"
+            ).alias("ks_d_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of date) join against a type-2 dimension —
+    the query `scd2_dim` exists to serve: each order enriches with
+    the customer-balance VERSION valid at its order date
+    (eff_from ≤ o_orderdate < eff_to), never the current one — the
+    difference between "what was true then" and "what is true now"
+    that makes or breaks restated reports.
+
+    The versioned dim is derived deterministically (every 3rd
+    customer repriced +R$100 effective 1998-01-01; others single
+    version), so the oracle rebuilds it. The join is equi on custkey
+    with the validity range riding as a predicate — a plain hash
+    join at any scale (the range filters post-probe; each order
+    matches exactly one version by construction, asserted via the
+    version-count output). Per (nation, version) census of orders
+    and exact PIT balance cents.
+    """
+    cutv = "1998-01-01"
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", (F.col("c_acctbal").cast(MONEY) * 100).cast("bigint").alias("bal0")
+    )
+    versioned = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.array(
+                    F.struct(
+                        F.col("bal0").alias("bal"),
+                        F.lit("1990-01-01").alias("eff_from"),
+                        F.lit(cutv).alias("eff_to"),
+                        F.lit("v1").alias("ver"),
+                    ),
+                    F.struct(
+                        (F.col("bal0") + 10000).alias("bal"),
+                        F.lit(cutv).alias("eff_from"),
+                        F.lit("9999-12-31").alias("eff_to"),
+                        F.lit("v2").alias("ver"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("bal0").alias("bal"),
+                        F.lit("1990-01-01").alias("eff_from"),
+                        F.lit("9999-12-31").alias("eff_to"),
+                        F.lit("v1").alias("ver"),
+                    )
+                )
+            )
+        ).alias("vrow"),
+    ).select("c_custkey", "c_nationkey", "vrow.*")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pit = o.join(
+        F.broadcast(versioned),
+        (o["o_custkey"] == versioned["c_custkey"])
+        & (F.col("o_orderdate") >= F.to_timestamp_ntz("eff_from"))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz("eff_to")),
+    ).join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+    return (
+        pit.groupBy("n_name", "ver")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("bal").alias("pit_bal_cents"),
+        )
+        .orderBy("n_name", "ver")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8398,6 +8538,8 @@ QUERIES = {
     "weighted_median_price": q_weighted_median_price,
     "twab_balance": q_twab_balance,
     "order_count_gini": q_order_count_gini,
+    "ks_length_drift": q_ks_length_drift,
+    "scd2_pit_join": q_scd2_pit_join,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -950,3 +950,50 @@ def test_gini_bounds_and_moments(spark):
     r = QUERIES["order_count_gini"](spark, SF_SMOKE).collect()[0]
     assert 0 <= r["gini_micro"] < 1_000_000
     assert r["total_orders"] >= r["n_customers"] > 0
+
+
+def test_round5_batch11_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        return p
+
+    # KS drift: census-grid windows; the sources×values cross is the
+    # bounded dense grid, not a data blow-up.
+    p = shape("ks_length_drift")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+    # PIT join: versioned dim broadcasts, range predicates ride the
+    # custkey equi-join — never a nested loop over facts.
+    p = shape("scd2_pit_join")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_scd2_pit_join_each_order_matches_one_version(spark):
+    rows = QUERIES["scd2_pit_join"](spark, SF_SMOKE).collect()
+    total = sum(r["n_orders"] for r in rows)
+    assert total == read_table(spark, SF_SMOKE, "orders").count()
+    # v2 only exists for %3==0 customers after the cut
+    assert any(r["ver"] == "v2" for r in rows)
+
+
+def test_ks_length_drift_is_exact_vs_python(spark):
+    rows = {r["source"]: r for r in QUERIES["ks_length_drift"](spark, SF_SMOKE).collect()}
+    docs = read_table(spark, SF_SMOKE, "documents").select("source", "n_chars").collect()
+    import collections
+    per = collections.defaultdict(list)
+    allv = []
+    for r in docs:
+        if r["n_chars"] is not None:
+            per[r["source"]].append(r["n_chars"])
+            allv.append(r["n_chars"])
+    for src, vals in per.items():
+        rest = [v for s, lst in per.items() if s != src for v in lst]
+        ns, nr = len(vals), len(rest)
+        best = 0
+        for v in sorted(set(allv)):
+            cs = sum(1 for x in vals if x <= v)
+            cr = sum(1 for x in rest if x <= v)
+            best = max(best, abs(cs * nr - cr * ns))
+        assert rows[src]["ks_d_ppm"] == best * 1_000_000 // (ns * nr)
