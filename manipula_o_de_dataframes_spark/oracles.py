@@ -5127,6 +5127,52 @@ JOIN nation n ON vd.c_nationkey = n.n_nationkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLES["audience_overlap"] = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+shared AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+aud AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_aud FROM du GROUP BY 1)
+SELECT s.t_a, s.t_b, s.n_both, pa.n_aud AS n_a, pb.n_aud AS n_b,
+       s.n_both * 1000000 // (pa.n_aud + pb.n_aud - s.n_both) AS jaccard_ppm
+FROM shared s
+JOIN aud pa ON pa.event_type = s.t_a
+JOIN aud pb ON pb.event_type = s.t_b
+ORDER BY s.t_a, s.t_b
+"""
+
+ORACLES["event_cooccurrence"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS t
+  FROM events
+)
+SELECT a.event_type AS t_a, b.event_type AS t_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b ON a.user_id = b.user_id
+  AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+  AND b.t - a.t <= 300
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["rfm_migration"] = """
+WITH h1 AS (
+  SELECT o_custkey,
+         'T' || CAST(NTILE(3) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) DESC, o_custkey) AS VARCHAR) AS tier_h1
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01' GROUP BY o_custkey
+), h2 AS (
+  SELECT o_custkey,
+         'T' || CAST(NTILE(3) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) DESC, o_custkey) AS VARCHAR) AS tier_h2
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY o_custkey
+)
+SELECT COALESCE(h1.tier_h1, 'ABSENT') AS tier_h1,
+       COALESCE(h2.tier_h2, 'ABSENT') AS tier_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

@@ -8332,6 +8332,140 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix between event types: for each type
+    pair, shared distinct users, each side's audience, and exact
+    Jaccard ppm — the segmentation sanity check ("is 'error' hitting
+    the same people as 'purchase'?") that drives suppression and
+    targeting decisions.
+
+    Same no-self-join shape as `source_overlap_matrix`: one
+    (user, type)-distinct census folds to a per-user sorted type SET,
+    pairs explode JVM-side (≤ 5·4/2 per user), and Jaccard closes
+    from the pair census plus broadcast per-type audiences —
+    |A∩B| from the pair count, |A∪B| = |A|+|B|−|A∩B|, one integer
+    ppm division. Nothing after the census scales with events.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = e.distinct().groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("types"), lambda b: F.struct(a.alias("t_a"), b.alias("t_b"))
+                ),
+                lambda st: st["t_a"] < st["t_b"],
+            ),
+        )
+    )
+    shared = (
+        per_user.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.t_a").alias("t_a"), F.col("p.t_b").alias("t_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    aud = e.distinct().groupBy("event_type").agg(F.count(F.lit(1)).alias("n_aud"))
+    aa = aud.select(F.col("event_type").alias("t_a"), F.col("n_aud").alias("n_a"))
+    ab = aud.select(F.col("event_type").alias("t_b"), F.col("n_aud").alias("n_b"))
+    return (
+        shared.join(F.broadcast(aa), "t_a")
+        .join(F.broadcast(ab), "t_b")
+        .select(
+            "t_a",
+            "t_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 1000000 div (n_a + n_b - n_both)").alias("jaccard_ppm"),
+        )
+        .orderBy("t_a", "t_b")
+    )
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence matrix: for every ordered type pair
+    (A, B), how many A-events are followed by a B from the SAME user
+    within 5 minutes — the trigger→response census behind alert
+    tuning and causal-chain hunting (`event_transitions` counts only
+    the immediate successor; this counts every follower in the
+    horizon).
+
+    The pair generation is a user-keyed interval self-join with the
+    5-minute band riding the equi-key — at scale the band bounds
+    each probe row's matches by the user's burst density, the same
+    posture as the streaming interval join. Counts only; the follower
+    requires strictly later ts (ties by event_id break same-instant
+    pairs deterministically).
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", tmp.seconds_since_origin("ts").alias("t")
+    )
+    a = e.select(
+        F.col("user_id"),
+        F.col("event_type").alias("t_a"),
+        F.col("t").alias("ta"),
+        F.col("event_id").alias("ida"),
+    )
+    b = e.select(
+        F.col("user_id"),
+        F.col("event_type").alias("t_b"),
+        F.col("t").alias("tb"),
+        F.col("event_id").alias("idb"),
+    )
+    pairs = a.join(b, "user_id").filter(
+        (
+            (F.col("tb") > F.col("ta"))
+            | ((F.col("tb") == F.col("ta")) & (F.col("idb") > F.col("ida")))
+        )
+        & (F.col("tb") - F.col("ta") <= 300)
+    )
+    return (
+        pairs.groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("t_a", "t_b")
+    )
+
+
+def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix: each customer's value tier (revenue
+    tercile, rank-selected like everything here) in the FIRST half of
+    the calendar vs the SECOND, with churn/new as explicit states —
+    the movement report that tells a CRM whether "gold" is a stable
+    cohort or a revolving door. `rfm_segments` snapshots one moment;
+    this is its derivative.
+
+    Halves split at 1998-07-01 (the fixture midpoint). Tiering is
+    ntile(3) under the pinned (revenue desc, custkey) total order per
+    half over the per-customer census; the matrix is a 4×4 count
+    census (tiers + ABSENT). All integers.
+    """
+    mid = "1998-07-01"
+    o = read_table(spark, sf_dir, "orders")
+
+    def tiers(df: DataFrame, out: str) -> DataFrame:
+        per_c = df.groupBy("o_custkey").agg(
+            (F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents")
+        )
+        w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+        return per_c.select(
+            "o_custkey", F.concat(F.lit("T"), F.ntile(3).over(w)).alias(out)
+        )
+    h1 = tiers(o.filter(F.col("o_orderdate") < F.lit(mid)), "tier_h1")
+    h2 = tiers(o.filter(F.col("o_orderdate") >= F.lit(mid)), "tier_h2")
+    return (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("tier_h1", F.lit("ABSENT")).alias("tier_h1"),
+            F.coalesce("tier_h2", F.lit("ABSENT")).alias("tier_h2"),
+        )
+        .groupBy("tier_h1", "tier_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("tier_h1", "tier_h2")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8540,6 +8674,9 @@ QUERIES = {
     "order_count_gini": q_order_count_gini,
     "ks_length_drift": q_ks_length_drift,
     "scd2_pit_join": q_scd2_pit_join,
+    "audience_overlap": q_audience_overlap,
+    "event_cooccurrence": q_event_cooccurrence,
+    "rfm_migration": q_rfm_migration,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

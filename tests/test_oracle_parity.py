@@ -48,7 +48,7 @@ TZ_SENSITIVE = [
     "tpch_q1", "tpch_q4", "tpch_q18", "zonemap_prune_audit",
     "interpolate_weeks", "mv_join_delta", "theilsen_trend", "event_paths",
     "conversion_latency", "backlog_aging", "stream_late_drop",
-    "twab_balance", "scd2_pit_join",
+    "twab_balance", "scd2_pit_join", "rfm_migration",
 ]
 
 

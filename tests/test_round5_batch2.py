@@ -997,3 +997,66 @@ def test_ks_length_drift_is_exact_vs_python(spark):
             cr = sum(1 for x in rest if x <= v)
             best = max(best, abs(cs * nr - cr * ns))
         assert rows[src]["ks_d_ppm"] == best * 1_000_000 // (ns * nr)
+
+
+def test_round5_batch12_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # audience overlap: no self-join — pairs explode from per-user
+    # type sets; only census shuffles after.
+    p = shape("audience_overlap")
+    assert "BroadcastNestedLoop" not in p, p
+    assert "Generate explode" in p, p
+
+    # co-occurrence: the interval self-join must ride the user
+    # equi-key (hash join with the band as predicate).
+    p = shape("event_cooccurrence")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+    # migration: census ntiles + full outer on custkey.
+    p = shape("rfm_migration")
+    assert "FullOuter" in p, p
+
+
+def test_audience_overlap_jaccard_identities(spark):
+    rows = QUERIES["audience_overlap"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["t_a"] < r["t_b"]
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        union = r["n_a"] + r["n_b"] - r["n_both"]
+        assert r["jaccard_ppm"] == r["n_both"] * 1_000_000 // union
+
+
+def test_event_cooccurrence_matches_brute_force(spark):
+    rows = {(r["t_a"], r["t_b"]): r["n_pairs"] for r in QUERIES["event_cooccurrence"](spark, SF_SMOKE).collect()}
+    assert rows
+    import collections
+    import manipula_o_de_dataframes_spark.operators.temporal as tmp_mod
+    evs = read_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "event_type", tmp_mod.seconds_since_origin("ts").alias("t")
+    ).collect()
+    per = collections.defaultdict(list)
+    for r in evs:
+        per[r["user_id"]].append((r["t"], r["event_id"], r["event_type"]))
+    expect = collections.Counter()
+    for lst in per.values():
+        for (ta, ia, tya) in lst:
+            for (tb, ib, tyb) in lst:
+                if (tb > ta or (tb == ta and ib > ia)) and tb - ta <= 300:
+                    expect[(tya, tyb)] += 1
+    assert rows == dict(expect)
+
+
+def test_rfm_migration_conserves_customers(spark):
+    rows = QUERIES["rfm_migration"](spark, SF_SMOKE).collect()
+    from manipula_o_de_dataframes_spark.queries import read_table
+    total_customers = (
+        read_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == total_customers
+    assert not any(r["tier_h1"] == "ABSENT" and r["tier_h2"] == "ABSENT" for r in rows)
