@@ -5173,6 +5173,79 @@ FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLES["shard_manifest"] = """
+WITH d AS (
+  SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+         n_chars,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["decayed_item_rank"] = """
+WITH census AS (
+  SELECT l_partkey,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS wk,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+), mx AS (SELECT MAX(wk) AS max_wk FROM census),
+scored AS (
+  SELECT l_partkey, (qty * 1024) >> CAST(least(m.max_wk - c.wk, 40) AS INTEGER) AS decayed
+  FROM census c CROSS JOIN mx m
+)
+SELECT p.p_name, CAST(s.l_partkey AS BIGINT) AS partkey,
+       SUM(s.decayed) AS decayed_score
+FROM scored s JOIN part p ON s.l_partkey = p.p_partkey
+GROUP BY 1, 2
+ORDER BY decayed_score DESC, partkey
+LIMIT 20
+"""
+
+ORACLES["position_attribution"] = """
+WITH buys AS (
+  SELECT user_id, event_id AS buy_id,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS tb,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, event_id AS view_id,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS tv
+  FROM events WHERE event_type = 'view'
+), pairs AS (
+  SELECT b.buy_id, b.cents, v.tv, v.view_id
+  FROM buys b JOIN views v ON b.user_id = v.user_id
+  WHERE v.tv <= b.tb AND b.tb - v.tv <= 3600
+), ranked AS (
+  SELECT buy_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY buy_id ORDER BY tv, view_id) AS pos,
+         COUNT(*) OVER (PARTITION BY buy_id) AS n
+  FROM pairs
+), weighted AS (
+  SELECT CASE WHEN n = 1 THEN 'only'
+              WHEN pos = 1 THEN 'first'
+              WHEN pos = n THEN 'last'
+              ELSE 'middle' END AS position,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN pos = 1 THEN 400000
+              WHEN pos = n THEN 400000
+              WHEN pos = 2 THEN 200000 // (n - 2) + 200000 % (n - 2)
+              ELSE 200000 // (n - 2) END AS w,
+         cents
+  FROM ranked
+)
+SELECT position,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(w) AS BIGINT) AS total_weight_ppm,
+       SUM(CAST(cents AS BIGINT) * w // 1000000) AS credited_cents
+FROM weighted GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

@@ -8466,6 +8466,150 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest with content fingerprints: per
+    md5-hash shard, document count, total chars, and an
+    ORDER-INSENSITIVE corpus fingerprint (bit_xor of each doc's
+    md5-prefix) — the reproducibility artifact a data release ships
+    so a consumer can verify "same docs, bit-for-bit" without
+    re-reading text (xor is commutative/associative, so the
+    fingerprint is partitioning- and order-independent BY ALGEBRA,
+    the same reason integer sums are the repo's float policy).
+
+    One map-side-combinable shard census; text hashes once at the
+    scan. A doc moved between shards flips exactly two fingerprints —
+    tested.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return (
+        d.select(shard.alias("shard"), F.col("n_chars"), fp.alias("__fp"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.bit_xor("__fp").alias("fingerprint"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_decayed_item_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-decayed popularity ranking: top-20 parts by
+    exponentially time-decayed shipped quantity (half-life = one
+    week) — the recommender-feed staple where raw lifetime counts
+    freeze the catalog and a hard recency cutoff thrashes it.
+
+    The decay is DYADIC so it stays integer-exact: each (part, week)
+    census row contributes qty·2¹⁰ >> age_weeks (a shift, never a
+    float pow — the `ewma_weekly` α=1/8 lesson), ages clamped at 40
+    (past which the contribution is exactly 0 anyway). One fact
+    shuffle to the (part, week) census, decay applied post-census,
+    top-20 under (score desc, partkey) via TakeOrderedAndProject.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_partkey",)).select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")) / 7).cast(
+            "long"
+        ).alias("wk"),
+    )
+    census = li.groupBy("l_partkey", "wk").agg(F.sum("qty").alias("qty"))
+    with_max = census.crossJoin(F.broadcast(census.agg(F.max("wk").alias("max_wk"))))
+    scored = with_max.select(
+        "l_partkey",
+        F.expr(
+            "shiftright(qty * 1024, CAST(least(max_wk - wk, 40) AS INT))"
+        ).alias("decayed"),
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        scored.groupBy("l_partkey")
+        .agg(F.sum("decayed").alias("decayed_score"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("p_name", F.col("l_partkey").alias("partkey"), "decayed_score")
+        .orderBy(F.col("decayed_score").desc(), F.col("partkey"))
+        .limit(20)
+    )
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    40/20/40 model beside `event_attribution`'s last-touch: every
+    view in the hour before a purchase gets credit, weighted first
+    40% / last 40% / middles sharing 20%, with largest-remainder
+    integer ppm so each purchase's weights sum to EXACTLY 10⁶
+    (`revenue_recognition`'s conservation discipline). Single-touch
+    journeys take the full million; two-touch split 50/50.
+
+    Census by position class (first/middle/last/only): touch count,
+    total weight ppm, and floor-credited cents. The purchase×view
+    pair stage is the user-keyed interval join (`event_cooccurrence`
+    posture — bounded by burst density); the per-purchase ordering
+    window runs on the pair set, which the 1-hour band keeps sparse.
+    """
+    e = read_table(spark, sf_dir, "events")
+    secs = tmp.seconds_since_origin("ts")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("buy_id"),
+        secs.alias("tb"),
+        (F.col("value").cast(MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), secs.alias("tv")
+    )
+    pairs = buys.join(views, "user_id").filter(
+        (F.col("tv") <= F.col("tb")) & (F.col("tb") - F.col("tv") <= 3600)
+    )
+    w = Window.partitionBy("buy_id").orderBy("tv", "view_id")
+    ranked = pairs.select(
+        "buy_id",
+        "cents",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("buy_id")).alias("n"),
+    )
+    mid_w = F.expr("200000 div (n - 2)")
+    mid_rem = F.expr("200000 % (n - 2)")
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(F.col("pos") == 1, F.lit(400000))
+        .when(F.col("pos") == F.col("n"), F.lit(400000))
+        .when(F.col("pos") == 2, mid_w + mid_rem)  # largest-remainder to earliest middle
+        .otherwise(mid_w)
+    )
+    klass = (
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("pos") == 1, "first")
+        .when(F.col("pos") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    return (
+        ranked.select(
+            klass.alias("position"),
+            weight.alias("w"),
+            (F.col("cents") * weight).alias("__cw"),
+        )
+        .select("position", "w", F.expr("__cw div 1000000").alias("credit"))
+        .groupBy("position")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("w").alias("total_weight_ppm"),
+            F.sum("credit").alias("credited_cents"),
+        )
+        .orderBy("position")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8677,6 +8821,9 @@ QUERIES = {
     "audience_overlap": q_audience_overlap,
     "event_cooccurrence": q_event_cooccurrence,
     "rfm_migration": q_rfm_migration,
+    "shard_manifest": q_shard_manifest,
+    "decayed_item_rank": q_decayed_item_rank,
+    "position_attribution": q_position_attribution,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,
