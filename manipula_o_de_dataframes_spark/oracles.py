@@ -5246,6 +5246,86 @@ SELECT position,
 FROM weighted GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["session_depth_profile"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+    SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM flagged
+), depth AS (
+  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS depth FROM sess GROUP BY 1, 2
+), banded AS (
+  SELECT CASE WHEN depth = 1 THEN '1-bounce'
+              WHEN depth <= 3 THEN '2-3'
+              WHEN depth <= 10 THEN '4-10'
+              ELSE '11+' END AS depth_band,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         SUM(depth) AS n_events
+  FROM depth GROUP BY 1
+), tot AS (SELECT SUM(n_sessions) AS t FROM banded)
+SELECT depth_band, n_sessions, n_events,
+       n_sessions * 1000000 // (SELECT t FROM tot) AS share_ppm
+FROM banded ORDER BY depth_band
+"""
+
+ORACLES["seasonal_band_breaches"] = """
+WITH daily AS (
+  SELECT date_diff('second', TIMESTAMP '1990-01-01', ts) // 86400 AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), dd AS (
+  SELECT d, cents, CAST(d % 7 + 1 AS INTEGER) AS dow FROM daily
+), mid AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM dd),
+hist AS (SELECT dd.* FROM dd, mid WHERE d <= mid),
+test AS (SELECT dd.* FROM dd, mid WHERE d > mid),
+ranked AS (
+  SELECT dow, cents,
+         ROW_NUMBER() OVER (PARTITION BY dow ORDER BY cents, d) AS rn,
+         COUNT(*) OVER (PARTITION BY dow) AS n
+  FROM hist
+), bands AS (
+  SELECT dow, MIN(cents) AS p10_cents, MAX(cents) AS p90_cents
+  FROM ranked
+  WHERE rn = (10 * n + 99) // 100 OR rn = (90 * n + 99) // 100
+  GROUP BY 1
+)
+SELECT t.dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       MAX(b.p10_cents) AS p10_cents,
+       MAX(b.p90_cents) AS p90_cents,
+       CAST(SUM(CASE WHEN t.cents < b.p10_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN t.cents > b.p90_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM test t JOIN bands b ON t.dow = b.dow
+GROUP BY 1 ORDER BY 1
+"""
+
+# Rounding drift: both arms exact decimal — per-line HALF-UP round to
+# 2dp then sum, vs full-scale sum rounded once. The mid = integer
+# division floor of (min+max); positive days so // matches the cast.
+ORACLES["rounding_drift_audit"] = """
+WITH lines AS (
+  SELECT n.n_name,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS ex
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       CAST(SUM(round(ex, 2)) * 100 AS BIGINT) AS invoice_cents,
+       CAST(round(SUM(ex), 2) * 100 AS BIGINT) AS ledger_cents,
+       CAST(SUM(round(ex, 2)) * 100 AS BIGINT)
+         - CAST(round(SUM(ex), 2) * 100 AS BIGINT) AS drift_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lines GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

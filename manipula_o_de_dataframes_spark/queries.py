@@ -8610,6 +8610,153 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution + bounce rate — the engagement
+    histogram product teams read before any funnel: share of
+    sessions at depth 1 (bounces), 2–3, 4–10, 11+, with event mass
+    per band. Sessions are `sessionize_events`' exact >30-min-gap
+    rule; depth is the session's event count, banded by a literal
+    CASE (identical binning both engines).
+
+    One user-keyed window pass to session ids, one (user, session)
+    census, one 4-row band rollup with integer ppm shares — nothing
+    after the census scales with events.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flag = F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+    sess = e.withColumn(
+        "sess",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    depth = sess.groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("depth"))
+    band = (
+        F.when(F.col("depth") == 1, "1-bounce")
+        .when(F.col("depth") <= 3, "2-3")
+        .when(F.col("depth") <= 10, "4-10")
+        .otherwise("11+")
+    )
+    banded = depth.groupBy(band.alias("depth_band")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("depth").alias("n_events"),
+    )
+    # total via a global window over the ≤4-row band census (the
+    # benford pattern) — a crossJoin(agg) would traverse the banded
+    # lineage twice and double every upstream exchange
+    tot = F.sum("n_sessions").over(Window.partitionBy())
+    return banded.select(
+        "depth_band",
+        "n_sessions",
+        "n_events",
+        F.expr("n_sessions * 1000000").cast("long").alias("__num"),
+        tot.alias("__t"),
+    ).select(
+        "depth_band",
+        "n_sessions",
+        "n_events",
+        F.expr("__num div __t").alias("share_ppm"),
+    ).orderBy("depth_band")
+
+
+def q_seasonal_band_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band backtest: per weekday, the [P10, P90] band of
+    daily event value learned from the FIRST half of the calendar,
+    then the breach census over the SECOND half — the
+    anomaly-monitor calibration loop (how often would this band have
+    paged?) run entirely in-engine. The weekday index is the
+    tz-free integer (sec div 86400) % 7 + 1 (the
+    `weekday_seasonality` convention; engines disagree on dayofweek
+    and sessions shift under tz).
+
+    Bands are exact rank-selected elements (⌈p·n/100⌉ under
+    (cents, day) per weekday — no interpolation); breaches compare
+    integers. Two passes over the (day, weekday) census, which is
+    calendar-bounded; one fact shuffle builds it.
+    """
+    e = read_table(spark, sf_dir, "events")
+    day = (tmp.seconds_since_origin("ts") / 86400).cast("long")
+    daily = e.groupBy(day.alias("d")).agg(
+        (F.sum(F.col("value").cast(MONEY)) * 100).cast("bigint").alias("cents")
+    ).withColumn("dow", (F.col("d") % 7 + 1).cast("int"))
+    mid = daily.agg(((F.min("d") + F.max("d")) / 2).cast("long").alias("mid"))
+    with_mid = daily.crossJoin(F.broadcast(mid))
+    hist = with_mid.filter(F.col("d") <= F.col("mid"))
+    test = with_mid.filter(F.col("d") > F.col("mid"))
+    w = Window.partitionBy("dow").orderBy("cents", "d")
+    ranked = hist.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("dow"))
+    )
+    bands = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(10 * n + 99) div 100"))
+            | (F.col("rn") == F.expr("(90 * n + 99) div 100"))
+        )
+        .groupBy("dow")
+        .agg(F.min("cents").alias("p10_cents"), F.max("cents").alias("p90_cents"))
+    )
+    return (
+        test.join(F.broadcast(bands), "dow")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("p10_cents").alias("p10_cents"),
+            F.max("p90_cents").alias("p90_cents"),
+            F.sum((F.col("cents") < F.col("p10_cents")).cast("long")).alias("n_below"),
+            F.sum((F.col("cents") > F.col("p90_cents")).cast("long")).alias("n_above"),
+        )
+        .orderBy("dow")
+    )
+
+
+def q_rounding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-drift audit: per nation, the cent difference between
+    round-then-sum and sum-then-round of the discounted line revenue
+    — the finance-QA check for invoice-level vs ledger-level totals
+    (they legally differ; the audit quantifies by how much). Also
+    the repo's float policy made into a measurable artifact: both
+    arms are EXACT decimal paths (per-line product rounded
+    half-up to 2 dp with one rule, vs the exact product summed at
+    full scale then rounded once), so the drift is a property of the
+    DATA, not of any engine.
+
+    One co-partitioned lineitem⋈orders join, per-nation decimal
+    sums, integer cent outputs.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__exact"),  # decimal(17,4), exact
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_line_rounded = F.round(F.col("__exact"), 2)  # HALF_UP on decimal
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            (F.sum(per_line_rounded) * 100).cast("bigint").alias("invoice_cents"),
+            (F.round(F.sum("__exact"), 2) * 100).cast("bigint").alias("ledger_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "n_name",
+            "invoice_cents",
+            "ledger_cents",
+            (F.col("invoice_cents") - F.col("ledger_cents")).alias("drift_cents"),
+            "n_lines",
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8824,6 +8971,9 @@ QUERIES = {
     "shard_manifest": q_shard_manifest,
     "decayed_item_rank": q_decayed_item_rank,
     "position_attribution": q_position_attribution,
+    "session_depth_profile": q_session_depth_profile,
+    "seasonal_band_breaches": q_seasonal_band_breaches,
+    "rounding_drift_audit": q_rounding_drift_audit,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -49,6 +49,7 @@ TZ_SENSITIVE = [
     "interpolate_weeks", "mv_join_delta", "theilsen_trend", "event_paths",
     "conversion_latency", "backlog_aging", "stream_late_drop",
     "twab_balance", "scd2_pit_join", "rfm_migration",
+    "seasonal_band_breaches", "session_depth_profile", "decayed_item_rank",
 ]
 
 

@@ -1137,3 +1137,52 @@ def test_position_attribution_conserves_weight(spark):
     """).fetchone()[0]
     total_ppm = sum(r["total_weight_ppm"] for r in rows.values())
     assert total_ppm == 1_000_000 * n_buys
+
+
+def test_round5_batch14_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # depth profile: one user window + census rollups.
+    p = shape("session_depth_profile")
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+    # band backtest: calendar census passes only; the one-row mid
+    # attach is a broadcast nested loop BY DESIGN (bounded), so only
+    # a true cartesian is banned (shape() already asserts that).
+    shape("seasonal_band_breaches")
+
+    # rounding audit: co-partitioned join, dims broadcast.
+    p = shape("rounding_drift_audit")
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_session_depth_shares_sum_to_million(spark):
+    rows = QUERIES["session_depth_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["share_ppm"] for r in rows)
+    # integer floor division loses at most (bands-1) ppm
+    assert 1_000_000 - len(rows) < total <= 1_000_000
+    n_events = sum(r["n_events"] for r in rows)
+    assert n_events == read_table(spark, SF_SMOKE, "events").count()
+
+
+def test_seasonal_bands_are_ordered(spark):
+    rows = QUERIES["seasonal_band_breaches"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["p10_cents"] <= r["p90_cents"]
+        assert r["n_below"] + r["n_above"] <= r["n_days"]
+        assert 1 <= r["dow"] <= 7
+
+
+def test_rounding_drift_is_bounded_by_half_cent_per_line(spark):
+    """|invoice − ledger| ≤ n_lines/2 cents — each line's rounding
+    moves at most half a cent."""
+    rows = QUERIES["rounding_drift_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["drift_cents"]) * 2 <= r["n_lines"], r
