@@ -5326,6 +5326,69 @@ SELECT n_name,
 FROM lines GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["tpch_q10"] = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_return_lines,
+       MAX(c.c_acctbal) AS c_acctbal
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["tpch_q14"] = """
+WITH s AS (
+  SELECT CAST(round(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END), 2)
+           * 100 AS BIGINT) AS promo_cents,
+         CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) * 100 AS BIGINT)
+           AS total_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT promo_cents, total_cents,
+       promo_cents * 1000000 // total_cents AS promo_ppm
+FROM s
+"""
+
+ORACLES["naive_forecast_mape"] = """
+WITH census AS (
+  SELECT n.n_name AS nation,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), ape AS (
+  SELECT nation, wk,
+         abs(cents - LAG(cents) OVER w) * 1000000 // LAG(cents) OVER w AS ape_ppm
+  FROM census
+  WINDOW w AS (PARTITION BY nation ORDER BY wk)
+), ok AS (SELECT * FROM ape WHERE ape_ppm IS NOT NULL),
+ranked AS (
+  SELECT nation, ape_ppm,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY ape_ppm, wk) AS rn,
+         COUNT(*) OVER (PARTITION BY nation) AS n_evals
+  FROM ok
+)
+SELECT nation, CAST(n_evals AS BIGINT) AS n_evals, ape_ppm AS median_ape_ppm
+FROM ranked WHERE rn = (n_evals + 1) // 2
+ORDER BY nation
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

@@ -8757,6 +8757,127 @@ def q_rounding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) on the fixture calendar:
+    top-20 customers by revenue lost to returns (l_returnflag = 'R')
+    in H2-1997 — the churn-risk worklist. The canonical shape: the
+    quarter+flag filters prune BOTH fact scans, lineitem⋈orders is
+    the one shuffle edge, customer/nation broadcast, top-20 via
+    TakeOrderedAndProject. Revenue is the exact tight-decimal
+    discount product (Q1's money rule), one double cast at the edge.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__rev"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_return_lines"),
+            F.max("c_acctbal").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) adapted to the fixture's literal
+    part types: the share of 1997 revenue from PROMO parts — the
+    benchmark's conditional-aggregate-over-a-join probe. One
+    broadcast join (part is the dimension), both sums ride the same
+    map-side-combined aggregate (never two scans), share as exact
+    integer ppm over cents.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__rev"),
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # the exact sums carry scale 4 (two-factor product); round HALF_UP
+    # to 2 dp ONCE before the cent cast — a raw ×100 cast would leave
+    # a .xx fraction where Spark truncates and DuckDB rounds (a real
+    # off-by-one caught at sf0.001)
+    return j.agg(
+        (F.round(F.sum(F.when(F.col("p_type") == "PROMO", F.col("__rev"))), 2) * 100)
+        .cast("bigint")
+        .alias("promo_cents"),
+        (F.round(F.sum("__rev"), 2) * 100).cast("bigint").alias("total_cents"),
+    ).select(
+        "promo_cents",
+        "total_cents",
+        F.expr("promo_cents * 1000000 div total_cents").alias("promo_ppm"),
+    )
+
+
+def q_naive_forecast_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill floor: the median absolute percentage error of
+    the naive last-week-carried-forward forecast, per nation — the
+    number any real model must beat, computed as a backtest over the
+    weekly census. Each week's APE is ONE integer ppm division
+    (|actual−forecast|·10⁶ div forecast, forecast = lag(cents));
+    the median APE is rank-selected (lower median under (ape, week))
+    — no float anywhere.
+
+    One fact shuffle to the (nation, week) census; lag + ranking run
+    on census partitions.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    census = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("wk")
+    fc = F.lag("cents").over(w)
+    ape = census.select(
+        "nation",
+        "wk",
+        F.abs(F.col("cents") - fc).alias("__ad"),
+        fc.alias("__fc"),
+    ).filter(F.col("__fc").isNotNull() & (F.col("__fc") > 0)).select(
+        "nation", "wk", F.expr("__ad * 1000000 div __fc").alias("ape_ppm")
+    )
+    w_rank = Window.partitionBy("nation").orderBy("ape_ppm", "wk")
+    ranked = ape.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n_evals", F.count(F.lit(1)).over(Window.partitionBy("nation"))
+    )
+    return (
+        ranked.filter(F.expr("rn = ((n_evals + 1) div 2)"))
+        .select("nation", F.col("n_evals").cast("long").alias("n_evals"),
+                F.col("ape_ppm").alias("median_ape_ppm"))
+        .orderBy("nation")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -8923,13 +9044,12 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then round-1-only rows (due a re-check), then round-2-green rows.
 QUERIES = {
     # Dict order = the driver's ~50-row sampling order. Priority: (1)
-    # implementation or semantics changed in round 5 (float-policy
-    # rewrites, SQL-rendered PQ/IVF expressions, checkpoint routing,
-    # churn full-outer) — every one needs a fresh green hash; (2)
-    # newest green row is r1 (four rounds stale); (3) newest green row
-    # is r2 — the driver's ~50 sample reaches partway into this block;
-    # rotate the remainder to the front in r6. r3/r4-green rows sit
-    # last, freshest.
+    # new in round 5 with NO driver row yet — the continuation batches
+    # (tpch classics, N125-N155) sit at positions ~9-45 so the ~50
+    # sample reaches them all; (2) earlier round-5 additions
+    # (positions 1-8 and 46+) — the sample tail covers some, r6
+    # rotates the rest forward; (3) round-5-changed then r1/r2-stale
+    # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
     "stream_running_totals": q_stream_running_totals,
     "capped_balance": q_capped_balance,
@@ -8974,6 +9094,9 @@ QUERIES = {
     "session_depth_profile": q_session_depth_profile,
     "seasonal_band_breaches": q_seasonal_band_breaches,
     "rounding_drift_audit": q_rounding_drift_audit,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "naive_forecast_mape": q_naive_forecast_mape,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -50,6 +50,7 @@ TZ_SENSITIVE = [
     "conversion_latency", "backlog_aging", "stream_late_drop",
     "twab_balance", "scd2_pit_join", "rfm_migration",
     "seasonal_band_breaches", "session_depth_profile", "decayed_item_rank",
+    "tpch_q10", "tpch_q14", "naive_forecast_mape",
 ]
 
 

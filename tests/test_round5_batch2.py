@@ -1186,3 +1186,40 @@ def test_rounding_drift_is_bounded_by_half_cent_per_line(spark):
     assert rows
     for r in rows:
         assert abs(r["drift_cents"]) * 2 <= r["n_lines"], r
+
+
+def test_round5_batch15_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # Q10: flag+date pushed to the scans, dims broadcast, top-20 TOaP.
+    p = shape("tpch_q10")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "PushedFilters" in p, p
+
+    # Q14: ONE aggregate over ONE broadcast join — never two scans.
+    p = shape("tpch_q14")
+    assert p.count("Scan parquet") == 2, p  # lineitem + part
+    assert "BroadcastHashJoin" in p, p
+
+    # MAPE: census windows only.
+    p = shape("naive_forecast_mape")
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_tpch_q14_share_is_consistent(spark):
+    r = QUERIES["tpch_q14"](spark, SF_SMOKE).collect()[0]
+    assert 0 < r["promo_cents"] < r["total_cents"]
+    assert r["promo_ppm"] == r["promo_cents"] * 1_000_000 // r["total_cents"]
+
+
+def test_naive_mape_median_is_a_member(spark):
+    rows = QUERIES["naive_forecast_mape"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["median_ape_ppm"] >= 0
+        assert r["n_evals"] > 0
