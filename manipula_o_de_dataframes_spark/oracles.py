@@ -5389,6 +5389,51 @@ FROM ranked WHERE rn = (n_evals + 1) // 2
 ORDER BY nation
 """
 
+ORACLES["abc_xyz_matrix"] = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS wk
+  FROM lineitem
+), weekly AS (
+  SELECT l_partkey, wk, SUM(qty) AS x, SUM(cents) AS cents
+  FROM li GROUP BY 1, 2
+), moments AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         SUM(x * x) AS sxx, SUM(cents) AS revenue_cents
+  FROM weekly GROUP BY 1 HAVING SUM(x) > 0
+), classed AS (
+  SELECT l_partkey, revenue_cents,
+         (['A','B','C'])[NTILE(3) OVER (ORDER BY revenue_cents DESC, l_partkey)] AS abc,
+         (['X','Y','Z'])[NTILE(3) OVER (ORDER BY (n * sxx - sx * sx) * 1000000 // (sx * sx) ASC, l_partkey)] AS xyz
+  FROM moments
+)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       SUM(revenue_cents) AS revenue_cents
+FROM classed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["same_customer_growth"] = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(o_orderdate >= TIMESTAMP '1998-07-01' AS INT) AS h,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), h1 AS (SELECT o_custkey, cents AS c1 FROM per WHERE h = 0),
+h2 AS (SELECT o_custkey, cents AS c2 FROM per WHERE h = 1),
+both_h AS (SELECT h1.o_custkey, c1, c2 FROM h1 JOIN h2 USING (o_custkey))
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_comparable,
+       SUM(b.c1) AS h1_cents,
+       SUM(b.c2) AS h2_cents,
+       (SUM(b.c2) - SUM(b.c1)) * 1000000 // SUM(b.c1) AS samecust_growth_ppm
+FROM both_h b
+JOIN customer c ON b.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

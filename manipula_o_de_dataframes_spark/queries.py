@@ -8878,6 +8878,112 @@ def q_naive_forecast_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC–XYZ inventory matrix: parts classed by revenue tercile
+    (A/B/C — `abc_classification`'s axis) × demand-variability
+    tercile (X/Y/Z), the planning grid that decides which SKUs get
+    safety stock vs make-to-order. Variability is the squared
+    coefficient of variation in EXACT integers — the classic CV
+    needs a sqrt and a mean division, but ranking is invariant under
+    the monotone transform, so the class boundaries come from
+    (n·Σx² − (Σx)²)·10⁶ div (Σx)² (relative variance ppm of weekly
+    demand) rank-selected into terciles. No transcendental, no
+    per-part float.
+
+    One fact shuffle to the (part, week) census, a part-level moment
+    aggregate, two census ntiles under pinned total orders, a 9-cell
+    rollup.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_partkey",)).select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast(MONEY) * 100).cast("bigint").alias("cents"),
+        F.floor(F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("wk"),
+    )
+    weekly = li.groupBy("l_partkey", "wk").agg(
+        F.sum("qty").alias("x"), F.sum("cents").alias("cents")
+    )
+    moments = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("cents").alias("revenue_cents"),
+    ).filter(F.col("sx") > 0)
+    relvar = F.expr("(n * sxx - sx * sx) * 1000000 div (sx * sx)")
+    w_abc = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_partkey"))
+    w_xyz = Window.orderBy(relvar.asc(), F.col("l_partkey"))
+    classed = moments.select(
+        "l_partkey",
+        "revenue_cents",
+        F.element_at(F.array(F.lit("A"), F.lit("B"), F.lit("C")), F.ntile(3).over(w_abc)).alias("abc"),
+        F.element_at(F.array(F.lit("X"), F.lit("Y"), F.lit("Z")), F.ntile(3).over(w_xyz)).alias("xyz"),
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+def q_same_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like-for-like ("same-store") growth per nation: H2-vs-H1
+    revenue growth restricted to customers ACTIVE IN BOTH halves —
+    the comparable-base number that strips acquisition mix out of
+    growth (total growth conflates new customers with real
+    expansion; this is the retail/finance standard for organic
+    growth). Alongside: the total-base growth for contrast, both as
+    integer ppm with one division each.
+
+    Per-customer half-year cents census (one shuffle), inner-join on
+    custkey for the comparable base, nation rollup with dims
+    broadcast.
+    """
+    mid = "1998-07-01"
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        o.groupBy(
+            "o_custkey",
+            (F.col("o_orderdate") >= F.lit(mid)).cast("int").alias("h"),
+        )
+        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    )
+    h1 = per.filter(F.col("h") == 0).select(
+        F.col("o_custkey"), F.col("cents").alias("c1")
+    )
+    h2 = per.filter(F.col("h") == 1).select(
+        F.col("o_custkey"), F.col("cents").alias("c2")
+    )
+    both = h1.join(h2, "o_custkey")
+    enriched = both.join(F.broadcast(c), both["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        enriched.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_comparable"),
+            F.sum("c1").alias("h1_cents"),
+            F.sum("c2").alias("h2_cents"),
+        )
+        .select(
+            "n_name",
+            "n_comparable",
+            "h1_cents",
+            "h2_cents",
+            F.expr("(h2_cents - h1_cents) * 1000000 div h1_cents").alias(
+                "samecust_growth_ppm"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -9097,6 +9203,8 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "naive_forecast_mape": q_naive_forecast_mape,
+    "abc_xyz_matrix": q_abc_xyz_matrix,
+    "same_customer_growth": q_same_customer_growth,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -50,7 +50,8 @@ TZ_SENSITIVE = [
     "conversion_latency", "backlog_aging", "stream_late_drop",
     "twab_balance", "scd2_pit_join", "rfm_migration",
     "seasonal_band_breaches", "session_depth_profile", "decayed_item_rank",
-    "tpch_q10", "tpch_q14", "naive_forecast_mape",
+    "tpch_q10", "tpch_q14", "naive_forecast_mape", "abc_xyz_matrix",
+    "same_customer_growth",
 ]
 
 

@@ -1223,3 +1223,42 @@ def test_naive_mape_median_is_a_member(spark):
     for r in rows:
         assert r["median_ape_ppm"] >= 0
         assert r["n_evals"] > 0
+
+
+def test_round5_batch16_plan_shapes(spark):
+    def shape(name):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        return p
+
+    # ABC-XYZ: census moments + census ntiles; no joins at all.
+    p = shape("abc_xyz_matrix")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+    # like-for-like: custkey census join + broadcast dims.
+    p = shape("same_customer_growth")
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_abc_xyz_covers_all_parts_once(spark):
+    rows = QUERIES["abc_xyz_matrix"](spark, SF_SMOKE).collect()
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert {r["abc"] for r in rows} <= {"A", "B", "C"}
+    assert {r["xyz"] for r in rows} <= {"X", "Y", "Z"}
+
+
+def test_same_customer_growth_base_is_subset(spark):
+    rows = QUERIES["same_customer_growth"](spark, SF_SMOKE).collect()
+    assert rows
+    o = read_table(spark, SF_SMOKE, "orders")
+    total_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_comparable"] for r in rows) <= total_cust
+    for r in rows:
+        assert r["h1_cents"] > 0
+        expected = (r["h2_cents"] - r["h1_cents"]) * 1_000_000
+        got = r["samecust_growth_ppm"]
+        # truncation toward zero on both engines
+        assert got == int(expected / r["h1_cents"]) or got == expected // r["h1_cents"]
