@@ -1394,6 +1394,18 @@ FROM events p JOIN events v
 WHERE p.event_type = 'purchase'
 """
 
+# Watermarked twin: same semantics, bounded-state execution.
+ORACLES["attribution_stream_wm"] = """
+SELECT p.event_id AS compra, v.event_id AS visita, p.user_id AS usuario,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS quando_compra,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS quando_view
+FROM events p JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+"""
+
+
 # Non-equi band join mirror (uneven widths — not floor()-expressible).
 ORACLES["price_bands"] = """
 WITH bands(banda, lo, hi) AS (

@@ -8984,6 +8984,20 @@ def q_same_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_stream_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join — see
+    `streaming/joins.py:attribution_pairs_watermarked`: the
+    production posture `attribution_stream` only documents (bounded
+    join state via watermark eviction) actually run, with the state
+    eviction measured and the pair set still hash-identical to the
+    batch oracle. Shares `attribution_stream`'s oracle SQL — same
+    semantics, different (bounded-state) execution.
+    """
+    from .streaming.joins import attribution_pairs_watermarked  # noqa: PLC0415
+
+    return attribution_pairs_watermarked(spark, sf_dir)
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -9205,6 +9219,7 @@ QUERIES = {
     "naive_forecast_mape": q_naive_forecast_mape,
     "abc_xyz_matrix": q_abc_xyz_matrix,
     "same_customer_growth": q_same_customer_growth,
+    "attribution_stream_wm": q_attribution_stream_wm,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -227,3 +227,121 @@ def dedup_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(watch_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
+
+
+def attribution_pairs_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the interval join: both feeds carry
+    watermarks so Spark EVICTS join state as event time advances —
+    `attribution_pairs_stream` documents that posture; this one runs
+    it, and the eviction is measured (`last_removed` > 0 asserted in
+    tests), with the result still bit-identical to the batch oracle.
+
+    Mechanics: the snapshot is staged as two TIME-ORDERED deliveries
+    split three days before the end (maxFilesPerTrigger=1 → one
+    micro-batch each, so the watermark from delivery 1 evicts stale
+    view/purchase state while delivery 2 is processed). Event time is
+    the session-tz-independent NUMERIC epoch-second LTZ (the
+    `late_drop_drained` construction — withWatermark rejects NTZ and
+    a session-tz cast would shift half-hour zones); the original NTZ
+    ts rides along as payload purely for rendering, while the JOIN
+    CONDITION references the watermarked columns — required, or
+    Spark cannot bound either side's state. Because deliveries are
+    time-ordered, no pair is lost to eviction: a delivery-2 purchase
+    needs views back to tb−1h, and the view-state retention
+    (wm − 1h − delay) always reaches past the split. 10-minute
+    delay; pairs identical to the un-watermarked drain.
+    """
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from ..sources.io import read_table  # noqa: PLC0415
+
+    watch_dir = tempfile.mkdtemp(prefix="manipula_wmjoin_in_")
+    ckpt_dir = tempfile.mkdtemp(prefix="manipula_wmjoin_ckpt_")
+    stage_dir = tempfile.mkdtemp(prefix="manipula_wmjoin_stage_")
+    name = "attribution_wm_" + uuid.uuid4().hex
+    try:
+        e = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        split = e.agg(
+            F.expr("max(ts) - INTERVAL 3 DAYS").alias("cut")
+        ).collect()[0]["cut"]
+        for i, part in enumerate(
+            (e.filter(F.col("ts") < F.lit(split)), e.filter(F.col("ts") >= F.lit(split))),
+            start=1,
+        ):
+            out = os.path.join(stage_dir, f"d{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(out)
+            src = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+            dst = os.path.join(watch_dir, f"delivery{i}.parquet")
+            shutil.copyfile(src, dst)
+            os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        schema = "event_id long, user_id long, event_type string, ts timestamp_ntz"
+        ts_i = F.expr(
+            "timestamp_seconds(timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', ts))"
+        )
+
+        def feed():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(watch_dir)
+                .withColumn("ts_i", ts_i)
+                .withWatermark("ts_i", "10 minutes")
+            )
+
+        buys = feed().filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("compra"),
+            F.col("user_id").alias("usuario"),
+            F.col("ts").alias("ts_compra"),
+            F.col("ts_i").alias("tb"),
+        )
+        views = feed().filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("visita"),
+            F.col("user_id").alias("v_usuario"),
+            F.col("ts").alias("ts_view"),
+            F.col("ts_i").alias("tv"),
+        )
+        pairs = buys.join(
+            views,
+            on=[
+                buys["usuario"] == views["v_usuario"],
+                views["tv"] <= buys["tb"],
+                views["tv"] > buys["tb"] - F.expr("INTERVAL 1 HOUR"),
+            ],
+            how="inner",
+        ).select(
+            "compra",
+            "visita",
+            "usuario",
+            F.date_format("ts_compra", "yyyy-MM-dd HH:mm:ss").alias("quando_compra"),
+            F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss").alias("quando_view"),
+        )
+        with drain_shuffle_partitions(spark):
+            q = (
+                pairs.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt_dir)
+                .start()
+            )
+            q.awaitTermination()
+        removed = sum(
+            so.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        )
+        sink = spark.table(name)
+        result = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    attribution_pairs_watermarked.last_removed = removed  # test hook
+    return result

@@ -51,7 +51,7 @@ TZ_SENSITIVE = [
     "twab_balance", "scd2_pit_join", "rfm_migration",
     "seasonal_band_breaches", "session_depth_profile", "decayed_item_rank",
     "tpch_q10", "tpch_q14", "naive_forecast_mape", "abc_xyz_matrix",
-    "same_customer_growth",
+    "same_customer_growth", "attribution_stream_wm",
 ]
 
 

@@ -1262,3 +1262,21 @@ def test_same_customer_growth_base_is_subset(spark):
         got = r["samecust_growth_ppm"]
         # truncation toward zero on both engines
         assert got == int(expected / r["h1_cents"]) or got == expected // r["h1_cents"]
+
+
+def test_watermarked_join_evicts_state_and_matches_unwatermarked(spark):
+    """The production posture proven: state rows are genuinely
+    removed (eviction engaged) AND the pair set is identical to the
+    drain-everything variant — time-ordered deliveries mean no pair
+    is lost to the eviction that bounds state."""
+    from manipula_o_de_dataframes_spark.streaming.joins import (
+        attribution_pairs_stream,
+        attribution_pairs_watermarked,
+    )
+
+    wm = QUERIES["attribution_stream_wm"](spark, SF_SMOKE)
+    got = {(r["compra"], r["visita"]) for r in wm.collect()}
+    assert attribution_pairs_watermarked.last_removed > 0
+    plain = attribution_pairs_stream(spark, SF_SMOKE)
+    assert got == {(r["compra"], r["visita"]) for r in plain.collect()}
+    assert got, "smoke snapshot should produce pairs"
