@@ -5446,6 +5446,36 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1 ORDER BY 1
 """
 
+# Holt mirror: recursive-CTE fold. list_reduce is UNUSABLE here —
+# DuckDB 1.0 evaluates multi-field struct lambdas IN PLACE, so the
+# 'b' field sees the current step's already-updated 'l' (repro in the
+# engine docstring); step-by-step recursion evaluates correctly.
+ORACLES["holt_trend"] = """
+WITH RECURSIVE census AS (
+  SELECT n.n_name AS nation,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), arrs AS (
+  SELECT nation, list(cents ORDER BY wk) AS xs FROM census GROUP BY 1
+), fold AS (
+  SELECT nation, 1 AS i, len(xs) AS n, xs[1] AS l, CAST(0 AS BIGINT) AS b, xs
+  FROM arrs
+  UNION ALL
+  SELECT nation, i + 1, n,
+         l + b + ((xs[i + 1] - l - b) >> 2),
+         b + ((xs[i + 1] - l - b) >> 4),
+         xs
+  FROM fold WHERE i < n
+)
+SELECT nation, CAST(n AS BIGINT) AS n_weeks,
+       l AS level_cents, b AS trend_cents, l + b AS forecast_cents
+FROM fold WHERE i = n ORDER BY nation
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

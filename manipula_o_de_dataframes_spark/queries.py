@@ -8998,6 +8998,74 @@ def q_attribution_stream_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_pairs_watermarked(spark, sf_dir)
 
 
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per nation —
+    the trend-aware smoother beside `ewma_weekly`'s level-only fold
+    (an EWMA lags a trending series forever; Holt's trend term closes
+    the gap), with the one-step-ahead forecast l+b that a capacity
+    planner actually consumes.
+
+    Dyadic α=β=1/4 keeps the entire recurrence in BIGINT shifts:
+    with err = x−l−b, l' = l + b + (err >> 2) and b' = b + (err >> 4)
+    (the textbook b' = b + ((l'−l−b)>>2) collapses to err>>4 because
+    arithmetic shifts compose) — and `shiftright` is the ARITHMETIC
+    shift in both engines (probed: −7>>1 = −4 floor semantics), so
+    negative trends stay bit-identical. The fold — order-dependent,
+    inexpressible as a windowed SUM — runs in the array domain over
+    the week-sorted census with a STRUCT accumulator.
+
+    Mirror note (a real engine bug found writing this): DuckDB
+    1.0's `list_reduce` evaluates multi-field struct lambdas IN
+    PLACE — a later field sees the current step's already-updated
+    earlier fields (minimal repro: fold {'v': acc.v·10+e.v,
+    'w': acc.v+acc.w} over [1,2,3] returns w=125, not the correct
+    14), silently corrupting any two-variable recurrence. The oracle
+    therefore folds via a RECURSIVE CTE (step-by-step evaluation is
+    correct); the Spark side's `F.aggregate` builds each new struct
+    from the old accumulator and is unaffected.
+
+    One fact shuffle to the (nation, week) census, one per-nation
+    collect; the fold walks calendar-bounded arrays.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    census = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    )
+    arr = census.groupBy("nation").agg(
+        F.sort_array(F.collect_list(F.struct("wk", "cents"))).alias("__pairs")
+    )
+    xs = F.transform(F.col("__pairs"), lambda p: p["cents"])
+    lifted = F.transform(
+        xs, lambda x: F.struct(x.alias("l"), F.lit(0).cast("bigint").alias("b"))
+    )
+    state = F.aggregate(
+        F.slice(lifted, 2, F.greatest(F.size(lifted) - 1, F.lit(0))),
+        F.element_at(lifted, 1),
+        lambda acc, e: F.struct(
+            (
+                acc["l"] + acc["b"]
+                + F.shiftright(e["l"] - acc["l"] - acc["b"], 2)
+            ).alias("l"),
+            (
+                acc["b"] + F.shiftright(e["l"] - acc["l"] - acc["b"], 4)
+            ).alias("b"),
+        ),
+    )
+    return arr.select(
+        "nation",
+        F.size("__pairs").cast("long").alias("n_weeks"),
+        state["l"].alias("level_cents"),
+        state["b"].alias("trend_cents"),
+        (state["l"] + state["b"]).alias("forecast_cents"),
+    ).orderBy("nation")
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -9220,6 +9288,7 @@ QUERIES = {
     "abc_xyz_matrix": q_abc_xyz_matrix,
     "same_customer_growth": q_same_customer_growth,
     "attribution_stream_wm": q_attribution_stream_wm,
+    "holt_trend": q_holt_trend,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

@@ -1280,3 +1280,47 @@ def test_watermarked_join_evicts_state_and_matches_unwatermarked(spark):
     plain = attribution_pairs_stream(spark, SF_SMOKE)
     assert got == {(r["compra"], r["visita"]) for r in plain.collect()}
     assert got, "smoke snapshot should produce pairs"
+
+
+def test_holt_trend_matches_python_fold(spark):
+    rows = {r["nation"]: r for r in QUERIES["holt_trend"](spark, SF_SMOKE).collect()}
+    assert rows
+    import duckdb
+    data = duckdb.connect().execute(f"""
+      SELECT n.n_name, date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+      JOIN read_parquet('{SF_SMOKE}/customer.parquet') c ON o.o_custkey = c.c_custkey
+      JOIN read_parquet('{SF_SMOKE}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    import collections
+    per = collections.defaultdict(list)
+    for nat, _, cents in data:
+        per[nat].append(cents)
+    for nat, xs in per.items():
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            err = x - l - b
+            l, b = l + b + (err >> 2), b + (err >> 4)
+        r = rows[nat]
+        assert (r["level_cents"], r["trend_cents"]) == (l, b), nat
+        assert r["forecast_cents"] == l + b
+
+
+def test_duckdb_list_reduce_struct_bug_still_present():
+    """Documents WHY holt's oracle uses a recursive CTE: DuckDB 1.0
+    list_reduce updates struct fields in place mid-step. If this
+    starts returning 14, the workaround can be retired."""
+    import duckdb
+    (got,) = duckdb.connect().execute("""
+      SELECT list_reduce(list_transform([1,2,3], x -> {'v': CAST(x AS BIGINT), 'w': CAST(x AS BIGINT)}),
+        (acc, e) -> {'v': acc.v * 10 + e.v, 'w': acc.v + acc.w})
+    """).fetchone()
+    correct = {"v": 123, "w": 14}
+    assert got["v"] == 123
+    if got == correct:
+        raise AssertionError(
+            "DuckDB fixed list_reduce struct lambdas — holt_trend's "
+            "recursive-CTE oracle can be simplified back to list_reduce"
+        )
