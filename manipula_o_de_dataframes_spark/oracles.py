@@ -5476,6 +5476,46 @@ SELECT nation, CAST(n AS BIGINT) AS n_weeks,
 FROM fold WHERE i = n ORDER BY nation
 """
 
+# Steady-state mirror: the same 3 unrolled v·P steps over the census.
+ORACLES["transition_steady_state"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), census AS (
+  SELECT prev AS de, event_type AS para, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2
+), withtot AS (
+  SELECT de, para, n, SUM(n) OVER (PARTITION BY de) AS rowtot FROM census
+), states AS (
+  SELECT DISTINCT de AS state FROM census
+  UNION SELECT DISTINCT para FROM census
+), ns AS (SELECT COUNT(*) AS k FROM states),
+v0 AS (SELECT state, CAST(1000000 // (SELECT k FROM ns) AS BIGINT) AS mass FROM states),
+v1 AS (
+  SELECT w.para AS state, CAST(SUM((v.mass * w.n) // w.rowtot) AS BIGINT) AS mass
+  FROM withtot w JOIN v0 v ON v.state = w.de GROUP BY 1
+),
+v2 AS (
+  SELECT w.para AS state, CAST(SUM((v.mass * w.n) // w.rowtot) AS BIGINT) AS mass
+  FROM withtot w JOIN v1 v ON v.state = w.de GROUP BY 1
+),
+v3 AS (
+  SELECT w.para AS state, CAST(SUM((v.mass * w.n) // w.rowtot) AS BIGINT) AS mass
+  FROM withtot w JOIN v2 v ON v.state = w.de GROUP BY 1
+)
+SELECT state, mass AS steady_ppm FROM v3 ORDER BY state
+"""
+
+ORACLES["discount_elasticity"] = """
+SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+       SUM(CAST(l_quantity AS BIGINT)) * 1000 // COUNT(*) AS avg_qty_milli,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_cents
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["grouping_sets_rollup"] = """
 SELECT COALESCE(n.n_name, '(all)') AS nation,
        COALESCE(c.c_mktsegment, '(all)') AS segment,

@@ -9066,6 +9066,73 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
+def q_transition_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain — where
+    `event_transitions` measures each hop, this answers "where do
+    users spend their time in the limit": 3 unrolled power iterations
+    v' = v·P from uniform, entirely in integer ppm over the ≤|types|²
+    transition census (the `pagerank_items` unrolled-trajectory
+    discipline — per-term `(v·n) div rowtot` integer division is
+    deterministic in both engines, and the whole trajectory is under
+    the hash gate, not just the fixpoint).
+
+    One user-keyed lag pass builds the census; each iteration is a
+    5-row × 25-row broadcast join — nothing beyond the census ever
+    shuffles, at any scale.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    census = (
+        e.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("de"), F.col("event_type").alias("para"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rowtot", F.sum("n").over(Window.partitionBy("de")))
+    )
+    states = census.select(F.col("de").alias("state")).union(
+        census.select(F.col("para"))
+    ).distinct()
+    n_states = states.count()  # bounded: the type domain
+    v = states.select("state", F.lit(1_000_000 // n_states).cast("long").alias("mass"))
+    for _ in range(3):
+        contrib = census.join(
+            F.broadcast(v), census["de"] == v["state"]
+        ).select(
+            F.col("para").alias("state"),
+            F.expr("(mass * n) div rowtot").alias("part"),
+        )
+        v = contrib.groupBy("state").agg(F.sum("part").alias("mass"))
+    return v.select("state", F.col("mass").alias("steady_ppm")).orderBy("state")
+
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity response to discount level — the pricing team's first
+    elasticity read: per cent-grid discount level (the exact integer
+    band `tpch_q6` established), line count, total quantity, average
+    quantity in millis, and revenue cents. One map-side-combined
+    11-group aggregate fused into the fact scan; a monotone-ish
+    qty-vs-discount profile is the expected signal, and the query
+    reports whatever the data says.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast(MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        li.groupBy("disc_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            F.expr("sum(qty) * 1000 div count(1)").alias("avg_qty_milli"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -9289,6 +9356,8 @@ QUERIES = {
     "same_customer_growth": q_same_customer_growth,
     "attribution_stream_wm": q_attribution_stream_wm,
     "holt_trend": q_holt_trend,
+    "transition_steady_state": q_transition_steady_state,
+    "discount_elasticity": q_discount_elasticity,
     "hazard_weekly": q_hazard_weekly,
     "key_gap_islands": q_key_gap_islands,
     "join_size_estimate": q_join_size_estimate,

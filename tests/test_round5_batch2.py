@@ -1324,3 +1324,23 @@ def test_duckdb_list_reduce_struct_bug_still_present():
             "DuckDB fixed list_reduce struct lambdas — holt_trend's "
             "recursive-CTE oracle can be simplified back to list_reduce"
         )
+
+
+def test_transition_steady_state_conserves_mass(spark):
+    rows = QUERIES["transition_steady_state"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["steady_ppm"] for r in rows)
+    # per-term integer floors lose a bounded number of ppm per step:
+    # at most |census| per iteration, 3 iterations
+    assert 900_000 < total <= 1_000_000
+    assert all(r["steady_ppm"] >= 0 for r in rows)
+
+
+def test_discount_elasticity_covers_grid(spark):
+    rows = QUERIES["discount_elasticity"](spark, SF_SMOKE).collect()
+    assert [r["disc_pct"] for r in rows] == sorted(r["disc_pct"] for r in rows)
+    li_count = read_table(spark, SF_SMOKE, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == li_count
+    for r in rows:
+        assert 0 <= r["disc_pct"] <= 10
+        assert r["avg_qty_milli"] == r["total_qty"] * 1000 // r["n_lines"]
