@@ -1344,3 +1344,41 @@ def test_discount_elasticity_covers_grid(spark):
     for r in rows:
         assert 0 <= r["disc_pct"] <= 10
         assert r["avg_qty_milli"] == r["total_qty"] * 1000 // r["n_lines"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    xs=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=12
+    )
+)
+def test_holt_fold_expression_matches_python_on_adversarial_series(spark, xs):
+    """The Holt fold's shift arithmetic must match Python's arithmetic
+    (floor) shifts on ANY series — negatives, collapses, spikes —
+    not just the fixture's. Exercises the exact expression the query
+    uses, applied to a literal array."""
+    lifted = F.transform(
+        F.expr("xs"),
+        lambda x: F.struct(x.alias("l"), F.lit(0).cast("bigint").alias("b")),
+    )
+    state = F.aggregate(
+        F.slice(lifted, 2, F.greatest(F.size(lifted) - 1, F.lit(0))),
+        F.element_at(lifted, 1),
+        lambda acc, e: F.struct(
+            (acc["l"] + acc["b"] + F.shiftright(e["l"] - acc["l"] - acc["b"], 2)).alias("l"),
+            (acc["b"] + F.shiftright(e["l"] - acc["l"] - acc["b"], 4)).alias("b"),
+        ),
+    )
+    df = spark.createDataFrame([(xs,)], "xs array<long>").select(
+        state["l"].alias("l"), state["b"].alias("b")
+    )
+    got = df.collect()[0]
+    l, b = xs[0], 0
+    for x in xs[1:]:
+        err = x - l - b
+        l, b = l + b + (err >> 2), b + (err >> 4)
+    assert (got["l"], got["b"]) == (l, b), xs
