@@ -7853,7 +7853,11 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purch = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(per_user), "user_id")
+        # user-keyed equi-join, NO broadcast hint: the signup census is
+        # data-proportional (one row per user), so forcing it to every
+        # executor is the semantic_dedup-class OOM at corpus scale —
+        # the size estimator may still broadcast it at small SF
+        .join(per_user, "user_id")
         .filter(secs >= F.col("s0"))
         .groupBy("user_id")
         .agg(F.min(secs).alias("p0"), F.max("s0").alias("s0"))
