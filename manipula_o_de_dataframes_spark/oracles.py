@@ -5375,6 +5375,125 @@ SELECT promo_cents, total_cents,
 FROM s
 """
 
+ORACLES["tpch_q7"] = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+ORACLES["tpch_q8"] = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS vol
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  WHERE p.p_type = 'STANDARD'
+    AND r.r_name = 'AMERICA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+), s AS (
+  SELECT CAST(o_year AS INT) AS o_year,
+         COALESCE(CAST(round(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol END), 2)
+                       * 100 AS BIGINT), 0) AS nation_cents,
+         CAST(round(SUM(vol), 2) * 100 AS BIGINT) AS total_cents
+  FROM j GROUP BY 1
+)
+SELECT o_year, nation_cents, total_cents,
+       nation_cents * 1000000 // total_cents AS mkt_share_ppm
+FROM s
+ORDER BY o_year
+"""
+
+ORACLES["tpch_q9"] = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                - CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+ORACLES["tpch_q12"] = """
+SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 30
+            THEN '1-FAST'
+            WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90
+            THEN '2-OK'
+            ELSE '3-LATE' END AS delay_band,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["tpch_q13"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS INT) AS c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) * 100
+              AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
 ORACLES["naive_forecast_mape"] = """
 WITH census AS (
   SELECT n.n_name AS nation,

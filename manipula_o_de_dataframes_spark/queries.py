@@ -9137,6 +9137,308 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between
+    two nations by ship year — the benchmark's double-dimension
+    disjunction probe. The pair predicate ((supp=A ∧ cust=B) ∨
+    (supp=B ∧ cust=A)) cannot collapse to either single join, so the
+    planner must carry both nation attributes to one post-join filter
+    while still pruning each dimension to the two named nations.
+
+    Plan: supplier and customer each pre-filtered to the 2-nation
+    set and broadcast; lineitem⋈orders on orderkey is the only
+    shuffle; the disjunction filters the joined stream inside the
+    same codegen stage. Revenue is the exact-DECIMAL discount
+    product summed per (supp_nation, cust_nation, year), cast to
+    double once at the edge — Q5's float policy verbatim.
+    """
+    pair = ("NATION_1", "NATION_2")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__rev"),
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("__rev").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of the AMERICA region's
+    1996–1997 STANDARD-part purchase volume, the share supplied by
+    NATION_5, per order year — the benchmark's conditional-share-
+    over-a-5-way-join probe.
+
+    Both the numerator (NATION_5-supplied volume) and denominator
+    (all volume) ride ONE map-side-combined aggregate over the same
+    joined stream — never two scans. Share is integer ppm over exact
+    cents (round-once-then-cent-cast, the q14 discipline), so the
+    output is pure BIGINT: no cross-engine float hazard anywhere.
+
+    Plan: part (type filter), supplier(+nation) and customer
+    (region-pruned via nation⋈region) all broadcast; lineitem⋈orders
+    on orderkey is the only shuffle.
+    """
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    amer = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(amer), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__vol"),
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("__vol"))), 2
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("nation_cents"),
+            (F.round(F.sum("__vol"), 2) * 100).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            F.coalesce("nation_cents", F.lit(0)).alias("nation_cents"),
+            "total_cents",
+            F.expr(
+                "coalesce(nation_cents, 0) * 1000000 div total_cents"
+            ).alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted to the fixture schema:
+    no partsupp table, so supply cost is proxied by the part's list
+    price — profit(line) = disc_revenue − p_retailprice·l_quantity,
+    i.e. realized margin vs list (negative when discounted sales
+    clear below list). Same shape as spec Q9: a part-name substring
+    filter ('%red%'), profit aggregated per (supplier nation, order
+    year) over the full join graph.
+
+    Exactness: retailprice casts to DECIMAL(12,2), quantity is
+    integral (BIGINT), so cost = (12,2)×BIGINT is exact; revenue is
+    the exact (17,4) discount product; the difference stays exact
+    decimal and is summed before ONE cast to double. Plan: part
+    (name filter) and supplier(+nation) broadcast; lineitem⋈orders
+    on orderkey is the only shuffle; year extraction rides the probe
+    side.
+    """
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", F.col("p_retailprice").cast(_PRICE).alias("__list"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("__qty"),
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__rev"),
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum(F.col("__rev") - F.col("__list") * F.col("__qty"))
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority audit) adapted to the
+    fixture schema: no shipmode/commit/receipt dates, so lines are
+    banded by ship DELAY (days from order to ship: ≤30 fast, 31–90
+    ok, >90 late) instead of by mode — the same shape as spec Q12:
+    per band, how many lines belong to critical-priority orders
+    (1-URGENT/2-HIGH) vs not, as a CASE-sum pair over one join.
+
+    The delay predicate is a non-equi expression over both sides, so
+    it must ride the orderkey join as a post-join projection — the
+    planner keeps it inside the join's codegen stage. One shuffle
+    (lineitem⋈orders on orderkey), 3-row output, all BIGINT.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay <= 30, F.lit("1-FAST"))
+        .when(delay <= 90, F.lit("2-OK"))
+        .otherwise(F.lit("3-LATE"))
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly k qualifying orders, INCLUDING the zero-order customers
+    — the benchmark's outer-join-then-re-aggregate probe. The
+    fixture has no o_comment, so the spec's "special requests"
+    exclusion becomes an o_orderpriority ≠ 1-URGENT filter (same
+    plan point: the predicate must sit in the JOIN's ON clause, not
+    a WHERE — a WHERE would silently turn the outer join inner and
+    drop the zero bucket).
+
+    Two aggregations: orders-per-customer (shuffle on custkey),
+    then customers-per-count (the distribution, a ≤max-k-row
+    shuffle). All counts BIGINT; c_count INT for a stable schema.
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("int").alias("c_count"))
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose 1996-Q1
+    shipped revenue equals the maximum — spec Q15's revenue-view +
+    scalar-max-subquery shape, expressed as an unpartitioned window
+    max over the per-supplier aggregate. The window is global but
+    runs on the ~|suppliers| aggregate (bounded, dimension-sized),
+    never on fact rows — the same census-not-data discipline as the
+    repo's other global windows.
+
+    Tie semantics preserved: equality against the max keeps ALL
+    argmax suppliers (spec Q15 returns every tie). The compare is on
+    exact integer cents (round-once-then-cent-cast), so max and
+    equality are bit-safe cross-engine; no float enters the plan.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__rev"),
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        (F.round(F.sum("__rev"), 2) * 100).cast("bigint").alias("total_cents")
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.orderBy(F.lit(1))
+    top = rev.withColumn("__max", F.max("total_cents").over(w)).filter(
+        F.col("total_cents") == F.col("__max")
+    )
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -9310,6 +9612,12 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
     "stream_running_totals": q_stream_running_totals,
     "capped_balance": q_capped_balance,
     "ltv_cohorts": q_ltv_cohorts,
