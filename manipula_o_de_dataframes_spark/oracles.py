@@ -5494,6 +5494,164 @@ WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
 ORDER BY s.s_suppkey
 """
 
+ORACLES["tpch_q2"] = """
+WITH eur AS (
+  SELECT n.n_nationkey, n.n_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), sup AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, e.n_name
+  FROM supplier s JOIN eur e ON s.s_nationkey = e.n_nationkey
+), per_ps AS (
+  SELECT p.p_partkey, l.l_suppkey,
+         MIN(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS min_cents
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN sup s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+  GROUP BY 1, 2
+), best AS (
+  SELECT *, MIN(min_cents) OVER (PARTITION BY p_partkey) AS pmin
+  FROM per_ps
+)
+SELECT s.s_acctbal, s.s_name, s.n_name AS nation, b.p_partkey, b.min_cents
+FROM best b JOIN sup s ON b.l_suppkey = s.s_suppkey
+WHERE b.min_cents = b.pmin
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, b.p_partkey
+"""
+
+ORACLES["tpch_q16"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size ASC
+"""
+
+ORACLES["tpch_q17"] = """
+WITH li AS (
+  SELECT p.p_partkey,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#3' AND p.p_size <= 10
+), stats AS (
+  SELECT p_partkey, COUNT(*) AS cnt, SUM(qty) AS sum_qty
+  FROM li GROUP BY 1
+)
+SELECT COUNT(*) AS n_small_lines,
+       COALESCE(SUM(li.cents), 0) AS total_cents,
+       CAST(COALESCE(SUM(li.cents), 0) AS DOUBLE) / 700.0 AS avg_yearly
+FROM li JOIN stats st ON li.p_partkey = st.p_partkey
+WHERE 5 * li.qty * st.cnt < st.sum_qty
+"""
+
+ORACLES["tpch_q11"] = """
+WITH per_part AS (
+  SELECT l.l_partkey,
+         SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, value_cents
+FROM per_part
+WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM per_part)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+ORACLES["tpch_q19"] = """
+SELECT COUNT(*) AS n_lines,
+       COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                0.0) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 5
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 10
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+ORACLES["tpch_q20"] = """
+WITH per_supp AS (
+  SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS BIGINT)) AS shipped_qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%blue%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), totals AS (
+  SELECT SUM(shipped_qty) AS total, COUNT(*) AS n FROM per_supp
+)
+SELECT s.s_name, n.n_name AS nation, ps.shipped_qty
+FROM per_supp ps
+CROSS JOIN totals t
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE ps.shipped_qty * t.n > t.total
+  AND r.r_name = 'ASIA'
+ORDER BY s.s_name
+"""
+
+ORACLES["tpch_q21"] = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem
+  GROUP BY 1, 2
+), marked AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         MAX(last_ship) OVER (PARTITION BY l_orderkey) AS max_ship
+  FROM per_os
+), flagged AS (
+  SELECT *,
+         SUM(CASE WHEN last_ship = max_ship THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_latest
+  FROM marked
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM flagged f
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.n_supp >= 2 AND f.n_latest = 1 AND f.last_ship = f.max_ship
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+ORACLES["tpch_q22"] = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(c_nationkey AS INT) AS cntrycode,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23)
+), pos AS (
+  SELECT SUM(bal) AS sum_pos, COUNT(*) AS n_pos FROM c WHERE bal > 0
+)
+SELECT c.cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(c.bal) AS DOUBLE) AS totacctbal
+FROM c CROSS JOIN pos
+WHERE c.bal * pos.n_pos > pos.sum_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
 ORACLES["naive_forecast_mape"] = """
 WITH census AS (
   SELECT n.n_name AS nation,

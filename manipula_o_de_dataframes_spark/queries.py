@@ -9439,6 +9439,374 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted to the fixture
+    schema: no partsupp/ps_supplycost, so "cost" is the cheapest
+    OBSERVED line (min exact cents of l_extendedprice) a EUROPE
+    supplier ever shipped that part for. Same correlated-min shape
+    as spec Q2: for every small STANDARD part, keep exactly the
+    supplier rows achieving the per-part minimum — ties keep every
+    minimal supplier, as the spec's subquery does.
+
+    The min is computed per (part, supplier) then the per-part
+    argmin is selected by a window min over the partkey-partitioned
+    aggregate — dimension-bounded rows, never fact rows. Cents go
+    through the DECIMAL(12,2) cast (NOT round()·100 on the raw
+    double — Spark's double→bigint cast truncates where DuckDB's
+    rounds, the probed off-by-a-cent hazard), so min and the
+    equality keep are exact; s_acctbal is rendered untouched (no
+    arithmetic — a
+    passed-through parquet double hashes identically everywhere).
+    Plan: part filter prunes the scan; europe suppliers broadcast;
+    one shuffle on (partkey, suppkey).
+    """
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    eur = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(eur), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = read_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast(_PRICE) * 100).cast("bigint").alias("__cents"),
+    )
+    per_ps = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min("__cents").alias("min_cents"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = per_ps.withColumn("__pmin", F.min("min_cents").over(w)).filter(
+        F.col("min_cents") == F.col("__pmin")
+    )
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select("s_acctbal", "s_name", F.col("n_name").alias("nation"), "p_partkey", "min_cents")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted: no partsupp,
+    so the supply relation is the one OBSERVED in lineitem — how
+    many distinct suppliers have ever shipped each (brand, type,
+    size) combination, excluding one brand (spec's Brand#45 ≈
+    Brand#1 here). Spec Q16's point survives intact: a distinct-
+    count whose dedup key (the supplier) is NOT a grouping key, so
+    the engine must shuffle the (brand, type, size, suppkey)
+    distinct set before counting — count(DISTINCT) over a join,
+    map-side-deduped.
+
+    Plan: part filter broadcasts into lineitem; one distinct shuffle
+    on the 4-tuple, then the count collapses to the ≤|brand×type×
+    size| census. All output integers/strings.
+    """
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = read_table_parallel(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", F.col("p_size").asc()
+        )
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue that would
+    vanish if sub-20%-of-average-quantity orders for one brand's
+    small parts were dropped — the benchmark's correlated-scalar-
+    average probe (p_container → p_size ≤ 10 in this fixture).
+
+    The fractional threshold is made integer-exact: qty < 0.2·avg ⇔
+    5·qty·cnt < sum_qty (cnt > 0, quantity integral in the
+    fixture), so NO float division enters the filter — the same
+    cross-multiplication discipline as `same_customer_growth`. The
+    per-part (cnt, sum) table is dimension-bounded (≤|part| rows)
+    and broadcast back onto the filtered lines. avg_yearly is ONE
+    IEEE division of exact cents by 700 at the edge.
+    """
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = (
+        read_table_parallel(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            F.col("l_quantity").cast("bigint").alias("__qty"),
+            (F.col("l_extendedprice").cast(_PRICE) * 100).cast("bigint").alias("__cents"),
+        )
+    )
+    stats = li.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.count(F.lit(1)).alias("__cnt"), F.sum("__qty").alias("__sum_qty")
+    )
+    small = li.join(F.broadcast(stats), F.col("p_partkey") == F.col("__pk")).filter(
+        F.lit(5) * F.col("__qty") * F.col("__cnt") < F.col("__sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.coalesce(F.sum("__cents"), F.lit(0)).alias("total_cents"),
+        (F.coalesce(F.sum("__cents"), F.lit(0)).cast("double") / F.lit(700.0)).alias(
+            "avg_yearly"
+        ),
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) adapted: no partsupp, so "stock
+    value" is the OBSERVED shipped value — per part, the exact-cent
+    value shipped by NATION_3's suppliers, keeping parts whose share
+    of that nation's total exceeds 1/1000 (the spec's scalar-
+    subquery HAVING, which is the query's point: the threshold is
+    computed FROM the same aggregate it filters).
+
+    The fraction is cross-multiplied exact (value·1000 > total on
+    BIGINT cents — no division), with the total riding a broadcast
+    one-row aggregate over the per-part census, never a second fact
+    scan. Plan: nation-filtered suppliers broadcast into lineitem,
+    one shuffle to the per-part census.
+    """
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = (
+        read_table_parallel(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice").cast(_PRICE) * 100).cast("bigint").alias("__cents"),
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("__cents").alias("value_cents"))
+    total = per_part.agg(F.sum("value_cents").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("__total"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates)
+    adapted to the fixture schema (no container/shipmode, so each
+    branch predicates on brand + size band + quantity band): three
+    OR-ed (brand, p_size range, l_quantity range) branches over
+    lineitem⋈part — the benchmark's disjunction-handling probe. The
+    planner must (a) push the union of the part-side predicates into
+    the broadcast build (only 3 brands survive the scan) and (b)
+    evaluate the cross-table disjunction post-join in one codegen
+    stage — NOT expand to a union of three joins.
+
+    One broadcast join, scalar output row; revenue is the exact
+    decimal discount product, counts are BIGINT.
+    """
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#5", "Brand#15", "Brand#25")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = read_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("__qty"),
+        (
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        ).alias("__rev"),
+    )
+    qty = F.col("__qty")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.coalesce(F.sum("__rev").cast("double"), F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: no partsupp
+    availability, so "has excess stock to promote" becomes "shipped
+    an above-average quantity": ASIA suppliers whose 1996 shipped
+    quantity of blue parts exceeds the all-supplier average for that
+    slice. Same semi-join reduction chain as spec Q20: part-name
+    filter → per-supplier fact aggregate → threshold → supplier
+    dimension, each stage shrinking before the next join.
+
+    The fractional threshold is cross-multiplied integer-exact
+    (qty·n_supp > total_qty ⇔ qty > avg — quantity integral,
+    counts BIGINT), with the (total, n) pair carried as a broadcast
+    one-row aggregate. Output: qualifying suppliers by name.
+    """
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")
+    ).select("p_partkey")
+    li = (
+        read_table_parallel(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", F.col("l_quantity").cast("bigint").alias("__qty"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("__qty").alias("shipped_qty"))
+    totals = per_supp.agg(
+        F.sum("shipped_qty").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    asia = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(totals))
+        .filter(F.col("shipped_qty") * F.col("__n") > F.col("__total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "nation", "shipped_qty")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted: no
+    commit/receipt dates, so "the supplier everyone waited on" is
+    the SOLE last-to-ship supplier of a multi-supplier order — the
+    line with the max shipdate where no other supplier shipped that
+    late. Spec Q21's EXISTS(other supplier) ∧ NOT EXISTS(other late
+    supplier) pair is expressed without self-joins: one aggregate to
+    (orderkey, suppkey, last_ship) grain, then windowed max +
+    achiever-count over the orderkey partition — the fact shuffles
+    ONCE on orderkey, vs the spec formulation's three scans.
+
+    numwait is a BIGINT count per supplier; top 20 under the
+    deterministic (numwait DESC, s_name) order (s_name is unique,
+    so the cut is stable).
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.withColumn("__n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("__max_ship", F.max("last_ship").over(w))
+        .withColumn(
+            "__n_latest",
+            F.sum(
+                F.when(F.col("last_ship") == F.col("__max_ship"), 1).otherwise(0)
+            ).over(w),
+        )
+        .filter(
+            (F.col("__n_supp") >= 2)
+            & (F.col("__n_latest") == 1)
+            & (F.col("last_ship") == F.col("__max_ship"))
+        )
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) adapted: the fixture has
+    no c_phone, so "country code" is the nation key itself (odd keys
+    = the spec's 7-code list analog); wealthy-but-dormant customers
+    are those with account balance above the positive-balance
+    average of the candidate set AND no order since 2000 — the
+    benchmark's scalar-subquery + anti-join probe.
+
+    The average threshold is cross-multiplied exact (bal·n_pos >
+    sum_pos on DECIMAL(12,2)·BIGINT — no division), the (sum, n)
+    scalar rides a broadcast one-row aggregate, and the dormancy
+    check is a LEFT ANTI join against the date-pruned orders scan.
+    Output: per country code, the customer count and their exact
+    total balance (cast double at the edge).
+    """
+    codes = [1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23]
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*codes)
+    ).select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("cntrycode"),
+        F.col("c_acctbal").cast(_PRICE).alias("__bal"),
+    )
+    pos = c.filter(F.col("__bal") > 0).agg(
+        F.sum("__bal").alias("__sum_pos"), F.count(F.lit(1)).alias("__n_pos")
+    )
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("__bal") * F.col("__n_pos") > F.col("__sum_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("__bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming (``applyInPandasWithState``) made
     driver-checkable: per-type running (count, exact-cents total)
@@ -9618,6 +9986,14 @@ QUERIES = {
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "stream_running_totals": q_stream_running_totals,
     "capped_balance": q_capped_balance,
     "ltv_cohorts": q_ltv_cohorts,

@@ -52,6 +52,12 @@ TZ_SENSITIVE = [
     "seasonal_band_breaches", "session_depth_profile", "decayed_item_rank",
     "tpch_q10", "tpch_q14", "naive_forecast_mape", "abc_xyz_matrix",
     "same_customer_growth", "attribution_stream_wm",
+    # TPC-H completion batch — every member filters or derives from
+    # order/ship timestamps (q7/q9 extract year; q12 datediffs the
+    # two; q13/q16 are date-free but ride along for the join shapes)
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22",
 ]
 
 
