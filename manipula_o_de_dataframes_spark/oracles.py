@@ -5904,3 +5904,142 @@ SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey, total_qty,
 FROM ranked WHERE qty_rank <= 3
 ORDER BY p_brand, qty_rank, p_partkey
 """
+
+# Apriori level-2: candidate triples verified against the frequent-pair
+# table three ways; support counted over distinct-per-order baskets.
+ORACLES["apriori_triples"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+fp AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+         COUNT(*) AS n
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT t.x AS part_a, t.y AS part_b, t.z AS part_c,
+       CAST(t.n AS BIGINT) AS support
+FROM tri t
+JOIN fp p1 ON t.x = p1.u AND t.y = p1.v
+JOIN fp p2 ON t.x = p2.u AND t.z = p2.v
+JOIN fp p3 ON t.y = p3.u AND t.z = p3.v
+ORDER BY support DESC, part_a, part_b, part_c LIMIT 100
+"""
+
+# Bitmap census: mask built as sum(DISTINCT 1<<day) (distinct powers ≡
+# bit_or); popcount via bit twiddling in Spark is cross-checked here by
+# COUNT(DISTINCT day), and the 64-step mask fold for the streak by an
+# independent gaps-and-islands derivation — two formulations, one hash.
+ORACLES["activity_bitmaps"] = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01', ts)
+                    / 86400.0) AS INT) AS d
+  FROM events
+  WHERE date_diff('second', TIMESTAMP '2024-01-01', ts) >= 0
+    AND FLOOR(date_diff('second', TIMESTAMP '2024-01-01', ts) / 86400.0) <= 62
+),
+islands AS (
+  SELECT user_id, d,
+         d - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY d) AS isl
+  FROM days
+),
+streaks AS (
+  SELECT user_id, MAX(run) AS longest_streak
+  FROM (SELECT user_id, isl, COUNT(*) AS run FROM islands GROUP BY 1, 2)
+  GROUP BY 1
+),
+masks AS (
+  SELECT d.user_id,
+         SUM(DISTINCT (CAST(1 AS BIGINT) << d.d)) AS day_mask,
+         COUNT(DISTINCT d.d) AS n_active_days
+  FROM days d GROUP BY 1
+)
+SELECT m.day_mask,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(m.n_active_days) AS INT) AS n_active_days,
+       CAST(MAX(s.longest_streak) AS INT) AS longest_streak
+FROM masks m JOIN streaks s ON s.user_id = m.user_id
+GROUP BY m.day_mask
+ORDER BY n_users DESC, m.day_mask LIMIT 20
+"""
+
+# Embargoed range frame: bounds on the VALUE of epoch seconds, so tie
+# handling and the 3-day gap are engine-independent by construction.
+ORACLES["leakage_safe_features"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS sec,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, event_type, sec,
+         COUNT(*) OVER w AS n_prior,
+         SUM(c) OVER w AS cents_prior,
+         MAX(sec) OVER w AS last_sec
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 259200 PRECEDING)
+)
+SELECT user_id, event_id AS label_event,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       CAST(COALESCE(cents_prior, 0) AS BIGINT) AS cents_prior,
+       CAST(COALESCE(sec - last_sec, -1) AS BIGINT) AS recency_gap_s
+FROM f WHERE event_type = 'purchase'
+"""
+
+# Best-case RLE runs after clustering by each candidate key: one
+# COUNT(DISTINCT) census per candidate, summed — no sort, no rewrite.
+ORACLES["rle_sort_key_planner"] = """
+WITH base AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority,
+         CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', o_orderdate)
+                    / 604800.0) AS BIGINT) AS wk
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS rows_total FROM base),
+per_key AS (
+  SELECT 'o_orderstatus' AS sort_key,
+         SUM(d1) AS r_cust, SUM(d2) AS r_status,
+         SUM(d3) AS r_prio, SUM(d4) AS r_week
+  FROM (SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) d1, COUNT(DISTINCT o_orderstatus) d2,
+               COUNT(DISTINCT o_orderpriority) d3, COUNT(DISTINCT wk) d4
+        FROM base GROUP BY 1)
+  UNION ALL
+  SELECT 'o_orderpriority',
+         SUM(d1), SUM(d2), SUM(d3), SUM(d4)
+  FROM (SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) d1, COUNT(DISTINCT o_orderstatus) d2,
+               COUNT(DISTINCT o_orderpriority) d3, COUNT(DISTINCT wk) d4
+        FROM base GROUP BY 1)
+  UNION ALL
+  SELECT 'o_custkey',
+         SUM(d1), SUM(d2), SUM(d3), SUM(d4)
+  FROM (SELECT o_custkey,
+               COUNT(DISTINCT o_custkey) d1, COUNT(DISTINCT o_orderstatus) d2,
+               COUNT(DISTINCT o_orderpriority) d3, COUNT(DISTINCT wk) d4
+        FROM base GROUP BY 1)
+),
+stacked AS (
+  SELECT sort_key, 'o_custkey' AS column_name, r_cust AS est_runs FROM per_key
+  UNION ALL
+  SELECT sort_key, 'o_orderstatus', r_status FROM per_key
+  UNION ALL
+  SELECT sort_key, 'o_orderpriority', r_prio FROM per_key
+  UNION ALL
+  SELECT sort_key, 'order_week', r_week FROM per_key
+)
+SELECT s.sort_key, s.column_name, CAST(s.est_runs AS BIGINT) AS est_runs,
+       CAST(round(CAST(s.est_runs AS DOUBLE) / CAST(n.rows_total AS DOUBLE)
+                  * 1000000.0, 0) AS BIGINT) AS runs_ppm
+FROM stacked s CROSS JOIN n
+ORDER BY sort_key, column_name
+"""

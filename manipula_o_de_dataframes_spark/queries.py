@@ -9968,6 +9968,292 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (Agrawal & Srikant's
+    Apriori, VLDB'94 — level 2): candidate triples whose three
+    sub-pairs are all frequent (support ≥ 2), with observed support —
+    the step after ``basket_pairs`` in the market-basket ladder, and
+    the classic demonstration of downward closure (a triple can only
+    be frequent if every sub-pair is).
+
+    Plan: triples are generated EXPRESSION-side from each order's
+    sorted part array (same single-fact-shuffle spine as
+    ``_basket_pairs`` — the cubic is bounded within a basket, ≤C(7,3)
+    = 35 structs for TPC-H-shaped orders), counted on one
+    (x,y,z)-keyed shuffle, then the candidate census LEFT SEMI-joins
+    three times against the broadcast frequent-pair table — the
+    pruned L2 table is the Apriori invariant that stays small at any
+    corpus size (that is the algorithm's entire point; at real minsup
+    it is a model artifact, not data). In the giant-basket regime
+    you'd additionally filter basket arrays against frequent ITEMS
+    before generating (L1 prune); with ≤7-item baskets generation is
+    cheaper than the filter. Top-100 under a total order.
+    """
+    pairs = _basket_pairs(spark, sf_dir)
+    fp = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    ps = F.col("__ps")
+    # i < j < k positions in the sorted array: x at i (0-based), y in
+    # slice(i+2 ..) at absolute 0-based i+1+j, z in slice(i+j+3 ..).
+    tri = F.flatten(
+        F.flatten(
+            F.transform(
+                ps,
+                lambda x, i: F.transform(
+                    F.slice(ps, i + 2, F.size(ps)),
+                    lambda y, j: F.transform(
+                        F.slice(ps, i + j + 3, F.size(ps)),
+                        lambda z: F.struct(
+                            x.alias("x"), y.alias("y"), z.alias("z")
+                        ),
+                    ),
+                ),
+            )
+        )
+    )
+    counts = (
+        baskets.select(F.explode(tri).alias("__t"))
+        .select("__t.x", "__t.y", "__t.z")
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pruned = (
+        counts.join(
+            F.broadcast(fp),
+            (counts["x"] == fp["u"]) & (counts["y"] == fp["v"]),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(fp),
+            (F.col("x") == fp["u"]) & (F.col("z") == fp["v"]),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(fp),
+            (F.col("y") == fp["u"]) & (F.col("z") == fp["v"]),
+            "left_semi",
+        )
+    )
+    return (
+        pruned.select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("z").alias("part_c"),
+            F.col("__n").cast("long").alias("support"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+        .limit(100)
+    )
+
+
+def q_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index activity census: each user's first-63-day activity
+    packed into ONE BIGINT (bit d = active on day d since the fixed
+    NTZ origin 2024-01-01 — the events fixture spans 30 days at every
+    SF; real systems shard one mask per 64-day epoch, bit 63 left to
+    the sign), then users grouped BY their mask — the top-20 temporal
+    behavior patterns with days-active (popcount) and longest
+    consecutive-day streak, both computed from the integer alone.
+
+    This is the roaring-bitmap posture for set membership at scale:
+    per-user state collapses from a day LIST to 8 bytes the moment it
+    leaves the fact shuffle (`sum(DISTINCT 1<<day)` — distinct powers
+    make sum ≡ bit_or, and it rides the same user-keyed exchange), so
+    downstream set algebra (retention = popcount(a&b), churn =
+    popcount(a&~b)) is word ops, never joins. The streak is a fixed
+    64-step integer fold over the mask (JVM-side HOF, no Python), so
+    the whole output is integer-exact — bit-identical cross-engine by
+    construction. The oracle derives the streak independently via
+    gaps-and-islands over distinct days; matching hashes prove the
+    bit-twiddling against the relational formulation.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.floor(
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+        / F.lit(86400)
+    ).cast("int")
+    masks = (
+        e.select("user_id", day.alias("__d"))
+        .filter((F.col("__d") >= 0) & (F.col("__d") <= 62))
+        .groupBy("user_id")
+        .agg(
+            F.sum_distinct(
+                F.expr("shiftleft(CAST(1 AS BIGINT), __d)")
+            ).alias("__mask")
+        )
+    )
+    streak = F.expr(
+        "aggregate(sequence(0, 62),"
+        " struct(CAST(0 AS INT) AS cur, CAST(0 AS INT) AS best),"
+        " (a, i) -> struct("
+        "   IF((shiftright(__mask, i) & 1) = 1, a.cur + 1, 0) AS cur,"
+        "   greatest(a.best,"
+        "            IF((shiftright(__mask, i) & 1) = 1, a.cur + 1, 0)) AS best),"
+        " a -> a.best)"
+    )
+    return (
+        masks.groupBy("__mask")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("__mask").alias("day_mask"),
+            "n_users",
+            F.bit_count("__mask").cast("int").alias("n_active_days"),
+            streak.cast("int").alias("longest_streak"),
+        )
+        .orderBy(F.col("n_users").desc(), "day_mask")
+        .limit(20)
+    )
+
+
+def q_leakage_safe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly with an embargo
+    gap: for every 'purchase' label event, features computed ONLY
+    from the user's events at least 3 days older than the label
+    (count, spend cents, recency of the last admissible event) — the
+    leakage guard every tabular-ML pipeline needs, because a feature
+    that peeks inside the embargo window (label leakage / serving
+    skew) inflates offline metrics and dies in production.
+
+    The embargo is a RANGE window frame, not a join: one user-keyed
+    shuffle sorts each user's history once, and every event's feature
+    vector reads from the frame (unbounded, label_sec − 259200] — so
+    the same pass scores every candidate label and the guarantee is
+    structural (the frame boundary IS the embargo; there is no
+    per-feature timestamp predicate to forget). Frame bounds are on
+    the VALUE of the epoch-seconds sort key, so microsecond ties
+    resolve identically in any engine. Spend is exact DECIMAL cents;
+    every output is integer — hash-gate-proof by construction.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    embargo = 3 * 86400
+    sec = tmp.seconds_since_origin("ts")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("__sec"),
+        (F.col("value").cast(MONEY) * 100).cast("long").alias("__c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(Window.unboundedPreceding, -embargo)
+    )
+    feats = base.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "__sec",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum("__c").over(w).alias("__cents"),
+        F.max("__sec").over(w).alias("__last"),
+    )
+    return feats.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("label_event"),
+        F.col("__n").cast("long").alias("n_prior"),
+        F.coalesce(F.col("__cents"), F.lit(0)).cast("long").alias("cents_prior"),
+        F.coalesce(F.col("__sec") - F.col("__last"), F.lit(-1))
+        .cast("long")
+        .alias("recency_gap_s"),
+    )
+
+
+def q_rle_sort_key_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key layout planner: for each candidate table sort key,
+    the BEST-CASE run-length-encoding run count every payload column
+    would compress to if orders were rewritten sorted by that key —
+    the estimate behind lakehouse OPTIMIZE/cluster-key advisors
+    (companion to ``zorder_keys``, which picks multi-column
+    interleavings, and ``zonemap_prune_audit``, which scores the
+    read side; this scores the STORAGE side).
+
+    The trick that makes it a planner rather than a rewrite: after
+    sorting by key K (then by c within each K-group, the best case),
+    column c's runs = Σ over K-groups of n_distinct(c) — so the
+    whole estimate is one countDistinct aggregate per candidate, no
+    sort, no shuffle of payload bytes. vs a physical rewrite it is an
+    UPPER bound that is tight to within the group count: runs merge
+    only where a group's last value equals the next group's first, so
+    actual ≤ est ≤ actual + (n_groups − 1) — asserted against a real
+    sorted-and-lag-counted rewrite in the test. Three candidate keys
+    → three (key)-keyed census
+    shuffles over 4-column tuples; runs_ppm (runs per million rows)
+    has ONE rounding site over two exact integers, so output is
+    hash-gate-exact. Lowest total ppm = the key to cluster by.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    week = (
+        F.floor(tmp.seconds_since_origin("o_orderdate") / F.lit(7 * 86400))
+    ).cast("long")
+    base = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        week.alias("__week"),
+    )
+    n_rows = base.agg(F.count(F.lit(1)).alias("__rows"))  # broadcast one-rower
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "__week"]
+    parts = []
+    for key in ("o_orderstatus", "o_orderpriority", "o_custkey"):
+        per_group = base.groupBy(key).agg(
+            *[F.countDistinct(c).alias(f"__d_{c}") for c in cols]
+        )
+        totals = per_group.agg(
+            *[F.sum(f"__d_{c}").alias(f"__r_{c}") for c in cols]
+        )
+        stacked = totals.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c if c != "__week" else "order_week").alias(
+                                "column_name"
+                            ),
+                            F.col(f"__r_{c}").cast("long").alias("est_runs"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("__s")
+        ).select(
+            F.lit(key).alias("sort_key"),
+            "__s.column_name",
+            "__s.est_runs",
+        )
+        parts.append(stacked)
+    out = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return (
+        out.crossJoin(F.broadcast(n_rows))
+        .select(
+            "sort_key",
+            "column_name",
+            "est_runs",
+            F.round(
+                F.col("est_runs").cast("double")
+                / F.col("__rows").cast("double")
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("runs_ppm"),
+        )
+        .orderBy("sort_key", "column_name")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -9980,6 +10266,10 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "apriori_triples": q_apriori_triples,
+    "activity_bitmaps": q_activity_bitmaps,
+    "leakage_safe_features": q_leakage_safe_features,
+    "rle_sort_key_planner": q_rle_sort_key_planner,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,

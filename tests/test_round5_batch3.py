@@ -1,0 +1,231 @@
+"""Round-5 third batch: Apriori triples, bitmap activity census,
+leakage-safe feature assembly, RLE sort-key planner.
+
+Oracle parity runs in test_oracle_parity; these pin the invariants
+parity can't see (downward closure, bit-twiddling vs relational
+reimplementation, embargo correctness vs a brute join, the planner's
+bound against a physical sorted rewrite) and the plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.queries import QUERIES
+from manipula_o_de_dataframes_spark.sources.io import read_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- apriori
+
+
+def _pair_supports(spark):
+    li = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    return {
+        (r["u"], r["v"]): r["n"]
+        for r in a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_apriori_downward_closure(spark):
+    """Every emitted triple's three sub-pairs must be frequent (≥2) —
+    the Apriori invariant, checked against a brute pair census."""
+    rows = QUERIES["apriori_triples"](spark, SF_SMOKE).collect()
+    assert rows, "smoke fixture should yield pair-frequent triples"
+    pairs = _pair_supports(spark)
+    for r in rows:
+        a, b, c = r["part_a"], r["part_b"], r["part_c"]
+        assert a < b < c
+        for p in ((a, b), (a, c), (b, c)):
+            assert pairs.get(p, 0) >= 2, (r, p, pairs.get(p, 0))
+
+
+def test_apriori_support_matches_brute_triple_count(spark):
+    """Expression-side generation from sorted basket arrays must count
+    exactly what a three-way self-join counts."""
+    li = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cols = lambda n: li.select(  # noqa: E731
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias(n)
+    )
+    brute = {
+        (r["x"], r["y"], r["z"]): r["n"]
+        for r in cols("x")
+        .join(cols("y"), "o")
+        .join(cols("z"), "o")
+        .filter((F.col("x") < F.col("y")) & (F.col("y") < F.col("z")))
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in QUERIES["apriori_triples"](spark, SF_SMOKE).collect():
+        assert brute[(r["part_a"], r["part_b"], r["part_c"])] == r["support"]
+
+
+def test_apriori_plan_shape(spark):
+    """One basket collect + one census shuffle; the three sub-pair
+    prunes are broadcast LEFT SEMI joins (the bounded-L2 posture); no
+    Python, no cartesian anywhere."""
+    p = _plan(QUERIES["apriori_triples"](spark, SF_SMOKE))
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "LeftSemi" in p, p
+
+
+# ---------------------------------------------------------- activity bitmaps
+
+
+def test_bitmap_streak_matches_python_fold(spark):
+    """The 64-step JVM mask fold vs an independent Python popscan."""
+    rows = QUERIES["activity_bitmaps"](spark, SF_SMOKE).collect()
+    assert rows
+
+    def streak(mask: int) -> int:
+        best = cur = 0
+        for i in range(63):
+            cur = cur + 1 if (mask >> i) & 1 else 0
+            best = max(best, cur)
+        return best
+
+    for r in rows:
+        assert r["n_active_days"] == bin(r["day_mask"]).count("1"), r
+        assert r["longest_streak"] == streak(r["day_mask"]), r
+        assert 0 < r["day_mask"] < (1 << 63)
+
+
+def test_bitmap_plan_is_jvm_only(spark):
+    p = _plan(QUERIES["activity_bitmaps"](spark, SF_SMOKE))
+    assert "EvalPython" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+# ---------------------------------------------------- leakage-safe features
+
+
+def test_leakage_features_match_brute_join(spark):
+    """The range-frame features must equal an independent brute
+    formulation: aggregate every (label, prior-event) pair with
+    prior.sec ≤ label.sec − embargo via an explicit join."""
+    out = QUERIES["leakage_safe_features"](spark, SF_SMOKE)
+    e = read_table(spark, SF_SMOKE, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'1990-01-01 00:00:00', ts)")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    base = e.select(
+        "user_id", "event_id", "event_type", sec.alias("s"), cents.alias("c")
+    )
+    labels = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("lu"),
+        F.col("event_id").alias("label_event"),
+        F.col("s").alias("ls"),
+    )
+    joined = labels.join(
+        base.select(F.col("user_id").alias("lu"), "s", "c"),
+        ["lu"],
+        "left",
+    ).withColumn("__ok", F.col("s") <= F.col("ls") - 3 * 86400)
+    brute = joined.groupBy("lu", "label_event", "ls").agg(
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n_prior"),
+        F.coalesce(
+            F.sum(F.when(F.col("__ok"), F.col("c"))), F.lit(0)
+        ).alias("cents_prior"),
+        F.max(F.when(F.col("__ok"), F.col("s"))).alias("last_s"),
+    )
+    brute = brute.select(
+        F.col("lu").alias("user_id"),
+        "label_event",
+        F.col("n_prior").cast("long"),
+        F.col("cents_prior").cast("long"),
+        F.coalesce(F.col("ls") - F.col("last_s"), F.lit(-1))
+        .cast("long")
+        .alias("recency_gap_s"),
+    )
+    diff = out.exceptAll(brute).count() + brute.exceptAll(out).count()
+    assert diff == 0
+
+
+def test_leakage_plan_single_user_shuffle(spark):
+    """One user-keyed window cascade; no join, no Python."""
+    p = _plan(QUERIES["leakage_safe_features"](spark, SF_SMOKE))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+# ------------------------------------------------------- RLE sort planner
+
+
+def test_rle_self_key_equals_distinct_count(spark):
+    """A column clustered by itself compresses to exactly its distinct
+    count — the planner's sanity anchor."""
+    out = {
+        (r["sort_key"], r["column_name"]): r["est_runs"]
+        for r in QUERIES["rle_sort_key_planner"](spark, SF_SMOKE).collect()
+    }
+    o = read_table(spark, SF_SMOKE, "orders")
+    for key in ("o_orderstatus", "o_orderpriority", "o_custkey"):
+        nd = o.select(key).distinct().count()
+        assert out[(key, key)] == nd, (key, out[(key, key)], nd)
+
+
+def test_rle_estimate_bounds_physical_rewrite(spark):
+    """actual ≤ est ≤ actual + (groups − 1): the estimate must bracket
+    a REAL sorted rewrite's run count (lag-change census over the
+    physically sorted frame) for every (key, column) cell."""
+    import duckdb
+
+    est = {
+        (r["sort_key"], r["column_name"]): r["est_runs"]
+        for r in QUERIES["rle_sort_key_planner"](spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT *,"
+        f" CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', o_orderdate)"
+        f" / 604800.0) AS BIGINT) AS order_week"
+        f" FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    for key in ("o_orderstatus", "o_orderpriority", "o_custkey"):
+        n_groups = con.sql(
+            f"SELECT COUNT(DISTINCT {key}) FROM orders"
+        ).fetchone()[0]
+        for col in ("o_custkey", "o_orderstatus", "o_orderpriority", "order_week"):
+            actual = con.sql(
+                f"""
+                SELECT 1 + SUM(CASE WHEN chg THEN 1 ELSE 0 END) FROM (
+                  SELECT {col} IS DISTINCT FROM
+                         LAG({col}) OVER (ORDER BY {key}, {col}, o_orderkey)
+                         AND LAG({col}) OVER (ORDER BY {key}, {col}, o_orderkey)
+                             IS NOT NULL AS chg
+                  FROM orders
+                ) WHERE chg IS NOT NULL
+                """
+            ).fetchone()[0]
+            e = est[(key, col)]
+            assert actual <= e <= actual + n_groups - 1, (key, col, actual, e)
+
+
+def test_rle_planner_plan_shape(spark):
+    """Three census aggregates, each with partial (map-side) expand —
+    no sort of the fact table anywhere in the plan."""
+    p = _plan(QUERIES["rle_sort_key_planner"](spark, SF_SMOKE))
+    assert "EvalPython" not in p, p
+    # the only Sort allowed is the 12-row output ordering
+    assert p.count("Sort ") <= 1, p
