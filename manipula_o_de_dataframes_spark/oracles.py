@@ -6043,3 +6043,128 @@ SELECT s.sort_key, s.column_name, CAST(s.est_runs AS BIGINT) AS est_runs,
 FROM stacked s CROSS JOIN n
 ORDER BY sort_key, column_name
 """
+
+# Exact Shapley over the 4-channel lattice: v(S) by subset containment
+# on bitmasks, weights |S|!(k-1-|S|)! inlined for k=4, credit_x24 pure
+# integer; ppm is the single rounding site.
+ORACLES["shapley_channels"] = """
+WITH pu AS (
+  SELECT user_id,
+         COALESCE(SUM(DISTINCT CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                      WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                      ELSE 0 END), 0) AS tmask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+census AS (
+  SELECT tmask, COUNT(*) AS n_users, SUM(conv) AS n_conv FROM pu GROUP BY 1
+),
+coal AS (SELECT range AS smask FROM range(16)),
+v AS (
+  SELECT c.smask, COALESCE(SUM(t.n_conv), 0) AS v
+  FROM coal c LEFT JOIN census t ON (t.tmask & ~c.smask) = 0
+  GROUP BY 1
+),
+ch(channel, bit) AS (
+  VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)
+),
+phi AS (
+  SELECT ch.channel,
+         SUM((CASE bit_count(v0.smask) WHEN 0 THEN 6 WHEN 3 THEN 6 ELSE 2 END)
+             * (v1.v - v0.v)) AS credit_x24
+  FROM ch
+  JOIN v v0 ON (v0.smask & ch.bit) = 0
+  JOIN v v1 ON v1.smask = v0.smask + ch.bit
+  GROUP BY 1
+),
+tot AS (SELECT SUM(credit_x24) AS t FROM phi),
+reach AS (
+  SELECT ch.channel, COALESCE(SUM(c.n_users), 0) AS reach_users
+  FROM ch LEFT JOIN census c ON (c.tmask & ch.bit) != 0
+  GROUP BY 1
+)
+SELECT p.channel, CAST(p.credit_x24 AS BIGINT) AS credit_x24,
+       CAST(round(CAST(p.credit_x24 AS DOUBLE)
+                  / NULLIF(CAST(t.t AS DOUBLE), 0) * 1000000.0, 0)
+            AS BIGINT) AS credit_ppm,
+       CAST(r.reach_users AS BIGINT) AS reach_users
+FROM phi p CROSS JOIN tot t JOIN reach r USING (channel)
+ORDER BY channel
+"""
+
+# RAKE: stopword-delimited phrase runs via the same transform/split
+# algebra; score pooled as one integer round-half-up division.
+ORACLES["rake_keywords"] = """
+WITH occ AS (
+  SELECT TRIM(p) AS phrase
+  FROM documents,
+       UNNEST(string_split(
+         array_to_string(
+           list_transform(string_split(text, ' '),
+             t -> CASE WHEN t IN ('the','a','and','of','to','in','is')
+                       THEN '|' ELSE t END),
+           ' '),
+         '|')) AS u(p)
+  WHERE text IS NOT NULL AND TRIM(p) <> ''
+),
+words AS (
+  SELECT w AS word, len(string_split(phrase, ' ')) AS plen
+  FROM occ, UNNEST(string_split(phrase, ' ')) AS uw(w)
+),
+wstats AS (
+  SELECT word, SUM(plen) AS deg, COUNT(*) AS freq FROM words GROUP BY 1
+),
+pcensus AS (SELECT phrase, COUNT(*) AS n_occ FROM occ GROUP BY 1),
+pw AS (
+  SELECT p.phrase, p.n_occ, w AS word
+  FROM pcensus p, UNNEST(string_split(p.phrase, ' ')) AS uw(w)
+),
+scored AS (
+  SELECT pw.phrase, pw.n_occ,
+         SUM(s.deg) AS sd, SUM(s.freq) AS sf
+  FROM pw JOIN wstats s USING (word)
+  GROUP BY 1, 2
+)
+SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ,
+       CAST((2000 * sd + sf) // (2 * sf) AS BIGINT) AS score_milli
+FROM scored
+ORDER BY score_milli DESC, phrase LIMIT 20
+"""
+
+# Quantile normalization: census-derived integer ppm ranks, global
+# as-of mapped by greatest g_ppm <= rank_ppm.
+ORACLES["quantile_normalize"] = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+sc AS (SELECT source, n_chars, COUNT(*) AS n FROM d GROUP BY 1, 2),
+src AS (
+  SELECT source, n_chars,
+         CASE WHEN SUM(n) OVER (PARTITION BY source) > 1
+              THEN (COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 1000000)
+                   // (SUM(n) OVER (PARTITION BY source) - 1)
+              ELSE 0 END AS rank_ppm
+  FROM sc
+),
+gc AS (SELECT n_chars, COUNT(*) AS n FROM d GROUP BY 1),
+gquant AS (
+  SELECT n_chars AS glen,
+         CASE WHEN SUM(n) OVER () > 1
+              THEN (COALESCE(SUM(n) OVER (ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 1000000)
+                   // (SUM(n) OVER () - 1)
+              ELSE 0 END AS g_ppm
+  FROM gc
+),
+mapped AS (
+  SELECT s.source, s.n_chars, s.rank_ppm, MAX(g.glen) AS norm_chars
+  FROM src s JOIN gquant g ON g.g_ppm <= s.rank_ppm
+  GROUP BY 1, 2, 3
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(m.rank_ppm AS BIGINT) AS rank_ppm,
+       CAST(m.norm_chars AS BIGINT) AS norm_chars
+FROM d JOIN mapped m ON m.source = d.source AND m.n_chars = d.n_chars
+"""

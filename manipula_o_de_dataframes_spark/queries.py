@@ -10254,6 +10254,239 @@ def q_rle_sort_key_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953, applied
+    to marketing touchpoints à la Zhao et al. 2018): each of the four
+    non-purchase channels gets the average marginal conversions it
+    adds across all 4! orderings — the only attribution satisfying
+    efficiency + symmetry + dummy, vs ``position_attribution``'s
+    U-shaped heuristic. Coalition value v(S) = conversions by users
+    whose ENTIRE touchset fits inside S (monotone, integer-valued).
+
+    The lattice trick that makes it exact AND distributed: user
+    touchsets pack into a 4-bit mask on the one user-keyed shuffle
+    (the ``activity_bitmaps`` posture), collapse to a ≤16-row
+    (mask, users, conversions) census, and everything after — the
+    subset-sum v(S) via `tmask & ~smask = 0`, the 4×8 marginal pairs
+    v(S∪{c})−v(S), the |S|!·(k−1−|S|)! weights — is integer algebra
+    on fixed-size lattice frames (every crossJoin is against a
+    ≤16-row bounded census, never data). credit_x24 = φ·4! is an
+    exact integer; efficiency Σφ = v(full)−v(∅) is asserted in the
+    test; credit_ppm has the one rounding site.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    pu = e.groupBy("user_id").agg(
+        F.coalesce(F.sum_distinct(bit), F.lit(0)).alias("tmask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__conv"),
+    )
+    census = pu.groupBy("tmask").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("__conv").alias("n_conv")
+    )
+    coal = spark.range(16).select(F.col("id").alias("smask"))
+    v = (
+        coal.join(
+            F.broadcast(census),
+            F.expr("tmask & ~smask") == 0,
+            "left",
+        )
+        .groupBy("smask")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    v0 = v.select(F.col("smask").alias("s0"), F.col("v").alias("__v0"))
+    v1 = v.select(F.col("smask").alias("s1"), F.col("v").alias("__v1"))
+    w = (
+        F.when(F.bit_count("s0") == 0, 6)
+        .when(F.bit_count("s0") == 3, 6)
+        .otherwise(2)
+    )
+    phi = (
+        ch.join(F.broadcast(v0), F.expr("s0 & bit") == 0)
+        .join(F.broadcast(v1), F.col("s1") == F.col("s0") + F.col("bit"))
+        .groupBy("channel", "bit")
+        .agg(
+            F.sum(w * (F.col("__v1") - F.col("__v0")))
+            .cast("long")
+            .alias("credit_x24")
+        )
+    )
+    total = phi.agg(F.sum("credit_x24").alias("__t"))
+    reach = (
+        ch.join(F.broadcast(census), F.expr("tmask & bit") != 0, "left")
+        .groupBy(F.col("channel").alias("__rc"))
+        .agg(F.coalesce(F.sum("n_users"), F.lit(0)).alias("reach_users"))
+    )
+    return (
+        phi.crossJoin(F.broadcast(total))
+        .join(F.broadcast(reach), F.col("channel") == F.col("__rc"))
+        .select(
+            "channel",
+            "credit_x24",
+            F.round(
+                F.col("credit_x24").cast("double")
+                / F.nullif(F.col("__t"), F.lit(0)).cast("double")
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("credit_ppm"),
+            F.col("reach_users").cast("long").alias("reach_users"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), integer-exact
+    adaptation: candidate phrases are maximal stopword-free token
+    runs; each word scores degree (Σ length of phrases it appears in)
+    and frequency; a phrase scores its words' pooled
+    degree-to-frequency ratio. Fills the keyword-extraction slot in
+    the text family (PMI finds collocations, TF-IDF scores per-doc
+    terms, BM25 ranks docs — RAKE surfaces corpus keyphrases).
+
+    Phrase extraction is pure expression algebra (stopwords → '|'
+    markers via transform, split, trim — the shared STOPWORDS list
+    the oracle inlines verbatim), so candidates are generated
+    map-side with zero Python. Two census shuffles: word stats
+    (degree, frequency) and the phrase census; the per-phrase score
+    joins phrase words to the word census (vocabulary-bounded).
+    Float policy: the spec's Σ deg(w)/freq(w) sums per-word ratios —
+    an ORDER-dependent float reduction — so this variant pools first
+    and divides ONCE, in pure integer round-half-up arithmetic
+    ((2000·Σdeg + Σfreq) div (2·Σfreq)): no float appears anywhere.
+    Top-20 under a total order.
+    """
+    from .functions.text import STOPWORDS  # noqa: PLC0415
+
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    marked = F.transform(
+        toks,
+        lambda t: F.when(t.isin(*STOPWORDS), F.lit("|")).otherwise(t),
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), "\\|"), lambda p: F.trim(p)
+        ),
+        lambda p: p != "",
+    )
+    occ = d.select(F.explode(phrases).alias("phrase"))
+    words = occ.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        F.size(F.split(F.col("phrase"), " ")).alias("__plen"),
+    )
+    wstats = words.groupBy("word").agg(
+        F.sum("__plen").alias("__deg"), F.count(F.lit(1)).alias("__freq")
+    )
+    pcensus = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pw = pcensus.select(
+        "phrase", "n_occ", F.explode(F.split(F.col("phrase"), " ")).alias("word")
+    )
+    scored = (
+        pw.join(wstats, "word")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.sum("__deg").alias("__sd"),
+            F.sum("__freq").alias("__sf"),
+        )
+        .select(
+            "phrase",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.expr("(2000 * __sd + __sf) div (2 * __sf)")
+            .cast("long")
+            .alias("score_milli"),
+        )
+    )
+    return scored.orderBy(F.col("score_milli").desc(), "phrase").limit(20)
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto the
+    corpus-wide distribution (the bioinformatics/feature-prep classic:
+    map each value to the GLOBAL value at its within-group rank, so
+    every source's length distribution becomes comparable before
+    mixing) — the distribution-alignment companion to
+    ``balance_sources`` (which equalizes counts, not shapes).
+
+    Scale shape: ranks come from VALUE-DOMAIN CENSUSES, not row
+    sorts — per-(source, length) counts cumulate to below-counts
+    (window over census rows only), rank_ppm = ⌊below·1e6/(n−1)⌋ in
+    pure integer division, and the global census maps ppm → length
+    the same way. The normalization is then an as-of join between
+    the two bounded censuses (greatest global length with g_ppm ≤
+    doc's rank_ppm — cumulative counts strictly increase, so the
+    argmax is unique), and docs attach back by (source, length).
+    No row-proportional sort or single-partition window anywhere;
+    everything is integer-exact.
+    """
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "source", "n_chars")
+    sc = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("__n"))
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src_tot = sc.groupBy(F.col("source").alias("__s")).agg(
+        F.sum("__n").alias("__tot")
+    )
+    src = (
+        sc.withColumn("__below", F.coalesce(F.sum("__n").over(ws), F.lit(0)))
+        .join(src_tot, F.col("source") == F.col("__s"))
+        .select(
+            "source",
+            "n_chars",
+            F.when(
+                F.col("__tot") > 1,
+                F.expr("(__below * 1000000) div (__tot - 1)"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("rank_ppm"),
+        )
+    )
+    gc = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("__n"))
+    wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    g_tot = gc.agg(F.sum("__n").alias("__gt"))
+    glob = (
+        gc.withColumn("__gb", F.coalesce(F.sum("__n").over(wg), F.lit(0)))
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            F.col("n_chars").alias("__glen"),
+            F.when(
+                F.col("__gt") > 1, F.expr("(__gb * 1000000) div (__gt - 1)")
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("__gppm"),
+        )
+    )
+    mapped = (
+        src.join(F.broadcast(glob), F.col("__gppm") <= F.col("rank_ppm"))
+        .groupBy("source", "n_chars", "rank_ppm")
+        .agg(F.max("__glen").alias("norm_chars"))
+    )
+    return d.join(mapped, ["source", "n_chars"]).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "rank_ppm",
+        F.col("norm_chars").cast("long").alias("norm_chars"),
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -10266,6 +10499,9 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "shapley_channels": q_shapley_channels,
+    "rake_keywords": q_rake_keywords,
+    "quantile_normalize": q_quantile_normalize,
     "apriori_triples": q_apriori_triples,
     "activity_bitmaps": q_activity_bitmaps,
     "leakage_safe_features": q_leakage_safe_features,

@@ -229,3 +229,169 @@ def test_rle_planner_plan_shape(spark):
     assert "EvalPython" not in p, p
     # the only Sort allowed is the 12-row output ordering
     assert p.count("Sort ") <= 1, p
+
+
+# ------------------------------------------------------ shapley channels
+
+
+def test_shapley_matches_python_brute_force(spark):
+    """credit_x24 must equal an independent Python Shapley over the
+    16-subset lattice built from collected per-user touchsets."""
+    from itertools import combinations
+    from math import factorial
+
+    e = read_table(spark, SF_SMOKE, "events").select("user_id", "event_type")
+    rows = e.collect()
+    touch, conv = {}, {}
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    for r in rows:
+        u = r["user_id"]
+        touch.setdefault(u, 0)
+        if r["event_type"] in bits:
+            touch[u] |= bits[r["event_type"]]
+        if r["event_type"] == "purchase":
+            conv[u] = 1
+
+    def v(smask: int) -> int:
+        return sum(
+            conv.get(u, 0) for u, t in touch.items() if (t & ~smask) == 0
+        )
+
+    k = 4
+    expected = {}
+    for name, b in bits.items():
+        others = [x for x in bits.values() if x != b]
+        phi24 = 0
+        for sz in range(k):
+            for combo in combinations(others, sz):
+                s = sum(combo)
+                w = factorial(sz) * factorial(k - 1 - sz)
+                phi24 += w * (v(s | b) - v(s))
+        expected[name] = phi24
+
+    out = {
+        r["channel"]: r["credit_x24"]
+        for r in QUERIES["shapley_channels"](spark, SF_SMOKE).collect()
+    }
+    assert out == expected
+
+    # efficiency: total credit = 24 * (v(all) - v(empty))
+    assert sum(out.values()) == 24 * (v(15) - v(0))
+
+
+def test_shapley_plan_no_data_crossjoin(spark):
+    """Every join after the user census is against a broadcast bounded
+    lattice frame; no Python, no row-proportional cartesian."""
+    p = _plan(QUERIES["shapley_channels"](spark, SF_SMOKE))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+# --------------------------------------------------------- rake keywords
+
+
+def test_rake_matches_python_reimplementation(spark):
+    """Top-20 phrases and scores vs an independent Python RAKE with the
+    same pooled integer scoring."""
+    from collections import Counter
+
+    from manipula_o_de_dataframes_spark.functions.text import STOPWORDS
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("text")
+        .collect()
+    )
+    deg, freq, pcount = Counter(), Counter(), Counter()
+    for r in docs:
+        phrase, phrases = [], []
+        for t in r["text"].split(" "):
+            if t in STOPWORDS:
+                if phrase:
+                    phrases.append(" ".join(phrase))
+                phrase = []
+            else:
+                phrase.append(t)
+        if phrase:
+            phrases.append(" ".join(phrase))
+        for p in phrases:
+            ws = p.split(" ")
+            pcount[p] += 1
+            for w in ws:
+                deg[w] += len(ws)
+                freq[w] += 1
+    scored = []
+    for p, n in pcount.items():
+        ws = p.split(" ")
+        sd = sum(deg[w] for w in ws)
+        sf = sum(freq[w] for w in ws)
+        scored.append((p, n, (2000 * sd + sf) // (2 * sf)))
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    expected = scored[:20]
+    out = [
+        (r["phrase"], r["n_occ"], r["score_milli"])
+        for r in QUERIES["rake_keywords"](spark, SF_SMOKE).collect()
+    ]
+    assert out == expected
+
+
+def test_rake_plan_is_jvm_only(spark):
+    p = _plan(QUERIES["rake_keywords"](spark, SF_SMOKE))
+    assert "EvalPython" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+# --------------------------------------------------- quantile normalize
+
+
+def test_quantile_normalize_matches_python_brute(spark):
+    """Per-doc rank_ppm and as-of mapped global length vs a Python
+    reimplementation from the raw rows."""
+    d = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rows = d.collect()
+    by_src = {}
+    all_lens = []
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+        all_lens.append(r["n_chars"])
+    all_sorted = sorted(all_lens)
+    n = len(all_sorted)
+
+    def gppm(length: int) -> int:
+        below = sum(1 for x in all_sorted if x < length)
+        return (below * 1_000_000) // (n - 1) if n > 1 else 0
+
+    glob = sorted({(gppm(v), v) for v in all_lens})
+    expected = {}
+    for r in rows:
+        vals = by_src[r["source"]]
+        m = len(vals)
+        below = sum(1 for x in vals if x < r["n_chars"])
+        rp = (below * 1_000_000) // (m - 1) if m > 1 else 0
+        norm = max(v for g, v in glob if g <= rp)
+        expected[r["doc_id"]] = (r["source"], r["n_chars"], rp, norm)
+
+    out = QUERIES["quantile_normalize"](spark, SF_SMOKE).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        assert expected[r["doc_id"]] == (
+            r["source"],
+            r["n_chars"],
+            r["rank_ppm"],
+            r["norm_chars"],
+        ), r
+
+
+def test_quantile_normalize_monotone_within_source(spark):
+    """Longer doc ⇒ norm_chars never smaller (rank preservation)."""
+    out = QUERIES["quantile_normalize"](spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["n_chars"], r["norm_chars"]))
+    for vals in by_src.values():
+        vals.sort()
+        for (l1, n1), (l2, n2) in zip(vals, vals[1:]):
+            assert n1 <= n2, (l1, n1, l2, n2)
