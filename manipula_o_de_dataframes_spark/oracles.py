@@ -6168,3 +6168,63 @@ SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
        CAST(m.norm_chars AS BIGINT) AS norm_chars
 FROM d JOIN mapped m ON m.source = d.source AND m.n_chars = d.n_chars
 """
+
+# HyperBall registers replicated bit-exactly: shared md5 convention,
+# trailing-zero ranks via bit_count((x & -x) - 1) saturating at 28,
+# integer harmonic denominator, one calibration division.
+ORACLES["hyperball_2hop"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v, u FROM edges
+),
+with_self AS (
+  SELECT src, dst FROM sym
+  UNION ALL SELECT DISTINCT src, src FROM sym
+),
+contrib AS (
+  SELECT src,
+         CAST(h % 16 AS INT) AS bucket,
+         LEAST(bit_count(((h >> 4) & -(h >> 4)) - 1), 28) AS rank
+  FROM (SELECT src,
+               ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM with_self)
+),
+b1 AS (SELECT src, bucket, MAX(rank) AS r FROM contrib GROUP BY 1, 2),
+b2 AS (
+  SELECT w.src, b.bucket, MAX(b.r) AS r
+  FROM with_self w JOIN b1 b ON b.src = w.dst
+  GROUP BY 1, 2
+),
+num AS (
+  SELECT src,
+         SUM(CAST(1 AS BIGINT) << (28 - r))
+         + (16 - COUNT(*)) * (CAST(1 AS BIGINT) << 29) AS num
+  FROM b2 GROUP BY 1
+),
+deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY 1)
+SELECT n.src AS node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(round(92496415686.656 / CAST(n.num AS DOUBLE), 0) AS BIGINT)
+         AS est_ball2
+FROM num n JOIN deg d ON d.src = n.src
+"""
+
+# Priority sampling: one exact-integer division per doc, total order
+# (priority, doc_id), top-50.
+ORACLES["weighted_sample"] = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS u_hash
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, u_hash
+FROM d
+ORDER BY CAST(u_hash AS DOUBLE) / CAST(n_chars AS DOUBLE) ASC, doc_id
+LIMIT 50
+"""

@@ -10487,6 +10487,127 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hyperball_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall 2-hop neighborhood-size estimation (Boldi & Vigna,
+    2013 — the algorithm behind the Facebook four-degrees-of-
+    separation measurement) on the co-purchase graph: per node, an
+    HLL-sketch estimate of |ball₂(n)| = nodes within 2 hops. Exact
+    2-hop counting needs the squared adjacency (~deg² rows per node —
+    36M wedges on THIS fixture, unbounded at corpus scale); HyperBall
+    replaces it with b rounds of 16-register sketch merges, each round
+    ONE edge-keyed shuffle carrying 16 small ints per node.
+
+    Engine-portable by construction, like every sketch in this repo:
+    registers come from the shared md5 convention (8 hex chars → h;
+    bucket = h & 15, rank = trailing zeros of h>>4 via
+    bit_count((x & −x) − 1), saturating at 28 when the slice is 0),
+    merge = groupBy max, and the harmonic denominator Σ 2^(28−r) is an
+    exact INTEGER (≤ 16·2²⁸). The only float is the final calibration
+    est = round(α₁₆·m²·2²⁸ / num) — one correctly-rounded division of
+    a shared literal by an exact integer, the single-rounding-site
+    policy. Accuracy vs brute-force 2-hop counting is pinned in the
+    test (m=16 ⇒ ~26% σ); the oracle pins the full register mechanics
+    bit-exactly.
+    """
+    edges = _basket_pairs(spark, sf_dir).distinct()
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    nodes = sym.select("src").distinct()
+    with_self = sym.unionAll(
+        nodes.select("src", F.col("src").alias("dst"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("dst").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    contrib = (
+        with_self.select("src", h.alias("__h"))
+        .select(
+            "src",
+            (F.col("__h") % 16).cast("int").alias("bucket"),
+            F.least(
+                F.expr(
+                    "bit_count((shiftright(__h, 4) & -shiftright(__h, 4)) - 1)"
+                ),
+                F.lit(28),
+            ).alias("rank"),
+        )
+    )
+    b1 = contrib.groupBy("src", "bucket").agg(F.max("rank").alias("r"))
+    # round 2: each node's ball-2 registers = max of its neighbors'
+    # (and its own) ball-1 registers — one more edge-keyed shuffle.
+    b2 = (
+        with_self.join(
+            b1.select(
+                F.col("src").alias("dst"), "bucket", F.col("r").alias("r1")
+            ),
+            "dst",
+        )
+        .groupBy("src", "bucket")
+        .agg(F.max("r1").alias("r"))
+    )
+    # ρ = tz+1 (1-based, HLL's convention); scaling by 2²⁹ makes the
+    # occupied term 2^(29-ρ) = 2^(28-tz) and an EMPTY register (M=0)
+    # contribute the full 2²⁹ — the off-by-one here halves every
+    # estimate (caught by the brute-force accuracy test).
+    alpha_c = 0.673 * 256 * float(2**29)  # α₁₆ · m² · 2²⁹, shared literal
+    num = b2.groupBy("src").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 28 - r)"))
+            + (F.lit(16) - F.count(F.lit(1)))
+            * F.lit(2**29).cast("long")
+        ).alias("__num")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return num.join(deg, "src").select(
+        F.col("src").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+        F.round(F.lit(alpha_c) / F.col("__num").cast("double"), 0)
+        .cast("long")
+        .alias("est_ball2"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup 2007 shape): the 50 documents with
+    the smallest priority u/w, where u is the doc's md5-derived
+    32-bit uniform and w = n_chars — longer docs draw proportionally
+    more often, and the SAME sample reproduces on every engine and
+    every run (the md5-as-randomness convention every sampler in this
+    repo uses; true rng would break both the hash gate and pipeline
+    reproducibility). The importance-sampling primitive behind
+    size-biased corpus mixing, where `corpus_mix` takes quotas and
+    DSIR takes distribution ratios.
+
+    Float policy: priority is ONE correctly-rounded IEEE division of
+    two exact integers — bit-identical cross-engine — and doc_id
+    breaks ties totally, so the top-50 cut is deterministic even at
+    equal priorities. Plan: no window, no shuffle of the corpus —
+    priorities fuse into the scan and TakeOrderedAndProject keeps 50
+    rows per partition then merges (the top-k-at-scale shape).
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    prio = u.cast("double") / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            u.alias("u_hash"),
+            prio.alias("__p"),
+        )
+        .orderBy(F.col("__p").asc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars", "u_hash")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -10499,6 +10620,8 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "hyperball_2hop": q_hyperball_2hop,
+    "weighted_sample": q_weighted_sample,
     "shapley_channels": q_shapley_channels,
     "rake_keywords": q_rake_keywords,
     "quantile_normalize": q_quantile_normalize,

@@ -395,3 +395,87 @@ def test_quantile_normalize_monotone_within_source(spark):
         vals.sort()
         for (l1, n1), (l2, n2) in zip(vals, vals[1:]):
             assert n1 <= n2, (l1, n1, l2, n2)
+
+
+# -------------------------------------------------------- hyperball 2-hop
+
+
+def test_hyperball_estimates_track_exact_ball2(spark):
+    """m=16 registers ⇒ ~26% per-node σ; across the graph the MEDIAN
+    est/exact ratio must land well inside [0.6, 1.7], and estimates
+    must correlate with exact sizes (bigger ball ⇒ bigger estimate on
+    aggregate)."""
+    est = {
+        r["node"]: r["est_ball2"]
+        for r in QUERIES["hyperball_2hop"](spark, SF_SMOKE).collect()
+    }
+    li = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    )
+    adj = {}
+    for r in edges.collect():
+        adj.setdefault(r["u"], set()).add(r["v"])
+    exact = {}
+    for n, nbrs in adj.items():
+        ball = {n} | nbrs
+        for w in nbrs:
+            ball |= adj[w]
+        exact[n] = len(ball)
+    assert set(est) == set(exact)
+    ratios = sorted(est[n] / exact[n] for n in exact)
+    med = ratios[len(ratios) // 2]
+    assert 0.6 <= med <= 1.7, med
+
+
+def test_hyperball_plan_shape(spark):
+    p = _plan(QUERIES["hyperball_2hop"](spark, SF_SMOKE))
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p
+
+
+# -------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_matches_python(spark):
+    """Exact top-50 equality vs hashlib md5 + Python division."""
+    import hashlib
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    scored = []
+    for r in docs:
+        u = int(hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        scored.append((u / r["n_chars"], r["doc_id"], r["source"], r["n_chars"], u))
+    scored.sort(key=lambda t: (t[0], t[1]))
+    expected = [(d, s, n, u) for _, d, s, n, u in scored[:50]]
+    out = [
+        (r["doc_id"], r["source"], r["n_chars"], r["u_hash"])
+        for r in QUERIES["weighted_sample"](spark, SF_SMOKE).collect()
+    ]
+    assert out == expected
+
+
+def test_weighted_sample_biases_toward_long_docs(spark):
+    """Size-biased sampling: the sample's mean length must exceed the
+    corpus mean (that is the point of weighting by n_chars)."""
+    d = read_table(spark, SF_SMOKE, "documents").filter(F.col("n_chars") > 0)
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    out = QUERIES["weighted_sample"](spark, SF_SMOKE)
+    sample_mean = out.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    p = _plan(QUERIES["weighted_sample"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange hashpartitioning" not in p, p
