@@ -6228,3 +6228,87 @@ FROM d
 ORDER BY CAST(u_hash AS DOUBLE) / CAST(n_chars AS DOUBLE) ASC, doc_id
 LIMIT 50
 """
+
+
+def _markov_attribution_sql() -> str:
+    """12 unrolled integer-ppm flow rounds over (variant, state) — the
+    `transition_steady_state` convention, fused across the full chain
+    and the four removal variants exactly like the Spark plan."""
+    rounds = []
+    prev = "m0"
+    for i in range(1, 13):
+        rounds.append(
+            f"f{i} AS MATERIALIZED (SELECT c.variant, c.para AS state,"
+            f" CAST(SUM((m.mass * c.n) // c.rowtot) AS BIGINT) AS mass"
+            f" FROM vc c JOIN {prev} m"
+            f" ON m.variant = c.variant AND m.state = c.de"
+            f" GROUP BY 1, 2),\n"
+            f"m{i} AS MATERIALIZED (SELECT * FROM f{i}"
+            f" WHERE state NOT IN ('purchase', 'null'))"
+        )
+        prev = f"m{i}"
+    absorbed = "\nUNION ALL ".join(
+        f"SELECT variant, mass FROM f{i} WHERE state = 'purchase'"
+        for i in range(1, 13)
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         COALESCE(LAG(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id),
+                  'start') AS de,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_p,
+         ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+),
+kept AS (
+  SELECT *, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS has_p
+  FROM e WHERE prior_p = 0
+),
+pairs AS (
+  SELECT de, event_type AS para FROM kept
+  UNION ALL
+  SELECT event_type AS de, 'null' AS para
+  FROM kept WHERE has_p = 0 AND rn_last = 1
+),
+census AS (SELECT de, para, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+wtot AS (SELECT de, para, n, SUM(n) OVER (PARTITION BY de) AS rowtot
+         FROM census),
+variants(variant) AS (
+  VALUES ('full'), ('click'), ('error'), ('signup'), ('view')
+),
+vc AS (
+  SELECT v.variant, w.de, w.para, w.n, w.rowtot
+  FROM variants v CROSS JOIN wtot w
+  WHERE v.variant = 'full'
+     OR (w.de != v.variant AND w.para != v.variant)
+),
+m0 AS (SELECT variant, 'start' AS state, CAST(1000000 AS BIGINT) AS mass
+       FROM variants),
+{','.join(rounds)},
+p AS (
+  SELECT variant, SUM(mass) AS conv_ppm
+  FROM ({absorbed})
+  GROUP BY 1
+),
+rem AS (
+  SELECT p.variant AS channel,
+         CAST(pf.conv_ppm AS BIGINT) AS conv_full_ppm,
+         CAST(pf.conv_ppm - p.conv_ppm AS BIGINT) AS removal_ppm
+  FROM p CROSS JOIN (SELECT conv_ppm FROM p WHERE variant = 'full') pf
+  WHERE p.variant != 'full'
+),
+tot AS (SELECT SUM(removal_ppm) AS t FROM rem)
+SELECT r.channel, r.conv_full_ppm, r.removal_ppm,
+       CAST((2000000 * r.removal_ppm + t.t) // (2 * t.t) AS BIGINT)
+         AS credit_ppm
+FROM rem r CROSS JOIN tot t
+ORDER BY channel
+"""
+
+
+ORACLES["markov_attribution"] = _markov_attribution_sql()

@@ -10608,6 +10608,106 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    third leg of the attribution triad beside
+    ``position_attribution``'s U-shape and ``shapley_channels``'
+    coalition game: build the first-order journey chain (start → four
+    channels → purchase, with journey-end as the implicit null
+    absorber), then credit each channel by how much start→conversion
+    probability DROPS when the channel's node is deleted from the
+    chain (its in/out edges removed, outflow denominators kept — mass
+    that would have entered it dies, the standard removal semantic).
+
+    The split that matters at scale: the DATA-proportional work is
+    the journey→transition census (one user-keyed window cascade,
+    journeys truncated at the FIRST purchase — prefix property: lag
+    over the full stream ≡ lag over the kept prefix). The chain solve
+    is algebra on a ≤6×6 matrix whose size is fixed by the STATE
+    SPACE, not the data — so it is a driver-side model computation on
+    the collected census (the kmeans-centroid / pq-distance-table
+    posture; iterating a six-state chain through 12 distributed
+    shuffle rounds would be plan theater, and the first draft that
+    did was measured at 172 s vs 1 s). Masses are integer ppm with
+    per-edge floor division over 12 fixed rounds, identical in the
+    Python solve and the oracle's unrolled SQL — hash-exact.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        F.coalesce(F.lag("event_type").over(w), F.lit("start")).alias("de"),
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        ).over(wp).alias("__prior_p"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ).alias("__rn_last"),
+    ).filter(F.col("__prior_p") == 0)
+    trans = flagged.select("de", F.col("event_type").alias("para"))
+    no_conv_last = (
+        flagged.withColumn(
+            "__has_p",
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(Window.partitionBy("user_id")),
+        )
+        .filter((F.col("__has_p") == 0) & (F.col("__rn_last") == 1))
+        .select(F.col("event_type").alias("de"), F.lit("null").alias("para"))
+    )
+    census_rows = (
+        trans.unionAll(no_conv_last)
+        .groupBy("de", "para")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # state-space-bounded: ≤ 6×6 rows at ANY data size
+    )
+    rowtot: dict[str, int] = {}
+    for r in census_rows:
+        rowtot[r["de"]] = rowtot.get(r["de"], 0) + r["n"]
+    channels = ["click", "error", "signup", "view"]
+
+    def conv_ppm(drop: str | None) -> int:
+        edges = [
+            (r["de"], r["para"], r["n"])
+            for r in census_rows
+            if drop is None or (r["de"] != drop and r["para"] != drop)
+        ]
+        mass = {"start": 1_000_000}
+        absorbed = 0
+        for _ in range(12):
+            nxt: dict[str, int] = {}
+            for de, para, n in edges:
+                if de in mass:
+                    nxt[para] = nxt.get(para, 0) + (mass[de] * n) // rowtot[de]
+            absorbed += nxt.pop("purchase", 0)
+            nxt.pop("null", None)
+            mass = nxt
+        return absorbed
+
+    p_full = conv_ppm(None)
+    rem = {c: p_full - conv_ppm(c) for c in channels}
+    tot = sum(rem.values())
+    rows = [
+        (
+            c,
+            p_full,
+            rem[c],
+            (2_000_000 * rem[c] + tot) // (2 * tot) if tot else None,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, conv_full_ppm long, removal_ppm long, credit_ppm long",
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -10620,6 +10720,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "markov_attribution": q_markov_attribution,
     "hyperball_2hop": q_hyperball_2hop,
     "weighted_sample": q_weighted_sample,
     "shapley_channels": q_shapley_channels,

@@ -479,3 +479,73 @@ def test_weighted_sample_plan_is_topk(spark):
     p = _plan(QUERIES["weighted_sample"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+# ----------------------------------------------------- markov attribution
+
+
+def test_markov_attribution_matches_independent_python(spark):
+    """Full reimplementation from raw events — journeys built by
+    Python sort (not window lag), same 12-round integer chain solve;
+    all four channel rows must match exactly. Also pins removal ≥ 0
+    (an edge-subset chain can never convert MORE — monotone under
+    per-edge floor division by induction on rounds)."""
+    e = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in e:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    census = {}
+    for evs in by_user.values():
+        evs.sort()
+        prev = "start"
+        converted = False
+        for _, _, t in evs:
+            census[(prev, t)] = census.get((prev, t), 0) + 1
+            if t == "purchase":
+                converted = True
+                break
+            prev = t
+        if not converted:
+            census[(prev, "null")] = census.get((prev, "null"), 0) + 1
+    rowtot = {}
+    for (de, _), n in census.items():
+        rowtot[de] = rowtot.get(de, 0) + n
+
+    def conv(drop):
+        edges = [
+            (de, para, n)
+            for (de, para), n in census.items()
+            if drop is None or (de != drop and para != drop)
+        ]
+        mass, absorbed = {"start": 1_000_000}, 0
+        for _ in range(12):
+            nxt = {}
+            for de, para, n in edges:
+                if de in mass:
+                    nxt[para] = nxt.get(para, 0) + (mass[de] * n) // rowtot[de]
+            absorbed += nxt.pop("purchase", 0)
+            nxt.pop("null", None)
+            mass = nxt
+        return absorbed
+
+    pf = conv(None)
+    chans = ["click", "error", "signup", "view"]
+    rem = {c: pf - conv(c) for c in chans}
+    tot = sum(rem.values())
+    expected = [
+        (c, pf, rem[c], (2_000_000 * rem[c] + tot) // (2 * tot) if tot else None)
+        for c in chans
+    ]
+    out = [
+        (r["channel"], r["conv_full_ppm"], r["removal_ppm"], r["credit_ppm"])
+        for r in QUERIES["markov_attribution"](spark, SF_SMOKE).collect()
+    ]
+    assert out == expected
+    for _, _, r_ppm, _ in out:
+        assert r_ppm >= 0
