@@ -6312,3 +6312,59 @@ ORDER BY channel
 
 
 ORACLES["markov_attribution"] = _markov_attribution_sql()
+
+# HRW resize audit: per-key argmax over the literal shard list under 8
+# and 9 shards (max_by over (hash, shard)), census on the new shard.
+ORACLES["rendezvous_sharding"] = """
+WITH keys AS (SELECT c_custkey FROM customer),
+s8 AS (
+  SELECT k.c_custkey,
+         arg_max(s.s, ('0x' || substr(md5(CAST(k.c_custkey AS VARCHAR)
+                                          || ':s' || s.s), 1, 8))::BIGINT
+                      * 16 + s.s) AS shard8
+  FROM keys k CROSS JOIN (SELECT range AS s FROM range(8)) s
+  GROUP BY 1
+),
+s9 AS (
+  SELECT k.c_custkey,
+         arg_max(s.s, ('0x' || substr(md5(CAST(k.c_custkey AS VARCHAR)
+                                          || ':s' || s.s), 1, 8))::BIGINT
+                      * 16 + s.s) AS shard9
+  FROM keys k CROSS JOIN (SELECT range AS s FROM range(9)) s
+  GROUP BY 1
+)
+SELECT CAST(a.shard9 AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN b.shard8 != a.shard9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_in
+FROM s9 a JOIN s8 b USING (c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+# Directed rules from the support->=2 pair census; confidence and lift
+# as single floor divisions of exact basket counts.
+ORACLES["association_rules"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+items AS (SELECT l_partkey, COUNT(*) AS ni FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS nuv
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+directed AS (
+  SELECT u AS antecedent, v AS consequent, nuv FROM pairs
+  UNION ALL
+  SELECT v, u, nuv FROM pairs
+)
+SELECT d.antecedent, d.consequent,
+       CAST(d.nuv AS BIGINT) AS support,
+       CAST((d.nuv * 1000000) // ia.ni AS BIGINT) AS confidence_ppm,
+       CAST((d.nuv * nb.n * 1000) // (ia.ni * ic.ni) AS BIGINT) AS lift_milli
+FROM directed d
+JOIN items ia ON ia.l_partkey = d.antecedent
+JOIN items ic ON ic.l_partkey = d.consequent
+CROSS JOIN nb
+ORDER BY lift_milli DESC, antecedent, consequent LIMIT 20
+"""

@@ -10708,6 +10708,140 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing resize audit
+    (Thaler & Ravishankar 1998 — the consistent-placement scheme
+    behind cache rings and shard maps): assign every customer key to
+    its HRW shard under 8 shards and again under 9, and report the
+    per-shard population plus how many keys MOVED — the number a
+    resharding migration has to copy. Mod-hashing moves ~8/9 of all
+    keys on the same resize; HRW moves only ~1/9, and provably only
+    INTO the new shard (a key's old argmax keeps its weight, so if
+    the winner changes, the newcomer won) — that minimal-disruption
+    invariant is asserted key-by-key in the test and surfaces here as
+    `moved_in` being nonzero only for shard_8.
+
+    Plan: both assignments are expression-side argmaxes over a
+    LITERAL shard array (md5(key:shard) max-by via array_max over
+    (hash, shard) structs — ties impossible in practice but broken by
+    shard id to stay total), fused into the scan; ONE census shuffle
+    on (shard_new). Integer-only output; the md5 convention keeps
+    both engines bit-identical.
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def hrw(n_shards: int) -> F.Column:
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("c_custkey").cast("string"),
+                                        F.lit(f":s{s}"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("h"),
+                        F.lit(s).alias("s"),
+                    )
+                    for s in range(n_shards)
+                ]
+            )
+        )["s"]
+
+    assigned = c.select(
+        "c_custkey",
+        hrw(8).alias("__s8"),
+        hrw(9).alias("__s9"),
+    )
+    return (
+        assigned.groupBy(F.col("__s9").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("__s8") != F.col("__s9"), 1).otherwise(0)
+            ).alias("moved_in"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("moved_in").cast("long").alias("moved_in"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with confidence and lift (Agrawal & Srikant
+    1994's OUTPUT representation — ``basket_pairs`` finds the
+    co-occurrences, ``apriori_triples`` climbs the lattice, this emits
+    the directed rules a recommender actually consumes): for every
+    frequent pair, both directions u→v and v→u with support,
+    confidence = P(v|u) and lift = P(u,v)/(P(u)P(v)).
+
+    Integer-exact rationals throughout: confidence_ppm =
+    (n_uv·1e6) div n_u and lift_milli = (n_uv·N·1000) div (n_u·n_v) —
+    each ONE floor division of exact basket counts (N = total
+    baskets; products bounded well under 2⁶³). One fact shuffle for
+    the pair census (the expression-side basket fan-out), item counts
+    ride a second census, both attach by broadcast (item/pair tables
+    are support-pruned, the Apriori boundedness argument); the total
+    is a broadcast one-rower. Top-20 by (lift desc, antecedent,
+    consequent) under a total order.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_partkey"
+    )
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    items = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    pairs = (
+        _basket_pairs(spark, sf_dir)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__nuv"))
+        .filter(F.col("__nuv") >= 2)
+    )
+    directed = pairs.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "__nuv"
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "__nuv"
+        )
+    )
+    ia = items.select(F.col("l_partkey").alias("antecedent"), F.col("__ni").alias("__na"))
+    ic = items.select(F.col("l_partkey").alias("consequent"), F.col("__ni").alias("__nc"))
+    return (
+        directed.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("__nuv").cast("long").alias("support"),
+            F.expr("(__nuv * 1000000) div __na").cast("long").alias("confidence_ppm"),
+            F.expr("(__nuv * __nb * 1000) div (__na * __nc)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy(F.col("lift_milli").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -10720,6 +10854,8 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "association_rules": q_association_rules,
+    "rendezvous_sharding": q_rendezvous_sharding,
     "markov_attribution": q_markov_attribution,
     "hyperball_2hop": q_hyperball_2hop,
     "weighted_sample": q_weighted_sample,

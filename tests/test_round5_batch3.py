@@ -549,3 +549,127 @@ def test_markov_attribution_matches_independent_python(spark):
     assert out == expected
     for _, _, r_ppm, _ in out:
         assert r_ppm >= 0
+
+
+# ----------------------------------------------------- rendezvous sharding
+
+
+def test_hrw_moves_only_into_new_shard(spark):
+    """The HRW minimal-disruption theorem, checked key-by-key: on the
+    8→9 resize a key either keeps its shard or lands on shard 8 (the
+    newcomer) — never migrates between old shards — and the moved
+    fraction sits near the theoretical 1/9."""
+    import hashlib
+
+    keys = [
+        r["c_custkey"]
+        for r in read_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+
+    def hrw(k, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                int(hashlib.md5(f"{k}:s{s}".encode()).hexdigest()[:8], 16),
+                s,
+            ),
+        )
+
+    moved = 0
+    for k in keys:
+        s8, s9 = hrw(k, 8), hrw(k, 9)
+        if s8 != s9:
+            assert s9 == 8, (k, s8, s9)
+            moved += 1
+    frac = moved / len(keys)
+    assert 0.03 <= frac <= 0.25, frac  # E = 1/9 ≈ 0.11, smoke-scale noise
+
+    out = {
+        r["shard"]: (r["n_keys"], r["moved_in"])
+        for r in QUERIES["rendezvous_sharding"](spark, SF_SMOKE).collect()
+    }
+    # engine result must agree with the Python reimplementation exactly
+    exp = {}
+    for k in keys:
+        s9 = hrw(k, 9)
+        n, m = exp.get(s9, (0, 0))
+        exp[s9] = (n + 1, m + (1 if hrw(k, 8) != s9 else 0))
+    assert out == exp
+    # and the invariant surfaces in the census: only shard 8 gains movers
+    for shard, (_, m) in out.items():
+        if shard != 8:
+            assert m == 0, (shard, m)
+
+
+def test_hrw_plan_single_census_shuffle(spark):
+    p = _plan(QUERIES["rendezvous_sharding"](spark, SF_SMOKE))
+    assert "EvalPython" not in p and "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+# ----------------------------------------------------- association rules
+
+
+def test_association_rules_match_python_brute(spark):
+    """Exact top-20 vs a Python reimplementation from raw baskets;
+    lift must be direction-symmetric by construction."""
+    li = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    nb = len(baskets)
+    from collections import Counter
+
+    ni, nuv = Counter(), Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            ni[p] += 1
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                nuv[(u, v)] += 1
+    rules = []
+    for (u, v), n in nuv.items():
+        if n < 2:
+            continue
+        for a, c in ((u, v), (v, u)):
+            rules.append(
+                (
+                    a,
+                    c,
+                    n,
+                    (n * 1_000_000) // ni[a],
+                    (n * nb * 1000) // (ni[a] * ni[c]),
+                )
+            )
+    rules.sort(key=lambda t: (-t[4], t[0], t[1]))
+    expected = rules[:20]
+    out = [
+        (
+            r["antecedent"],
+            r["consequent"],
+            r["support"],
+            r["confidence_ppm"],
+            r["lift_milli"],
+        )
+        for r in QUERIES["association_rules"](spark, SF_SMOKE).collect()
+    ]
+    assert out == expected
+    lifts = {(a, c): l for a, c, _, _, l in rules}
+    for (a, c), l in lifts.items():
+        assert lifts[(c, a)] == l
+
+
+def test_association_rules_plan_shape(spark):
+    """Item/total attach by broadcast; no cartesian against data."""
+    p = _plan(QUERIES["association_rules"](spark, SF_SMOKE))
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
