@@ -6368,3 +6368,64 @@ JOIN items ic ON ic.l_partkey = d.consequent
 CROSS JOIN nb
 ORDER BY lift_milli DESC, antecedent, consequent LIMIT 20
 """
+
+
+def _neighborhood_function_sql() -> str:
+    """4 materialized register rounds (the markov_attribution CTE
+    lesson), per-radius est sums, frac vs radius 4."""
+    rounds = []
+    prev = "b1"
+    for i in (2, 3, 4):
+        rounds.append(
+            f"b{i} AS MATERIALIZED ("
+            f"SELECT w.src, b.bucket, MAX(b.r) AS r"
+            f" FROM with_self w JOIN {prev} b ON b.src = w.dst"
+            f" GROUP BY 1, 2)"
+        )
+        prev = f"b{i}"
+    est = "\nUNION ALL ".join(
+        f"SELECT {i} AS radius, SUM(est) AS n_pairs_est FROM ("
+        f"SELECT CAST(round(92496415686.656 / CAST("
+        f"SUM(CAST(1 AS BIGINT) << (28 - r))"
+        f" + (16 - COUNT(*)) * (CAST(1 AS BIGINT) << 29) AS DOUBLE), 0)"
+        f" AS BIGINT) AS est FROM b{i} GROUP BY src)"
+        for i in (1, 2, 3, 4)
+    )
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v, u FROM edges
+),
+with_self AS MATERIALIZED (
+  SELECT src, dst FROM sym
+  UNION ALL SELECT DISTINCT src, src FROM sym
+),
+contrib AS (
+  SELECT src,
+         CAST(h % 16 AS INT) AS bucket,
+         LEAST(bit_count(((h >> 4) & -(h >> 4)) - 1), 28) AS rank
+  FROM (SELECT src,
+               ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM with_self)
+),
+b1 AS MATERIALIZED (
+  SELECT src, bucket, MAX(rank) AS r FROM contrib GROUP BY 1, 2
+),
+{','.join(rounds)},
+sums AS ({est}),
+n4 AS (SELECT n_pairs_est AS t FROM sums WHERE radius = 4)
+SELECT CAST(s.radius AS INT) AS radius,
+       CAST(s.n_pairs_est AS BIGINT) AS n_pairs_est,
+       CAST((s.n_pairs_est * 1000000) // n4.t AS BIGINT) AS frac_of_r4_ppm
+FROM sums s CROSS JOIN n4
+ORDER BY radius
+"""
+
+
+ORACLES["neighborhood_function"] = _neighborhood_function_sql()

@@ -10487,36 +10487,29 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hyperball_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperBall 2-hop neighborhood-size estimation (Boldi & Vigna,
-    2013 — the algorithm behind the Facebook four-degrees-of-
-    separation measurement) on the co-purchase graph: per node, an
-    HLL-sketch estimate of |ball₂(n)| = nodes within 2 hops. Exact
-    2-hop counting needs the squared adjacency (~deg² rows per node —
-    36M wedges on THIS fixture, unbounded at corpus scale); HyperBall
-    replaces it with b rounds of 16-register sketch merges, each round
-    ONE edge-keyed shuffle carrying 16 small ints per node.
-
-    Engine-portable by construction, like every sketch in this repo:
-    registers come from the shared md5 convention (8 hex chars → h;
-    bucket = h & 15, rank = trailing zeros of h>>4 via
-    bit_count((x & −x) − 1), saturating at 28 when the slice is 0),
-    merge = groupBy max, and the harmonic denominator Σ 2^(28−r) is an
-    exact INTEGER (≤ 16·2²⁸). The only float is the final calibration
-    est = round(α₁₆·m²·2²⁸ / num) — one correctly-rounded division of
-    a shared literal by an exact integer, the single-rounding-site
-    policy. Accuracy vs brute-force 2-hop counting is pinned in the
-    test (m=16 ⇒ ~26% σ); the oracle pins the full register mechanics
-    bit-exactly.
-    """
+def _hb_sym_edges(spark: SparkSession, sf_dir: str):
+    """Symmetric co-purchase edge list + self-loops — the HyperBall
+    input frame shared by ``hyperball_2hop`` and
+    ``neighborhood_function``."""
     edges = _basket_pairs(spark, sf_dir).distinct()
     sym = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     nodes = sym.select("src").distinct()
-    with_self = sym.unionAll(
-        nodes.select("src", F.col("src").alias("dst"))
-    )
+    return sym, sym.unionAll(nodes.select("src", F.col("src").alias("dst")))
+
+
+def _hb_b1(with_self) -> DataFrame:
+    """Round-1 HyperBall registers, PACKED one row per node (16 rank
+    columns r0..r15, null = empty register) — the paper's layout: the
+    per-round merge join then carries ONE row per node instead of 16,
+    a measured 16x shuffle-payload cut (12.2 s → see SURVEY) over the
+    (node, bucket) long form.
+
+    Register mechanics (shared md5 convention): h = first 8 md5 hex
+    chars of the neighbor id; bucket = h & 15; rank = trailing zeros
+    of h>>4 via bit_count((x & −x) − 1), saturating at 28.
+    """
     h = F.conv(
         F.substring(F.md5(F.col("dst").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -10533,36 +10526,76 @@ def q_hyperball_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     )
-    b1 = contrib.groupBy("src", "bucket").agg(F.max("rank").alias("r"))
-    # round 2: each node's ball-2 registers = max of its neighbors'
-    # (and its own) ball-1 registers — one more edge-keyed shuffle.
-    b2 = (
-        with_self.join(
-            b1.select(
-                F.col("src").alias("dst"), "bucket", F.col("r").alias("r1")
-            ),
-            "dst",
+    return contrib.groupBy("src").agg(
+        *[
+            F.max(F.when(F.col("bucket") == j, F.col("rank"))).alias(f"r{j}")
+            for j in range(16)
+        ]
+    )
+
+
+def _hb_merge_round(with_self, b) -> DataFrame:
+    """One HyperBall round: each node's registers = element-wise max of
+    its (self-included) neighbors' packed registers."""
+    nb = b.select(F.col("src").alias("dst"), *[f"r{j}" for j in range(16)])
+    return (
+        with_self.join(nb, "dst")
+        .groupBy("src")
+        .agg(*[F.max(f"r{j}").alias(f"r{j}") for j in range(16)])
+    )
+
+
+_HB_ALPHA = 0.673 * 256 * float(2**29)  # α₁₆ · m² · 2²⁹, shared literal
+
+
+def _hb_num() -> F.Column:
+    """Exact-integer harmonic denominator from the 16 packed columns:
+    occupied register r contributes 2^(28−r) (ρ = r+1, scale 2²⁹),
+    an EMPTY register (null column) the full 2²⁹; the 16 terms add in
+    fixed column order — pure BIGINT."""
+    terms = [
+        F.coalesce(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), 28 - r{j})"),
+            F.lit(2**29).cast("long"),
         )
-        .groupBy("src", "bucket")
-        .agg(F.max("r1").alias("r"))
-    )
-    # ρ = tz+1 (1-based, HLL's convention); scaling by 2²⁹ makes the
-    # occupied term 2^(29-ρ) = 2^(28-tz) and an EMPTY register (M=0)
-    # contribute the full 2²⁹ — the off-by-one here halves every
-    # estimate (caught by the brute-force accuracy test).
-    alpha_c = 0.673 * 256 * float(2**29)  # α₁₆ · m² · 2²⁹, shared literal
-    num = b2.groupBy("src").agg(
-        (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 28 - r)"))
-            + (F.lit(16) - F.count(F.lit(1)))
-            * F.lit(2**29).cast("long")
-        ).alias("__num")
-    )
+        for j in range(16)
+    ]
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    return num
+
+
+def q_hyperball_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall 2-hop neighborhood-size estimation (Boldi & Vigna,
+    2013 — the algorithm behind the Facebook four-degrees-of-
+    separation measurement) on the co-purchase graph: per node, an
+    HLL-sketch estimate of |ball₂(n)| = nodes within 2 hops. Exact
+    2-hop counting needs the squared adjacency (~deg² rows per node —
+    36M wedges on THIS fixture, unbounded at corpus scale); HyperBall
+    replaces it with b rounds of 16-register sketch merges, each round
+    ONE edge-keyed shuffle carrying a PACKED 16-column register row
+    per node (``_hb_b1``'s layout — the paper's).
+
+    Engine-portable by construction, like every sketch in this repo:
+    registers from the shared md5 convention, merge = 16 column maxes,
+    harmonic denominator an exact INTEGER (``_hb_num``). The only
+    float is the final calibration est = round(α₁₆·m²·2²⁹ / num) —
+    one correctly-rounded division of a shared literal by an exact
+    integer, the single-rounding-site policy. Two lessons this query
+    carries: ρ is 1-BASED (the off-by-one halved every estimate; only
+    the brute-force accuracy gate caught it — hash parity alone would
+    have blessed the bug, so sketch queries here carry BOTH), and
+    register packing is a 16× shuffle cut with identical hashes.
+    Accuracy vs brute 2-hop is pinned in the test (m=16 ⇒ ~26% σ).
+    """
+    sym, with_self = _hb_sym_edges(spark, sf_dir)
+    b2 = _hb_merge_round(with_self, _hb_b1(with_self))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    return num.join(deg, "src").select(
+    return b2.select("src", _hb_num().alias("__num")).join(deg, "src").select(
         F.col("src").alias("node"),
         F.col("degree").cast("long").alias("degree"),
-        F.round(F.lit(alpha_c) / F.col("__num").cast("double"), 0)
+        F.round(F.lit(_HB_ALPHA) / F.col("__num").cast("double"), 0)
         .cast("long")
         .alias("est_ball2"),
     )
@@ -10842,6 +10875,69 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood function N(r) — HyperBall's actual deliverable
+    (Boldi & Vigna 2013; the statistic behind the Facebook
+    "four degrees of separation" result): for r = 1..4, the estimated
+    number of node PAIRS within distance r (Σ over nodes of
+    \\|ball_r\\|), plus each radius's share of N(4) in ppm — read the
+    effective diameter off the first radius crossing 900000 ppm.
+    Exact N(r) needs r-step path enumeration (deg^r blowup);
+    HyperBall is r rounds of packed 16-register merges
+    (``_hb_b1``/``_hb_merge_round``), each round ONE edge-keyed
+    shuffle of one 16-column row per node — the packed layout cut
+    this query 12.2 → ~4 s at sf0.1 (16× fewer shuffle rows than the
+    (node, bucket) long form, hashes unchanged).
+
+    Each round's register table is SPOOLED before the next round
+    reads it — without that, radius-4's lineage re-executes rounds
+    1–3 per output branch (the §4 HOF-inlining lesson applied to
+    iteration; same `corpus_pipeline` spool pattern). Registers only
+    grow with r, so est is monotone per node and N(r) monotone in
+    r — asserted in the test beside the sanity anchor N(1) ≈ nodes +
+    2·edges (which exact counting gives for free).
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    _, with_self = _hb_sym_edges(spark, sf_dir)
+    with_self = spool(with_self)
+
+    def est_sum(b) -> DataFrame:
+        return (
+            b.select(
+                F.round(F.lit(_HB_ALPHA) / _hb_num().cast("double"), 0)
+                .cast("long")
+                .alias("__est")
+            )
+            .agg(F.sum("__est").alias("n_pairs_est"))
+        )
+
+    b = spool(_hb_b1(with_self))
+    sums = [est_sum(b).select(F.lit(1).alias("radius"), "n_pairs_est")]
+    for radius in (2, 3, 4):
+        b = spool(_hb_merge_round(with_self, b))
+        sums.append(
+            est_sum(b).select(F.lit(radius).alias("radius"), "n_pairs_est")
+        )
+    out = sums[0]
+    for s_ in sums[1:]:
+        out = out.unionAll(s_)
+    n4 = out.filter(F.col("radius") == 4).select(
+        F.col("n_pairs_est").alias("__n4")
+    )
+    return (
+        out.crossJoin(F.broadcast(n4))
+        .select(
+            F.col("radius").cast("int").alias("radius"),
+            F.col("n_pairs_est").cast("long").alias("n_pairs_est"),
+            F.expr("(n_pairs_est * 1000000) div __n4")
+            .cast("long")
+            .alias("frac_of_r4_ppm"),
+        )
+        .orderBy("radius")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -10854,6 +10950,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "neighborhood_function": q_neighborhood_function,
     "association_rules": q_association_rules,
     "rendezvous_sharding": q_rendezvous_sharding,
     "markov_attribution": q_markov_attribution,

