@@ -6429,3 +6429,36 @@ ORDER BY radius
 
 
 ORACLES["neighborhood_function"] = _neighborhood_function_sql()
+
+# Exclusion funnel: the three conditional windows share one partition.
+ORACLES["behavioral_cohort"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS sec
+  FROM events
+),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN sec END)
+              OVER (PARTITION BY user_id) AS fv
+  FROM base
+),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                      AND sec > fv AND sec <= fv + 604800
+                     THEN sec END)
+              OVER (PARTITION BY user_id) AS pur
+  FROM w1
+),
+w3 AS (
+  SELECT *, SUM(CASE WHEN event_type = 'error'
+                      AND sec > fv AND sec < pur
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS err
+  FROM w2
+)
+SELECT DISTINCT user_id,
+       CAST(fv AS BIGINT) AS first_view_sec,
+       CAST(pur AS BIGINT) AS purchase_sec,
+       CAST(pur - fv AS BIGINT) AS gap_s
+FROM w3 WHERE pur IS NOT NULL AND err = 0
+"""

@@ -10938,6 +10938,67 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_behavioral_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with an EXCLUSION clause — the product-analytics segment
+    ``session_funnel`` can't express: users whose first 'view' was
+    followed by a 'purchase' within 7 days with NO 'error' strictly
+    between the two (the Amplitude/Mixpanel "did not" step). The
+    negative condition is what makes this a distinct operator: ordered
+    funnels only require steps to EXIST; exclusion windows require an
+    absence BETWEEN two data-dependent timestamps.
+
+    One user-keyed shuffle, zero joins: first_view is a per-user
+    conditional MIN window; the qualifying purchase is a second
+    conditional window READING the first (two Window operators, same
+    partitioning — Catalyst runs both on the single Exchange); the
+    error count between the two anchors is a third. All epoch-seconds
+    integers; per-user output (user, anchors, gap) so the driver
+    hashes the full qualification decision, not a lossy count.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    sec = tmp.seconds_since_origin("ts")
+    w = Window.partitionBy("user_id")
+    base = e.select("user_id", "event_type", sec.alias("__sec"))
+    with_fv = base.withColumn(
+        "__fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("__sec"))).over(w),
+    )
+    with_pur = with_fv.withColumn(
+        "__pur",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("__sec") > F.col("__fv"))
+                & (F.col("__sec") <= F.col("__fv") + 7 * 86400),
+                F.col("__sec"),
+            )
+        ).over(w),
+    )
+    with_err = with_pur.withColumn(
+        "__err",
+        F.sum(
+            F.when(
+                (F.col("event_type") == "error")
+                & (F.col("__sec") > F.col("__fv"))
+                & (F.col("__sec") < F.col("__pur")),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        with_err.filter(
+            F.col("__pur").isNotNull() & (F.col("__err") == 0)
+        )
+        .select(
+            "user_id",
+            F.col("__fv").cast("long").alias("first_view_sec"),
+            F.col("__pur").cast("long").alias("purchase_sec"),
+            (F.col("__pur") - F.col("__fv")).cast("long").alias("gap_s"),
+        )
+        .distinct()
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -10950,6 +11011,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "behavioral_cohort": q_behavioral_cohort,
     "neighborhood_function": q_neighborhood_function,
     "association_rules": q_association_rules,
     "rendezvous_sharding": q_rendezvous_sharding,
@@ -11230,7 +11292,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N178), newest first
+    # close-out batch (N166-N179), newest first
+    "behavioral_cohort",
     "neighborhood_function", "association_rules", "rendezvous_sharding",
     "markov_attribution", "hyperball_2hop", "weighted_sample",
     "shapley_channels", "rake_keywords", "quantile_normalize",

@@ -58,6 +58,9 @@ TZ_SENSITIVE = [
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19",
     "tpch_q20", "tpch_q21", "tpch_q22",
+    # round-5 close-out batch members that derive from event timestamps
+    "behavioral_cohort", "leakage_safe_features", "markov_attribution",
+    "activity_bitmaps",
 ]
 
 

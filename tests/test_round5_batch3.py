@@ -722,3 +722,51 @@ def test_neighborhood_function_plan_spools_rounds(spark):
     df = QUERIES["neighborhood_function"](spark, SF_SMOKE)
     p = _plan(df)
     assert "EvalPython" not in p and "CartesianProduct" not in p, p
+
+
+# ------------------------------------------------------ behavioral cohort
+
+
+def test_behavioral_cohort_matches_python_brute(spark):
+    """Exclusion-funnel semantics vs a Python event-scan: first view,
+    earliest purchase within 7d after it, zero errors strictly
+    between. Every emitted row AND every non-emitted user checked."""
+    e = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    import datetime
+
+    origin = datetime.datetime(1990, 1, 1)
+    by_user = {}
+    for r in e:
+        s = int((r["ts"] - origin).total_seconds())
+        by_user.setdefault(r["user_id"], []).append((s, r["event_type"]))
+    expected = {}
+    for u, evs in by_user.items():
+        views = [s for s, t in evs if t == "view"]
+        if not views:
+            continue
+        fv = min(views)
+        purs = [s for s, t in evs if t == "purchase" and fv < s <= fv + 604800]
+        if not purs:
+            continue
+        pur = min(purs)
+        errs = [s for s, t in evs if t == "error" and fv < s < pur]
+        if errs:
+            continue
+        expected[u] = (fv, pur, pur - fv)
+    out = {
+        r["user_id"]: (r["first_view_sec"], r["purchase_sec"], r["gap_s"])
+        for r in QUERIES["behavioral_cohort"](spark, SF_SMOKE).collect()
+    }
+    assert out == expected
+    assert expected, "smoke fixture should qualify some users"
+
+
+def test_behavioral_cohort_single_shuffle(spark):
+    """Three conditional windows, one user Exchange, no join."""
+    p = _plan(QUERIES["behavioral_cohort"](spark, SF_SMOKE))
+    assert "EvalPython" not in p and "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p  # windows + distinct
