@@ -6462,3 +6462,40 @@ SELECT DISTINCT user_id,
        CAST(pur - fv AS BIGINT) AS gap_s
 FROM w3 WHERE pur IS NOT NULL AND err = 0
 """
+
+# Volume/rate bridge: one rounding site (volume effect); rate effect is
+# the exact integer remainder, so conservation is structural.
+ORACLES["mix_rate_bridge"] = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         EXTRACT(year FROM o_orderdate) AS y
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1999, 2000)
+),
+per AS (
+  SELECT n.n_name AS nation,
+         SUM(CASE WHEN o.y = 1999 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN o.y = 2000 THEN 1 ELSE 0 END) AS n_cur,
+         SUM(CASE WHEN o.y = 1999 THEN o.c ELSE 0 END) AS cents_base,
+         SUM(CASE WHEN o.y = 2000 THEN o.c ELSE 0 END) AS cents_cur
+  FROM o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1 HAVING SUM(CASE WHEN o.y = 1999 THEN 1 ELSE 0 END) > 0
+)
+SELECT nation,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(cents_base AS BIGINT) AS cents_base,
+       CAST(cents_cur AS BIGINT) AS cents_cur,
+       CAST(cents_cur - cents_base AS BIGINT) AS delta_cents,
+       CAST(round(CAST(n_cur - n_base AS DOUBLE)
+                  * (CAST(cents_base AS DOUBLE) / CAST(n_base AS DOUBLE)), 0)
+            AS BIGINT) AS volume_effect_cents,
+       CAST(cents_cur - cents_base
+            - CAST(round(CAST(n_cur - n_base AS DOUBLE)
+                         * (CAST(cents_base AS DOUBLE)
+                            / CAST(n_base AS DOUBLE)), 0) AS BIGINT)
+            AS BIGINT) AS rate_effect_cents
+FROM per ORDER BY nation
+"""

@@ -10999,6 +10999,64 @@ def q_behavioral_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_rate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume/rate bridge — the FP&A decomposition every revenue
+    review runs and no other query here covers: per nation, the
+    1999→2000 revenue change split into a VOLUME effect (order-count
+    change at the base year's average order value) and a RATE effect
+    (AOV change on current volume), answering "did we sell more, or
+    sell bigger?".
+
+    Float policy: the only non-integer quantity is ΔN·AOV_base =
+    Δn·(cents_B/n_B) — two correctly-rounded IEEE ops (one divide,
+    one multiply) and ONE rounding site (round-half-away matches in
+    both engines for either sign of Δn). The rate effect is then
+    DEFINED as the exact integer remainder Δcents − volume_effect, so
+    conservation (volume + rate = Δ) holds bit-exactly BY
+    CONSTRUCTION — the test asserts it and the bridge can never leak
+    a cent. One (nation, year) census rides the orders scan; customer
+    and nation attach broadcast.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("__c"),
+        F.year("o_orderdate").alias("__y"),
+    ).filter(F.col("__y").isin(1999, 2000))
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1999, 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(F.col("__y") == 2000, 1).otherwise(0)).alias("n_cur"),
+            F.sum(F.when(F.col("__y") == 1999, F.col("__c")).otherwise(0)).alias(
+                "cents_base"
+            ),
+            F.sum(F.when(F.col("__y") == 2000, F.col("__c")).otherwise(0)).alias(
+                "cents_cur"
+            ),
+        )
+        .filter(F.col("n_base") > 0)
+    )
+    ve = F.round(
+        (F.col("n_cur") - F.col("n_base")).cast("double")
+        * (F.col("cents_base").cast("double") / F.col("n_base").cast("double")),
+        0,
+    ).cast("long")
+    return per.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        "cents_base",
+        "cents_cur",
+        (F.col("cents_cur") - F.col("cents_base")).alias("delta_cents"),
+        ve.alias("volume_effect_cents"),
+        (F.col("cents_cur") - F.col("cents_base") - ve).alias("rate_effect_cents"),
+    ).orderBy("nation")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11011,6 +11069,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "mix_rate_bridge": q_mix_rate_bridge,
     "behavioral_cohort": q_behavioral_cohort,
     "neighborhood_function": q_neighborhood_function,
     "association_rules": q_association_rules,
@@ -11292,7 +11351,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N179), newest first
+    # close-out batch (N166-N180), newest first
+    "mix_rate_bridge",
     "behavioral_cohort",
     "neighborhood_function", "association_rules", "rendezvous_sharding",
     "markov_attribution", "hyperball_2hop", "weighted_sample",

@@ -770,3 +770,51 @@ def test_behavioral_cohort_single_shuffle(spark):
     p = _plan(QUERIES["behavioral_cohort"](spark, SF_SMOKE))
     assert "EvalPython" not in p and "Join" not in p, p
     assert p.count("Exchange hashpartitioning") <= 2, p  # windows + distinct
+
+
+# -------------------------------------------------------- mix/rate bridge
+
+
+def test_mix_rate_bridge_conserves_and_matches_brute(spark):
+    """volume + rate must equal delta EXACTLY for every nation (the
+    rate effect is defined as the integer remainder), and the volume
+    effect must match a Python recomputation from raw rows."""
+    out = QUERIES["mix_rate_bridge"](spark, SF_SMOKE).collect()
+    assert out
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("y")
+    )
+    c = read_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    rows = (
+        o.filter(F.col("y").isin(1999, 2000))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "y", "o_totalprice")
+        .collect()
+    )
+    from decimal import Decimal
+
+    agg = {}
+    for r in rows:
+        k = r["n_name"]
+        nb, nc, cb, cc = agg.get(k, (0, 0, 0, 0))
+        cents = int(
+            (Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01"))) * 100
+        )
+        if r["y"] == 1999:
+            nb, cb = nb + 1, cb + cents
+        else:
+            nc, cc = nc + 1, cc + cents
+        agg[k] = (nb, nc, cb, cc)
+    for r in out:
+        nb, nc, cb, cc = agg[r["nation"]]
+        assert (r["n_base"], r["n_cur"], r["cents_base"], r["cents_cur"]) == (
+            nb, nc, cb, cc,
+        )
+        assert r["volume_effect_cents"] + r["rate_effect_cents"] == r["delta_cents"]
+        import math
+
+        ve = (nc - nb) * (cb / nb)
+        want = math.floor(ve + 0.5) if ve >= 0 else math.ceil(ve - 0.5)
+        assert r["volume_effect_cents"] == want, (r["nation"], ve)
