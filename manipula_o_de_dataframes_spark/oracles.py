@@ -6499,3 +6499,43 @@ SELECT nation,
             AS BIGINT) AS rate_effect_cents
 FROM per ORDER BY nation
 """
+
+# Water-filling closed form: prefix criterion by integer cross-mult,
+# largest-remainder split of the capped share.
+ORACLES["fair_token_budget"] = """
+WITH census AS (
+  SELECT source,
+         SUM(len(string_split(text, ' '))) AS demand_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(demand_tokens) AS t, COUNT(*) AS n FROM census),
+ranked AS (
+  SELECT c.source, c.demand_tokens,
+         tot.t // 2 AS b, tot.n AS n,
+         ROW_NUMBER() OVER (ORDER BY c.demand_tokens, c.source) AS rn,
+         COALESCE(SUM(c.demand_tokens) OVER
+                  (ORDER BY c.demand_tokens, c.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_prev
+  FROM census c CROSS JOIN tot
+),
+flagged AS (
+  SELECT *, demand_tokens * (n - rn + 1) <= b - cum_prev AS sat
+  FROM ranked
+),
+agg AS (
+  SELECT SUM(CASE WHEN sat THEN demand_tokens ELSE 0 END) AS cum_sat,
+         SUM(CASE WHEN sat THEN 1 ELSE 0 END) AS k
+  FROM flagged
+)
+SELECT f.source,
+       CAST(f.demand_tokens AS BIGINT) AS demand_tokens,
+       CAST(CASE WHEN f.sat THEN f.demand_tokens
+                 ELSE (f.b - a.cum_sat) // (f.n - a.k)
+                      + CASE WHEN f.rn - a.k <= (f.b - a.cum_sat) % (f.n - a.k)
+                             THEN 1 ELSE 0 END
+            END AS BIGINT) AS allocated_tokens,
+       f.sat AS fully_satisfied
+FROM flagged f CROSS JOIN agg a
+ORDER BY f.source
+"""

@@ -11057,6 +11057,82 @@ def q_mix_rate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
+def q_fair_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) token allocation across sources —
+    the multi-tenant budget primitive behind shared training-data
+    pipelines (every source gets min(demand, λ) with one fill level λ
+    chosen so the allocations exhaust the budget; no source can gain
+    without a smaller one losing — the fairness property quotas and
+    pro-rata both lack). Budget = half the corpus's total tokens;
+    ``corpus_mix`` takes fixed quotas, ``temperature_mix`` reweights —
+    this COMPUTES the fair quota.
+
+    The closed form makes it one census plan, no iteration: sort
+    sources by demand ascending; source k is fully satisfiable iff
+    d_k·(n−k+1) ≤ B − cum_{k−1} — a pure integer CROSS-MULTIPLIED
+    comparison (no division, so no rounding to defend); the capped
+    rest share the remainder by floor division with the first
+    (remainder mod m) sources — in (demand, source) order — getting
+    +1, the largest-remainder convention (`revenue_recognition`), so
+    Σ allocated = min(B, Σ demand) EXACTLY. Everything after the
+    (source, token) census is windows over ≤ n_sources rows; all
+    operands non-negative, so Spark `div` and DuckDB `//` agree.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    census = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("demand_tokens")
+    )
+    total = census.agg(
+        F.sum("demand_tokens").alias("__tot"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = Window.orderBy("demand_tokens", "source")
+    wc = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        census.crossJoin(F.broadcast(total))
+        .withColumn("__b", F.expr("__tot div 2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cum_prev", F.coalesce(F.sum("demand_tokens").over(wc), F.lit(0)))
+        .withColumn(
+            "__sat",
+            F.col("demand_tokens") * (F.col("__n") - F.col("__rn") + 1)
+            <= F.col("__b") - F.col("__cum_prev"),
+        )
+    )
+    agg_sat = ranked.agg(
+        F.sum(F.when(F.col("__sat"), F.col("demand_tokens")).otherwise(0)).alias(
+            "__cum_sat"
+        ),
+        F.sum(F.when(F.col("__sat"), 1).otherwise(0)).alias("__k"),
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(agg_sat))
+        .withColumn("__m", F.col("__n") - F.col("__k"))
+        .withColumn("__rem", F.col("__b") - F.col("__cum_sat"))
+        .withColumn(
+            "__capped_rank",
+            F.when(
+                ~F.col("__sat"), F.col("__rn") - F.col("__k")
+            ),
+        )
+        .withColumn(
+            "allocated_tokens",
+            F.when(F.col("__sat"), F.col("demand_tokens")).otherwise(
+                F.expr("__rem div __m")
+                + F.when(
+                    F.col("__capped_rank") <= F.expr("__rem % __m"), 1
+                ).otherwise(0)
+            ),
+        )
+    )
+    return out.select(
+        "source",
+        F.col("demand_tokens").cast("long").alias("demand_tokens"),
+        F.col("allocated_tokens").cast("long").alias("allocated_tokens"),
+        F.col("__sat").alias("fully_satisfied"),
+    ).orderBy("source")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11069,6 +11145,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "fair_token_budget": q_fair_token_budget,
     "mix_rate_bridge": q_mix_rate_bridge,
     "behavioral_cohort": q_behavioral_cohort,
     "neighborhood_function": q_neighborhood_function,
@@ -11351,7 +11428,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N180), newest first
+    # close-out batch (N166-N181), newest first
+    "fair_token_budget",
     "mix_rate_bridge",
     "behavioral_cohort",
     "neighborhood_function", "association_rules", "rendezvous_sharding",

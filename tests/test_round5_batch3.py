@@ -818,3 +818,43 @@ def test_mix_rate_bridge_conserves_and_matches_brute(spark):
         ve = (nc - nb) * (cb / nb)
         want = math.floor(ve + 0.5) if ve >= 0 else math.ceil(ve - 0.5)
         assert r["volume_effect_cents"] == want, (r["nation"], ve)
+
+
+# ----------------------------------------------------- fair token budget
+
+
+def test_fair_budget_conserves_and_is_maxmin(spark):
+    """Σ allocated == budget exactly (largest-remainder), allocations
+    match a from-scratch Python water-filler, and the max-min property
+    holds: every capped allocation ≥ every satisfied demand − 1."""
+    rows = QUERIES["fair_token_budget"](spark, SF_SMOKE).collect()
+    assert rows
+    demands = {r["source"]: r["demand_tokens"] for r in rows}
+    total = sum(demands.values())
+    budget = total // 2
+    assert sum(r["allocated_tokens"] for r in rows) == budget
+
+    # independent water-filler
+    items = sorted(demands.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    alloc, cum, k = {}, 0, 0
+    for rn, (src, d) in enumerate(items, start=1):
+        if d * (n - rn + 1) <= budget - cum:
+            alloc[src] = d
+            cum += d
+            k += 1
+        else:
+            break  # satisfied set is the maximal PREFIX (see docstring proof)
+    m = n - k
+    rem = budget - cum
+    capped = [src for src, _ in items if src not in alloc]
+    for i, src in enumerate(capped, start=1):
+        alloc[src] = rem // m + (1 if i <= rem % m else 0)
+    for r in rows:
+        assert alloc[r["source"]] == r["allocated_tokens"], r
+        assert r["fully_satisfied"] == (alloc[r["source"]] == demands[r["source"]])
+    sat_d = [r["demand_tokens"] for r in rows if r["fully_satisfied"]]
+    cap_a = [r["allocated_tokens"] for r in rows if not r["fully_satisfied"]]
+    assert cap_a, "budget = half demand must cap someone"
+    if sat_d:
+        assert min(cap_a) >= max(sat_d) - 1
