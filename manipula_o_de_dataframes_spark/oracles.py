@@ -6539,3 +6539,47 @@ SELECT f.source,
 FROM flagged f CROSS JOIN agg a
 ORDER BY f.source
 """
+
+# Amount-based revenue waterfall: same class partition of integer
+# deltas; churn months clip to the observed max (right-censoring).
+ORACLES["mrr_waterfall"] = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         CAST(FLOOR(date_diff('second', TIMESTAMP '1990-01-01', o_orderdate)
+                    / 2592000.0) AS BIGINT) AS m
+  FROM orders
+),
+cur AS (SELECT o_custkey, m, SUM(c) AS cents FROM o GROUP BY 1, 2),
+first AS (SELECT o_custkey, MIN(m) AS first_m FROM cur GROUP BY 1),
+prev AS (SELECT o_custkey, m + 1 AS m, cents AS pc FROM cur),
+mx AS (SELECT MAX(m) AS mx FROM cur),
+joined AS (
+  SELECT COALESCE(cu.o_custkey, pv.o_custkey) AS o_custkey,
+         COALESCE(cu.m, pv.m) AS m,
+         COALESCE(cu.cents, 0) AS cur_c,
+         COALESCE(pv.pc, 0) AS prev_c
+  FROM cur cu FULL OUTER JOIN prev pv
+    ON cu.o_custkey = pv.o_custkey AND cu.m = pv.m
+),
+flagged AS (
+  SELECT j.m,
+         CASE WHEN j.m = f.first_m AND j.cur_c > 0 THEN 'new'
+              WHEN j.cur_c > 0 AND j.prev_c = 0 AND j.m != f.first_m
+                   THEN 'reactivation'
+              WHEN j.cur_c > j.prev_c AND j.prev_c > 0 THEN 'expansion'
+              WHEN j.cur_c > 0 AND j.cur_c < j.prev_c THEN 'contraction'
+              WHEN j.cur_c = 0 AND j.prev_c > 0 THEN 'churned'
+              ELSE 'flat' END AS classe,
+         ABS(j.cur_c - j.prev_c) AS d
+  FROM joined j
+  JOIN first f ON f.o_custkey = j.o_custkey
+  CROSS JOIN mx
+  WHERE j.m <= mx.mx
+)
+SELECT m AS month_idx, classe,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(d) AS BIGINT) AS delta_cents
+FROM flagged WHERE classe != 'flat'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -11133,6 +11133,75 @@ def q_fair_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall — the SaaS MRR bridge, AMOUNT-based where
+    ``growth_accounting`` is presence-based: per month, customer
+    revenue deltas classified NEW (first-ever revenue), EXPANSION
+    (spent more than last month), CONTRACTION (spent less, still >0),
+    REACTIVATION (revenue after a ≥1-month gap — the class the first
+    draft forgot; its mass broke the bridge identity and the identity
+    TEST caught it) and CHURNED (last month >0, this month 0), with
+    cent-exact sums per class. The identity the report exists for —
+    net = new + expansion + reactivation − contraction − churned —
+    holds bit-exactly because the classes partition the same integer
+    deltas (asserted in the test).
+
+    One (customer, month) cents census rides the orders scan; the
+    month-over-month compare is a self union shifted one month (no
+    window state beyond first-month min); churn months clip to the
+    observed max (right-censoring, the `growth_accounting` rule).
+    Months are epoch-aligned 30-day buckets against the fixed NTZ
+    origin, so both engines bucket identically in any session tz.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("__c"),
+        F.floor(tmp.seconds_since_origin("o_orderdate") / F.lit(30 * 86400))
+        .cast("long")
+        .alias("__m"),
+    )
+    cur = o.groupBy("o_custkey", "__m").agg(F.sum("__c").alias("cents"))
+    first = cur.groupBy("o_custkey").agg(F.min("__m").alias("__first"))
+    prev = cur.select(
+        "o_custkey", (F.col("__m") + 1).alias("__m"), F.col("cents").alias("__pc")
+    )
+    max_m = cur.agg(F.max("__m").alias("__mx"))
+    joined = (
+        cur.join(prev, ["o_custkey", "__m"], "full_outer")
+        .join(first, "o_custkey")
+        .crossJoin(F.broadcast(max_m))
+        .filter(F.col("__m") <= F.col("__mx"))
+        .select(
+            "__m",
+            F.coalesce(F.col("cents"), F.lit(0)).alias("__cur"),
+            F.coalesce(F.col("__pc"), F.lit(0)).alias("__prev"),
+            (F.col("__m") == F.col("__first")).alias("__is_new"),
+        )
+    )
+    cls = (
+        F.when(F.col("__is_new") & (F.col("__cur") > 0), F.lit("new"))
+        .when(
+            (F.col("__cur") > 0) & (F.col("__prev") == 0) & ~F.col("__is_new"),
+            F.lit("reactivation"),
+        )
+        .when((F.col("__cur") > F.col("__prev")) & (F.col("__prev") > 0), F.lit("expansion"))
+        .when((F.col("__cur") > 0) & (F.col("__cur") < F.col("__prev")), F.lit("contraction"))
+        .when((F.col("__cur") == 0) & (F.col("__prev") > 0), F.lit("churned"))
+        .otherwise(F.lit("flat"))
+    )
+    delta = F.abs(F.col("__cur") - F.col("__prev"))
+    return (
+        joined.select("__m", cls.alias("classe"), delta.alias("__d"))
+        .filter(F.col("classe") != "flat")
+        .groupBy(F.col("__m").alias("month_idx"), "classe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("__d").cast("long").alias("delta_cents"),
+        )
+        .orderBy("month_idx", "classe")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11145,6 +11214,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "mrr_waterfall": q_mrr_waterfall,
     "fair_token_budget": q_fair_token_budget,
     "mix_rate_bridge": q_mix_rate_bridge,
     "behavioral_cohort": q_behavioral_cohort,
@@ -11428,7 +11498,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N181), newest first
+    # close-out batch (N166-N182), newest first
+    "mrr_waterfall",
     "fair_token_budget",
     "mix_rate_bridge",
     "behavioral_cohort",

@@ -858,3 +858,55 @@ def test_fair_budget_conserves_and_is_maxmin(spark):
     assert cap_a, "budget = half demand must cap someone"
     if sat_d:
         assert min(cap_a) >= max(sat_d) - 1
+
+
+# -------------------------------------------------------- mrr waterfall
+
+
+def test_mrr_waterfall_identity(spark):
+    """The bridge identity: per month, new + expansion − contraction −
+    churned must equal the exact month-over-month revenue change
+    (classes partition the same integer deltas)."""
+    from collections import defaultdict
+
+    out = QUERIES["mrr_waterfall"](spark, SF_SMOKE).collect()
+    assert out
+    by_m = defaultdict(dict)
+    for r in out:
+        by_m[r["month_idx"]][r["classe"]] = r["delta_cents"]
+
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("c"),
+        F.floor(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ'1990-01-01 00:00:00',"
+                " o_orderdate)"
+            )
+            / F.lit(30 * 86400)
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    rows = o.groupBy("o_custkey", "m").agg(F.sum("c").alias("cents")).collect()
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        rev[r["o_custkey"]][r["m"]] = r["cents"]
+    months = sorted({r["m"] for r in rows})
+    mx = months[-1]
+    net = defaultdict(int)
+    for cust, mm in rev.items():
+        touched = sorted(set(mm) | {m + 1 for m in mm if m + 1 <= mx})
+        for m in touched:
+            net[m] += mm.get(m, 0) - mm.get(m - 1, 0)
+    for m, classes in by_m.items():
+        lhs = (
+            classes.get("new", 0)
+            + classes.get("expansion", 0)
+            + classes.get("reactivation", 0)
+            - classes.get("contraction", 0)
+            - classes.get("churned", 0)
+        )
+        assert lhs == net[m], (m, dict(classes), net[m])
