@@ -6583,3 +6583,34 @@ SELECT m AS month_idx, classe,
 FROM flagged WHERE classe != 'flat'
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# Credibility smoothing: identical IEEE expression tree, one rounding
+# site per output column.
+ORACLES["credibility_smoothing"] = """
+WITH pn AS (
+  SELECT n.n_name AS nation, n.n_regionkey AS rk,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x,
+         COUNT(*) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+pr AS (SELECT rk, SUM(x) AS xr, SUM(n) AS nr FROM pn GROUP BY 1)
+SELECT pn.nation,
+       CAST(pn.n AS BIGINT) AS n_lines,
+       CAST(round(CAST(pn.x AS DOUBLE) / CAST(pn.n AS DOUBLE) * 1000000.0, 0)
+            AS BIGINT) AS raw_ppm,
+       CAST(round(CAST(pr.xr AS DOUBLE) / CAST(pr.nr AS DOUBLE) * 1000000.0, 0)
+            AS BIGINT) AS region_ppm,
+       CAST(round(1000000.0
+                  * (CAST(pn.x AS DOUBLE)
+                     + 200.0 * (CAST(pr.xr AS DOUBLE) / CAST(pr.nr AS DOUBLE)))
+                  / (CAST(pn.n AS DOUBLE) + 200.0), 0) AS BIGINT)
+         AS smoothed_ppm,
+       CAST(round(CAST(pn.n AS DOUBLE) / (CAST(pn.n AS DOUBLE) + 200.0)
+                  * 1000.0, 0) AS BIGINT) AS credibility_milli
+FROM pn JOIN pr ON pr.rk = pn.rk
+ORDER BY pn.nation
+"""

@@ -11202,6 +11202,83 @@ def q_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_credibility_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bühlmann credibility / empirical-Bayes rate smoothing — the
+    actuarial (and ads-CTR) answer to small segments: each nation's
+    return rate shrinks toward its REGION's rate with weight
+    Z = n/(n+k) (k = 200 prior strength), so a nation with 40 lines
+    reports mostly its region's experience and one with 40,000
+    reports its own. Complements `adaptive_quality_gate` (which picks
+    thresholds) by fixing the RATE ESTIMATE itself — partial pooling,
+    the thing raw per-segment rates get wrong at the tail.
+
+    Two censuses ride one lineitem scan (nation via order→customer
+    broadcast dims): per-nation (returned, total) and per-region
+    pooled (the prior). Float policy: smoothed_ppm =
+    round(1e6·(x + k·(X_R/N_R))/(n + k)) — division, multiply, add,
+    divide, all IEEE-correctly-rounded in a fixed tree with ONE
+    rounding site (integer cross-multiplication would need
+    x·N_R·1e6 ≈ 2⁶⁵ at sf1 — the documented reason this one uses the
+    float path; no transcendental anywhere). Shrinkage weight and raw
+    rate are single-rounded beside it so the report shows HOW much
+    pooling happened.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", (F.col("l_returnflag") == "R").cast("long").alias("__ret")
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    per_nation = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "n_regionkey")
+        .agg(
+            F.sum("__ret").alias("__x"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    per_region = per_nation.groupBy(F.col("n_regionkey").alias("__rk")).agg(
+        F.sum("__x").alias("__xr"), F.sum("__n").alias("__nr")
+    )
+    k = F.lit(200).cast("double")
+    pr = F.col("__xr").cast("double") / F.col("__nr").cast("double")
+    smoothed = F.round(
+        F.lit(1e6)
+        * (F.col("__x").cast("double") + k * pr)
+        / (F.col("__n").cast("double") + k),
+        0,
+    ).cast("long")
+    return (
+        per_nation.join(
+            F.broadcast(per_region), F.col("n_regionkey") == F.col("__rk")
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("__n").cast("long").alias("n_lines"),
+            F.round(
+                F.col("__x").cast("double") / F.col("__n").cast("double") * 1e6, 0
+            )
+            .cast("long")
+            .alias("raw_ppm"),
+            F.round(pr * 1e6, 0).cast("long").alias("region_ppm"),
+            smoothed.alias("smoothed_ppm"),
+            F.round(
+                F.col("__n").cast("double")
+                / (F.col("__n").cast("double") + k)
+                * 1e3,
+                0,
+            )
+            .cast("long")
+            .alias("credibility_milli"),
+        )
+        .orderBy("nation")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11214,6 +11291,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "credibility_smoothing": q_credibility_smoothing,
     "mrr_waterfall": q_mrr_waterfall,
     "fair_token_budget": q_fair_token_budget,
     "mix_rate_bridge": q_mix_rate_bridge,
@@ -11498,7 +11576,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N182), newest first
+    # close-out batch (N166-N183), newest first
+    "credibility_smoothing",
     "mrr_waterfall",
     "fair_token_budget",
     "mix_rate_bridge",

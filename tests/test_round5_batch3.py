@@ -910,3 +910,22 @@ def test_mrr_waterfall_identity(spark):
             - classes.get("churned", 0)
         )
         assert lhs == net[m], (m, dict(classes), net[m])
+
+
+# -------------------------------------------------- credibility smoothing
+
+
+def test_credibility_shrinks_toward_region(spark):
+    """Partial-pooling invariants: smoothed always lies between raw
+    and region rates (inclusive, ±1 ppm rounding slack); bigger n ⇒
+    higher credibility; and credibility_milli = round(1000·n/(n+200))."""
+    rows = QUERIES["credibility_smoothing"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        lo, hi = sorted((r["raw_ppm"], r["region_ppm"]))
+        assert lo - 1 <= r["smoothed_ppm"] <= hi + 1, r
+        want_z = round(1000 * r["n_lines"] / (r["n_lines"] + 200))
+        assert abs(r["credibility_milli"] - want_z) <= 1, r
+    by_n = sorted(rows, key=lambda r: r["n_lines"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["credibility_milli"] <= b["credibility_milli"]
