@@ -6614,3 +6614,49 @@ SELECT pn.nation,
 FROM pn JOIN pr ON pr.rk = pn.rk
 ORDER BY pn.nation
 """
+
+# Little's law: direct duration sum and sweep-integrated area, equal
+# by conservation; both mirrored independently here.
+ORACLES["littles_law_audit"] = """
+WITH close AS (
+  SELECT l_orderkey, CAST(date_trunc('day', MAX(l_shipdate)) AS DATE) AS cl
+  FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(date_trunc('day', o.o_orderdate) AS DATE) AS op,
+         GREATEST(cl.cl, CAST(date_trunc('day', o.o_orderdate) AS DATE)) AS cl
+  FROM orders o
+  JOIN close cl ON cl.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+),
+direct AS (
+  SELECT nk, COUNT(*) AS n_orders,
+         SUM(date_diff('day', op, cl) + 1) AS order_days_direct
+  FROM spans GROUP BY 1
+),
+deltas AS (
+  SELECT nk, op AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT nk, cl + INTERVAL 1 DAY, -1 FROM spans
+),
+census AS (SELECT nk, d, SUM(delta) AS dsum FROM deltas GROUP BY 1, 2),
+swept AS (
+  SELECT nk, SUM(area) AS order_days_swept FROM (
+    SELECT nk,
+           SUM(dsum) OVER (PARTITION BY nk ORDER BY d) *
+             COALESCE(date_diff('day', d,
+                      LEAD(d) OVER (PARTITION BY nk ORDER BY d)), 0) AS area
+    FROM census
+  ) GROUP BY 1
+)
+SELECT CAST(di.nk AS INT) AS nationkey,
+       CAST(di.n_orders AS BIGINT) AS n_orders,
+       CAST(di.order_days_direct AS BIGINT) AS order_days_direct,
+       CAST(sw.order_days_swept AS BIGINT) AS order_days_swept,
+       CAST(round(CAST(di.order_days_direct AS DOUBLE)
+                  / CAST(di.n_orders AS DOUBLE) * 1000.0, 0) AS BIGINT)
+         AS avg_open_days_milli
+FROM direct di JOIN swept sw ON sw.nk = di.nk
+ORDER BY nationkey
+"""

@@ -11279,6 +11279,95 @@ def q_credibility_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law as an executable conservation audit (L·T = λ·T·W —
+    total order-days computed TWO structurally different ways that
+    must agree integer-exactly): the direct path sums each order's
+    open duration (close − open + 1 days); the sweep path integrates
+    the concurrency curve (running open count × days between
+    boundary events, `open_order_concurrency`'s ±1 deltas). Both
+    columns ship side by side, so the driver's hash gate doubles as
+    the conservation proof — any interval-handling bug (off-by-one at
+    the close boundary, a dropped order, a mis-clamped reversed span)
+    breaks the equality before it breaks anything visible. This is
+    the ops-analytics identity behind "WIP = throughput × lead time"
+    reviews, and the two-plans-one-invariant pattern the
+    `mrr_waterfall` identity test proved this round.
+
+    Scale: direct is one census aggregate; the sweep emits exactly 2
+    boundary rows per order and integrates over (nation, date) census
+    rows — no day-level explode anywhere. avg_open_days_milli is the
+    single rounding site.
+    """
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
+    close = li.groupBy("l_orderkey").agg(
+        F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("__close")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("__open"),
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spans = (
+        o.join(close, o["o_orderkey"] == close["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_nationkey",
+            "__open",
+            F.greatest("__close", "__open").alias("__close"),
+        )
+    )
+    direct = spans.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.datediff("__close", "__open") + 1).alias("order_days_direct"),
+    )
+    deltas = spans.select(
+        "c_nationkey", F.col("__open").alias("__d"), F.lit(1).alias("__delta")
+    ).unionAll(
+        spans.select(
+            "c_nationkey",
+            F.date_add("__close", 1).alias("__d"),
+            F.lit(-1).alias("__delta"),
+        )
+    )
+    census = deltas.groupBy("c_nationkey", "__d").agg(
+        F.sum("__delta").alias("__dsum")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("__d")
+    swept = (
+        census.withColumn("__running", F.sum("__dsum").over(w))
+        .withColumn("__next", F.lead("__d").over(w))
+        .withColumn(
+            "__area",
+            F.when(
+                F.col("__next").isNotNull(),
+                F.col("__running") * F.datediff("__next", "__d"),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("__area").alias("order_days_swept"))
+    )
+    return (
+        direct.join(swept, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("order_days_direct").cast("long").alias("order_days_direct"),
+            F.col("order_days_swept").cast("long").alias("order_days_swept"),
+            F.round(
+                F.col("order_days_direct").cast("double")
+                / F.col("n_orders").cast("double")
+                * 1e3,
+                0,
+            )
+            .cast("long")
+            .alias("avg_open_days_milli"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11291,6 +11380,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "littles_law_audit": q_littles_law_audit,
     "credibility_smoothing": q_credibility_smoothing,
     "mrr_waterfall": q_mrr_waterfall,
     "fair_token_budget": q_fair_token_budget,
@@ -11576,7 +11666,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N183), newest first
+    # close-out batch (N166-N184), newest first
+    "littles_law_audit",
     "credibility_smoothing",
     "mrr_waterfall",
     "fair_token_budget",

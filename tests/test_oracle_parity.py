@@ -60,7 +60,7 @@ TZ_SENSITIVE = [
     "tpch_q20", "tpch_q21", "tpch_q22",
     # round-5 close-out batch members that derive from event timestamps
     "behavioral_cohort", "leakage_safe_features", "markov_attribution",
-    "activity_bitmaps", "mix_rate_bridge", "mrr_waterfall",
+    "activity_bitmaps", "mix_rate_bridge", "mrr_waterfall", "littles_law_audit",
 ]
 
 

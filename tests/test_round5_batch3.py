@@ -929,3 +929,38 @@ def test_credibility_shrinks_toward_region(spark):
     by_n = sorted(rows, key=lambda r: r["n_lines"])
     for a, b in zip(by_n, by_n[1:]):
         assert a["credibility_milli"] <= b["credibility_milli"]
+
+
+# ------------------------------------------------------ little's law audit
+
+
+def test_littles_law_identity_holds(spark):
+    """order_days_direct == order_days_swept for every nation — the
+    conservation the query exists to prove — and both equal a Python
+    day-count from raw spans."""
+    rows = QUERIES["littles_law_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["order_days_direct"] == r["order_days_swept"], r
+
+    li = read_table(spark, SF_SMOKE, "lineitem").groupBy("l_orderkey").agg(
+        F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("cl")
+    )
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("op"),
+    )
+    c = read_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_nationkey", "op", F.greatest("cl", "op").alias("cl"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    want = defaultdict(int)
+    for r in spans:
+        want[r["c_nationkey"]] += (r["cl"] - r["op"]).days + 1
+    for r in rows:
+        assert want[r["nationkey"]] == r["order_days_direct"], r
