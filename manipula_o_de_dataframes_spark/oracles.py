@@ -6660,3 +6660,42 @@ SELECT CAST(di.nk AS INT) AS nationkey,
 FROM direct di JOIN swept sw ON sw.nk = di.nk
 ORDER BY nationkey
 """
+
+
+def _survey_raking_sql() -> str:
+    """12 unrolled MATERIALIZED half-rounds of the integer milli-grid
+    IPF — identical (2·W·T·1000 + m·S) div (2·m·S) rescale per cell."""
+    rounds = []
+    prev = "w0"
+    i = 0
+    for _ in range(6):
+        for axis, m_expr in (("nk", "(SELECT n_nk FROM dims)"),
+                             ("seg", "(SELECT n_seg FROM dims)")):
+            i += 1
+            rounds.append(
+                f"w{i} AS MATERIALIZED (SELECT nk, seg, n,"
+                f" (2 * w * (SELECT t FROM tot) * 1000"
+                f"  + {m_expr} * SUM(w) OVER (PARTITION BY {axis}))"
+                f" // (2 * {m_expr} * SUM(w) OVER (PARTITION BY {axis}))"
+                f" AS w FROM {prev})"
+            )
+            prev = f"w{i}"
+    return f"""
+WITH census AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS t FROM census),
+dims AS (SELECT COUNT(DISTINCT nk) AS n_nk, COUNT(DISTINCT seg) AS n_seg
+         FROM census),
+w0 AS (SELECT nk, seg, n, n * 1000 AS w FROM census),
+{','.join(rounds)}
+SELECT CAST(nk AS INT) AS nationkey, seg AS mktsegment,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST((2 * w * 1000 + n) // (2 * n) AS BIGINT) AS weight_ppm
+FROM {prev}
+ORDER BY nationkey, mktsegment
+"""
+
+
+ORACLES["survey_raking"] = _survey_raking_sql()

@@ -964,3 +964,29 @@ def test_littles_law_identity_holds(spark):
         want[r["c_nationkey"]] += (r["cl"] - r["op"]).days + 1
     for r in rows:
         assert want[r["nationkey"]] == r["order_days_direct"], r
+
+
+# --------------------------------------------------------- survey raking
+
+
+def test_raking_converges_both_margins(spark):
+    """After 6 double-rounds each nation margin and each segment
+    margin is within 0.1% of its uniform target; all weights > 0."""
+    rows = QUERIES["survey_raking"](spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    total = sum(r["n_customers"] for r in rows)
+    nations = {r["nationkey"] for r in rows}
+    segs = {r["mktsegment"] for r in rows}
+    row_m, col_m = defaultdict(float), defaultdict(float)
+    for r in rows:
+        assert r["weight_ppm"] > 0
+        mass = r["n_customers"] * r["weight_ppm"] / 1e6
+        row_m[r["nationkey"]] += mass
+        col_m[r["mktsegment"]] += mass
+    rt, ct = total / len(nations), total / len(segs)
+    for v in row_m.values():
+        assert abs(v - rt) / rt < 1e-3, (v, rt)
+    for v in col_m.values():
+        assert abs(v - ct) / ct < 1e-3, (v, ct)
