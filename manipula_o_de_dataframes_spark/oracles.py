@@ -6699,3 +6699,83 @@ ORDER BY nationkey, mktsegment
 
 
 ORACLES["survey_raking"] = _survey_raking_sql()
+
+# Murphy decomposition: identical feature block to quality_calibration
+# (exp@9dp grid), ppm quantize once, half-up ppm bin means before
+# squaring (the int64 bound).
+ORACLES["brier_decomposition"] = f"""
+WITH f AS (
+  SELECT
+    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+    round(least(
+        least((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(str_split(text, ' ')) AS DOUBLE) / 8.0, 1.0) * 0.4
+        + CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS DOUBLE)
+          / CAST(len(str_split(text, ' ')) AS DOUBLE) * 2.0 * 0.3
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
+      1.0), 9) AS q,
+    round((CAST(len(str_split(text, ' ')) AS DOUBLE)
+           - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS dup,
+    round((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS mlen,
+    CAST(len(list_filter(str_split(text, ' '), t -> t IN {_STOPWORDS_SQL})) AS BIGINT)
+      AS stop_hits
+  FROM documents WHERE text IS NOT NULL
+),
+z AS (
+  SELECT round(1.0 / (1.0 + exp(-(-2.0 + 6.0 * q + -3.0 * dup + 0.25 * mlen
+                                  + 0.002 * CAST(n_tokens AS DOUBLE)))), 9) AS p,
+         CASE WHEN (n_tokens BETWEEN 10 AND 1000) AND (mlen BETWEEN 2.0 AND 10.0)
+               AND dup <= 0.6 AND stop_hits >= 2 THEN 1 ELSE 0 END AS o
+  FROM f
+),
+scored AS (
+  SELECT CAST(round(p * 1000000.0, 0) AS BIGINT) AS p_ppm,
+         LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS decile, o
+  FROM z
+),
+gstat AS (
+  SELECT COUNT(*) AS n, SUM(o) AS x,
+         SUM((p_ppm - o * 1000000) * (p_ppm - o * 1000000)) AS sq,
+         (2 * SUM(o) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS obar
+  FROM scored
+),
+bins AS (
+  SELECT decile, COUNT(*) AS n_docs, SUM(p_ppm) AS sp, SUM(o) AS xb
+  FROM scored GROUP BY 1
+),
+wbv AS (
+  SELECT s.decile,
+         SUM((s.p_ppm - (2 * b.sp + b.n_docs) // (2 * b.n_docs))
+             * (s.p_ppm - (2 * b.sp + b.n_docs) // (2 * b.n_docs)))
+           AS within_var_term,
+         SUM((s.p_ppm - (2 * b.sp + b.n_docs) // (2 * b.n_docs))
+             * (s.o * 1000000 - (2 * b.xb * 1000000 + b.n_docs) // (2 * b.n_docs)))
+           AS within_cov_term
+  FROM scored s JOIN bins b ON b.decile = s.decile
+  GROUP BY 1
+)
+SELECT b.decile,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST((2 * b.sp + b.n_docs) // (2 * b.n_docs) AS BIGINT) AS mean_p_ppm,
+       CAST((2 * b.xb * 1000000 + b.n_docs) // (2 * b.n_docs) AS BIGINT)
+         AS pass_rate_ppm,
+       CAST(b.n_docs
+            * ((2 * b.sp + b.n_docs) // (2 * b.n_docs)
+               - (2 * b.xb * 1000000 + b.n_docs) // (2 * b.n_docs))
+            * ((2 * b.sp + b.n_docs) // (2 * b.n_docs)
+               - (2 * b.xb * 1000000 + b.n_docs) // (2 * b.n_docs))
+            AS BIGINT) AS reliability_term,
+       CAST(b.n_docs
+            * ((2 * b.xb * 1000000 + b.n_docs) // (2 * b.n_docs) - g.obar)
+            * ((2 * b.xb * 1000000 + b.n_docs) // (2 * b.n_docs) - g.obar)
+            AS BIGINT) AS resolution_term,
+       CAST(w.within_var_term AS BIGINT) AS within_var_term,
+       CAST(w.within_cov_term AS BIGINT) AS within_cov_term,
+       CAST(g.sq AS BIGINT) AS sq_err_sum,
+       CAST(g.x AS BIGINT) AS n_pass_total,
+       CAST(g.n AS BIGINT) AS n_total
+FROM bins b JOIN wbv w ON w.decile = b.decile CROSS JOIN gstat g
+ORDER BY b.decile
+"""

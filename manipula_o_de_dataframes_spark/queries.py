@@ -11431,6 +11431,119 @@ def q_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the quality classifier's Brier
+    score — forecast verification's standard answer to "is the model
+    bad at RANKING or at CALIBRATION?": per probability decile,
+    reliability term n_b·(p̄_b − ō_b)² (calibration error mass) and
+    resolution term n_b·(ō_b − ō)² (how much the bin separates from
+    base rate) and the WITHIN-BIN variance Σ(p_i − p̄_b)² — the 4th
+    and 5th terms the generalized decomposition needs when forecasts
+    vary inside a bin — within-bin variance Σ(p_i − p̄_b)² and
+    covariance Σ(p_i − p̄_b)(o_i − ō_b); the 3-term textbook identity
+    missed by exactly their mass on first build, in two successive
+    test-caught steps: REL − RES + UNC + WBV − 2·COV ≈ Brier,
+    asserted within per-bin rounding tolerance. Extends ``quality_calibration``
+    (which eyeballs monotonicity) with the quantitative split.
+
+    Number policy: probabilities ride the established exp@9dp grid
+    (``quality_logistic``'s convention) then quantize ONCE to ppm;
+    the global Σ(p−o)² is EXACT integer ppm² and each bin's terms
+    square HALF-UP PPM MEANS — per-bin means first, then square, so
+    every intermediate stays < 2⁶³ at any corpus size (squaring raw
+    ppm SUMS overflows at ~3k docs/bin — the bound that shaped the
+    formulation). One doc scan, one ≤10-row census, broadcast global
+    one-rower.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    q = F.round(quality_score("text"), 9)
+    dup = F.round(dup_token_ratio("text"), 9)
+    mlen = F.round(mean_token_len("text"), 9)
+    n_tok = token_count("text")
+    z = (
+        F.lit(-2.0)
+        + F.lit(6.0) * q
+        + F.lit(-3.0) * dup
+        + F.lit(0.25) * mlen
+        + F.lit(0.002) * n_tok.cast("double")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    gopher = (
+        n_tok.between(10, 1000)
+        & mlen.between(2.0, 10.0)
+        & (dup <= 0.6)
+        & (stopword_hits("text") >= 2)
+    )
+    scored = d.select(
+        F.round(p * 1e6, 0).cast("long").alias("__p_ppm"),
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("decile"),
+        gopher.cast("long").alias("__o"),
+    )
+    glob = scored.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__o").alias("__x"),
+        F.sum(
+            (F.col("__p_ppm") - F.col("__o") * 1000000)
+            * (F.col("__p_ppm") - F.col("__o") * 1000000)
+        ).alias("__sq"),
+    ).select(
+        "__n",
+        "__x",
+        "__sq",
+        F.expr("(2 * __x * 1000000 + __n) div (2 * __n)").alias("__obar"),
+    )
+    bins = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__p_ppm").alias("__sp"),
+        F.sum("__o").alias("__xb"),
+    )
+    means = bins.select(
+        F.col("decile").alias("__dm"),
+        F.expr("(2 * __sp + n_docs) div (2 * n_docs)").alias("__mb"),
+        F.expr("(2 * __xb * 1000000 + n_docs) div (2 * n_docs)").alias("__rb"),
+    )
+    wbv = (
+        scored.join(F.broadcast(means), scored["decile"] == means["__dm"])
+        .groupBy(scored["decile"].alias("__dw"))
+        .agg(
+            F.sum(
+                (F.col("__p_ppm") - F.col("__mb"))
+                * (F.col("__p_ppm") - F.col("__mb"))
+            ).alias("within_var_term"),
+            F.sum(
+                (F.col("__p_ppm") - F.col("__mb"))
+                * (F.col("__o") * 1000000 - F.col("__rb"))
+            ).alias("within_cov_term"),
+        )
+    )
+    out = bins.join(
+        F.broadcast(wbv), bins["decile"] == wbv["__dw"]
+    ).crossJoin(F.broadcast(glob)).select(
+        "decile",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("(2 * __sp + n_docs) div (2 * n_docs)").alias("mean_p_ppm"),
+        F.expr("(2 * __xb * 1000000 + n_docs) div (2 * n_docs)").alias(
+            "pass_rate_ppm"
+        ),
+        F.expr(
+            "n_docs * ((2 * __sp + n_docs) div (2 * n_docs)"
+            " - (2 * __xb * 1000000 + n_docs) div (2 * n_docs))"
+            " * ((2 * __sp + n_docs) div (2 * n_docs)"
+            " - (2 * __xb * 1000000 + n_docs) div (2 * n_docs))"
+        ).alias("reliability_term"),
+        F.expr(
+            "n_docs * ((2 * __xb * 1000000 + n_docs) div (2 * n_docs) - __obar)"
+            " * ((2 * __xb * 1000000 + n_docs) div (2 * n_docs) - __obar)"
+        ).alias("resolution_term"),
+        F.col("within_var_term").cast("long").alias("within_var_term"),
+        F.col("within_cov_term").cast("long").alias("within_cov_term"),
+        F.col("__sq").alias("sq_err_sum"),
+        F.col("__x").cast("long").alias("n_pass_total"),
+        F.col("__n").cast("long").alias("n_total"),
+    )
+    return out.orderBy("decile")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11443,6 +11556,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "brier_decomposition": q_brier_decomposition,
     "survey_raking": q_survey_raking,
     "littles_law_audit": q_littles_law_audit,
     "credibility_smoothing": q_credibility_smoothing,
@@ -11730,7 +11844,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N185), newest first
+    # close-out batch (N166-N186), newest first
+    "brier_decomposition",
     "survey_raking",
     "littles_law_audit",
     "credibility_smoothing",

@@ -990,3 +990,30 @@ def test_raking_converges_both_margins(spark):
         assert abs(v - rt) / rt < 1e-3, (v, rt)
     for v in col_m.values():
         assert abs(v - ct) / ct < 1e-3, (v, ct)
+
+
+# ----------------------------------------------------- brier decomposition
+
+
+def test_murphy_identity_within_rounding(spark):
+    """REL − RES + UNC ≈ Brier: exact when computed with rational bin
+    means, so the ppm-mean version must agree within the per-bin
+    rounding budget (10 bins × sub-ppm² slack)."""
+    rows = QUERIES["brier_decomposition"](spark, SF_SMOKE).collect()
+    assert rows
+    n = rows[0]["n_total"]
+    x = rows[0]["n_pass_total"]
+    brier = rows[0]["sq_err_sum"] / n / 1e12
+    rel = sum(r["reliability_term"] for r in rows) / n / 1e12
+    res = sum(r["resolution_term"] for r in rows) / n / 1e12
+    wbv = sum(r["within_var_term"] for r in rows) / n / 1e12
+    cov = sum(r["within_cov_term"] for r in rows) / n / 1e12
+    obar = x / n
+    unc = obar * (1 - obar)
+    # per-bin ppm rounding perturbs means by ≤0.5e-6 → terms by ~1e-6
+    assert abs((rel - res + unc + wbv - 2 * cov) - brier) < 1e-5, (
+        rel, res, unc, wbv, cov, brier,
+    )
+    assert 0 <= brier <= 0.25 + 1e-9 or brier <= 1.0
+    # resolution cannot exceed uncertainty (forecast-verification bound)
+    assert res <= unc + 1e-4, (res, unc)
