@@ -6779,3 +6779,45 @@ SELECT b.decile,
 FROM bins b JOIN wbv w ON w.decile = b.decile CROSS JOIN gstat g
 ORDER BY b.decile
 """
+
+# Split conformal: even weeks calibrate, odd test; exact ceil(0.9 n)
+# rank under the (resid, week) total order; ppm coverage.
+ORACLES["conformal_coverage"] = """
+WITH census AS (
+  SELECT n.n_name AS nation,
+         CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+                              CAST(o.o_orderdate AS DATE)) / 7.0) AS BIGINT)
+           AS wk,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+resid AS (
+  SELECT nation, wk,
+         ABS(cents - LAG(cents) OVER (PARTITION BY nation ORDER BY wk)) AS r,
+         wk % 2 = 0 AS cal
+  FROM census
+  QUALIFY r IS NOT NULL
+),
+q AS (
+  SELECT nation, r AS q90, n AS n_cal FROM (
+    SELECT nation, r,
+           ROW_NUMBER() OVER (PARTITION BY nation ORDER BY r, wk) AS rn,
+           COUNT(*) OVER (PARTITION BY nation) AS n
+    FROM resid WHERE cal
+  ) WHERE rn = (9 * n + 9) // 10
+)
+SELECT t.nation,
+       CAST(q.n_cal AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(q.q90 AS BIGINT) AS q90_resid_cents,
+       CAST(SUM(CASE WHEN t.r <= q.q90 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS coverage_ppm
+FROM resid t JOIN q ON q.nation = t.nation
+WHERE NOT t.cal
+GROUP BY 1, 2, 4
+ORDER BY 1
+"""

@@ -11544,6 +11544,84 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("decile")
 
 
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit (Vovk; Lei et al. 2018) on the
+    naive weekly forecast — the modern distribution-free answer to
+    "how wide must the interval be": the 90th-percentile absolute
+    residual on a CALIBRATION half becomes the interval radius, and
+    the held-out half reports the achieved coverage — valid without
+    any distributional assumption, which is why conformal wrapped
+    every production forecaster in the last five years. Extends
+    ``naive_forecast_mape`` (point skill) with calibrated uncertainty.
+
+    Deterministic split: even weeks calibrate, odd weeks test (time-
+    interleaved so both halves span the whole horizon — a block split
+    is the stricter variant; the interleave keeps the audit exact
+    with no RNG). The quantile is the EXACT type-1 ⌈0.9·n⌉-th
+    residual rank-selected under the (resid, week) total order (the
+    `histogram_quantiles` exact-arm convention); coverage is one
+    integer ppm division. Everything rides the (nation, week) census;
+    integer cents end-to-end, no float at all.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wk = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    census = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(MONEY)) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("wk")
+    resid = (
+        census.select(
+            "nation",
+            "wk",
+            F.abs(F.col("cents") - F.lag("cents").over(w)).alias("__r"),
+        )
+        .filter(F.col("__r").isNotNull())
+        .withColumn("__cal", F.col("wk") % 2 == 0)
+    )
+    cal = resid.filter(F.col("__cal"))
+    wq = Window.partitionBy("nation").orderBy("__r", "wk")
+    q = (
+        cal.withColumn("__rn", F.row_number().over(wq))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("nation"))
+        )
+        .filter(F.col("__rn") == F.expr("(9 * __n + 9) div 10"))
+        .select(
+            F.col("nation").alias("__qn"),
+            F.col("__r").alias("q90_resid_cents"),
+            F.col("__n").alias("n_cal"),
+        )
+    )
+    test = resid.filter(~F.col("__cal"))
+    return (
+        test.join(q, test["nation"] == q["__qn"])
+        .groupBy("nation")
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("q90_resid_cents").cast("long").alias("q90_resid_cents"),
+            F.expr(
+                "sum(CASE WHEN __r <= q90_resid_cents THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11556,6 +11634,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "conformal_coverage": q_conformal_coverage,
     "brier_decomposition": q_brier_decomposition,
     "survey_raking": q_survey_raking,
     "littles_law_audit": q_littles_law_audit,
@@ -11844,7 +11923,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N186), newest first
+    # close-out batch (N166-N187), newest first
+    "conformal_coverage",
     "brier_decomposition",
     "survey_raking",
     "littles_law_audit",

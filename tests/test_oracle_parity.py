@@ -61,6 +61,7 @@ TZ_SENSITIVE = [
     # round-5 close-out batch members that derive from event timestamps
     "behavioral_cohort", "leakage_safe_features", "markov_attribution",
     "activity_bitmaps", "mix_rate_bridge", "mrr_waterfall", "littles_law_audit",
+    "conformal_coverage",
 ]
 
 

@@ -1017,3 +1017,22 @@ def test_murphy_identity_within_rounding(spark):
     assert 0 <= brier <= 0.25 + 1e-9 or brier <= 1.0
     # resolution cannot exceed uncertainty (forecast-verification bound)
     assert res <= unc + 1e-4, (res, unc)
+
+
+# ---------------------------------------------------- conformal coverage
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Aggregate held-out coverage must sit near the 90% nominal level
+    (finite-sample slack per nation; the conformal guarantee is
+    ≥ 0.9 − 1/(n_cal+1) in expectation), and the radius must cover
+    exactly ⌈0.9·n⌉ of the calibration residuals by construction."""
+    rows = QUERIES["conformal_coverage"](spark, SF_SMOKE).collect()
+    assert rows
+    covered = sum(r["coverage_ppm"] * r["n_test"] for r in rows)
+    n_test = sum(r["n_test"] for r in rows)
+    agg = covered / n_test / 1e6
+    assert 0.75 <= agg <= 1.0, agg
+    for r in rows:
+        assert r["q90_resid_cents"] > 0
+        assert r["n_cal"] > 0 and r["n_test"] > 0
