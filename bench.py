@@ -56,8 +56,27 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         timings_max[name] = round(max(runs), 3)
 
-    for i, name in enumerate(sorted(QUERIES)):
+    names = sorted(QUERIES)
+    for i, name in enumerate(names):
         timed(name, lambda: materialize(QUERIES[name](spark, sf_dir)))
+        if i % 50 == 49:
+            # Safety net for tail capture: with ~270 queries the sweep
+            # runs minutes, and a killed run would otherwise leave NO
+            # structured line. A compact partial-total every 50 queries
+            # means the captured tail always ends in parseable JSON
+            # stating exactly how far the sweep got.
+            print(
+                json.dumps(
+                    {
+                        "metric": "partial_total_seconds",
+                        "done": i + 1,
+                        "of": len(names),
+                        "value": round(sum(timings.values()), 3),
+                        "sf": sf,
+                    }
+                ),
+                flush=True,
+            )
         if i % 8 == 7:
             # ContextCleaner cleanup is GC-triggered; with a 16g heap
             # the JVM may not GC across the whole sweep, so shuffle /
