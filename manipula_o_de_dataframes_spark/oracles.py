@@ -6821,3 +6821,45 @@ WHERE NOT t.cal
 GROUP BY 1, 2, 4
 ORDER BY 1
 """
+
+# Banding recall: shared 8-hash signatures; r=1 reference arm (8
+# single-hash bands) exact-verified >= 0.5 vs the r=2 production arm.
+ORACLES["banding_recall_audit"] = f"""
+WITH {_SIG8_CTE},{_BANDS8_CTE},
+pairs2 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+bands1 AS (
+  SELECT doc_id,
+         unnest(['0|' || mh0, '1|' || mh1, '2|' || mh2, '3|' || mh3,
+                 '4|' || mh4, '5|' || mh5, '6|' || mh6, '7|' || mh7])
+           AS band
+  FROM sig8
+),
+pairs1 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands1 a JOIN bands1 b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+ref AS (
+  SELECT p.id_a, p.id_b,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 9)
+      AS jaccard
+  FROM pairs1 p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b
+),
+ref_f AS (SELECT * FROM ref WHERE jaccard >= 0.5),
+audited AS (
+  SELECT LEAST(CAST(FLOOR(r.jaccard * 10) AS INT), 9) AS sim_band,
+         CASE WHEN p2.id_a IS NULL THEN 0 ELSE 1 END AS f
+  FROM ref_f r
+  LEFT JOIN pairs2 p2 ON p2.id_a = r.id_a AND p2.id_b = r.id_b
+)
+SELECT sim_band,
+       CAST(COUNT(*) AS BIGINT) AS n_reference,
+       CAST(SUM(f) AS BIGINT) AS n_banded_found,
+       CAST(SUM(f) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM audited GROUP BY 1 ORDER BY 1
+"""

@@ -11622,6 +11622,58 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_banding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve: per exact-Jaccard band (0.5–0.6 … 0.9–1),
+    what fraction of true near-dup pairs does the PRODUCTION banding
+    (8 hashes, 4 bands × r=2 — `near_dup_jaccard_banded`'s plan)
+    actually admit? The text twin of `lsh_recall` (embeddings), and
+    the measurement behind every docstring that argues "r≥2 crushes
+    low-similarity pairs, verify restores precision" — here the curve
+    is DATA, not theory: recall should climb from ~1−(1−j²)⁴ at
+    j≈0.5 toward ~1 at j≈0.9.
+
+    Reference set = the permissive r=1 arm on the SAME 8 hashes
+    (miss probability ≤ (1−j)⁸ ≤ 0.4% at j ≥ 0.5 — a documented
+    high-recall reference, not all-pairs truth, because exhaustive
+    O(n²) exact Jaccard is precisely what LSH exists to avoid),
+    exact-verified at j ≥ 0.5. Both arms share the signature
+    definition, so the audit isolates the BANDING decision alone.
+    Integer counts, one ppm rounding per band.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    ref = dd.jaccard_pairs(
+        d, "text", "doc_id", dd.near_dup_pairs(d, "text", "doc_id", n_hashes=8)
+    ).filter(F.col("jaccard") >= 0.5)
+    banded = dd.near_dup_pairs(
+        d, "text", "doc_id", n_hashes=8, rows_per_band=2
+    ).select(
+        F.col("id_a").alias("__ba"),
+        F.col("id_b").alias("__bb"),
+        F.lit(1).alias("__found"),
+    ).distinct()
+    audited = ref.join(
+        banded,
+        (ref["id_a"] == banded["__ba"]) & (ref["id_b"] == banded["__bb"]),
+        "left",
+    ).select(
+        F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
+            "sim_band"
+        ),
+        F.coalesce(F.col("__found"), F.lit(0)).alias("__f"),
+    )
+    return (
+        audited.groupBy("sim_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reference"),
+            F.sum("__f").cast("long").alias("n_banded_found"),
+            F.expr("sum(__f) * 1000000 div count(1)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("sim_band")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11634,6 +11686,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "banding_recall_audit": q_banding_recall_audit,
     "conformal_coverage": q_conformal_coverage,
     "brier_decomposition": q_brier_decomposition,
     "survey_raking": q_survey_raking,
@@ -11923,7 +11976,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N187), newest first
+    # close-out batch (N166-N188), newest first
+    "banding_recall_audit",
     "conformal_coverage",
     "brier_decomposition",
     "survey_raking",

@@ -1036,3 +1036,24 @@ def test_conformal_coverage_near_nominal(spark):
     for r in rows:
         assert r["q90_resid_cents"] > 0
         assert r["n_cal"] > 0 and r["n_test"] > 0
+
+
+# ------------------------------------------------- banding recall audit
+
+
+def test_banding_recall_monotone_s_curve(spark):
+    """Recall must be monotone non-decreasing in the similarity band
+    and high at the top band — the empirical S-curve the production
+    banding's docstrings argue from theory."""
+    rows = QUERIES["banding_recall_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    by_band = sorted((r["sim_band"], r["recall_ppm"], r["n_reference"]) for r in rows)
+    recalls = [rp for _, rp, _ in by_band]
+    for a, b in zip(recalls, recalls[1:]):
+        assert b >= a - 50_000, by_band  # monotone within small-n noise
+    top_band, top_recall, top_n = by_band[-1]
+    assert top_band == 9
+    if top_n >= 10:
+        assert top_recall >= 900_000, by_band
+    for _, _, n in by_band:
+        assert n > 0
