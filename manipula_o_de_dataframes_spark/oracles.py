@@ -6863,3 +6863,55 @@ SELECT sim_band,
        CAST(SUM(f) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
 FROM audited GROUP BY 1 ORDER BY 1
 """
+
+
+def _ivf_probe_sweep_sql() -> str:
+    """Four probe arms over the shared cell/rank CTEs; same cosine
+    expression ranks cells and scores candidates."""
+    arms = []
+    for np_ in (1, 2, 3, 4):
+        arms.append(f"""
+SELECT {np_} AS nprobe,
+       (SELECT COUNT(*) FROM scored WHERE crk <= {np_}) AS scanned_vecs,
+       (SELECT COUNT(*) FROM (
+          SELECT vec_id FROM scored WHERE crk <= {np_}
+          ORDER BY c DESC, vec_id LIMIT 10
+        ) t JOIN brute b ON b.vec_id = t.vec_id) AS hits_at_10""")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+),
+allsc AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cid, {_cos("e.embedding", "c.cemb")} AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS MATERIALIZED (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM allsc
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+crank AS (
+  SELECT cid, ROW_NUMBER() OVER (ORDER BY {_cos("cemb", "q.qv")} DESC, cid)
+           AS crk
+  FROM cent, q
+),
+scored AS MATERIALIZED (
+  SELECT cl.vec_id, cr.crk, {_cos("cl.embedding", "q.qv")} AS c
+  FROM cells cl JOIN crank cr ON cr.cid = cl.cell CROSS JOIN q
+  WHERE cl.vec_id <> 0
+),
+brute AS MATERIALIZED (
+  SELECT vec_id FROM scored ORDER BY c DESC, vec_id LIMIT 10
+)
+SELECT CAST(nprobe AS INT) AS nprobe,
+       CAST(scanned_vecs AS BIGINT) AS scanned_vecs,
+       CAST(hits_at_10 AS BIGINT) AS hits_at_10,
+       CAST(hits_at_10 * 100000 AS BIGINT) AS recall_ppm
+FROM ({" UNION ALL ".join(arms)})
+ORDER BY nprobe
+"""
+
+
+ORACLES["ivf_probe_sweep"] = _ivf_probe_sweep_sql()

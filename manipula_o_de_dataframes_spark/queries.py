@@ -11674,6 +11674,90 @@ def q_banding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve every vector index publishes: recall@10
+    vs nprobe for IVF — probe 1..4 of the 8 cells in
+    query-to-centroid order and report hits against the brute-force
+    top-10 plus vectors scanned, the recall-vs-cost frontier an
+    operator reads before picking nprobe (`ivf_topk` is the nprobe=1
+    point; `lsh_recall`/`banding_recall_audit` are the same audit for
+    the hash families).
+
+    Determinism without cross-language float risk: the probe ORDER is
+    ranked IN-PLAN by the same cosine expression both engines share
+    (rank over (cos desc, cid) — not a Python-side sort of separately
+    computed floats); each arm is cells ⋈ broadcast(8-row rank table)
+    filtered to rank ≤ nprobe, top-10 under the (cos desc, id) total
+    order, counted against the brute set. Output is pure integers
+    (hits, scanned, ppm). Four arms re-scan the bounded embedding
+    table — the audit's price, not the serving path's.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (r[0], list(r[1]))
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cells = e.withColumn("__cell", sim.ivf_cell(F.col("embedding"), cents))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    crank = (
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents], "cid int, cemb array<float>"
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    sim.cosine(F.col("cemb"), F.col("__qv")).desc(), F.col("cid")
+                )
+            )
+            .alias("__crk"),
+        )
+    )
+    scored = (
+        cells.join(F.broadcast(crank), F.col("__cell") == F.col("cid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "__crk",
+            sim.cosine(F.col("embedding"), F.col("__qv")).alias("__cos"),
+        )
+    )
+    brute = (
+        scored.orderBy(F.col("__cos").desc(), "vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("__bid"), F.lit(1).alias("__hit"))
+    )
+    arms = []
+    for nprobe in (1, 2, 3, 4):
+        arm = scored.filter(F.col("__crk") <= nprobe)
+        hits = (
+            arm.orderBy(F.col("__cos").desc(), "vec_id")
+            .limit(10)
+            .join(F.broadcast(brute), F.col("vec_id") == F.col("__bid"), "left")
+            .agg(
+                F.coalesce(F.sum("__hit"), F.lit(0)).alias("__h"),
+            )
+        )
+        scanned = arm.agg(F.count(F.lit(1)).alias("__s"))
+        arms.append(
+            hits.crossJoin(scanned).select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.col("__s").cast("long").alias("scanned_vecs"),
+                F.col("__h").cast("long").alias("hits_at_10"),
+                (F.col("__h") * 100000).cast("long").alias("recall_ppm"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("nprobe")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11686,6 +11770,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "ivf_probe_sweep": q_ivf_probe_sweep,
     "banding_recall_audit": q_banding_recall_audit,
     "conformal_coverage": q_conformal_coverage,
     "brier_decomposition": q_brier_decomposition,
@@ -11976,7 +12061,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # close-out batch (N166-N188), newest first
+    # close-out batch (N166-N189), newest first
+    "ivf_probe_sweep",
     "banding_recall_audit",
     "conformal_coverage",
     "brier_decomposition",

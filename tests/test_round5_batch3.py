@@ -1057,3 +1057,23 @@ def test_banding_recall_monotone_s_curve(spark):
         assert top_recall >= 900_000, by_band
     for _, _, n in by_band:
         assert n > 0
+
+
+# ------------------------------------------------------- ivf probe sweep
+
+
+def test_ivf_probe_sweep_monotone(spark):
+    """Recall and scanned-vector cost must both be monotone
+    non-decreasing in nprobe; hits bounded by k; the nprobe axis is
+    exactly 1..4."""
+    rows = sorted(
+        QUERIES["ivf_probe_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert 0 <= r["hits_at_10"] <= 10
+        assert r["recall_ppm"] == r["hits_at_10"] * 100000
+    for a, b in zip(rows, rows[1:]):
+        assert b["hits_at_10"] >= a["hits_at_10"], rows
+        assert b["scanned_vecs"] >= a["scanned_vecs"], rows
