@@ -6915,3 +6915,446 @@ ORDER BY nprobe
 
 
 ORACLES["ivf_probe_sweep"] = _ivf_probe_sweep_sql()
+
+
+# --------------------------------------------------------------------------
+# Batch-4 mirrors (N190-N197): rank statistics, feature selection,
+# deterministic resampling, backtest tournament, sequence mining.
+# --------------------------------------------------------------------------
+
+ORACLES["mann_whitney_u"] = """
+WITH census AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM census),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM langs a CROSS JOIN langs b WHERE a.lang < b.lang
+),
+merged AS (
+  SELECT lang_a, lang_b, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+    SELECT p.lang_a, p.lang_b, c.v, c.c AS ca, 0 AS cb
+    FROM census c JOIN pairs p ON c.lang = p.lang_a
+    UNION ALL
+    SELECT p.lang_a, p.lang_b, c.v, 0 AS ca, c.c AS cb
+    FROM census c JOIN pairs p ON c.lang = p.lang_b
+  ) GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT lang_a, lang_b, ca, cb,
+         COALESCE(SUM(cb) OVER (PARTITION BY lang_a, lang_b ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumb
+  FROM merged
+)
+SELECT lang_a, lang_b,
+       CAST(SUM(ca) AS BIGINT) AS n_a,
+       CAST(SUM(cb) AS BIGINT) AS n_b,
+       CAST(2 * SUM(ca * cumb) + SUM(ca * cb) AS BIGINT) AS u2_a,
+       CAST(2 * SUM(ca) * SUM(cb)
+            - (2 * SUM(ca * cumb) + SUM(ca * cb)) AS BIGINT) AS u2_b
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_WEEKLY_NATION_CENSUS = """
+  SELECT n.n_name AS nation,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+"""
+
+ORACLES["kendall_tau"] = f"""
+WITH census AS ({_WEEKLY_NATION_CENSUS}),
+prs AS (
+  SELECT a.nation,
+         (b.n_orders - a.n_orders) AS dn, (b.cents - a.cents) AS dc
+  FROM census a JOIN census b ON a.nation = b.nation AND a.wk < b.wk
+),
+agg AS (
+  SELECT nation,
+         SUM(CASE WHEN dn * dc > 0 THEN 1 ELSE 0 END) AS conc,
+         SUM(CASE WHEN dn * dc < 0 THEN 1 ELSE 0 END) AS disc,
+         SUM(CASE WHEN dn = 0 OR dc = 0 THEN 1 ELSE 0 END) AS tie,
+         COUNT(*) AS n0
+  FROM prs GROUP BY 1
+)
+SELECT nation,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       CAST(tie AS BIGINT) AS tie_pairs,
+       CAST(CASE WHEN conc > disc THEN 1 WHEN conc < disc THEN -1 ELSE 0 END
+            * (abs(conc - disc) * 1000000 // n0) AS BIGINT) AS tau_a_ppm
+FROM agg ORDER BY nation
+"""
+
+ORACLES["spearman_corr"] = f"""
+WITH census AS ({_WEEKLY_NATION_CENSUS}),
+r2 AS (
+  SELECT nation, wk,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY n_orders)
+           + COUNT(*) OVER (PARTITION BY nation, n_orders) - 1 AS r2n,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY nation, cents) - 1 AS r2c
+  FROM census
+),
+agg AS (
+  SELECT nation, COUNT(*) AS n, SUM((r2n - r2c) * (r2n - r2c)) AS d2sum
+  FROM r2 GROUP BY 1
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n_weeks,
+       CAST(d2sum AS BIGINT) AS d2sum_x4,
+       CAST(1000000 - (3 * d2sum * 1000000 // (2 * n * (n * n - 1)))
+            AS BIGINT) AS rho_ppm
+FROM agg WHERE n >= 2 ORDER BY nation
+"""
+
+ORACLES["chi2_terms"] = """
+WITH lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents WHERE text IS NOT NULL
+),
+totals AS (SELECT SUM(en) AS n_en, SUM(1 - en) AS n_non FROM lab),
+toks AS (
+  SELECT DISTINCT d.doc_id, t.term
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(term)
+  WHERE d.text IS NOT NULL
+),
+cont AS (
+  SELECT t.term,
+         SUM(l.en) AS a, SUM(1 - l.en) AS b,
+         MIN(tt.n_en) - SUM(l.en) AS c,
+         MIN(tt.n_non) - SUM(1 - l.en) AS d,
+         MIN(tt.n_en) + MIN(tt.n_non) AS n
+  FROM toks t JOIN lab l ON t.doc_id = l.doc_id CROSS JOIN totals tt
+  GROUP BY 1
+  HAVING SUM(l.en) + SUM(1 - l.en) < MIN(tt.n_en) + MIN(tt.n_non)
+),
+ranked AS (
+  SELECT term,
+         CAST(a AS BIGINT) AS en_with,
+         CAST(b AS BIGINT) AS non_with,
+         CAST(c AS BIGINT) AS en_without,
+         CAST(d AS BIGINT) AS non_without,
+         CAST(ROW_NUMBER() OVER (ORDER BY
+           (CAST((a*d - b*c) * (a*d - b*c) AS DOUBLE) * n)
+           / (CAST((a+b) AS DOUBLE) * (c+d) * (a+c) * (b+d)) DESC,
+           term) AS BIGINT) AS chi2_rank
+  FROM cont
+)
+SELECT * FROM ranked WHERE chi2_rank <= 40 ORDER BY chi2_rank
+"""
+
+ORACLES["stump_gate"] = """
+WITH feats AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         n_chars AS len,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+grid AS (
+  SELECT 'len_ge_' || t AS feature, 'len' AS axis, t AS thr
+  FROM UNNEST([100,150,200,250,300,350,400,450,500]) AS g(t)
+  UNION ALL
+  SELECT 'ntok_ge_' || t, 'ntok', t FROM UNNEST([20,40,60,80,100]) AS g(t)
+),
+scored AS (
+  SELECT g.feature, f.en,
+         CASE WHEN (g.axis = 'len' AND f.len >= g.thr)
+                OR (g.axis = 'ntok' AND f.ntok >= g.thr)
+              THEN 1 ELSE 0 END AS pred
+  FROM feats f CROSS JOIN grid g
+),
+cells AS (
+  SELECT feature,
+         SUM(en * pred) AS tp, SUM((1 - en) * pred) AS fp,
+         SUM(en * (1 - pred)) AS fn, SUM((1 - en) * (1 - pred)) AS tn
+  FROM scored GROUP BY 1
+)
+SELECT feature,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(LEAST(fp + fn, tp + tn) AS BIGINT) AS errors,
+       CASE WHEN fp + fn <= tp + tn THEN 'pos' ELSE 'neg' END AS polarity,
+       CAST(ROW_NUMBER() OVER (ORDER BY LEAST(fp + fn, tp + tn), feature)
+            AS BIGINT) AS stump_rank
+FROM cells ORDER BY stump_rank
+"""
+
+ORACLES["half_sample_ci"] = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey AS k,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+kept AS (
+  SELECT segment, b.b, k, cents
+  FROM base CROSS JOIN (SELECT range AS b FROM range(16)) b
+  WHERE ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)),
+                        1, 1))::BIGINT % 2 = 0
+),
+med AS (
+  SELECT segment, b, cents AS med FROM (
+    SELECT segment, b, cents,
+           ROW_NUMBER() OVER (PARTITION BY segment, b ORDER BY cents, k) AS rn,
+           COUNT(*) OVER (PARTITION BY segment, b) AS nc
+    FROM kept
+  ) WHERE rn = (nc + 1) // 2
+),
+band AS (
+  SELECT segment,
+         MIN(CASE WHEN r = 2 THEN med END) AS lo_cents,
+         MIN(CASE WHEN r = 15 THEN med END) AS hi_cents
+  FROM (
+    SELECT segment, med,
+           ROW_NUMBER() OVER (PARTITION BY segment ORDER BY med, b) AS r
+    FROM med
+  ) GROUP BY 1
+),
+point AS (
+  SELECT segment, n AS n_orders, cents AS median_cents FROM (
+    SELECT segment, cents, k,
+           ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, k) AS rn,
+           COUNT(*) OVER (PARTITION BY segment) AS n
+    FROM base
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT p.segment,
+       CAST(p.n_orders AS BIGINT) AS n_orders,
+       CAST(p.median_cents AS BIGINT) AS median_cents,
+       CAST(band.lo_cents AS BIGINT) AS lo_cents,
+       CAST(band.hi_cents AS BIGINT) AS hi_cents
+FROM point p JOIN band ON p.segment = band.segment
+ORDER BY p.segment
+"""
+
+ORACLES["forecast_tournament"] = f"""
+WITH census AS ({_WEEKLY_NATION_CENSUS}),
+folds AS (
+  SELECT nation, wk, cents,
+         LAG(cents, 1) OVER w AS l1, LAG(cents, 2) OVER w AS l2,
+         LAG(cents, 3) OVER w AS l3, LAG(cents, 4) OVER w AS l4
+  FROM census WINDOW w AS (PARTITION BY nation ORDER BY wk)
+),
+errs AS (
+  SELECT nation, wk,
+         abs(cents - l1) AS e_naive,
+         abs(cents - (l1 + l2 + l3 + l4) // 4) AS e_ma4,
+         abs(cents - (2 * l1 - l2)) AS e_drift
+  FROM folds WHERE l4 IS NOT NULL
+),
+long AS (
+  SELECT nation, wk, method, err,
+         LEAST(e_naive, e_ma4, e_drift) AS best,
+         CAST(e_naive = LEAST(e_naive, e_ma4, e_drift) AS INT)
+           + CAST(e_ma4 = LEAST(e_naive, e_ma4, e_drift) AS INT)
+           + CAST(e_drift = LEAST(e_naive, e_ma4, e_drift) AS INT) AS nbest
+  FROM errs, LATERAL (VALUES ('naive', e_naive), ('ma4', e_ma4),
+                             ('drift', e_drift)) AS m(method, err)
+)
+SELECT nation, method,
+       CAST(COUNT(*) AS BIGINT) AS n_folds,
+       CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae_cents,
+       CAST(SUM(CASE WHEN err = best AND nbest = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS wins
+FROM long GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["sequence_mining"] = """
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(ts) AS t1, MAX(ts) AS tmax
+  FROM events GROUP BY 1, 2
+),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+pair_support AS (
+  SELECT a.event_type || '>' || b.event_type AS pattern, 2 AS length,
+         COUNT(DISTINCT a.user_id) AS support
+  FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+  WHERE b.tmax > a.t1
+  GROUP BY 1, 2
+),
+su AS (SELECT user_id, t1 FROM firsts WHERE event_type = 'signup'),
+mid AS (
+  SELECT e.user_id, e.event_type AS tb, MIN(e.ts) AS t2
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.ts > su.t1
+  GROUP BY 1, 2
+),
+triple_support AS (
+  SELECT 'signup>' || m.tb || '>' || f.event_type AS pattern, 3 AS length,
+         COUNT(DISTINCT m.user_id) AS support
+  FROM mid m JOIN firsts f ON m.user_id = f.user_id
+  WHERE f.tmax > m.t2
+  GROUP BY 1, 2
+)
+SELECT pattern, CAST(length AS INT) AS length,
+       CAST(support AS BIGINT) AS support,
+       CAST(support * 1000000 // (SELECT n FROM nu) AS BIGINT) AS support_ppm
+FROM (SELECT * FROM pair_support UNION ALL SELECT * FROM triple_support)
+ORDER BY support DESC, pattern
+"""
+
+
+# --------------------------------------------------------------------------
+# Batch-5 mirrors (N198-N201): NDCG with inlined discount literals,
+# bandit replay, diff-in-differences, runs test.
+# --------------------------------------------------------------------------
+
+# Identical literals to queries._NDCG_W_E9 (round(1e9/log2(pos+1)),
+# pos 1..10) — the Benford convention: neither engine evaluates a log.
+_NDCG_W_SQL = "[1000000000, 630929754, 500000000, 430676558, 386852807, 356207187, 333333333, 315464877, 301029996, 289064826]"
+
+ORACLES["ndcg_eval"] = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+probe AS (SELECT toks AS ptoks FROM t WHERE doc_id = 0),
+graded AS (
+  SELECT doc_id, n_chars,
+         len(list_intersect(toks, ptoks)) AS inter,
+         CASE WHEN (len(list_intersect(toks, ptoks)) * 1000000)
+                   // (len(toks) + len(ptoks) - len(list_intersect(toks, ptoks)))
+                   >= 300000 THEN 3
+              WHEN (len(list_intersect(toks, ptoks)) * 1000000)
+                   // (len(toks) + len(ptoks) - len(list_intersect(toks, ptoks)))
+                   >= 150000 THEN 2
+              WHEN (len(list_intersect(toks, ptoks)) * 1000000)
+                   // (len(toks) + len(ptoks) - len(list_intersect(toks, ptoks)))
+                   >= 50000 THEN 1
+              ELSE 0 END AS grade
+  FROM t CROSS JOIN probe WHERE doc_id <> 0
+),
+w AS (SELECT {_NDCG_W_SQL} AS wts),
+ideal AS (
+  SELECT SUM(CAST(grade AS BIGINT) * wts[pos]) AS idcg FROM (
+    SELECT grade, ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id) AS pos
+    FROM graded ORDER BY grade DESC, doc_id LIMIT 10
+  ), w
+),
+arm_overlap AS (
+  SELECT SUM(CAST(grade AS BIGINT) * wts[pos]) AS dcg FROM (
+    SELECT grade, ROW_NUMBER() OVER (ORDER BY inter DESC, doc_id) AS pos
+    FROM graded ORDER BY inter DESC, doc_id LIMIT 10
+  ), w
+),
+arm_length AS (
+  SELECT SUM(CAST(grade AS BIGINT) * wts[pos]) AS dcg FROM (
+    SELECT grade, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS pos
+    FROM graded ORDER BY n_chars DESC, doc_id LIMIT 10
+  ), w
+)
+SELECT ranker,
+       CAST(dcg AS BIGINT) AS dcg_e9,
+       CAST(idcg AS BIGINT) AS idcg_e9,
+       CAST(dcg * 1000000 // idcg AS BIGINT) AS ndcg_ppm
+FROM (
+  SELECT 'overlap' AS ranker, dcg FROM arm_overlap
+  UNION ALL
+  SELECT 'length', dcg FROM arm_length
+), ideal
+ORDER BY ranker
+"""
+
+ORACLES["bandit_replay"] = """
+WITH arms AS (
+  SELECT list_sort(list(DISTINCT event_type)) AS a FROM events
+),
+ev AS (
+  SELECT e.event_type,
+         CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         a.a[1 + CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':' ||
+             CAST(date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7
+                  AS VARCHAR)), 1, 8))::BIGINT % len(a.a) AS INT)] AS choice
+  FROM events e CROSS JOIN arms a
+),
+long AS (
+  SELECT 'logged' AS policy, COUNT(*) AS n_matched,
+         COALESCE(SUM(cents), 0) AS reward_cents FROM ev
+  UNION ALL
+  SELECT 'md5', SUM(CASE WHEN event_type = choice THEN 1 ELSE 0 END),
+         COALESCE(SUM(CASE WHEN event_type = choice THEN cents END), 0)
+  FROM ev
+  UNION ALL
+  SELECT 'fixed:' || t.event_type, COUNT(*), COALESCE(SUM(cents), 0)
+  FROM ev t GROUP BY t.event_type
+)
+SELECT policy, CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(reward_cents AS BIGINT) AS reward_cents,
+       CAST(reward_cents // n_matched AS BIGINT) AS mean_reward_cents
+FROM long ORDER BY policy
+"""
+
+ORACLES["diff_in_diff"] = f"""
+WITH census AS ({_WEEKLY_NATION_CENSUS}),
+marked AS (SELECT nation, wk, cents, wk >= 1461 AS post FROM census),
+cells AS (
+  SELECT nation,
+         SUM(CASE WHEN NOT post THEN cents END) AS t_pre_c,
+         SUM(CASE WHEN NOT post THEN 1 END) AS t_pre_w,
+         SUM(CASE WHEN post THEN cents END) AS t_post_c,
+         SUM(CASE WHEN post THEN 1 END) AS t_post_w
+  FROM marked GROUP BY 1
+),
+grand AS (
+  SELECT SUM(CASE WHEN NOT post THEN cents END) AS g_pre_c,
+         SUM(CASE WHEN NOT post THEN 1 END) AS g_pre_w,
+         SUM(CASE WHEN post THEN cents END) AS g_post_c,
+         SUM(CASE WHEN post THEN 1 END) AS g_post_w
+  FROM marked
+),
+m AS (
+  SELECT nation,
+         t_pre_c // t_pre_w AS treated_pre_cents,
+         t_post_c // t_post_w AS treated_post_cents,
+         (g_pre_c - t_pre_c) // (g_pre_w - t_pre_w) AS control_pre_cents,
+         (g_post_c - t_post_c) // (g_post_w - t_post_w) AS control_post_cents
+  FROM cells CROSS JOIN grand
+)
+SELECT nation,
+       CAST(treated_pre_cents AS BIGINT) AS treated_pre_cents,
+       CAST(treated_post_cents AS BIGINT) AS treated_post_cents,
+       CAST(control_pre_cents AS BIGINT) AS control_pre_cents,
+       CAST(control_post_cents AS BIGINT) AS control_post_cents,
+       CAST((treated_post_cents - treated_pre_cents)
+            - (control_post_cents - control_pre_cents) AS BIGINT) AS did_cents
+FROM m ORDER BY nation
+"""
+
+ORACLES["runs_test"] = f"""
+WITH census AS ({_WEEKLY_NATION_CENSUS}),
+med AS (
+  SELECT nation, cents AS med FROM (
+    SELECT nation, cents,
+           ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents, wk) AS rn,
+           COUNT(*) OVER (PARTITION BY nation) AS n
+    FROM census
+  ) WHERE rn = (n + 1) // 2
+),
+signs AS (
+  SELECT c.nation, c.wk, CAST(c.cents > m.med AS INT) AS s
+  FROM census c JOIN med m ON c.nation = m.nation
+),
+runs AS (
+  SELECT nation, s,
+         CASE WHEN LAG(s) OVER w IS NULL OR s != LAG(s) OVER w
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs WINDOW w AS (PARTITION BY nation ORDER BY wk)
+),
+agg AS (
+  SELECT nation, SUM(s) AS n1, SUM(1 - s) AS n2, SUM(new_run) AS r
+  FROM runs GROUP BY 1
+)
+SELECT nation,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS runs,
+       CAST(1000000 + (2 * n1 * n2 * 1000000 // (n1 + n2)) AS BIGINT)
+         AS e_runs_ppm
+FROM agg ORDER BY nation
+"""

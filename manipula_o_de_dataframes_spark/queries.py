@@ -11758,6 +11758,918 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("nprobe")
 
 
+# --------------------------------------------------------------------------
+# Round-5 continuation batch 4 (N190+): nonparametric rank statistics,
+# feature selection, deterministic resampling, backtest model selection,
+# and sequential-pattern mining — every one integer-exact on a bounded
+# census, per the repo float policy (one rounding site, never per-term).
+# --------------------------------------------------------------------------
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U for every language pair on document length — the
+    nonparametric two-sample location test a corpus owner runs before
+    claiming "source X writes longer docs than Y" (medians alone can't
+    say it; U is the full rank-sum evidence). No reference counterpart;
+    complements `ks_length_drift` (KS is the max-gap statistic, U the
+    rank-sum) on the same documents table.
+
+    Integer-exact by construction: U counts pairs, so 2·U = 2·wins +
+    ties is a pure integer — no normal approximation, no variance
+    float. Computed on the (lang, n_chars) VALUE CENSUS, never on raw
+    pairs: wins(a over b) = Σ_v ca(v)·cumb(<v) via one window over the
+    merged per-pair census — O(|langs|²·|value domain|) state, flat in
+    row count. Identity 2·Ua + 2·Ub = 2·na·nb is asserted in tests.
+
+    Plan: one doc shuffle to the census, broadcast 10-row pair spine,
+    one window per (pair) partition. Scale: value domain is bounded
+    (doc length in chars), so the census is bounded regardless of
+    corpus size — the §6.4 state-vs-data split.
+    """
+    d = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    census = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    langs = census.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    a_side = census.join(
+        F.broadcast(pairs), census["lang"] == pairs["lang_a"]
+    ).select(
+        "lang_a",
+        "lang_b",
+        F.col("n_chars").alias("__v"),
+        F.col("__c").alias("__ca"),
+        F.lit(0).alias("__cb"),
+    )
+    b_side = census.join(
+        F.broadcast(pairs), census["lang"] == pairs["lang_b"]
+    ).select(
+        "lang_a",
+        "lang_b",
+        F.col("n_chars").alias("__v"),
+        F.lit(0).alias("__ca"),
+        F.col("__c").alias("__cb"),
+    )
+    merged = (
+        a_side.unionAll(b_side)
+        .groupBy("lang_a", "lang_b", "__v")
+        .agg(F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb"))
+    )
+    w = (
+        Window.partitionBy("lang_a", "lang_b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = merged.select(
+        "lang_a",
+        "lang_b",
+        "__ca",
+        "__cb",
+        F.coalesce(F.sum("__cb").over(w), F.lit(0)).alias("__cumb"),
+    )
+    return (
+        scored.groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum("__ca").alias("__na"),
+            F.sum("__cb").alias("__nb"),
+            F.sum(F.col("__ca") * F.col("__cumb")).alias("__wins"),
+            F.sum(F.col("__ca") * F.col("__cb")).alias("__ties"),
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+            (F.lit(2) * F.col("__wins") + F.col("__ties"))
+            .cast("long")
+            .alias("u2_a"),
+            (
+                F.lit(2) * F.col("__na") * F.col("__nb")
+                - (F.lit(2) * F.col("__wins") + F.col("__ties"))
+            )
+            .cast("long")
+            .alias("u2_b"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+def _weekly_nation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, wk, n_orders, cents) — the shared bounded census the
+    rank-correlation pair (`kendall_tau`, `spearman_corr`) and the
+    forecast tournament run on. One fact shuffle; axis = calendar
+    weeks × 25 nations, flat in order volume."""
+    o = read_table(spark, sf_dir, "orders")
+    wk = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast(MONEY)) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between weekly order COUNT and weekly revenue per
+    nation — "do busier weeks earn more?" asked as the pure pair-order
+    statistic (robust to any monotone transform of either axis, unlike
+    Pearson on cents). Concordant/discordant/tie counts are integers;
+    tau_a_ppm = sign(C−D)·(|C−D|·10⁶ div n₀) is the repo's ONE
+    rounding site, written sign-symmetric so Spark `div` and DuckDB
+    `//` agree on negative taus by construction.
+
+    Plan: the week-pair quadratic runs on the (nation, wk) CENSUS
+    self-join (pairs per nation = weeks·(weeks−1)/2, weeks ≈ calendar
+    span — FLAT in order volume, the `theilsen_trend` precedent); one
+    fact shuffle builds the census, one nation-keyed join builds
+    pairs. O(n log n) merge-sort Kendall exists but the census axis
+    makes the quadratic the simpler scale-honest plan here.
+    """
+    census = _weekly_nation_census(spark, sf_dir)
+    a = census.select(
+        F.col("nation").alias("__nat"),
+        F.col("wk").alias("__w1"),
+        F.col("n_orders").alias("__n1"),
+        F.col("cents").alias("__c1"),
+    )
+    b = census.select(
+        F.col("nation").alias("__nat"),
+        F.col("wk").alias("__w2"),
+        F.col("n_orders").alias("__n2"),
+        F.col("cents").alias("__c2"),
+    )
+    prs = a.join(b, "__nat").filter(F.col("__w1") < F.col("__w2"))
+    dn = F.col("__n2") - F.col("__n1")
+    dc = F.col("__c2") - F.col("__c1")
+    agg = prs.groupBy(F.col("__nat").alias("nation")).agg(
+        F.sum(F.when(dn * dc > 0, 1).otherwise(0)).alias("__conc"),
+        F.sum(F.when(dn * dc < 0, 1).otherwise(0)).alias("__disc"),
+        F.sum(F.when((dn == 0) | (dc == 0), 1).otherwise(0)).alias("__tie"),
+        F.count(F.lit(1)).alias("__n0"),
+    )
+    net = F.col("__conc") - F.col("__disc")
+    return agg.select(
+        "nation",
+        F.col("__conc").cast("long").alias("concordant"),
+        F.col("__disc").cast("long").alias("discordant"),
+        F.col("__tie").cast("long").alias("tie_pairs"),
+        (
+            F.signum(net).cast("long")
+            * F.expr("abs(__conc - __disc) * 1000000 div __n0")
+        )
+        .cast("long")
+        .alias("tau_a_ppm"),
+    ).orderBy("nation")
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-adjusted midranks) between weekly
+    order count and revenue per nation — the same monotone-association
+    question as `kendall_tau` through the rank-difference lens; the
+    two are shipped together because they bound each other (|3·tau| ≥
+    |rho| asymptotically) and a divergence flags heavy ties.
+
+    Integer-exact midranks: avg rank with ties = (2·rank_min +
+    ties − 1)/2, so DOUBLED midranks 2r = 2·rank() + count_ties − 1
+    are integers; d2sum = Σ(2rₙ − 2r_c)² = 4·Σd². rho_ppm = 10⁶ −
+    (3·d2sum·10⁶ div (2·n·(n²−1))) — one truncating division of a
+    positive numerator, identical in both engines. (Midrank Spearman
+    on ties differs from the textbook no-ties formula; the statistic
+    computed IS the standard rank-Pearson numerator approximation —
+    documented, and both engines compute the same definition.)
+
+    Plan: two windows over the bounded (nation, wk) census — rank and
+    tie-count per axis — then one census aggregate. Flat in volume.
+    """
+    census = _weekly_nation_census(spark, sf_dir)
+    wn = Window.partitionBy("nation").orderBy("n_orders")
+    wc = Window.partitionBy("nation").orderBy("cents")
+    r2 = census.select(
+        "nation",
+        "wk",
+        (
+            F.lit(2) * F.rank().over(wn)
+            + F.count(F.lit(1)).over(Window.partitionBy("nation", "n_orders"))
+            - F.lit(1)
+        ).alias("__r2n"),
+        (
+            F.lit(2) * F.rank().over(wc)
+            + F.count(F.lit(1)).over(Window.partitionBy("nation", "cents"))
+            - F.lit(1)
+        ).alias("__r2c"),
+    )
+    d = F.col("__r2n") - F.col("__r2c")
+    agg = r2.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d * d).alias("__d2sum"),
+    )
+    return agg.filter(F.col("__n") >= 2).select(
+        "nation",
+        F.col("__n").cast("long").alias("n_weeks"),
+        F.col("__d2sum").cast("long").alias("d2sum_x4"),
+        F.expr(
+            "1000000 - (3 * __d2sum * 1000000 div (2 * __n * (__n * __n - 1)))"
+        )
+        .cast("long")
+        .alias("rho_ppm"),
+    ).orderBy("nation")
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-relevance ranking for the binary label
+    lang='en' — the classic feature-selection screen a quality-
+    classifier owner runs to pick n-gram features (each term's 2×2
+    document-frequency contingency vs the label, ranked by chi²).
+    Output is the INTEGER contingency (a,b,c,d) plus the rank; chi²
+    itself is used only as an ORDER key (double, identical expression
+    text in both engines, deterministic tie-break on term) — the
+    `chi2`-as-ordering convention `ivf_probe_sweep` set for cosine.
+
+    Plan: one (doc, term)-distinct explode → term census shuffle; the
+    label totals are a broadcast 1-row aggregate. Term census is
+    vocabulary-bounded; terms present in EVERY document are excluded
+    (degenerate denominator, zero discriminative power by definition).
+    Top-40 by (chi² desc, term).
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    lab = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("__en"),
+    )
+    totals = lab.agg(
+        F.sum("__en").alias("__n_en"),
+        F.sum(F.lit(1) - F.col("__en")).alias("__n_non"),
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    )
+    cont = (
+        toks.join(lab, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.sum("__en").alias("__a"),
+            F.sum(F.lit(1) - F.col("__en")).alias("__b"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "__a",
+            "__b",
+            (F.col("__n_en") - F.col("__a")).alias("__c"),
+            (F.col("__n_non") - F.col("__b")).alias("__d"),
+            (F.col("__n_en") + F.col("__n_non")).alias("__n"),
+        )
+        .filter((F.col("__a") + F.col("__b")) < F.col("__n"))
+    )
+    chi2 = F.expr(
+        "(cast((__a*__d - __b*__c) * (__a*__d - __b*__c) as double) * __n)"
+        " / (cast((__a+__b) as double) * (__c+__d) * (__a+__c) * (__b+__d))"
+    )
+    ranked = cont.select(
+        "term",
+        F.col("__a").cast("long").alias("en_with"),
+        F.col("__b").cast("long").alias("non_with"),
+        F.col("__c").cast("long").alias("en_without"),
+        F.col("__d").cast("long").alias("non_without"),
+        F.row_number()
+        .over(Window.orderBy(chi2.desc(), F.col("term")))
+        .cast("long")
+        .alias("chi2_rank"),
+    )
+    return ranked.filter(F.col("chi2_rank") <= 40).orderBy("chi2_rank")
+
+
+def q_stump_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump model selection for the lang='en' label: evaluate
+    every threshold stump on a literal grid over doc length and token
+    count, score each by exact MISCLASSIFICATION COUNT (min over the
+    two polarities — pure integers, no impurity logs), and rank. The
+    one-split baseline every quality-classifier paper reports before
+    the logistic model (`quality_logistic`) has to beat it.
+
+    Plan: docs cross-join the broadcast ~14-row literal grid (a
+    constant fan-out fused into the scan), one grid-keyed census
+    shuffle. Confusion cells are map-combinable sums; polarity choice
+    and ranking run on the 14-row aggregate. Flat at any corpus size.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    feats = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("__en"),
+        F.col("n_chars").alias("__len"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__ntok"),
+    )
+    grid_rows = [("len_ge_%d" % t, "len", t) for t in range(100, 501, 50)] + [
+        ("ntok_ge_%d" % t, "ntok", t) for t in range(20, 101, 20)
+    ]
+    grid = spark.createDataFrame(
+        grid_rows, "feature string, axis string, thr int"
+    )
+    scored = feats.crossJoin(F.broadcast(grid)).select(
+        "feature",
+        "__en",
+        F.when(
+            (
+                (F.col("axis") == "len") & (F.col("__len") >= F.col("thr"))
+            )
+            | ((F.col("axis") == "ntok") & (F.col("__ntok") >= F.col("thr"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("__pred"),
+    )
+    cells = scored.groupBy("feature").agg(
+        F.sum(F.col("__en") * F.col("__pred")).alias("__tp"),
+        F.sum((F.lit(1) - F.col("__en")) * F.col("__pred")).alias("__fp"),
+        F.sum(F.col("__en") * (F.lit(1) - F.col("__pred"))).alias("__fn"),
+        F.sum((F.lit(1) - F.col("__en")) * (F.lit(1) - F.col("__pred"))).alias(
+            "__tn"
+        ),
+    )
+    err_pos = F.col("__fp") + F.col("__fn")
+    err_neg = F.col("__tp") + F.col("__tn")
+    ranked = cells.select(
+        "feature",
+        F.col("__tp").cast("long").alias("tp"),
+        F.col("__fp").cast("long").alias("fp"),
+        F.col("__fn").cast("long").alias("fn"),
+        F.col("__tn").cast("long").alias("tn"),
+        F.least(err_pos, err_neg).cast("long").alias("errors"),
+        F.when(err_pos <= err_neg, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("polarity"),
+    )
+    return ranked.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("errors", "feature"))
+        .cast("long")
+        .alias("stump_rank"),
+    ).orderBy("stump_rank")
+
+
+def q_half_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for the median order
+    value per market segment — the resampling uncertainty band a
+    dashboard should print beside every median, made engine-portable
+    by replacing RNG with the md5 convention: replicate b keeps the
+    orders whose md5(orderkey:b) first nibble is even (16 independent
+    deterministic half-samples), the replicate statistic is the exact
+    lower-median in cents, and the band is the 2nd/15th order
+    statistic of the 16 replicate medians (≈88% CI under the
+    half-sample jackknife reading). Every number is an integer; both
+    engines hash identically.
+
+    Plan: orders fan out ×16 against a broadcast literal replicate
+    spine (map-side, fused into the scan), one (segment, b) shuffle,
+    rank-median per cell, then order stats on the 5×16 aggregate.
+    Scale: fan-out is a constant 16; the median-rank window runs per
+    (segment, replicate) partition — no global window.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderkey").alias("__k"),
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("bigint").alias("__cents"),
+    )
+    reps = spark.range(16).select(F.col("id").cast("int").alias("__b"))
+    kept = base.crossJoin(F.broadcast(reps)).filter(
+        F.expr("conv(substring(md5(concat(cast(__k as string), ':', cast(__b as string))), 1, 1), 16, 10) % 2")
+        == 0
+    )
+    wcell = Window.partitionBy("segment", "__b").orderBy("__cents", "__k")
+    ncell = Window.partitionBy("segment", "__b")
+    med = (
+        kept.select(
+            "segment",
+            "__b",
+            "__cents",
+            F.row_number().over(wcell).alias("__rn"),
+            F.count(F.lit(1)).over(ncell).alias("__nc"),
+        )
+        .filter(F.col("__rn") == F.expr("(__nc + 1) div 2"))
+        .select("segment", "__b", F.col("__cents").alias("__med"))
+    )
+    wseg = Window.partitionBy("segment").orderBy("__med", "__b")
+    band = (
+        med.select(
+            "segment",
+            "__med",
+            F.row_number().over(wseg).alias("__r"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.min(F.when(F.col("__r") == 2, F.col("__med"))).alias("lo_cents"),
+            F.min(F.when(F.col("__r") == 15, F.col("__med"))).alias("hi_cents"),
+        )
+    )
+    wfull = Window.partitionBy("segment").orderBy("__cents", "__k")
+    nfull = Window.partitionBy("segment")
+    point = (
+        base.select(
+            "segment",
+            "__cents",
+            "__k",
+            F.row_number().over(wfull).alias("__rn"),
+            F.count(F.lit(1)).over(nfull).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(
+            "segment",
+            F.col("__n").cast("long").alias("n_orders"),
+            F.col("__cents").cast("long").alias("median_cents"),
+        )
+    )
+    return (
+        point.join(band, "segment")
+        .select(
+            "segment",
+            "n_orders",
+            "median_cents",
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_forecast_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast TOURNAMENT: naive (last week), ma4
+    (4-week mean), drift (last + last-diff) forecast next week's
+    revenue per nation; every week with ≥4 weeks of history is a
+    fold. Reports per (nation, method) the exact MAE in cents and the
+    STRICT win count (folds where the method beats both rivals — ties
+    award nobody, keeping the count definition-exact). Extends
+    `naive_forecast_mape` (the skill floor) to the model-selection
+    table an operator actually reads.
+
+    Integer-exact: forecasts are integer cents (ma4 uses a truncating
+    div by 4 — a defined, engine-identical estimator), errors are
+    |integer−integer|, MAE is one truncating division. Plan: one fact
+    shuffle to the (nation, wk) census, lag windows per nation, a
+    3-way stack of the census — flat in order volume.
+    """
+    census = _weekly_nation_census(spark, sf_dir).select("nation", "wk", "cents")
+    w = Window.partitionBy("nation").orderBy("wk")
+    l1, l2, l3, l4 = (F.lag("cents", i).over(w) for i in (1, 2, 3, 4))
+    folds = census.select(
+        "nation",
+        "wk",
+        "cents",
+        l1.alias("__l1"),
+        l2.alias("__l2"),
+        l3.alias("__l3"),
+        l4.alias("__l4"),
+    ).filter(F.col("__l4").isNotNull())
+    fc = folds.select(
+        "nation",
+        "wk",
+        "cents",
+        F.col("__l1").alias("__fc_naive"),
+        F.expr("(__l1 + __l2 + __l3 + __l4) div 4").alias("__fc_ma4"),
+        (F.lit(2) * F.col("__l1") - F.col("__l2")).alias("__fc_drift"),
+    )
+    errs = fc.select(
+        "nation",
+        "wk",
+        F.abs(F.col("cents") - F.col("__fc_naive")).alias("__e_naive"),
+        F.abs(F.col("cents") - F.col("__fc_ma4")).alias("__e_ma4"),
+        F.abs(F.col("cents") - F.col("__fc_drift")).alias("__e_drift"),
+    )
+    long = errs.selectExpr(
+        "nation",
+        "wk",
+        "stack(3, 'naive', __e_naive, 'ma4', __e_ma4, 'drift', __e_drift)"
+        " as (method, err)",
+        "least(__e_naive, __e_ma4, __e_drift) as __best",
+        "cast(__e_naive = least(__e_naive, __e_ma4, __e_drift) as int)"
+        " + cast(__e_ma4 = least(__e_naive, __e_ma4, __e_drift) as int)"
+        " + cast(__e_drift = least(__e_naive, __e_ma4, __e_drift) as int)"
+        " as __nbest",
+    )
+    return (
+        long.groupBy("nation", "method")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("err").alias("__sae"),
+            F.sum(
+                F.when(
+                    (F.col("err") == F.col("__best")) & (F.col("__nbest") == 1), 1
+                ).otherwise(0)
+            ).alias("__wins"),
+        )
+        .select(
+            "nation",
+            "method",
+            F.col("__n").cast("long").alias("n_folds"),
+            F.expr("__sae div __n").cast("long").alias("mae_cents"),
+            F.col("__wins").cast("long").alias("wins"),
+        )
+        .orderBy("nation", "method")
+    )
+
+
+def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixSpan-style sequential-pattern support: for every ordered
+    event-type pair A→B (25 patterns) and every signup-rooted triple
+    signup→B→C (25 more), the number of users whose event stream
+    contains the subsequence (greedy earliest-occurrence semantics:
+    first A, then any B after it, then any C after the first such B —
+    the standard subsequence-existence check, provably equivalent to
+    "exists any embedding"). The sequence-mining census a funnel
+    designer reads before hand-picking `session_funnel` stages.
+
+    Integer-exact; support_ppm is one truncating division by the user
+    count. Plan: pair support needs ONLY the per-(user, type) min/max
+    timestamp census (n_users×5 rows — one event shuffle); triples
+    re-join events once, user-keyed, for the "earliest B after first
+    signup" midpoint. No per-pattern scan of raw events.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("__t1"), F.max("ts").alias("__tmax")
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("__nu"))
+    a = firsts.select(
+        F.col("user_id").alias("__u"),
+        F.col("event_type").alias("__ta"),
+        F.col("__t1").alias("__fa"),
+    )
+    b = firsts.select(
+        F.col("user_id").alias("__u"),
+        F.col("event_type").alias("__tb"),
+        F.col("__tmax").alias("__mb"),
+    )
+    pair_support = (
+        a.join(b, "__u")
+        .filter(F.col("__mb") > F.col("__fa"))
+        .groupBy("__ta", "__tb")
+        .agg(F.countDistinct("__u").alias("support"))
+        .select(
+            F.concat_ws(">", "__ta", "__tb").alias("pattern"),
+            F.lit(2).alias("length"),
+            "support",
+        )
+    )
+    su = a.filter(F.col("__ta") == "signup").select("__u", "__fa")
+    mid = (
+        ev.join(su, ev["user_id"] == su["__u"])
+        .filter(F.col("ts") > F.col("__fa"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("__t2"))
+        .select(
+            F.col("user_id").alias("__u"),
+            F.col("event_type").alias("__tb"),
+            "__t2",
+        )
+    )
+    triple_support = (
+        mid.join(b.select(F.col("__u"), F.col("__tb").alias("__tc"), "__mb"), "__u")
+        .filter(F.col("__mb") > F.col("__t2"))
+        .groupBy("__tb", "__tc")
+        .agg(F.countDistinct("__u").alias("support"))
+        .select(
+            F.concat_ws(">", F.lit("signup"), "__tb", "__tc").alias("pattern"),
+            F.lit(3).alias("length"),
+            "support",
+        )
+    )
+    return (
+        pair_support.unionAll(triple_support)
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "pattern",
+            F.col("length").cast("int").alias("length"),
+            F.col("support").cast("long").alias("support"),
+            F.expr("support * 1000000 div __nu").cast("long").alias("support_ppm"),
+        )
+        .orderBy(F.col("support").desc(), "pattern")
+    )
+
+
+# NDCG@10 position discounts: round(1e9 / log2(pos+1)) for pos 1..10,
+# precomputed driver-side and inlined as identical literals in BOTH the
+# Spark plan and the DuckDB oracle (the Benford-ppm / pq-distance-table
+# convention — no engine evaluates a log, so libm can't split the hash).
+# Derivation asserted in tests/test_round5_batch5.py.
+_NDCG_W_E9 = [
+    1000000000,
+    630929754,
+    500000000,
+    430676558,
+    386852807,
+    356207187,
+    333333333,
+    315464877,
+    301029996,
+    289064826,
+]
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality evaluation — the metric every retrieval
+    stack reports beside recall (`truncated_recall`) and RRF
+    (`rrf_hybrid_search`): graded relevance, position-discounted.
+    Ground truth grades come from EXACT token Jaccard against probe
+    doc 0 (integer ppm thresholds 300k/150k/50k → grades 3/2/1/0);
+    two rankers are evaluated against the same ideal: overlap (shared
+    token count — the retrieval arm) and length (a deliberately naive
+    doc-length prior, the audit's contrast arm, same role as
+    `near_dup_jaccard` vs its banded twin).
+
+    Float policy: DCG's 1/log2(pos+1) discounts are PRECOMPUTED
+    integer literals (×10⁹, `_NDCG_W_E9`) inlined identically in both
+    engines — DCG/IDCG are pure integer dot products, ndcg_ppm is one
+    truncating division. Plan: probe tokens are a broadcast one-row
+    artifact; grading fuses into the scan; each ranker is a bounded
+    top-10 (TakeOrderedAndProject) and the position windows run on
+    10-row frames. IDCG is shared.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("__toks"),
+    )
+    probe = t.filter(F.col("doc_id") == 0).select(
+        F.col("__toks").alias("__ptoks")
+    )
+    graded = (
+        t.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(F.array_intersect("__toks", "__ptoks")).alias("__inter"),
+            (
+                F.size("__toks") + F.size("__ptoks")
+                - F.size(F.array_intersect("__toks", "__ptoks"))
+            ).alias("__union"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "__inter",
+            F.expr("__inter * 1000000 div __union").alias("__jppm"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "__inter",
+            F.when(F.col("__jppm") >= 300000, 3)
+            .when(F.col("__jppm") >= 150000, 2)
+            .when(F.col("__jppm") >= 50000, 1)
+            .otherwise(0)
+            .alias("__grade"),
+        )
+    )
+    wlit = F.array(*[F.lit(w) for w in _NDCG_W_E9])
+
+    def dcg10(df: DataFrame, order_cols: list) -> DataFrame:
+        top = df.orderBy(*order_cols).limit(10)
+        pos = F.row_number().over(Window.orderBy(*order_cols))
+        return top.select(
+            (F.col("__grade").cast("long") * F.element_at(wlit, pos)).alias(
+                "__term"
+            )
+        ).agg(F.sum("__term").alias("__dcg"))
+
+    ideal = dcg10(graded, [F.col("__grade").desc(), F.col("doc_id")])
+    arms = []
+    for ranker, order in (
+        ("overlap", [F.col("__inter").desc(), F.col("doc_id")]),
+        ("length", [F.col("n_chars").desc(), F.col("doc_id")]),
+    ):
+        arms.append(
+            dcg10(graded, order)
+            .crossJoin(F.broadcast(ideal.select(F.col("__dcg").alias("__idcg"))))
+            .select(
+                F.lit(ranker).alias("ranker"),
+                F.col("__dcg").cast("long").alias("dcg_e9"),
+                F.col("__idcg").cast("long").alias("idcg_e9"),
+                F.expr("__dcg * 1000000 div __idcg").cast("long").alias("ndcg_ppm"),
+            )
+        )
+    return arms[0].unionAll(arms[1]).orderBy("ranker")
+
+
+def q_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by REPLAY (Li, Chu, Langford &
+    Schapire WSDM 2011): treat the event log as bandit feedback (arm =
+    event_type, reward = value cents) and estimate each candidate
+    policy's value from the logged events where the policy's choice
+    MATCHES the logged arm — the unbiased estimator when logging is
+    uniform, and the standard way to pick a data-collection policy
+    before deploying it. Policies scored: `logged` (the log itself),
+    `md5` (a deterministic context-hash policy — md5(user:week) mod 5
+    over the sorted arm set, the engine's RNG convention), and the
+    five `fixed:<arm>` single-arm policies.
+
+    Integer-exact: rewards go through DECIMAL cents; each policy's
+    mean is ONE truncating division. Plan: the arm vocabulary is a
+    sorted 5-element literal-free broadcast artifact (collected
+    bounded set — model-artifact posture); match predicates fuse into
+    the scan; one (policy) census shuffle via a 7-way stack of
+    conditional aggregates over a single pass.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("__wk"),
+        (F.col("value").cast(MONEY) * 100).cast("bigint").alias("__cents"),
+    )
+    arms = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )
+    arm_arr = F.array(*[F.lit(a) for a in arms])
+    choice = F.element_at(
+        arm_arr,
+        (
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(user_id as string), ':',"
+                " cast(__wk as string))), 1, 8), 16, 10) as long)"
+            )
+            % F.lit(len(arms))
+            + F.lit(1)
+        ).cast("int"),
+    )
+    base = ev.select("event_type", "__cents", choice.alias("__choice"))
+    aggs = [
+        F.count(F.lit(1)).alias("__n_logged"),
+        F.sum("__cents").alias("__r_logged"),
+        F.sum((F.col("event_type") == F.col("__choice")).cast("long")).alias(
+            "__n_md5"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == F.col("__choice"), F.col("__cents"))
+        ).alias("__r_md5"),
+    ]
+    for i, a in enumerate(arms):
+        aggs.append(
+            F.sum((F.col("event_type") == a).cast("long")).alias(f"__n_f{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == a, F.col("__cents"))).alias(
+                f"__r_f{i}"
+            )
+        )
+    wide = base.agg(*aggs)
+    stack_parts = ["'logged', __n_logged, __r_logged", "'md5', __n_md5, __r_md5"]
+    for i, a in enumerate(arms):
+        stack_parts.append(f"'fixed:{a}', __n_f{i}, __r_f{i}")
+    long = wide.selectExpr(
+        f"stack({len(stack_parts)}, {', '.join(stack_parts)})"
+        " as (policy, n_matched, reward_cents)"
+    )
+    return long.select(
+        "policy",
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.coalesce(F.col("reward_cents"), F.lit(0)).cast("long").alias(
+            "reward_cents"
+        ),
+        F.expr("coalesce(reward_cents, 0) div n_matched")
+        .cast("long")
+        .alias("mean_reward_cents"),
+    ).orderBy("policy")
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on weekly revenue around the
+    1998-01-01 policy cut (week 1461 of the 1970 epoch — a literal,
+    like `mv_refresh`'s split): every nation in turn is the treated
+    unit, all others pooled as control; the DiD estimate is
+    (treated_post − treated_pre) − (control_post − control_pre) on
+    OBSERVED-week mean cents (weeks with no orders don't enter the
+    mean — documented, oracle mirrors). The causal-inference staple
+    beside `event_attribution`/`markov_attribution`'s correlational
+    credit models.
+
+    Integer-exact: each cell mean is cents_total div weeks_n (one
+    truncating division per cell, four cells per nation), the DiD is
+    integer arithmetic on the four means. Plan: ONE fact shuffle to
+    the (nation, wk) census; the per-nation control cells come from
+    grand totals minus the nation's own (broadcast one-row grand
+    aggregate) — no second scan, no self-join.
+    """
+    cut = 1461
+    census = _weekly_nation_census(spark, sf_dir).select(
+        "nation", "wk", "cents", (F.col("wk") >= cut).alias("__post")
+    )
+    cells = census.groupBy("nation").agg(
+        F.sum(F.when(~F.col("__post"), F.col("cents"))).alias("__t_pre_c"),
+        F.sum(F.when(~F.col("__post"), 1)).alias("__t_pre_w"),
+        F.sum(F.when(F.col("__post"), F.col("cents"))).alias("__t_post_c"),
+        F.sum(F.when(F.col("__post"), 1)).alias("__t_post_w"),
+    )
+    grand = census.agg(
+        F.sum(F.when(~F.col("__post"), F.col("cents"))).alias("__g_pre_c"),
+        F.sum(F.when(~F.col("__post"), 1)).alias("__g_pre_w"),
+        F.sum(F.when(F.col("__post"), F.col("cents"))).alias("__g_post_c"),
+        F.sum(F.when(F.col("__post"), 1)).alias("__g_post_w"),
+    )
+    m = cells.crossJoin(F.broadcast(grand)).select(
+        "nation",
+        F.expr("__t_pre_c div __t_pre_w").alias("treated_pre_cents"),
+        F.expr("__t_post_c div __t_post_w").alias("treated_post_cents"),
+        F.expr("(__g_pre_c - __t_pre_c) div (__g_pre_w - __t_pre_w)").alias(
+            "control_pre_cents"
+        ),
+        F.expr("(__g_post_c - __t_post_c) div (__g_post_w - __t_post_w)").alias(
+            "control_post_cents"
+        ),
+    )
+    return m.select(
+        "nation",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "treated_pre_cents",
+                "treated_post_cents",
+                "control_pre_cents",
+                "control_post_cents",
+            )
+        ],
+        (
+            (F.col("treated_post_cents") - F.col("treated_pre_cents"))
+            - (F.col("control_post_cents") - F.col("control_pre_cents"))
+        )
+        .cast("long")
+        .alias("did_cents"),
+    ).orderBy("nation")
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test inputs per nation: is the weekly
+    revenue's above/below-median sign sequence random, or does it
+    trend/oscillate? Reports the exact run count R against the
+    expected E[R] = 1 + 2·n₁·n₂/(n₁+n₂) — R far below E[R] means
+    trending (the eyeball check `weekly_trend`'s OLS slope formalizes
+    from the other side), far above means oscillation. Nonparametric
+    sibling of `mann_whitney_u` on the time axis.
+
+    Integer-exact: the median is the exact rank-selected lower median
+    (weeks AT the median count as 'below' — documented, oracle
+    mirrors); R is a lag-compare sum; e_runs_ppm is one truncating
+    division. One fact shuffle to the census; per-nation windows.
+    """
+    census = _weekly_nation_census(spark, sf_dir).select("nation", "wk", "cents")
+    wmed = Window.partitionBy("nation").orderBy("cents", "wk")
+    nwin = Window.partitionBy("nation")
+    med = (
+        census.select(
+            "nation",
+            "cents",
+            F.row_number().over(wmed).alias("__rn"),
+            F.count(F.lit(1)).over(nwin).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("nation", F.col("cents").alias("__med"))
+    )
+    signs = census.join(med, "nation").select(
+        "nation", "wk", (F.col("cents") > F.col("__med")).cast("int").alias("__s")
+    )
+    wseq = Window.partitionBy("nation").orderBy("wk")
+    runs = signs.select(
+        "nation",
+        "__s",
+        F.when(
+            F.lag("__s").over(wseq).isNull()
+            | (F.col("__s") != F.lag("__s").over(wseq)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    agg = runs.groupBy("nation").agg(
+        F.sum("__s").alias("__n1"),
+        F.sum(F.lit(1) - F.col("__s")).alias("__n2"),
+        F.sum("__new_run").alias("__r"),
+    )
+    return agg.select(
+        "nation",
+        F.col("__n1").cast("long").alias("n_above"),
+        F.col("__n2").cast("long").alias("n_below"),
+        F.col("__r").cast("long").alias("runs"),
+        F.expr("1000000 + (2 * __n1 * __n2 * 1000000 div (__n1 + __n2))")
+        .cast("long")
+        .alias("e_runs_ppm"),
+    ).orderBy("nation")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -11770,6 +12682,18 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "ndcg_eval": q_ndcg_eval,
+    "bandit_replay": q_bandit_replay,
+    "diff_in_diff": q_diff_in_diff,
+    "runs_test": q_runs_test,
+    "mann_whitney_u": q_mann_whitney_u,
+    "kendall_tau": q_kendall_tau,
+    "spearman_corr": q_spearman_corr,
+    "chi2_terms": q_chi2_terms,
+    "stump_gate": q_stump_gate,
+    "half_sample_ci": q_half_sample_ci,
+    "forecast_tournament": q_forecast_tournament,
+    "sequence_mining": q_sequence_mining,
     "ivf_probe_sweep": q_ivf_probe_sweep,
     "banding_recall_audit": q_banding_recall_audit,
     "conformal_coverage": q_conformal_coverage,
@@ -12061,6 +12985,20 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-5 additions (N198-N201), newest first
+    "ndcg_eval",
+    "bandit_replay",
+    "diff_in_diff",
+    "runs_test",
+    # batch-4 additions (N190-N197), newest first
+    "mann_whitney_u",
+    "kendall_tau",
+    "spearman_corr",
+    "chi2_terms",
+    "stump_gate",
+    "half_sample_ci",
+    "forecast_tournament",
+    "sequence_mining",
     # close-out batch (N166-N189), newest first
     "ivf_probe_sweep",
     "banding_recall_audit",
