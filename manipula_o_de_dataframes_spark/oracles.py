@@ -7358,3 +7358,142 @@ SELECT nation,
          AS e_runs_ppm
 FROM agg ORDER BY nation
 """
+
+
+# --------------------------------------------------------------------------
+# Batch-6 mirrors (N202-N204): Shapley data valuation, greedy max
+# coverage (5 unrolled trajectory levels), Pocock sequential monitor.
+# --------------------------------------------------------------------------
+
+_SHINGLE_CENSUS = """
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest(CASE WHEN text IS NULL THEN NULL
+      ELSE list_distinct(list_transform(
+        generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
+        i -> array_to_string((str_split(text, ' '))[i:i+2], ' ')
+      )) END) AS shingle
+    FROM documents
+  )
+"""
+
+ORACLES["source_shapley"] = f"""
+WITH census AS ({_SHINGLE_CENSUS}),
+mask_counts AS (
+  SELECT mask, COUNT(*) AS cnt FROM (
+    SELECT shingle,
+           bit_or(1 << (CAST(substr(source, 4) AS INT) % 4)) AS mask
+    FROM census GROUP BY shingle
+  ) GROUP BY 1
+),
+coalitions AS (SELECT range AS S FROM range(16)),
+v AS (
+  SELECT S, SUM(CASE WHEN (mask & S) != 0 THEN cnt ELSE 0 END) AS v
+  FROM coalitions CROSS JOIN mask_counts GROUP BY 1
+),
+spine AS (
+  SELECT g, S, S | (1 << g) AS S_with,
+         CASE bit_count(CAST(S AS BIGINT)) WHEN 0 THEN 3 WHEN 1 THEN 1
+              WHEN 2 THEN 1 ELSE 3 END AS w12
+  FROM (SELECT range AS g FROM range(4)) gs
+  CROSS JOIN (SELECT range AS S FROM range(16)) ss
+  WHERE (S & (1 << g)) = 0
+),
+phi AS (
+  SELECT sp.g, SUM(sp.w12 * (vw.v - vs.v)) AS phi12
+  FROM spine sp
+  JOIN v vs ON vs.S = sp.S
+  JOIN v vw ON vw.S = sp.S_with
+  GROUP BY 1
+)
+SELECT CAST(p.g AS INT) AS source_group,
+       CAST(p.phi12 AS BIGINT) AS shapley_x12,
+       CAST(solo.v AS BIGINT) AS v_solo,
+       CAST(grand.v AS BIGINT) AS v_grand
+FROM phi p
+JOIN v solo ON solo.S = (1 << p.g)
+CROSS JOIN (SELECT v FROM v WHERE S = 15) grand
+ORDER BY source_group
+"""
+
+ORACLES["max_coverage_select"] = f"""
+WITH census AS ({_SHINGLE_CENSUS}),
+g1 AS (SELECT source, COUNT(*) AS gain FROM census GROUP BY 1),
+p1 AS (SELECT source, gain FROM g1 ORDER BY gain DESC, source LIMIT 1),
+c1 AS (SELECT DISTINCT shingle FROM census
+       WHERE source IN (SELECT source FROM p1)),
+g2 AS (SELECT source, COUNT(*) AS gain FROM census
+       WHERE source NOT IN (SELECT source FROM p1)
+         AND shingle NOT IN (SELECT shingle FROM c1) GROUP BY 1),
+p2 AS (SELECT source, gain FROM g2 ORDER BY gain DESC, source LIMIT 1),
+c2 AS (SELECT shingle FROM c1 UNION
+       SELECT shingle FROM census WHERE source IN (SELECT source FROM p2)),
+g3 AS (SELECT source, COUNT(*) AS gain FROM census
+       WHERE source NOT IN (SELECT source FROM p1 UNION SELECT source FROM p2)
+         AND shingle NOT IN (SELECT shingle FROM c2) GROUP BY 1),
+p3 AS (SELECT source, gain FROM g3 ORDER BY gain DESC, source LIMIT 1),
+c3 AS (SELECT shingle FROM c2 UNION
+       SELECT shingle FROM census WHERE source IN (SELECT source FROM p3)),
+g4 AS (SELECT source, COUNT(*) AS gain FROM census
+       WHERE source NOT IN (SELECT source FROM p1 UNION SELECT source FROM p2
+                            UNION SELECT source FROM p3)
+         AND shingle NOT IN (SELECT shingle FROM c3) GROUP BY 1),
+p4 AS (SELECT source, gain FROM g4 ORDER BY gain DESC, source LIMIT 1),
+c4 AS (SELECT shingle FROM c3 UNION
+       SELECT shingle FROM census WHERE source IN (SELECT source FROM p4)),
+g5 AS (SELECT source, COUNT(*) AS gain FROM census
+       WHERE source NOT IN (SELECT source FROM p1 UNION SELECT source FROM p2
+                            UNION SELECT source FROM p3 UNION SELECT source FROM p4)
+         AND shingle NOT IN (SELECT shingle FROM c4) GROUP BY 1),
+p5 AS (SELECT source, gain FROM g5 ORDER BY gain DESC, source LIMIT 1),
+picks AS (
+  SELECT 1 AS pick_order, source, gain FROM p1
+  UNION ALL SELECT 2, source, gain FROM p2
+  UNION ALL SELECT 3, source, gain FROM p3
+  UNION ALL SELECT 4, source, gain FROM p4
+  UNION ALL SELECT 5, source, gain FROM p5
+)
+SELECT CAST(pick_order AS INT) AS pick_order, source,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(SUM(gain) OVER (ORDER BY pick_order) AS BIGINT) AS covered_total
+FROM picks ORDER BY pick_order
+"""
+
+ORACLES["pocock_monitor"] = """
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+           AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+weekly AS (
+  SELECT wk, arm, SUM(conv) AS c, SUM(1 - conv) AS nc
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT wk, arm,
+         SUM(c) OVER (PARTITION BY arm ORDER BY wk) AS cc,
+         SUM(nc) OVER (PARTITION BY arm ORDER BY wk) AS cnc
+  FROM weekly
+),
+looks AS (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY a.wk) AS INT) AS look, a.wk,
+         a.cc AS a_conv, a.cnc AS a_nonconv,
+         b.cc AS b_conv, b.cnc AS b_nonconv
+  FROM (SELECT * FROM cum WHERE arm = 0) a
+  JOIN (SELECT * FROM cum WHERE arm = 1) b ON a.wk = b.wk
+)
+SELECT look, wk,
+       CAST(a_conv AS BIGINT) AS a_conv,
+       CAST(a_nonconv AS BIGINT) AS a_nonconv,
+       CAST(b_conv AS BIGINT) AS b_conv,
+       CAST(b_nonconv AS BIGINT) AS b_nonconv,
+       CAST(CAST(
+         (CAST((a_conv * b_nonconv - a_nonconv * b_conv) AS DOUBLE)
+          * (a_conv * b_nonconv - a_nonconv * b_conv)
+          * (a_conv + a_nonconv + b_conv + b_nonconv))
+         / (CAST((a_conv + a_nonconv) AS DOUBLE) * (b_conv + b_nonconv)
+            * (a_conv + b_conv) * (a_nonconv + b_nonconv))
+         > 5.822569 AS INT) AS INT) AS crossed
+FROM looks ORDER BY look
+"""

@@ -12670,6 +12670,221 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
+def q_source_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley data valuation (Ghorbani & Zou, ICML 2019) of four
+    source groups, value function = distinct-shingle COVERAGE — "which
+    data supplier actually adds content?", the curation question
+    marginal counts answer wrongly when suppliers overlap (a group
+    whose shingles all appear elsewhere is worth ~0 no matter its
+    size; Shapley is the unique symmetric/efficient split). Groups =
+    source id mod 4; `shapley_channels` is the same lattice machinery
+    on journeys.
+
+    All-integer by the coalition-lattice trick: the value function
+    collapses to the ≤15-row BITMASK census (per shingle, OR of group
+    bits — one shuffle), v(S) = Σ counts where mask∩S≠∅ against a
+    16-row literal coalition spine, and n=4 Shapley weights ×12 are
+    the integers {3,1,1,3} — φ·12 is exact, efficiency Σφ12 = 12·v(N)
+    test-pinned. Plan: one (shingle, group)-distinct aggregate → one
+    ≤15-row census; everything after is broadcast-lattice arithmetic.
+    Flat at any corpus size (the state-space side of §6.4).
+    """
+    d = _docs_parallel(spark, sf_dir)
+    ex = d.select(
+        F.expr("cast(substring(source, 4) as int) % 4").alias("__g"),
+        F.explode(dd.shingles(F.col("text"))).alias("__sh"),
+    )
+    mask_counts = (
+        ex.groupBy("__sh")
+        .agg(F.expr("bit_or(cast(1 as int) << __g)").alias("__mask"))
+        .groupBy("__mask")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    coalitions = spark.createDataFrame(
+        [(s,) for s in range(16)], "S int"
+    )
+    v = (
+        coalitions.crossJoin(F.broadcast(mask_counts))
+        .groupBy("S")
+        .agg(
+            F.sum(
+                F.when(F.expr("(__mask & S) != 0"), F.col("__cnt")).otherwise(0)
+            ).alias("__v")
+        )
+    )
+    # (group, subset-without-group, weight×12): |S| ∈ {0,1,2,3} → w12 ∈ {3,1,1,3}
+    w12 = {0: 3, 1: 1, 2: 1, 3: 3}
+    spine_rows = [
+        (g, s, s | (1 << g), w12[bin(s).count("1")])
+        for g in range(4)
+        for s in range(16)
+        if not s & (1 << g)
+    ]
+    spine = spark.createDataFrame(
+        spine_rows, "g int, S int, S_with int, w12 int"
+    )
+    vs = v.select(F.col("S").alias("__S0"), F.col("__v").alias("__v0"))
+    vw = v.select(F.col("S").alias("__S1"), F.col("__v").alias("__v1"))
+    phi = (
+        spine.join(F.broadcast(vs), F.col("S") == F.col("__S0"))
+        .join(F.broadcast(vw), F.col("S_with") == F.col("__S1"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("w12") * (F.col("__v1") - F.col("__v0"))).alias(
+                "__phi12"
+            )
+        )
+    )
+    solo = v.select(F.col("S").alias("__Ss"), F.col("__v").alias("__v_solo"))
+    grand = v.filter(F.col("S") == 15).select(
+        F.col("__v").alias("__v_grand")
+    )
+    return (
+        phi.join(F.broadcast(solo), F.expr("(1 << g) = __Ss"))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.col("g").cast("int").alias("source_group"),
+            F.col("__phi12").cast("long").alias("shapley_x12"),
+            F.col("__v_solo").cast("long").alias("v_solo"),
+            F.col("__v_grand").cast("long").alias("v_grand"),
+        )
+        .orderBy("source_group")
+    )
+
+
+def q_max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular MAX-COVERAGE source selection (Nemhauser-
+    Wolsey-Fisher 1978's (1−1/e) greedy — the data-subset-selection
+    primitive behind corpus curation budgets): pick 5 of the 20
+    sources, each round the source adding the most NOT-YET-COVERED
+    distinct shingles, ties to the lexicographically smaller source.
+    `kcenter_coreset` is the same greedy-trajectory pattern in vector
+    space; this is its set-cover twin on text.
+
+    Each round's argmax is a bounded ONE-ROW collect (model-artifact
+    posture); candidate gains come from an anti-join of the SPOOLED
+    (source, shingle)-distinct census against the covered set — the
+    census materializes once, never re-exploding text (the winnow
+    Generate lesson). Oracle replays the full 5-level greedy
+    trajectory as unrolled CTEs. Output is the selection order with
+    exact gain and cumulative coverage.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    d = _docs_parallel(spark, sf_dir)
+    census = spool(
+        d.select(
+            "source", F.explode(dd.shingles(F.col("text"))).alias("__sh")
+        ).distinct()
+    )
+    selected: list[str] = []
+    out_rows = []
+    covered_total = 0
+    for _ in range(5):
+        cand = census
+        if selected:
+            cand = census.filter(~F.col("source").isin(selected))
+            covered = (
+                census.filter(F.col("source").isin(selected))
+                .select("__sh")
+                .distinct()
+            )
+            cand = cand.join(covered, "__sh", "left_anti")
+        top_rows = (
+            cand.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "source")
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:
+            break
+        top = top_rows[0]
+        selected.append(top["source"])
+        covered_total += top["gain"]
+        out_rows.append(
+            (len(selected), top["source"], top["gain"], covered_total)
+        )
+    return spark.createDataFrame(
+        out_rows, "pick_order int, source string, gain long, covered_total long"
+    )
+
+
+def q_pocock_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring (Pocock, Biometrika 1977): the
+    md5-parity user split (arm convention of `train_split`) monitored
+    at 5 weekly looks on purchase-conversion, each look testing the
+    CUMULATIVE 2×2 against the constant Pocock boundary for K=5,
+    α=0.05 (z = 2.413 → χ² = 5.822569, a LITERAL both engines
+    compare against — no engine evaluates a distribution function).
+    The peeking-correct version of `ab_contingency_chi2`'s single
+    test: 5 uncorrected α=.05 looks would inflate false positives to
+    ~14%; Pocock's constant boundary restores the family-wise α.
+
+    Hash-exactness: the output is the integer cumulative contingency
+    plus the boundary verdict; χ² itself stays a double INSIDE the
+    comparison (identical expression text both engines → identical
+    IEEE bits → identical boolean — the chi2-as-ordering convention
+    extended to thresholding). One event scan → (week, arm, conv)
+    census → running sums over the 5-row-per-arm frame.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.floor(F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("__wk"),
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
+            " as long) % 2"
+        ).alias("__arm"),
+        (F.col("event_type") == "purchase").cast("long").alias("__conv"),
+    )
+    weekly = ev.groupBy("__wk", "__arm").agg(
+        F.sum("__conv").alias("__c"),
+        F.sum(F.lit(1) - F.col("__conv")).alias("__nc"),
+    )
+    w = Window.partitionBy("__arm").orderBy("__wk")
+    cum = weekly.select(
+        "__wk",
+        "__arm",
+        F.sum("__c").over(w).alias("__cc"),
+        F.sum("__nc").over(w).alias("__cnc"),
+    )
+    a = cum.filter(F.col("__arm") == 0).select(
+        F.col("__wk").alias("wk"),
+        F.col("__cc").alias("__a"),
+        F.col("__cnc").alias("__b"),
+    )
+    b = cum.filter(F.col("__arm") == 1).select(
+        F.col("__wk").alias("wk"),
+        F.col("__cc").alias("__c2"),
+        F.col("__cnc").alias("__d2"),
+    )
+    looks = a.join(b, "wk").select(
+        F.dense_rank().over(Window.orderBy("wk")).cast("int").alias("look"),
+        "wk",
+        F.col("__a").cast("long").alias("a_conv"),
+        F.col("__b").cast("long").alias("a_nonconv"),
+        F.col("__c2").cast("long").alias("b_conv"),
+        F.col("__d2").cast("long").alias("b_nonconv"),
+    )
+    chi2 = (
+        "(cast((a_conv * b_nonconv - a_nonconv * b_conv) as double)"
+        " * (a_conv * b_nonconv - a_nonconv * b_conv)"
+        " * (a_conv + a_nonconv + b_conv + b_nonconv))"
+        " / (cast((a_conv + a_nonconv) as double) * (b_conv + b_nonconv)"
+        " * (a_conv + b_conv) * (a_nonconv + b_nonconv))"
+    )
+    return looks.select(
+        "look",
+        "wk",
+        "a_conv",
+        "a_nonconv",
+        "b_conv",
+        "b_nonconv",
+        F.expr(f"cast({chi2} > 5.822569 as int)").cast("int").alias("crossed"),
+    ).orderBy("look")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -12682,6 +12897,9 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "source_shapley": q_source_shapley,
+    "max_coverage_select": q_max_coverage_select,
+    "pocock_monitor": q_pocock_monitor,
     "ndcg_eval": q_ndcg_eval,
     "bandit_replay": q_bandit_replay,
     "diff_in_diff": q_diff_in_diff,
@@ -12985,6 +13203,10 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-6 additions (N202-N204), newest first
+    "source_shapley",
+    "max_coverage_select",
+    "pocock_monitor",
     # batch-5 additions (N198-N201), newest first
     "ndcg_eval",
     "bandit_replay",
