@@ -7497,3 +7497,79 @@ SELECT look, wk,
          > 5.822569 AS INT) AS INT) AS crossed
 FROM looks ORDER BY look
 """
+
+
+# --------------------------------------------------------------------------
+# Batch-7 mirrors (N205-N206): SRE burn-rate alerting, incident MTTR/MTBF.
+# --------------------------------------------------------------------------
+
+ORACLES["burn_rate_alerts"] = """
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+  FROM events
+),
+daily AS (
+  SELECT day, SUM(err) AS e1, COUNT(*) AS t1 FROM ev GROUP BY 1
+),
+spans AS (
+  SELECT day, e1, t1,
+         SUM(e1) OVER w AS e7, SUM(t1) OVER w AS t7
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+rated AS (
+  SELECT day, e1, t1, e7, t7,
+         e1 * 1000000000 // (t1 * 200000) AS b1,
+         e7 * 1000000000 // (t7 * 200000) AS b7
+  FROM spans
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(e1 AS BIGINT) AS err_1d, CAST(t1 AS BIGINT) AS tot_1d,
+       CAST(e7 AS BIGINT) AS err_7d, CAST(t7 AS BIGINT) AS tot_7d,
+       CAST(b1 AS BIGINT) AS burn_1d_milli,
+       CAST(b7 AS BIGINT) AS burn_7d_milli,
+       CAST(CASE WHEN b1 >= 2000 AND b7 >= 2000 THEN 1 ELSE 0 END AS INT)
+         AS page_alert,
+       CAST(CASE WHEN b1 >= 1000 AND b7 >= 1000 THEN 1 ELSE 0 END AS INT)
+         AS ticket_alert
+FROM rated ORDER BY day
+"""
+
+ORACLES["incident_metrics"] = """
+WITH base AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS s,
+         event_id
+  FROM events WHERE event_type = 'error'
+),
+marked AS (
+  SELECT day, s, event_id,
+         CASE WHEN LAG(s) OVER w IS NULL OR s - LAG(s) OVER w > 600
+              THEN 1 ELSE 0 END AS new_inc
+  FROM base WINDOW w AS (PARTITION BY day ORDER BY s, event_id)
+),
+numbered AS (
+  SELECT day, s,
+         SUM(new_inc) OVER (PARTITION BY day ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS inc
+  FROM marked
+),
+incidents AS (
+  SELECT day, inc, MIN(s) AS start_s, MAX(s) AS end_s, COUNT(*) AS n_ev
+  FROM numbered GROUP BY 1, 2
+),
+weekly AS (
+  SELECT day // 7 AS wk, COUNT(*) AS n_inc, SUM(n_ev) AS n_err,
+         SUM(end_s - start_s) AS down
+  FROM incidents GROUP BY 1
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       CAST(n_inc AS BIGINT) AS n_incidents,
+       CAST(n_err AS BIGINT) AS n_error_events,
+       CAST(down AS BIGINT) AS downtime_s,
+       CAST(down // n_inc AS BIGINT) AS mttr_s,
+       CAST(604800 // n_inc AS BIGINT) AS mtbf_s
+FROM weekly ORDER BY wk
+"""

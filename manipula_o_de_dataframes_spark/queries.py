@@ -12885,6 +12885,130 @@ def q_pocock_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("look")
 
 
+def q_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget BURN-RATE alerting (the Google SRE
+    workbook policy): per day, the error rate over the 1-day and
+    trailing-7-day windows, each expressed as a burn rate against the
+    20%-of-events error budget (a literal calibrated to this fixture's
+    uniform event mix); PAGE when BOTH windows burn ≥ 2× budget,
+    TICKET at ≥ 1×. The two-window AND is the policy's point — a
+    short spike alone (long window quiet) and a long slow burn alone
+    (short window recovered) both stay quiet. Completes the
+    operational-monitoring family (`drift_weekly_kl`, `cusum` via
+    `changepoint_weeks`, `ewma_weekly`) with the SRE-native metric.
+
+    Integer-exact: burn_milli = err·10⁹ div (tot·budget_ppm), one
+    truncating division per window. Plan: one event scan → ~30-row
+    daily census; the trailing window is a RANGE frame over the
+    census (global window on ≤days rows — the documented bounded
+    single-partition posture, same as every calendar-axis monitor
+    here).
+    """
+    budget_ppm = 200000
+    ev = read_table(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("__day"),
+        (F.col("event_type") == "error").cast("long").alias("__err"),
+    )
+    daily = ev.groupBy("__day").agg(
+        F.sum("__err").alias("__e1"), F.count(F.lit(1)).alias("__t1")
+    )
+    w7 = Window.orderBy("__day").rangeBetween(-6, 0)
+    spans = daily.select(
+        F.col("__day").alias("day"),
+        F.col("__e1"),
+        F.col("__t1"),
+        F.sum("__e1").over(w7).alias("__e7"),
+        F.sum("__t1").over(w7).alias("__t7"),
+    )
+    burn1 = F.expr(f"__e1 * 1000000000 div (__t1 * {budget_ppm})")
+    burn7 = F.expr(f"__e7 * 1000000000 div (__t7 * {budget_ppm})")
+    return spans.select(
+        "day",
+        F.col("__e1").cast("long").alias("err_1d"),
+        F.col("__t1").cast("long").alias("tot_1d"),
+        F.col("__e7").cast("long").alias("err_7d"),
+        F.col("__t7").cast("long").alias("tot_7d"),
+        burn1.cast("long").alias("burn_1d_milli"),
+        burn7.cast("long").alias("burn_7d_milli"),
+        ((burn1 >= 2000) & (burn7 >= 2000)).cast("int").alias("page_alert"),
+        ((burn1 >= 1000) & (burn7 >= 1000)).cast("int").alias("ticket_alert"),
+    ).orderBy("day")
+
+
+def q_incident_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident MTTR/MTBF accounting: error events sessionized into
+    INCIDENTS (gap > 600 s closes one — the `sessionize_events`
+    machinery pointed at service health instead of user behavior),
+    rolled up to weekly n_incidents, total downtime, MTTR
+    (downtime div incidents) and MTBF (week-seconds div incidents) —
+    the reliability scorecard beside `burn_rate_alerts`' paging
+    policy. Incidents are cut per DAY partition (a maintenance-
+    boundary simplification, documented: a midnight-spanning incident
+    counts once per day) so the sessionizing window never needs a
+    global sort.
+
+    Integer-exact: timestamps go through tz-free epoch-second
+    arithmetic (`seconds_since_origin` — immune to session-tz/DST
+    skew); durations, MTTR and MTBF are integer seconds with one
+    truncating division each. One error-filtered scan → per-day
+    windows → (incident) census → weekly rollup.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    secs = tmp.seconds_since_origin("ts")
+    base = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("__day"),
+        secs.alias("__s"),
+        "event_id",
+    )
+    wday = Window.partitionBy("__day").orderBy("__s", "event_id")
+    marked = base.select(
+        "__day",
+        "__s",
+        "event_id",
+        F.when(
+            F.lag("__s").over(wday).isNull()
+            | (F.col("__s") - F.lag("__s").over(wday) > 600),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new"),
+    ).select(
+        "__day",
+        "__s",
+        F.sum("__new").over(
+            Window.partitionBy("__day")
+            .orderBy("__s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__inc"),
+    )
+    incidents = marked.groupBy("__day", "__inc").agg(
+        F.min("__s").alias("__start"),
+        F.max("__s").alias("__end"),
+        F.count(F.lit(1)).alias("__n_ev"),
+    )
+    weekly = incidents.groupBy(
+        F.expr("__day div 7").cast("long").alias("wk")
+    ).agg(
+        F.count(F.lit(1)).alias("__n_inc"),
+        F.sum("__n_ev").alias("__n_err"),
+        F.sum(F.col("__end") - F.col("__start")).alias("__down"),
+    )
+    return weekly.select(
+        "wk",
+        F.col("__n_inc").cast("long").alias("n_incidents"),
+        F.col("__n_err").cast("long").alias("n_error_events"),
+        F.col("__down").cast("long").alias("downtime_s"),
+        F.expr("__down div __n_inc").cast("long").alias("mttr_s"),
+        F.expr("604800 div __n_inc").cast("long").alias("mtbf_s"),
+    ).orderBy("wk")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -12897,6 +13021,8 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "burn_rate_alerts": q_burn_rate_alerts,
+    "incident_metrics": q_incident_metrics,
     "source_shapley": q_source_shapley,
     "max_coverage_select": q_max_coverage_select,
     "pocock_monitor": q_pocock_monitor,
@@ -13203,6 +13329,9 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-7 additions (N205-N206), newest first
+    "burn_rate_alerts",
+    "incident_metrics",
     # batch-6 additions (N202-N204), newest first
     "source_shapley",
     "max_coverage_select",

@@ -62,6 +62,10 @@ TZ_SENSITIVE = [
     "behavioral_cohort", "leakage_safe_features", "markov_attribution",
     "activity_bitmaps", "mix_rate_bridge", "mrr_waterfall", "littles_law_audit",
     "conformal_coverage",
+    # batch-4..7: week/day-bucketed and epoch-second-derived members
+    "kendall_tau", "spearman_corr", "forecast_tournament", "runs_test",
+    "diff_in_diff", "sequence_mining", "bandit_replay", "pocock_monitor",
+    "burn_rate_alerts", "incident_metrics",
 ]
 
 
