@@ -7573,3 +7573,78 @@ SELECT CAST(wk AS BIGINT) AS wk,
        CAST(604800 // n_inc AS BIGINT) AS mtbf_s
 FROM weekly ORDER BY wk
 """
+
+
+# --------------------------------------------------------------------------
+# Batch-8 mirrors (N207-N209): streaming MERGE (shares the batch upsert
+# oracle — kappa parity), join-order audit, restatement audit.
+# --------------------------------------------------------------------------
+
+ORACLES["stream_upsert"] = ORACLES["upsert"]
+
+ORACLES["join_order_audit"] = """
+WITH of AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+counts AS (
+  SELECT 'fact_first_late_filter' AS plan,
+         (SELECT COUNT(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey) AS intermediate_rows,
+         (SELECT COUNT(*) FROM of o JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey) AS final_rows
+  UNION ALL
+  SELECT 'fact_first_pushed',
+         (SELECT COUNT(*) FROM of o JOIN customer c
+            ON o.o_custkey = c.c_custkey),
+         (SELECT COUNT(*) FROM of o JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+  UNION ALL
+  SELECT 'dim_first_late_filter',
+         (SELECT COUNT(*) FROM customer c JOIN nation n
+            ON c.c_nationkey = n.n_nationkey),
+         (SELECT COUNT(*) FROM of o JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+  UNION ALL
+  SELECT 'dim_first_pushed',
+         (SELECT COUNT(*) FROM customer c JOIN nation n
+            ON c.c_nationkey = n.n_nationkey),
+         (SELECT COUNT(*) FROM of o JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+)
+SELECT plan, CAST(intermediate_rows AS BIGINT) AS intermediate_rows,
+       CAST(final_rows AS BIGINT) AS final_rows
+FROM counts ORDER BY plan
+"""
+
+ORACLES["restatement_audit"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(l_shipdate AS DATE) AS ship
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+           AS wk
+  FROM orders
+),
+agg AS (
+  SELECT o.wk,
+         SUM(CASE WHEN li.ship <= DATE '1996-01-01' THEN li.cents ELSE 0 END)
+           AS k1,
+         SUM(CASE WHEN li.ship <= DATE '1997-01-01' THEN li.cents ELSE 0 END)
+           AS k2,
+         SUM(li.cents) AS fin
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       CAST(k1 AS BIGINT) AS known_1996_cents,
+       CAST(k2 AS BIGINT) AS known_1997_cents,
+       CAST(fin AS BIGINT) AS final_cents,
+       CAST(fin - k1 AS BIGINT) AS restated_since_1996_cents
+FROM agg ORDER BY wk
+"""

@@ -13009,6 +13009,135 @@ def q_incident_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("wk")
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via ``foreachBatch`` (`streaming/upsert_sink.py`):
+    the orders snapshot arrives as micro-batch 1, the CDC update set
+    (every 7th order repriced — the exact `upsert` derivation) as
+    micro-batch 2, and each batch is merged into a parquet state dir
+    by read → keyed full-outer → atomic overwrite — the relational
+    core of Delta/Iceberg MERGE, minus the transaction log. Shares
+    the BATCH `upsert` oracle verbatim, so the streaming path is
+    hash-verified against the batch semantics (kappa parity for
+    MERGE, the `event_value_by_nation`/`enrich_stream` pattern).
+
+    Idempotence (the subtle part of any foreachBatch sink) is
+    last-writer-wins BY KEY, asserted by a double-drain test. Scale:
+    one keyed join per micro-batch; no driver-side state.
+    """
+    from .streaming.upsert_sink import upsert_drained  # noqa: PLC0415
+
+    return upsert_drained(spark, sf_dir)
+
+
+def q_join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order / pushdown cost audit: the EXACT intermediate
+    cardinalities a cost-based optimizer estimates, measured — for
+    the orders⋈customer⋈nation star under a status filter, four
+    plans: fact-first vs dim-first join order, each with the filter
+    pushed to the scan vs applied after the first join. The
+    diagnostics table an engine owner reads beside
+    `join_size_estimate` (the F₂ estimator this audits the ground
+    truth for) and `rle_sort_key_planner`; the dim-first + pushed row
+    IS Catalyst's choice, and the spread to the worst row is the
+    price of getting order/pushdown wrong.
+
+    All counts are exact integers from counting joins (the
+    intermediate is COUNTED, never materialized wide — a count-only
+    aggregate over the join keys). One scan per arm over broadcast
+    dims; finals are asserted equal across plans in tests (join order
+    can't change the answer, only the work).
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey")
+    of = o.filter(F.col("o_orderstatus") == "F")
+    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    ofc = of.join(F.broadcast(c), of["o_custkey"] == c["c_custkey"])
+    cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    ofcn = of.join(
+        F.broadcast(cn), of["o_custkey"] == cn["c_custkey"]
+    )
+    arms = [
+        ("fact_first_late_filter", oc, oc.filter(F.col("o_orderstatus") == "F")
+         .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])),
+        ("fact_first_pushed", ofc, ofc.join(
+            F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])),
+        ("dim_first_late_filter", cn, o.join(
+            F.broadcast(cn), o["o_custkey"] == cn["c_custkey"])
+         .filter(F.col("o_orderstatus") == "F")),
+        ("dim_first_pushed", cn, ofcn),
+    ]
+    outs = []
+    for name, inter, final in arms:
+        outs.append(
+            inter.agg(F.count(F.lit(1)).alias("intermediate_rows")).crossJoin(
+                final.agg(F.count(F.lit(1)).alias("final_rows"))
+            ).select(
+                F.lit(name).alias("plan"),
+                F.col("intermediate_rows").cast("long").alias(
+                    "intermediate_rows"
+                ),
+                F.col("final_rows").cast("long").alias("final_rows"),
+            )
+        )
+    out = outs[0]
+    for a in outs[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("plan")
+
+
+def q_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-was/as-is reporting (restatement audit): weekly
+    order revenue AS KNOWN at two literal report dates — a lineitem
+    is "known" once SHIPPED (shipdate = transaction time, orderdate =
+    valid time) — beside the final as-is number, plus the restatement
+    the late-shipping tail caused. The accounting question
+    (`scd2_pit_join` answers it for dimensions; this is the fact-side
+    twin): "what did the Q1 report say, and how much was restated
+    since?".
+
+    One pass, conditional DECIMAL aggregation per knowledge cut (no
+    per-cut re-scan); exact integer cents throughout. The week axis
+    is valid-time; weeks after a cut simply show 0 known revenue —
+    the honest as-was rendering.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast(MONEY) * 100)
+        .cast("bigint")
+        .alias("__cents"),
+        F.col("l_shipdate").cast("date").alias("__ship"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7
+        ).cast("long").alias("__wk"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    cut1, cut2 = "1996-01-01", "1997-01-01"
+    agg = j.groupBy("__wk").agg(
+        F.sum(
+            F.when(F.col("__ship") <= F.lit(cut1).cast("date"), F.col("__cents")).otherwise(0)
+        ).alias("__k1"),
+        F.sum(
+            F.when(F.col("__ship") <= F.lit(cut2).cast("date"), F.col("__cents")).otherwise(0)
+        ).alias("__k2"),
+        F.sum("__cents").alias("__fin"),
+    )
+    return agg.select(
+        F.col("__wk").alias("wk"),
+        F.col("__k1").cast("long").alias("known_1996_cents"),
+        F.col("__k2").cast("long").alias("known_1997_cents"),
+        F.col("__fin").cast("long").alias("final_cents"),
+        (F.col("__fin") - F.col("__k1")).cast("long").alias(
+            "restated_since_1996_cents"
+        ),
+    ).orderBy("wk")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13021,6 +13150,9 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "stream_upsert": q_stream_upsert,
+    "join_order_audit": q_join_order_audit,
+    "restatement_audit": q_restatement_audit,
     "burn_rate_alerts": q_burn_rate_alerts,
     "incident_metrics": q_incident_metrics,
     "source_shapley": q_source_shapley,
@@ -13329,6 +13461,10 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-8 additions (N207-N209), newest first
+    "stream_upsert",
+    "join_order_audit",
+    "restatement_audit",
     # batch-7 additions (N205-N206), newest first
     "burn_rate_alerts",
     "incident_metrics",

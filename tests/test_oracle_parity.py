@@ -65,7 +65,7 @@ TZ_SENSITIVE = [
     # batch-4..7: week/day-bucketed and epoch-second-derived members
     "kendall_tau", "spearman_corr", "forecast_tournament", "runs_test",
     "diff_in_diff", "sequence_mining", "bandit_replay", "pocock_monitor",
-    "burn_rate_alerts", "incident_metrics",
+    "burn_rate_alerts", "incident_metrics", "restatement_audit",
 ]
 
 
