@@ -7648,3 +7648,46 @@ SELECT CAST(wk AS BIGINT) AS wk,
        CAST(fin - k1 AS BIGINT) AS restated_since_1996_cents
 FROM agg ORDER BY wk
 """
+
+
+# Batch-9 mirror (N210): CEP pattern match — sequence + window + negation.
+ORACLES["cep_pattern_match"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS s,
+         event_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+),
+sign AS (
+  SELECT user_id AS u, s AS ss, event_id AS sid, wk
+  FROM base WHERE event_type = 'signup'
+),
+first_p AS (
+  SELECT sg.u, sg.sid, sg.ss, sg.wk, MIN(p.s) AS fp
+  FROM sign sg JOIN base p
+    ON p.user_id = sg.u AND p.event_type = 'purchase'
+   AND p.s > sg.ss AND p.s <= sg.ss + 600
+  GROUP BY 1, 2, 3, 4
+),
+vetoed AS (
+  SELECT f.sid,
+         MAX(CASE WHEN e.s IS NOT NULL AND e.s > f.ss AND e.s < f.fp
+                  THEN 1 ELSE 0 END) AS veto
+  FROM first_p f
+  LEFT JOIN base e ON e.user_id = f.u AND e.event_type = 'error'
+  GROUP BY 1
+),
+per_signup AS (
+  SELECT sg.wk,
+         CASE WHEN v.veto = 0 THEN 1 ELSE 0 END AS m,
+         CASE WHEN v.veto = 1 THEN 1 ELSE 0 END AS vt
+  FROM sign sg LEFT JOIN vetoed v ON v.sid = sg.sid
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(m) AS BIGINT) AS n_matched,
+       CAST(SUM(vt) AS BIGINT) AS n_vetoed,
+       CAST(SUM(m) * 1000000 // COUNT(*) AS BIGINT) AS match_ppm
+FROM per_signup GROUP BY 1 ORDER BY 1
+"""

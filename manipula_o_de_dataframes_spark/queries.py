@@ -13138,6 +13138,94 @@ def q_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("wk")
 
 
+def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink-CEP shape): per signup event, match `signup → purchase
+    within 600 s with NO error strictly between` — sequence + time
+    window + NEGATION, the three CEP primitives together.
+    `sequence_mining` counts unconstrained subsequences; this is the
+    guarded, windowed variant a fraud/funnel rule actually ships.
+    Weekly census of signups vs full matches plus the negation's
+    veto count.
+
+    Deterministic semantics: the candidate purchase is the FIRST
+    qualifying one per signup (min ts — a total order, strict
+    inequalities); the negation window is the OPEN interval (signup,
+    first purchase). Tz-free epoch-second arithmetic throughout.
+    Plan: three user-keyed joins (signup×purchase, then ×error) —
+    shuffle payloads are per-user event tuples, bounded by per-user
+    burst density (the `event_cooccurrence` posture); no window over
+    raw events, no cross join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    secs = tmp.seconds_since_origin("ts")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        secs.alias("__s"),
+        "event_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7
+        ).cast("long").alias("__wk"),
+    )
+    sign = base.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("__u"),
+        F.col("__s").alias("__ss"),
+        F.col("event_id").alias("__sid"),
+        "__wk",
+    )
+    pur = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__u"), F.col("__s").alias("__ps")
+    )
+    first_p = (
+        sign.join(pur, "__u")
+        .filter((F.col("__ps") > F.col("__ss")) & (F.col("__ps") <= F.col("__ss") + 600))
+        .groupBy("__u", "__sid", "__ss", "__wk")
+        .agg(F.min("__ps").alias("__fp"))
+    )
+    err = base.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("__u"), F.col("__s").alias("__es")
+    )
+    vetoed = (
+        first_p.join(err, "__u", "left")
+        .groupBy("__u", "__sid", "__wk")
+        .agg(
+            F.max(
+                (
+                    F.col("__es").isNotNull()
+                    & (F.col("__es") > F.col("__ss"))
+                    & (F.col("__es") < F.col("__fp"))
+                ).cast("int")
+            ).alias("__veto")
+        )
+    )
+    per_signup = sign.join(
+        vetoed.select("__sid", "__veto"), "__sid", "left"
+    ).select(
+        "__wk",
+        F.when(F.col("__veto") == 0, 1).otherwise(0).alias("__match"),
+        F.when(F.col("__veto") == 1, 1).otherwise(0).alias("__vetoed"),
+    )
+    return (
+        per_signup.groupBy(F.col("__wk").alias("wk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("__match").alias("__m"),
+            F.sum("__vetoed").alias("__v"),
+        )
+        .select(
+            "wk",
+            F.col("n_signups").cast("long").alias("n_signups"),
+            F.col("__m").cast("long").alias("n_matched"),
+            F.col("__v").cast("long").alias("n_vetoed"),
+            F.expr("__m * 1000000 div n_signups").cast("long").alias(
+                "match_ppm"
+            ),
+        )
+        .orderBy("wk")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13150,6 +13238,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "cep_pattern_match": q_cep_pattern_match,
     "stream_upsert": q_stream_upsert,
     "join_order_audit": q_join_order_audit,
     "restatement_audit": q_restatement_audit,
@@ -13461,6 +13550,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-9 additions, newest first
+    "cep_pattern_match",
     # batch-8 additions (N207-N209), newest first
     "stream_upsert",
     "join_order_audit",
