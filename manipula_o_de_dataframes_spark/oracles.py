@@ -7691,3 +7691,53 @@ SELECT CAST(wk AS BIGINT) AS wk,
        CAST(SUM(m) * 1000000 // COUNT(*) AS BIGINT) AS match_ppm
 FROM per_signup GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Batch-10 mirrors (N211-N212): t-closeness, four-fifths fairness audit.
+# --------------------------------------------------------------------------
+
+ORACLES["t_closeness_audit"] = """
+WITH base AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS seg
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+cell AS (SELECT nation, seg, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+gseg AS (SELECT seg, COUNT(*) AS gc FROM base GROUP BY 1),
+tot AS (SELECT COUNT(*) AS tt FROM base),
+grp AS (SELECT nation, COUNT(*) AS n FROM base GROUP BY 1),
+lattice AS (
+  SELECT g.nation, g.n, gl.seg, gl.gc, t.tt
+  FROM grp g CROSS JOIN gseg gl CROSS JOIN tot t
+),
+full_l AS (
+  SELECT l.nation, l.n, l.tt,
+         abs(COALESCE(c.cnt, 0) * l.tt - l.gc * l.n) AS term
+  FROM lattice l LEFT JOIN cell c ON c.nation = l.nation AND c.seg = l.seg
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(SUM(term) * 1000000 // (2 * n * tt) AS BIGINT) AS t_ppm
+FROM full_l GROUP BY nation, n, tt ORDER BY nation
+"""
+
+ORACLES["gate_fairness_audit"] = """
+WITH census AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS p
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+),
+best AS (
+  SELECT lang AS bl, n AS bn, p AS bp FROM census
+  ORDER BY -(p * 1000000 // n) ASC, lang ASC LIMIT 1
+)
+SELECT c.lang,
+       CAST(c.n AS BIGINT) AS n_docs,
+       CAST(c.p AS BIGINT) AS n_pass,
+       CAST(c.p * 1000000 // c.n AS BIGINT) AS pass_ppm,
+       b.bl AS best_lang,
+       CAST(CASE WHEN c.p * b.bn * 5 >= b.bp * c.n * 4 THEN 1 ELSE 0 END
+            AS INT) AS four_fifths_ok
+FROM census c CROSS JOIN best b
+ORDER BY c.lang
+"""

@@ -13226,6 +13226,104 @@ def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007) —
+    completing the privacy triad with `k_anonymity_audit` and
+    `l_diversity_audit`: per quasi-identifier group (nation), the
+    VARIATIONAL DISTANCE between the group's sensitive-attribute
+    distribution (mktsegment) and the global one — the release is
+    t-close iff every group's distance ≤ t. (For nominal attributes
+    the paper's EMD reduces to exactly this 1/2·L1.)
+
+    Integer-exact: dist = Σ|cntᵢ·N − Cᵢ·n| over the 5 segments (all
+    products of counts), t_ppm = dist·10⁶ div (2·n·N) — one division.
+    Plan: one (nation, segment) census off the broadcast-dim join;
+    globals are a broadcast 5-row aggregate; everything after runs on
+    the 125-row lattice. Flat in customer volume.
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("__seg")
+    )
+    cell = base.groupBy("nation", "__seg").agg(F.count(F.lit(1)).alias("__cnt"))
+    glob = base.groupBy("__seg").agg(F.count(F.lit(1)).alias("__gc"))
+    tot = base.agg(F.count(F.lit(1)).alias("__tt"))
+    grp = base.groupBy("nation").agg(F.count(F.lit(1)).alias("__n"))
+    # complete (nation × segment) lattice so absent cells contribute |0·N − Cᵢ·n|
+    lattice = grp.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    full = lattice.join(cell, ["nation", "__seg"], "left").select(
+        "nation",
+        "__n",
+        "__tt",
+        F.abs(
+            F.coalesce(F.col("__cnt"), F.lit(0)) * F.col("__tt")
+            - F.col("__gc") * F.col("__n")
+        ).alias("__term"),
+    )
+    return (
+        full.groupBy("nation", "__n", "__tt")
+        .agg(F.sum("__term").alias("__dist"))
+        .select(
+            "nation",
+            F.col("__n").cast("long").alias("n_rows"),
+            F.expr("__dist * 1000000 div (2 * __n * __tt)")
+            .cast("long")
+            .alias("t_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_gate_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-fifths-rule (adverse impact) audit of a quality gate across
+    languages — the fairness check a data-curation pipeline owes its
+    gates (a filter that passes 60% of one language and 20% of
+    another silently reshapes the corpus): gate = n_chars ≥ 300 (the
+    `stump_gate` family's literal threshold form), per language the
+    exact pass census, and the EEOC 80% test against the
+    BEST-passing language evaluated by INTEGER CROSS-MULTIPLICATION
+    (pass_g·n_best·5 ≥ pass_best·n_g·4 — no rate rounding can flip
+    the verdict; the ppm columns are for reading, the flag is exact).
+
+    Plan: one doc scan → 5-row language census; the best row is a
+    broadcast rank-1 selection under (truncated integer ppm DESC,
+    lang) — deterministic and engine-identical, no float anywhere.
+    Flat at any corpus size.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    census = d.groupBy(F.col("lang")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("n_chars") >= 300).cast("long")).alias("__p"),
+    )
+    best = (
+        census.select(
+            F.col("lang").alias("__bl"),
+            F.col("__n").alias("__bn"),
+            F.col("__p").alias("__bp"),
+        )
+        # argmax of p/n by cross-multiplication: p1·n2 > p2·n1
+        .orderBy(
+            F.expr("-__bp * 1000000 div __bn").asc(), F.col("__bl").asc()
+        )
+        .limit(1)
+    )
+    joined = census.crossJoin(F.broadcast(best))
+    return joined.select(
+        "lang",
+        F.col("__n").cast("long").alias("n_docs"),
+        F.col("__p").cast("long").alias("n_pass"),
+        F.expr("__p * 1000000 div __n").cast("long").alias("pass_ppm"),
+        F.col("__bl").alias("best_lang"),
+        (
+            F.col("__p") * F.col("__bn") * F.lit(5)
+            >= F.col("__bp") * F.col("__n") * F.lit(4)
+        )
+        .cast("int")
+        .alias("four_fifths_ok"),
+    ).orderBy("lang")
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13238,6 +13336,8 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "t_closeness_audit": q_t_closeness_audit,
+    "gate_fairness_audit": q_gate_fairness_audit,
     "cep_pattern_match": q_cep_pattern_match,
     "stream_upsert": q_stream_upsert,
     "join_order_audit": q_join_order_audit,
@@ -13550,6 +13650,9 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-10 additions, newest first
+    "t_closeness_audit",
+    "gate_fairness_audit",
     # batch-9 additions, newest first
     "cep_pattern_match",
     # batch-8 additions (N207-N209), newest first

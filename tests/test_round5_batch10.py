@@ -1,0 +1,67 @@
+"""Round-5 tenth batch: t-closeness (privacy triad completion) and the
+four-fifths-rule gate fairness audit.
+
+Oracle parity runs in test_oracle_parity; these pin the t-closeness
+bound and brute distribution check, and the fairness flag's exact
+cross-multiplication semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.queries import QUERIES
+from manipula_o_de_dataframes_spark.sources.io import read_table
+
+from .conftest import SF_SMOKE
+
+
+def test_t_closeness_bounds_and_brute(spark):
+    """0 ≤ t_ppm ≤ 10⁶ (variational distance is a probability
+    distance), and every nation's value matches a driver-side
+    computation from the raw censuses."""
+    rows = QUERIES["t_closeness_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    base = (
+        read_table(spark, SF_SMOKE, "customer")
+        .join(
+            F.broadcast(read_table(spark, SF_SMOKE, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "c_mktsegment")
+        .collect()
+    )
+    from collections import Counter
+
+    total = Counter(r["c_mktsegment"] for r in base)
+    tt = len(base)
+    groups: dict[str, Counter] = {}
+    for r in base:
+        groups.setdefault(r["nation"], Counter())[r["c_mktsegment"]] += 1
+    for r in rows:
+        assert 0 <= r["t_ppm"] <= 1_000_000, r
+        g = groups[r["nation"]]
+        n = sum(g.values())
+        assert n == r["n_rows"]
+        dist = sum(
+            abs(g.get(seg, 0) * tt - total[seg] * n) for seg in total
+        )
+        assert r["t_ppm"] == dist * 1_000_000 // (2 * n * tt), r["nation"]
+
+
+def test_gate_fairness_exact_flag(spark):
+    """The four-fifths flag must equal the exact cross-multiplied
+    comparison recomputed driver-side, and the best language flags
+    itself OK."""
+    rows = QUERIES["gate_fairness_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    best_lang = rows[0]["best_lang"]
+    by_lang = {r["lang"]: r for r in rows}
+    b = by_lang[best_lang]
+    assert b["four_fifths_ok"] == 1
+    for r in rows:
+        expect = int(
+            r["n_pass"] * b["n_docs"] * 5 >= b["n_pass"] * r["n_docs"] * 4
+        )
+        assert r["four_fifths_ok"] == expect, r["lang"]
+        assert r["pass_ppm"] == r["n_pass"] * 1_000_000 // r["n_docs"]
