@@ -513,6 +513,50 @@ def read_csv_table(
     return reader.csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """S15's dead-letter variant: PERMISSIVE read with corrupt-record
+    ROUTING instead of FAILFAST's all-or-nothing — returns
+    ``(good, quarantine)`` where quarantine rows carry the raw line
+    for replay/triage. The production middle ground: a contract
+    violation must neither kill the job (FAILFAST at 100 TB dies on
+    one bad line in a billion) nor silently become NULLs (plain
+    PERMISSIVE launders type errors into missing data).
+
+    ``schema`` is the DDL contract; the corrupt-record column is
+    appended internally. Spark refuses to filter on the internal
+    corrupt column straight off the scan (the raw line is not a real
+    data column until materialized), so the parsed frame is spooled
+    once — also what makes the two returned frames consistent (one
+    read, one split, no re-scan race with a changing directory).
+    """
+    from ..operators.spool import spool  # noqa: PLC0415
+
+    aug = schema + ", _corrupt_record string"
+    parsed = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(aug)
+        .csv(path)
+    )
+    frame = spool(parsed)
+    good = frame.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantine = frame.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantine
+
+
 def write_bucketed_table(
     spark: SparkSession,
     df: DataFrame,

@@ -65,3 +65,28 @@ def test_gate_fairness_exact_flag(spark):
         )
         assert r["four_fifths_ok"] == expect, r["lang"]
         assert r["pass_ppm"] == r["n_pass"] * 1_000_000 // r["n_docs"]
+
+
+def test_csv_quarantine_routing(spark, tmp_path):
+    """PERMISSIVE + corrupt-record routing: bad lines land in the
+    quarantine frame with their raw text, good rows parse typed, and
+    good+quarantine partitions the file exactly."""
+    from manipula_o_de_dataframes_spark.sources.io import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,amount,label\n"
+        "1,10.50,ok\n"
+        "2,notanumber,bad_type\n"
+        "3,30.25,ok\n"
+        "4,40.00\n"  # arity violation: missing column
+        "5,50.75,ok\n"
+    )
+    good, quar = read_csv_quarantine(
+        spark, str(p), "id int, amount double, label string"
+    )
+    g = sorted(r["id"] for r in good.collect())
+    q = sorted(r["raw_line"] for r in quar.collect())
+    assert g == [1, 3, 5]
+    assert q == ["2,notanumber,bad_type", "4,40.00"]
+    assert dict(good.dtypes)["amount"] == "double"
