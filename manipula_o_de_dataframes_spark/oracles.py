@@ -7741,3 +7741,68 @@ SELECT c.lang,
 FROM census c CROSS JOIN best b
 ORDER BY c.lang
 """
+
+
+# --------------------------------------------------------------------------
+# Batch-11 mirrors (N213-N214): SRM guardrail, CUPED adjustment.
+# --------------------------------------------------------------------------
+
+ORACLES["srm_check"] = """
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+         user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+           AS arm
+  FROM events
+),
+weekly AS (
+  SELECT wk, arm, COUNT(DISTINCT user_id) AS u FROM ev GROUP BY 1, 2
+)
+SELECT a.wk,
+       CAST(a.u AS BIGINT) AS users_a,
+       CAST(b.u AS BIGINT) AS users_b,
+       CAST(CASE WHEN (a.u - b.u) * (a.u - b.u) * 1000 > 3841 * (a.u + b.u)
+                 THEN 1 ELSE 0 END AS INT) AS srm_flag
+FROM (SELECT * FROM weekly WHERE arm = 0) a
+JOIN (SELECT * FROM weekly WHERE arm = 1) b ON a.wk = b.wk
+ORDER BY a.wk
+"""
+
+ORACLES["cuped_adjustment"] = """
+WITH ev AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+w0 AS (SELECT MIN(wk) AS w0 FROM ev),
+per_user AS (
+  SELECT e.user_id,
+         SUM(CASE WHEN e.wk = w.w0 THEN e.cents ELSE 0 END) AS x,
+         SUM(CASE WHEN e.wk > w.w0 THEN e.cents ELSE 0 END) AS y,
+         ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+           AS arm
+  FROM ev e CROSS JOIN w0 w
+  GROUP BY e.user_id
+),
+mom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+         (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000
+           // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS theta_ppm
+  FROM per_user
+),
+arm AS (
+  SELECT arm, COUNT(*) AS na, SUM(x) AS ax, SUM(y) AS ay
+  FROM per_user GROUP BY 1
+)
+SELECT CAST(a.arm AS INT) AS arm,
+       CAST(a.na AS BIGINT) AS n_users,
+       CAST(a.ay * 1000 // a.na AS BIGINT) AS raw_mean_millicents,
+       CAST(m.theta_ppm AS BIGINT) AS theta_ppm,
+       CAST((a.ay * 1000 // a.na)
+            - (m.theta_ppm * ((a.ax * 1000 // a.na) - (m.sx * 1000 // m.n))
+               // 1000000) AS BIGINT) AS adj_mean_millicents
+FROM arm a CROSS JOIN mom m
+ORDER BY arm
+"""

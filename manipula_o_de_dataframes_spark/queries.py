@@ -13324,6 +13324,134 @@ def q_gate_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check every
+    experimentation platform runs before reading any metric (a 50/50
+    split that arrives 52/48 at scale means broken randomization, and
+    every downstream metric is garbage): weekly ACTIVE-USER counts
+    per md5-parity arm tested against the expected equal split. For
+    the equal-split case χ² reduces to (a−b)²/(a+b), so the α=0.05
+    verdict is the EXACT INTEGER comparison (a−b)²·1000 > 3841·(a+b)
+    — no double anywhere, not even inside a comparison (one step
+    stricter than `pocock_monitor`'s identical-double convention).
+
+    Plan: one event scan → per-(week, arm) distinct-user census →
+    5-row weekly frame. Flat at any volume.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.floor(F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("__wk"),
+        "user_id",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
+            " as long) % 2"
+        ).alias("__arm"),
+    )
+    weekly = ev.groupBy("__wk", "__arm").agg(
+        F.countDistinct("user_id").alias("__u")
+    )
+    a = weekly.filter(F.col("__arm") == 0).select(
+        F.col("__wk").alias("wk"), F.col("__u").alias("__ua")
+    )
+    b = weekly.filter(F.col("__arm") == 1).select(
+        F.col("__wk").alias("wk"), F.col("__u").alias("__ub")
+    )
+    d = F.col("__ua") - F.col("__ub")
+    return (
+        a.join(b, "wk")
+        .select(
+            "wk",
+            F.col("__ua").cast("long").alias("users_a"),
+            F.col("__ub").cast("long").alias("users_b"),
+            (d * d * 1000 > 3841 * (F.col("__ua") + F.col("__ub")))
+            .cast("int")
+            .alias("srm_flag"),
+        )
+        .orderBy("wk")
+    )
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM 2013)
+    — the technique that makes A/B tests readable weeks earlier by
+    regressing out pre-experiment behavior: per user, x = week-1
+    purchase cents (pre-period covariate), y = weeks-2+ cents
+    (experiment metric); θ = cov(x,y)/var(x) from the pooled moments,
+    and each arm reports its raw vs θ-adjusted mean. Completes the
+    experimentation shelf (`srm_check` → `pocock_monitor` →
+    `ab_contingency_chi2` → this → `diff_in_diff`).
+
+    Integer policy: θ_ppm = (n·Σxy − Σx·Σy)·10⁶ div (n·Σxx − (Σx)²)
+    — the `weekly_trend` OLS-slope convention on exact cent moments;
+    adjusted means apply θ_ppm with one further truncating division.
+    Products of cent sums stay in BIGINT at test SFs (documented: at
+    sf≫1 the moments need DECIMAL(38) — same note as `weekly_trend`).
+    Plan: one event scan → per-user conditional sums → one global +
+    one per-arm census aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    wk = F.floor(F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7)
+    cents = (F.col("value").cast(MONEY) * 100).cast("long")
+    first_wk = ev.agg(F.min(wk).alias("__w0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(first_wk))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(wk == F.col("__w0"), cents).otherwise(0)).alias("__x"),
+            F.sum(F.when(wk > F.col("__w0"), cents).otherwise(0)).alias("__y"),
+        )
+        .select(
+            "user_id",
+            "__x",
+            "__y",
+            F.expr(
+                "cast(conv(substring(md5(cast(user_id as string)), 1, 1), 16,"
+                " 10) as long) % 2"
+            ).alias("__arm"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    ).select(
+        "*",
+        F.expr(
+            "(__n * __sxy - __sx * __sy) * 1000000"
+            " div (__n * __sxx - __sx * __sx)"
+        ).alias("__theta_ppm"),
+    )
+    arm = per_user.groupBy("__arm").agg(
+        F.count(F.lit(1)).alias("__na"),
+        F.sum("__x").alias("__ax"),
+        F.sum("__y").alias("__ay"),
+    )
+    return (
+        arm.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("__arm").cast("int").alias("arm"),
+            F.col("__na").cast("long").alias("n_users"),
+            F.expr("__ay * 1000 div __na").cast("long").alias(
+                "raw_mean_millicents"
+            ),
+            F.col("__theta_ppm").cast("long").alias("theta_ppm"),
+            F.expr(
+                "(__ay * 1000 div __na)"
+                " - (__theta_ppm * ((__ax * 1000 div __na)"
+                " - (__sx * 1000 div __n)) div 1000000)"
+            )
+            .cast("long")
+            .alias("adj_mean_millicents"),
+        )
+        .orderBy("arm")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13336,6 +13464,8 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "srm_check": q_srm_check,
+    "cuped_adjustment": q_cuped_adjustment,
     "t_closeness_audit": q_t_closeness_audit,
     "gate_fairness_audit": q_gate_fairness_audit,
     "cep_pattern_match": q_cep_pattern_match,
@@ -13650,6 +13780,9 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-11 additions, newest first
+    "srm_check",
+    "cuped_adjustment",
     # batch-10 additions, newest first
     "t_closeness_audit",
     "gate_fairness_audit",

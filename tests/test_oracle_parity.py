@@ -66,7 +66,7 @@ TZ_SENSITIVE = [
     "kendall_tau", "spearman_corr", "forecast_tournament", "runs_test",
     "diff_in_diff", "sequence_mining", "bandit_replay", "pocock_monitor",
     "burn_rate_alerts", "incident_metrics", "restatement_audit",
-    "cep_pattern_match",
+    "cep_pattern_match", "srm_check", "cuped_adjustment",
 ]
 
 

