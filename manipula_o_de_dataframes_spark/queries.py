@@ -13383,12 +13383,13 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ab_contingency_chi2` → this → `diff_in_diff`).
 
     Integer policy: θ_ppm = (n·Σxy − Σx·Σy)·10⁶ div (n·Σxx − (Σx)²)
-    — the `weekly_trend` OLS-slope convention on exact cent moments;
-    adjusted means apply θ_ppm with one further truncating division.
-    Products of cent sums stay in BIGINT at test SFs (documented: at
-    sf≫1 the moments need DECIMAL(38) — same note as `weekly_trend`).
-    Plan: one event scan → per-user conditional sums → one global +
-    one per-arm census aggregate.
+    — the `weekly_trend` OLS-slope convention on exact cent moments,
+    computed in DECIMAL(38,0) because the n·Σ products overflow
+    BIGINT near sf1 (caught by the 10× replica probe, which died in
+    an ANSI overflow before this guard); adjusted means apply θ_ppm
+    with one further truncating division. Plan: one event scan →
+    per-user conditional sums → one global + one per-arm census
+    aggregate.
     """
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -13413,17 +13414,32 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__arm"),
         )
     )
+    # The n·Σxy / Σx·Σy moment products overflow BIGINT near sf1
+    # (measured: the 10× replica probe died in ANSI overflow), so θ
+    # runs in DECIMAL(38,0) — exact to 38 digits — with TRUNCATING
+    # division spelled as (num − num % den)/den (decimal `/` alone
+    # rounds HALF_UP; `%` keeps the dividend's sign in both engines,
+    # so the subtraction reproduces `div` semantics exactly, and
+    # DuckDB's HUGEINT `//` matches on the oracle side).
     mom = per_user.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__x").alias("__sx"),
         F.sum("__y").alias("__sy"),
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
         F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-    ).select(
+    )
+    num = (
+        "(cast(__n as decimal(38,0)) * __sxy"
+        " - cast(__sx as decimal(38,0)) * __sy) * 1000000"
+    )
+    den = (
+        "(cast(__n as decimal(38,0)) * __sxx"
+        " - cast(__sx as decimal(38,0)) * __sx)"
+    )
+    mom = mom.select(
         "*",
         F.expr(
-            "(__n * __sxy - __sx * __sy) * 1000000"
-            " div (__n * __sxx - __sx * __sx)"
+            f"cast((({num}) - ({num}) % {den}) / {den} as bigint)"
         ).alias("__theta_ppm"),
     )
     arm = per_user.groupBy("__arm").agg(
