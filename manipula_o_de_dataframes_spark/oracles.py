@@ -7806,3 +7806,34 @@ SELECT CAST(a.arm AS INT) AS arm,
 FROM arm a CROSS JOIN mom m
 ORDER BY arm
 """
+
+
+# Batch-11 mirror (N215): quantile treatment effects.
+ORACLES["quantile_treatment_effects"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+           AS arm
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+ranked AS (
+  SELECT arm, cents,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY cents, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY arm) AS n
+  FROM per_user
+),
+dec AS (
+  SELECT p.pct, r.arm, r.cents AS v
+  FROM (SELECT UNNEST([10,20,30,40,50,60,70,80,90]) AS pct) p
+  JOIN ranked r ON r.rn = (p.pct * r.n + 99) // 100
+)
+SELECT CAST(a.pct AS INT) AS pct,
+       CAST(a.v AS BIGINT) AS control_cents,
+       CAST(b.v AS BIGINT) AS treat_cents,
+       CAST(b.v - a.v AS BIGINT) AS qte_cents
+FROM (SELECT * FROM dec WHERE arm = 0) a
+JOIN (SELECT * FROM dec WHERE arm = 1) b ON a.pct = b.pct
+ORDER BY a.pct
+"""

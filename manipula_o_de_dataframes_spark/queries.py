@@ -13468,6 +13468,75 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the distributional read an A/B
+    mean hides (a treatment that helps light users and hurts heavy
+    ones can mean to zero): per md5-parity arm, the exact
+    rank-selected deciles of per-user purchase spend, and the
+    per-decile treatment−control difference. Completes the
+    experimentation shelf (`srm_check` guardrail → `pocock_monitor`
+    sequential → `cuped_adjustment` variance reduction → this
+    distributional lens → `diff_in_diff` observational).
+
+    Integer-exact: per-user spend is DECIMAL-cents; each decile is
+    the ELEMENT at rank ⌈p·n/100⌉ under the (cents, user_id) total
+    order (the `conversion_latency` rank-selection convention — never
+    interpolation); the effect column is integer subtraction. Plan:
+    one event scan → per-user census → per-arm rank windows over the
+    user census → 9-row pivot.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast(MONEY)) * 100).cast("bigint").alias("__cents")
+    ).select(
+        "user_id",
+        "__cents",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
+            " as long) % 2"
+        ).alias("__arm"),
+    )
+    w = Window.partitionBy("__arm").orderBy("__cents", "user_id")
+    nw = Window.partitionBy("__arm")
+    ranked = per_user.select(
+        "__arm",
+        "__cents",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(nw).alias("__n"),
+    )
+    dec = None
+    for p in range(10, 100, 10):
+        arm_vals = (
+            ranked.filter(
+                F.col("__rn") == F.expr(f"cast(({p} * __n + 99) div 100 as int)")
+            )
+            .select(
+                F.lit(p).alias("pct"),
+                "__arm",
+                F.col("__cents").alias("__v"),
+            )
+        )
+        dec = arm_vals if dec is None else dec.unionAll(arm_vals)
+    a = dec.filter(F.col("__arm") == 0).select(
+        "pct", F.col("__v").alias("__va")
+    )
+    b = dec.filter(F.col("__arm") == 1).select(
+        "pct", F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "pct")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("__va").cast("long").alias("control_cents"),
+            F.col("__vb").cast("long").alias("treat_cents"),
+            (F.col("__vb") - F.col("__va")).cast("long").alias("qte_cents"),
+        )
+        .orderBy("pct")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13480,6 +13549,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "quantile_treatment_effects": q_quantile_treatment_effects,
     "srm_check": q_srm_check,
     "cuped_adjustment": q_cuped_adjustment,
     "t_closeness_audit": q_t_closeness_audit,
@@ -13797,6 +13867,7 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # batch-11 additions, newest first
+    "quantile_treatment_effects",
     "srm_check",
     "cuped_adjustment",
     # batch-10 additions, newest first

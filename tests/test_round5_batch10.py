@@ -124,3 +124,44 @@ def test_cuped_adjustment_identities(spark):
         .count()
     )
     assert rows[0]["n_users"] + rows[1]["n_users"] == buyers
+
+
+def test_qte_deciles_monotone_and_brute_median(spark):
+    """Deciles are non-decreasing in pct per arm; qte = treat −
+    control; the p50 values match a driver-side rank selection."""
+    rows = sorted(
+        QUERIES["quantile_treatment_effects"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [r["pct"] for r in rows] == list(range(10, 100, 10))
+    for a, b in zip(rows, rows[1:]):
+        assert a["control_cents"] <= b["control_cents"]
+        assert a["treat_cents"] <= b["treat_cents"]
+    for r in rows:
+        assert r["qte_cents"] == r["treat_cents"] - r["control_cents"]
+    import hashlib
+
+    from pyspark.sql import functions as F3
+
+    per_user = (
+        read_table(spark, SF_SMOKE, "events")
+        .filter(F3.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (F3.sum(F3.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    )
+    arms: dict[int, list] = {0: [], 1: []}
+    for r in per_user:
+        arm = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[0], 16) % 2
+        arms[arm].append((r["cents"], r["user_id"]))
+    p50 = {}
+    for arm, vals in arms.items():
+        vals.sort()
+        p50[arm] = vals[(50 * len(vals) + 99) // 100 - 1][0]
+    mid = [r for r in rows if r["pct"] == 50][0]
+    assert mid["control_cents"] == p50[0]
+    assert mid["treat_cents"] == p50[1]
