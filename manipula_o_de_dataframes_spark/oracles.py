@@ -7837,3 +7837,18 @@ FROM (SELECT * FROM dec WHERE arm = 0) a
 JOIN (SELECT * FROM dec WHERE arm = 1) b ON a.pct = b.pct
 ORDER BY a.pct
 """
+
+
+# Batch-11 mirror (N216): composed experiment health report — the
+# member oracles composed the same way the engine composes the plans.
+ORACLES["experiment_report"] = f"""
+WITH s AS ({ORACLES["srm_check"]}),
+p AS ({ORACLES["pocock_monitor"]})
+SELECT s.wk, p.look, s.users_a, s.users_b, s.srm_flag,
+       p.a_conv, p.a_nonconv, p.b_conv, p.b_nonconv,
+       p.crossed AS effect_crossed,
+       CAST(CASE WHEN p.crossed = 1 AND s.srm_flag = 0 THEN 1 ELSE 0 END
+            AS INT) AS verdict_valid
+FROM s JOIN p ON s.wk = p.wk
+ORDER BY s.wk
+"""

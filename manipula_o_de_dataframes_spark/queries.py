@@ -13537,6 +13537,46 @@ def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly experiment HEALTH REPORT — the composed table an
+    experimentation platform actually renders (the `corpus_pipeline`
+    composition pattern applied to the experiment shelf): per week,
+    the SRM guardrail beside the Pocock sequential verdict, and the
+    gating rule every platform enforces spelled as a column —
+    `verdict_valid` = effect crossed AND randomization clean, because
+    a significant effect under sample-ratio mismatch is a bug report,
+    not a result. Composes `srm_check` ⋈ `pocock_monitor` on the
+    week; both sides re-derive from one events table, and the oracle
+    composes the two member oracles the same way — the composition
+    itself is what this query hash-verifies.
+    """
+    srm = q_srm_check(spark, sf_dir).select(
+        "wk", "users_a", "users_b", "srm_flag"
+    )
+    poc = q_pocock_monitor(spark, sf_dir).select(
+        "wk", "look", "a_conv", "a_nonconv", "b_conv", "b_nonconv", "crossed"
+    )
+    return (
+        srm.join(poc, "wk")
+        .select(
+            "wk",
+            "look",
+            "users_a",
+            "users_b",
+            "srm_flag",
+            "a_conv",
+            "a_nonconv",
+            "b_conv",
+            "b_nonconv",
+            F.col("crossed").alias("effect_crossed"),
+            ((F.col("crossed") == 1) & (F.col("srm_flag") == 0))
+            .cast("int")
+            .alias("verdict_valid"),
+        )
+        .orderBy("wk")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13549,6 +13589,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "experiment_report": q_experiment_report,
     "quantile_treatment_effects": q_quantile_treatment_effects,
     "srm_check": q_srm_check,
     "cuped_adjustment": q_cuped_adjustment,
@@ -13867,6 +13908,7 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # batch-11 additions, newest first
+    "experiment_report",
     "quantile_treatment_effects",
     "srm_check",
     "cuped_adjustment",

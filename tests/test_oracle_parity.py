@@ -67,7 +67,7 @@ TZ_SENSITIVE = [
     "diff_in_diff", "sequence_mining", "bandit_replay", "pocock_monitor",
     "burn_rate_alerts", "incident_metrics", "restatement_audit",
     "cep_pattern_match", "srm_check", "cuped_adjustment",
-    "quantile_treatment_effects",
+    "quantile_treatment_effects", "experiment_report",
 ]
 
 

@@ -165,3 +165,18 @@ def test_qte_deciles_monotone_and_brute_median(spark):
     mid = [r for r in rows if r["pct"] == 50][0]
     assert mid["control_cents"] == p50[0]
     assert mid["treat_cents"] == p50[1]
+
+
+def test_experiment_report_gating_semantics(spark):
+    """verdict_valid = effect_crossed AND srm clean, row-by-row, and
+    the report's member columns agree with the member queries."""
+    report = {r["wk"]: r for r in QUERIES["experiment_report"](spark, SF_SMOKE).collect()}
+    srm = {r["wk"]: r for r in QUERIES["srm_check"](spark, SF_SMOKE).collect()}
+    poc = {r["wk"]: r for r in QUERIES["pocock_monitor"](spark, SF_SMOKE).collect()}
+    assert set(report) == set(srm) & set(poc)
+    for wk, r in report.items():
+        assert r["srm_flag"] == srm[wk]["srm_flag"]
+        assert r["effect_crossed"] == poc[wk]["crossed"]
+        assert r["verdict_valid"] == int(
+            r["effect_crossed"] == 1 and r["srm_flag"] == 0
+        )
