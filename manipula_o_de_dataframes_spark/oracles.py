@@ -7852,3 +7852,113 @@ SELECT s.wk, p.look, s.users_a, s.users_b, s.srm_flag,
 FROM s JOIN p ON s.wk = p.wk
 ORDER BY s.wk
 """
+
+
+# Batch-12 mirror (N217): inverted-index build — postings capped at
+# top-8 (tf DESC, doc_id) per term, hapax (df=1) dropped.
+ORACLES["inverted_index"] = """
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE text IS NOT NULL AND t.term <> ''
+),
+td AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM td
+),
+agg AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM td GROUP BY 1
+),
+post AS (
+  SELECT term,
+         STRING_AGG(doc_id || ':' || tf, ',' ORDER BY tf DESC, doc_id)
+           AS postings
+  FROM ranked WHERE rn <= 8 GROUP BY 1
+)
+SELECT a.term, a.df, a.total_tf, p.postings
+FROM agg a JOIN post p USING (term)
+WHERE a.df >= 2
+ORDER BY a.df DESC, a.term
+"""
+
+
+# Batch-12 mirror (N218): Fellegi–Sunter linkage — overlapping
+# two-pass balance-band blocking, integer milli-log-odds weights.
+ORACLES["entity_resolution"] = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+blocked AS (
+  SELECT c.*, p.pass,
+         CASE WHEN p.pass = 0 THEN cents // 50000
+              ELSE (cents + 25000) // 50000 END AS band
+  FROM c, (SELECT UNNEST([0, 1]) AS pass) p
+),
+pairs AS (
+  SELECT DISTINCT
+         a.c_custkey AS key_a, b.c_custkey AS key_b,
+         a.c_nationkey AS nat,
+         a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+         a.cents AS cents_a, b.cents AS cents_b
+  FROM blocked a JOIN blocked b
+    ON a.c_nationkey = b.c_nationkey AND a.pass = b.pass
+   AND a.band = b.band AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT key_a, key_b, CAST(nat AS BIGINT) AS nationkey,
+         CAST((CASE WHEN seg_a = seg_b THEN 1609 ELSE -223 END)
+            + (CASE WHEN ABS(cents_a - cents_b) <= 10000 THEN 2303
+                    ELSE -105 END)
+            + (CASE WHEN cents_a % 100 = cents_b % 100 THEN 2996
+                    ELSE -51 END) AS BIGINT) AS score_milli
+  FROM pairs
+)
+SELECT key_a, key_b, nationkey, score_milli,
+       CASE WHEN score_milli >= 4000 THEN 'MATCH'
+            ELSE 'POSSIBLE' END AS tier
+FROM scored
+WHERE score_milli >= 1000
+ORDER BY score_milli DESC, key_a, key_b
+"""
+
+
+# Batch-12 mirror (N219): multi-source BFS — 3 unrolled frontier
+# expansions from the top-3 degree hubs, distance = MIN hop.
+ORACLES["bfs_distances"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+  )
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+seeds AS (SELECT u FROM deg ORDER BY deg DESC, u LIMIT 3),
+h0 AS (SELECT u AS node FROM seeds),
+h1 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN h0 ON e.u = h0.node),
+h2 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN h1 ON e.u = h1.node),
+h3 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN h2 ON e.u = h2.node),
+allh AS (
+  SELECT node, 0 AS hop FROM h0
+  UNION ALL SELECT node, 1 FROM h1
+  UNION ALL SELECT node, 2 FROM h2
+  UNION ALL SELECT node, 3 FROM h3
+),
+dist AS (SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM allh GROUP BY 1)
+SELECT d.node AS part, d.hop, g.deg AS degree
+FROM dist d JOIN deg g ON g.u = d.node
+ORDER BY d.hop, d.node
+"""

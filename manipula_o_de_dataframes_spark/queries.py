@@ -13577,6 +13577,208 @@ def q_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index MATERIALIZATION over the document corpus — the
+    build side of the search stack whose query side ``bm25_search``
+    already covers: per term, document frequency, total term
+    frequency, and a CAPPED posting list (top-8 docs by tf DESC,
+    doc_id ASC, rendered ``doc:tf``). Hapax terms (df = 1) are
+    dropped — they bloat a real index and carry no retrieval signal.
+
+    The posting CAP is the scale design, not a convenience: an
+    uncapped posting list for a stop-word-frequency term is a
+    data-proportional ARRAY on one reducer — and so is
+    collect-then-slice (the whole array materializes before the
+    slice, un-spillable). The cap therefore runs as a row_number ≤ 8
+    filter over the (term, doc, tf) CENSUS: the per-term sort is
+    spill-safe external sort state, payload stays count tuples,
+    never text, never an unbounded array. df / total_tf ride the
+    SAME window partition (full-census aggregates over an
+    already-sorted run — no second scan, no self-join branch that
+    would recompute the census lineage). Plan: one (term, doc)
+    shuffle for tf → one term-keyed sort for the window → the ≤8
+    survivors aggregate to a bounded array. A degenerate term whose
+    census itself skews a reducer would sub-salt the tf census (the
+    ``skewed_flag_history`` pattern); the sort spills long before
+    that matters.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    td = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("__tf").desc(), "doc_id")
+    wfull = Window.partitionBy("term")
+    ranked = td.select(
+        "term",
+        "doc_id",
+        "__tf",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wfull).cast("long").alias("df"),
+        F.sum("__tf").over(wfull).cast("long").alias("total_tf"),
+    ).filter(F.col("__rn") <= 8)
+    # survivors arrive pre-sorted; struct(rn, …) keeps render order exact
+    posting = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__rn").alias("rn"),
+                        F.concat_ws(":", F.col("doc_id"), F.col("__tf").cast("long")).alias(
+                            "entry"
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["entry"],
+        ),
+        ",",
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.first("total_tf").alias("total_tf"),
+            posting.alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+        .orderBy(F.col("df").desc(), "term")
+    )
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (JASA 1969) — the probabilistic
+    entity-resolution pattern every MDM/identity pipeline runs:
+    BLOCK candidate pairs cheaply, score each pair by summing
+    per-field agreement/disagreement log-odds weights, tier into
+    MATCH / POSSIBLE. Here: customer self-linkage (duplicate-account
+    detection) blocked on (nation, R$500 balance band), scored on
+    market-segment, balance-within-R$100, and same-cent-fraction
+    agreement with fixed integer milli-log-odds weights (a trained
+    FS model is a constant table — broadcast posture, like
+    ``quality_logistic``'s coefficients).
+
+    OVERLAPPING two-pass blocking is the recall guarantee: bands of
+    width 50 000 cents plus a second pass shifted by 25 000 mean any
+    pair within 25 000 cents shares at least one block — the classic
+    fix for boundary-straddling duplicates that single-pass blocking
+    drops. Pairs found by both passes dedup on the key pair.
+
+    Integer policy: balances as exact DECIMAL→BIGINT cents; weights
+    are integer literals; the score is a plain sum — no float
+    anywhere. Plan: two shuffles (block-key self-join co-partition,
+    pair-key distinct); pair fan-out is bounded by block occupancy
+    (value-banded blocking, the LSH-bucket discipline on a numeric
+    axis); a skewed band would sub-split on a second attribute, the
+    ``salted_join`` pattern.
+    """
+    cents = (F.col("c_acctbal").cast(MONEY) * 100).cast("long")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        cents.alias("__cents"),
+    )
+    blocked = c.withColumn("__pass", F.explode(F.array(F.lit(0), F.lit(1)))).withColumn(
+        "__band",
+        F.when(F.col("__pass") == 0, F.expr("__cents div 50000")).otherwise(
+            F.expr("(__cents + 25000) div 50000")
+        ),
+    )
+    a = blocked.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_nationkey").alias("__nat"),
+        F.col("c_mktsegment").alias("__seg_a"),
+        F.col("__cents").alias("__cents_a"),
+        "__pass",
+        "__band",
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_nationkey").alias("__nat"),
+        F.col("c_mktsegment").alias("__seg_b"),
+        F.col("__cents").alias("__cents_b"),
+        "__pass",
+        "__band",
+    )
+    pairs = (
+        a.join(b, ["__nat", "__pass", "__band"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "__nat", "__seg_a", "__seg_b", "__cents_a", "__cents_b")
+        .distinct()
+    )
+    w_seg = F.when(F.col("__seg_a") == F.col("__seg_b"), F.lit(1609)).otherwise(F.lit(-223))
+    w_bal = F.when(
+        F.abs(F.col("__cents_a") - F.col("__cents_b")) <= 10000, F.lit(2303)
+    ).otherwise(F.lit(-105))
+    w_cent = F.when(
+        F.col("__cents_a") % 100 == F.col("__cents_b") % 100, F.lit(2996)
+    ).otherwise(F.lit(-51))
+    score = (w_seg + w_bal + w_cent).cast("long")
+    return (
+        pairs.select(
+            "key_a",
+            "key_b",
+            F.col("__nat").cast("long").alias("nationkey"),
+            score.alias("score_milli"),
+            F.when(score >= 4000, F.lit("MATCH"))
+            .when(score >= 1000, F.lit("POSSIBLE"))
+            .otherwise(F.lit("NON_MATCH"))
+            .alias("tier"),
+        )
+        .filter(F.col("tier") != "NON_MATCH")
+        .orderBy(F.col("score_milli").desc(), "key_a", "key_b")
+    )
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the co-purchase graph —
+    the one graph primitive the family (PageRank, LPA, triangles,
+    k-core, HyperBall) was still missing: exact shortest-hop
+    distance from a seed set, the spine of influence radius,
+    crawl-frontier depth, and "distance to a trusted core" features.
+    Seeds: the top-3 hubs by (degree DESC, part ASC); 3 unrolled
+    frontier expansions (hop ≤ 3), distance = MIN hop at which a
+    node is reached — all integers, bit-identical cross-engine.
+
+    Plan: the ``_basket_pairs`` spine → symmetric distinct edge list
+    SPOOLED once (the ``pagerank_items`` lesson: without it every
+    frontier join replays the basket fan-out lineage); each hop is
+    ONE shuffle joining the spooled edges against a frontier of bare
+    node ids — Pregel-shaped, payload = node ids, never baskets.
+    Frontiers are NOT subtracted from the visited set per hop (a
+    distinct-minus-join per round); the final MIN(hop) aggregate
+    resolves re-reached nodes in one pass — fewer shuffles, same
+    answer, the right trade at 3 hops.
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    ab = _basket_pairs(spark, sf_dir)
+    edges = spool(
+        ab.unionAll(ab.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    seeds = deg.orderBy(F.col("__deg").desc(), "u").limit(3).select("u")
+    reached = seeds.select(F.col("u").alias("node"), F.lit(0).alias("hop"))
+    frontier = seeds.select(F.col("u").alias("node"))
+    for i in (1, 2, 3):
+        frontier = (
+            edges.join(frontier, edges["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        reached = reached.unionAll(frontier.select("node", F.lit(i).alias("hop")))
+    return (
+        reached.groupBy("node")
+        .agg(F.min("hop").cast("long").alias("hop"))
+        .join(deg, reached["node"] == deg["u"])
+        .select(F.col("node").alias("part"), "hop", F.col("__deg").cast("long").alias("degree"))
+        .orderBy("hop", "part")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13589,6 +13791,9 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "inverted_index": q_inverted_index,
+    "entity_resolution": q_entity_resolution,
+    "bfs_distances": q_bfs_distances,
     "experiment_report": q_experiment_report,
     "quantile_treatment_effects": q_quantile_treatment_effects,
     "srm_check": q_srm_check,
@@ -13907,6 +14112,10 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-12 additions, newest first
+    "inverted_index",
+    "entity_resolution",
+    "bfs_distances",
     # batch-11 additions, newest first
     "experiment_report",
     "quantile_treatment_effects",
