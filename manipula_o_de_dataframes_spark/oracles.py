@@ -7962,3 +7962,94 @@ SELECT d.node AS part, d.hop, g.deg AS degree
 FROM dist d JOIN deg g ON g.u = d.node
 ORDER BY d.hop, d.node
 """
+
+
+# Batch-13 mirror (N220): isotonic (PAV) fit via the minimax identity
+# over the quality_calibration decile census — composes the member
+# oracle, range means one truncating division each.
+ORACLES["isotonic_calibration"] = f"""
+WITH cal AS ({ORACLES["quality_calibration"]}),
+c AS (
+  SELECT decile, n_docs, n_gopher_pass, pass_rate_ppm,
+         SUM(n_docs) OVER (ORDER BY decile) AS cn,
+         SUM(n_gopher_pass) OVER (ORDER BY decile) AS cp
+  FROM cal
+),
+ranges AS (
+  SELECT j.decile AS jd, k.decile AS kd,
+         (k.cp - j.cp + j.n_gopher_pass) * 1000000
+           // (k.cn - j.cn + j.n_docs) AS mean_ppm
+  FROM c j JOIN c k ON j.decile <= k.decile
+),
+inner_min AS (
+  SELECT i.decile AS i, r.jd, MIN(r.mean_ppm) AS mn
+  FROM c i JOIN ranges r ON r.jd <= i.decile AND i.decile <= r.kd
+  GROUP BY 1, 2
+),
+iso AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_rate_ppm FROM inner_min GROUP BY 1)
+SELECT c.decile, c.n_docs,
+       c.pass_rate_ppm AS raw_rate_ppm,
+       iso.iso_rate_ppm,
+       CAST(CASE WHEN iso.iso_rate_ppm <> c.pass_rate_ppm THEN 1 ELSE 0 END
+            AS INT) AS pooled
+FROM c JOIN iso ON iso.i = c.decile
+ORDER BY c.decile
+"""
+
+
+# Batch-13 mirror (N221): Kaplan-Meier product-limit — the hazard
+# census folded by a recursive CTE, one truncating division per week.
+ORACLES["km_survival"] = f"""
+WITH RECURSIVE haz AS ({ORACLES["hazard_weekly"]}),
+ord_ AS (
+  SELECT week_k, at_risk, n_churned, n_censored, hazard_ppm,
+         ROW_NUMBER() OVER (ORDER BY week_k) AS rn
+  FROM haz
+),
+km AS (
+  SELECT rn, week_k, at_risk, n_churned, n_censored, hazard_ppm,
+         (1000000 * (at_risk - n_churned)) // at_risk AS s
+  FROM ord_ WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.week_k, o.at_risk, o.n_churned, o.n_censored, o.hazard_ppm,
+         (km.s * (o.at_risk - o.n_churned)) // o.at_risk
+  FROM ord_ o JOIN km ON o.rn = km.rn + 1
+)
+SELECT week_k, at_risk, n_churned, n_censored, hazard_ppm,
+       CAST(s AS BIGINT) AS survival_ppm
+FROM km ORDER BY week_k
+"""
+
+
+# Batch-13 mirror (N222): order-vs-lineitem money reconciliation in
+# exact BIGINT micros (cents x (100-disc_pct) x (100+tax_pct)).
+ORACLES["order_reconciliation"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+             * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)))
+           AS calc
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+           AS total
+  FROM orders
+),
+j AS (
+  SELECT o.o_orderstatus, li.calc, o.total, li.calc - o.total AS delta
+  FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN calc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(SUM(CASE WHEN delta <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(SUM(CASE WHEN delta <> 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS mismatch_ppm,
+       CAST(MAX(ABS(delta)) AS BIGINT) AS max_abs_delta_micros
+FROM j GROUP BY 1 ORDER BY o_orderstatus
+"""

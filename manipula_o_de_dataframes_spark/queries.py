@@ -13779,6 +13779,188 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration fit of the learned quality score —
+    the step AFTER ``quality_calibration``'s reliability audit: fit
+    the best monotone pass-rate curve over the score deciles
+    (Barlow et al. 1972; what sklearn's IsotonicRegression does to
+    calibrate a classifier). Computed by the MINIMAX identity
+    iso(i) = max_{j≤i} min_{k≥i} mean(pass over deciles j..k) — the
+    closed form of pool-adjacent-violators that needs no sequential
+    merging, so it is pure joins/aggregates on the decile census.
+
+    Integer policy: range means are one truncating division each of
+    exact pass/doc counts (cumulative-sum differences); min/max over
+    already-rounded integers is order-exact cross-engine (rounded
+    values are never summed — the repo float rule). Scale: the whole
+    fit runs on the ≤10-row decile census — the O(bins²) range
+    lattice is ~55 rows, the (i, j, k) triple ~220 — so the plan is
+    FLAT in corpus size; only ``quality_calibration``'s one document
+    scan sees data, and the census is SPOOLED because FOUR plan
+    branches (cum frame, range ends, points, final attach) would
+    otherwise each replay that scan (measured 14.6 → ~3 s at
+    sf0.01). The census window is the documented bounded
+    single-partition edge (``abc_classification`` precedent).
+    """
+    from .operators.spool import spool  # noqa: PLC0415
+
+    cal = spool(q_quality_calibration(spark, sf_dir))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = cal.select(
+        "decile",
+        "n_docs",
+        "n_gopher_pass",
+        "pass_rate_ppm",
+        F.sum("n_docs").over(w).alias("__cn"),
+        F.sum("n_gopher_pass").over(w).alias("__cp"),
+    )
+    j = c.select(
+        F.col("decile").alias("__jd"),
+        F.col("n_docs").alias("__jn"),
+        F.col("n_gopher_pass").alias("__jp"),
+        F.col("__cn").alias("__jcn"),
+        F.col("__cp").alias("__jcp"),
+    )
+    k = c.select(
+        F.col("decile").alias("__kd"),
+        F.col("__cn").alias("__kcn"),
+        F.col("__cp").alias("__kcp"),
+    )
+    ranges = (
+        j.join(k, F.col("__jd") <= F.col("__kd"))
+        .select(
+            "__jd",
+            "__kd",
+            (F.col("__kcp") - F.col("__jcp") + F.col("__jp")).alias("__rp"),
+            (F.col("__kcn") - F.col("__jcn") + F.col("__jn")).alias("__rn"),
+        )
+        .select("__jd", "__kd", F.expr("__rp * 1000000 div __rn").alias("__mean_ppm"))
+    )
+    pts = c.select(F.col("decile").alias("__i"))
+    iso = (
+        pts.join(
+            ranges,
+            (F.col("__jd") <= F.col("__i")) & (F.col("__i") <= F.col("__kd")),
+        )
+        .groupBy("__i", "__jd")
+        .agg(F.min("__mean_ppm").alias("__mn"))
+        .groupBy("__i")
+        .agg(F.max("__mn").alias("iso_rate_ppm"))
+    )
+    return (
+        cal.join(iso, cal["decile"] == iso["__i"])
+        .select(
+            "decile",
+            "n_docs",
+            F.col("pass_rate_ppm").alias("raw_rate_ppm"),
+            "iso_rate_ppm",
+            (F.col("iso_rate_ppm") != F.col("pass_rate_ppm")).cast("int").alias("pooled"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve (JASA 1958) over the
+    censored tenure census ``hazard_weekly`` builds — the cumulative
+    complement the hazard table implies but does not show: S(k) =
+    Π_{j≤k} (at_risk_j − churned_j) / at_risk_j, the "probability a
+    user survives past tenure week k" curve a retention review reads.
+
+    The recurrence is inherently SEQUENTIAL (each week's factor
+    multiplies the previous survival), so it cannot be an associative
+    aggregate; it runs as ONE applyInPandas fold over the
+    calendar-bounded census (≤ observation-weeks rows — bounded by
+    time span, not data volume; the oracle-checked escape-hatch
+    posture of ``events_summary``). Integer policy: survival stays in
+    ppm BIGINTs with one truncating division per week —
+    s ← (s·(r−c)) div r — bit-identical to the oracle's recursive
+    CTE; s·r fits long until population ~10¹⁰ (documented bound).
+    Everything data-proportional happens inside ``hazard_weekly``'s
+    one fact scan.
+    """
+    haz = q_hazard_weekly(spark, sf_dir)
+
+    def _fold(pdf):  # noqa: ANN001, ANN202 — pandas batch, bounded census
+        pdf = pdf.sort_values("week_k").reset_index(drop=True)
+        s = 1_000_000
+        out = []
+        for r, ch in zip(pdf["at_risk"], pdf["n_churned"]):
+            s = (s * (int(r) - int(ch))) // int(r)
+            out.append(s)
+        pdf["survival_ppm"] = out
+        return pdf.drop(columns=["__g"])
+
+    return (
+        haz.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            _fold,
+            "week_k long, at_risk long, n_churned long, n_censored long, "
+            "hazard_ppm long, survival_ppm long",
+        )
+        .orderBy("week_k")
+    )
+
+
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table MONEY reconciliation — the finance-close audit
+    ``fk_conformance`` (keys) and ``mrr_waterfall`` (one table's
+    bridge) don't cover: does the order header's total equal the sum
+    of its lines at line terms, Σ extendedprice·(1−discount)·(1+tax)?
+    Per order status: orders, headerless-line orphans, mismatches,
+    mismatch ppm, and the largest absolute delta — the table a data
+    platform publishes when two upstream systems disagree. (On this
+    synthetic fixture the header total is independent of the lines,
+    so the audit correctly reports ~100% mismatch — the query's
+    value is the exact delta census, not a green checkmark.)
+
+    Integer policy: NO decimal-precision chains — every money value
+    moves to BIGINT micros first (cents·100·100 via two integer
+    percent factors: micros = ext_cents·(100−disc_pct)·(100+tax_pct)),
+    so the per-order delta is exact integer subtraction in both
+    engines. Plan: one lineitem shuffle keyed by order (map-side
+    partial sums), broadcast-free join to headers on the same key,
+    one ≤|statuses|-row census.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            ((F.col("l_extendedprice").cast(MONEY) * 100).cast("long"))
+            * (F.lit(100) - (F.col("l_discount").cast(MONEY) * 100).cast("long"))
+            * (F.lit(100) + (F.col("l_tax").cast(MONEY) * 100).cast("long"))
+        ).alias("__micros"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum("__micros").alias("__calc"))
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        ((F.col("o_totalprice").cast(MONEY) * 100).cast("long") * 10000).alias("__total"),
+    )
+    joined = o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"], "left")
+    delta = F.col("__calc") - F.col("__total")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("__calc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_no_lines"),
+            F.sum(F.when(delta != 0, 1).otherwise(0)).cast("long").alias("n_mismatch"),
+            F.max(F.abs(delta)).cast("long").alias("max_abs_delta_micros"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "n_no_lines",
+            "n_mismatch",
+            F.expr("n_mismatch * 1000000 div n_orders").alias("mismatch_ppm"),
+            "max_abs_delta_micros",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13791,6 +13973,9 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "isotonic_calibration": q_isotonic_calibration,
+    "km_survival": q_km_survival,
+    "order_reconciliation": q_order_reconciliation,
     "inverted_index": q_inverted_index,
     "entity_resolution": q_entity_resolution,
     "bfs_distances": q_bfs_distances,
@@ -14112,6 +14297,10 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-13 additions, newest first
+    "isotonic_calibration",
+    "km_survival",
+    "order_reconciliation",
     # batch-12 additions, newest first
     "inverted_index",
     "entity_resolution",
