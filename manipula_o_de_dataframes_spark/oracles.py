@@ -8053,3 +8053,75 @@ SELECT o_orderstatus,
        CAST(MAX(ABS(delta)) AS BIGINT) AS max_abs_delta_micros
 FROM j GROUP BY 1 ORDER BY o_orderstatus
 """
+
+
+# Batch-14 mirror (N223): Heaps'-law vocabulary growth per source —
+# first-rank term census + window cumulatives, ceil-decile checkpoints.
+ORACLES["vocab_growth"] = """
+WITH d AS (
+  SELECT source, doc_id, string_split(text, ' ') AS toks,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+  FROM documents WHERE text IS NOT NULL
+),
+ntok AS (
+  SELECT source, r, CAST(len(toks) AS BIGINT) AS ntok FROM d
+),
+fr AS (
+  SELECT source, term, MIN(r) AS fr FROM (
+    SELECT d.source, d.r, t.term
+    FROM d, UNNEST(d.toks) AS t(term) WHERE t.term <> ''
+  ) GROUP BY 1, 2
+),
+newt AS (
+  SELECT source, fr AS r, CAST(COUNT(*) AS BIGINT) AS nt FROM fr GROUP BY 1, 2
+),
+census AS (
+  SELECT n.source, n.r, n.ntok, COALESCE(w.nt, 0) AS nt
+  FROM ntok n LEFT JOIN newt w ON w.source = n.source AND w.r = n.r
+),
+cums AS (
+  SELECT source, r,
+         SUM(ntok) OVER (PARTITION BY source ORDER BY r) AS cum_tokens,
+         SUM(nt) OVER (PARTITION BY source ORDER BY r) AS cum_vocab
+  FROM census
+),
+nd AS (SELECT source, MAX(r) AS n FROM census GROUP BY 1),
+cp AS (
+  SELECT nd.source, g.decile, (g.decile * nd.n + 9) // 10 AS r
+  FROM nd, (SELECT UNNEST(generate_series(1, 10)) AS decile) g
+)
+SELECT cp.source, CAST(cp.decile AS BIGINT) AS decile,
+       CAST(cp.r AS BIGINT) AS n_docs,
+       CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(c.cum_vocab AS BIGINT) AS cum_vocab
+FROM cp JOIN cums c ON c.source = cp.source AND c.r = cp.r
+ORDER BY cp.source, cp.decile
+"""
+
+
+# Batch-14 mirror (N224): per-user 1-hour RANGE-frame burst peak with
+# earliest-second tie-break via (-burst, sec) struct-min semantics.
+ORACLES["burst_detection"] = """
+WITH e AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '1990-01-01', ts) AS sec
+  FROM events
+),
+b AS (
+  SELECT user_id, sec,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+           AS burst
+  FROM e
+),
+pk AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(burst) AS BIGINT) AS max_burst_1h,
+         CAST(MIN(CASE WHEN burst = mx THEN sec END) AS BIGINT) AS peak_sec
+  FROM (SELECT *, MAX(burst) OVER (PARTITION BY user_id) AS mx FROM b)
+  GROUP BY user_id
+)
+SELECT user_id, n_events, max_burst_1h, peak_sec
+FROM pk WHERE max_burst_1h >= 2
+ORDER BY max_burst_1h DESC, user_id
+"""

@@ -13961,6 +13961,128 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve per source — the marginal-
+    novelty read a corpus curator takes before buying MORE of a
+    source: at each decile of the source's documents (ingest order =
+    doc_id), cumulative tokens vs cumulative DISTINCT vocabulary. A
+    source whose curve has flattened contributes volume, not novelty
+    — the diminishing-returns complement to ``max_coverage_select``'s
+    greedy pick and ``vocab_coverage``'s fixed-vocab OOV rate.
+
+    All integer: per-source doc rank (row_number over doc_id), each
+    term's FIRST rank (min over its docs), then both cumulatives live
+    on the (source, rank) census — new-vocab-at-rank is a count of
+    first-rank terms, so cum_vocab is a window sum, never a running
+    distinct. Checkpoints are ceil(d·n/10) ranks joined against the
+    census. Scale: one source-keyed rank window (partitions =
+    sources; a mega-source would two-pass the rank, the
+    ``key_gap_islands`` note), one (source, term) min-aggregate whose
+    shuffle carries term/count tuples, cums on census rows.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(wr).alias("__r"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__ntok"),
+        F.split(F.col("text"), " ").alias("__toks"),
+    )
+    first_rank = (
+        ranked.select("source", "__r", F.explode("__toks").alias("__term"))
+        .filter(F.col("__term") != "")
+        .groupBy("source", "__term")
+        .agg(F.min("__r").alias("__fr"))
+        .groupBy("source", F.col("__fr").alias("__r"))
+        .agg(F.count(F.lit(1)).alias("__new_terms"))
+    )
+    census = (
+        ranked.select("source", "__r", "__ntok")
+        .join(first_rank, ["source", "__r"], "left")
+        .select(
+            "source",
+            "__r",
+            "__ntok",
+            F.coalesce(F.col("__new_terms"), F.lit(0)).alias("__nt"),
+        )
+    )
+    wc = Window.partitionBy("source").orderBy("__r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = census.select(
+        "source",
+        "__r",
+        F.sum("__ntok").over(wc).alias("__cum_tokens"),
+        F.sum("__nt").over(wc).alias("__cum_vocab"),
+    )
+    ndocs = census.groupBy("source").agg(F.max("__r").alias("__n"))
+    checkpoints = ndocs.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        "__n",
+    ).select(
+        "source",
+        "decile",
+        F.expr("(decile * __n + 9) div 10").alias("__r"),
+    )
+    return (
+        checkpoints.join(cums, ["source", "__r"])
+        .select(
+            "source",
+            F.col("decile").cast("long").alias("decile"),
+            F.col("__r").cast("long").alias("n_docs"),
+            F.col("__cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("__cum_vocab").cast("long").alias("cum_vocab"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-burst detector — the abuse/bot screen every
+    event pipeline runs before trusting engagement counts: the
+    maximum number of events any single user fires inside a trailing
+    1-hour window, found with a RANGE frame over tz-free epoch
+    seconds (``rangeBetween(-3599, 0)`` — the value-range window the
+    rest of the window family's ROWS frames don't exercise). Reports
+    users whose peak meets the threshold (≥2 here — fixture-scaled),
+    with the earliest second at which the peak occurs.
+
+    Integer-exact: epoch seconds via ``seconds_since_origin`` (NTZ
+    origin — timezone-proof), counts, and a min-over-argmax resolved
+    by one conditional aggregate (no floats, no rank ties to break).
+    Scale: ONE user-keyed shuffle; the RANGE frame is a per-user
+    ordered scan (Spark evaluates it streaming over the sorted run —
+    no pairwise self-join, which is how this is NOT the O(n²)
+    time-band join); per-user state is the 1-hour event buffer.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", tmp.seconds_since_origin("ts").alias("__sec")
+    )
+    wb = Window.partitionBy("user_id").orderBy("__sec").rangeBetween(-3599, 0)
+    b = e.select("user_id", "__sec", F.count(F.lit(1)).over(wb).alias("__burst"))
+    # argmax with earliest-tie-break as ONE deterministic aggregate:
+    # min over (−burst, sec) structs = (max burst, earliest peak sec)
+    peak = F.min(
+        F.struct((-F.col("__burst")).alias("nb"), F.col("__sec").alias("s"))
+    )
+    per_user = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        peak.alias("__pk"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            (-F.col("__pk.nb")).cast("long").alias("max_burst_1h"),
+            F.col("__pk.s").cast("long").alias("peak_sec"),
+        )
+        .filter(F.col("max_burst_1h") >= 2)
+        .orderBy(F.col("max_burst_1h").desc(), "user_id")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -13973,6 +14095,8 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "vocab_growth": q_vocab_growth,
+    "burst_detection": q_burst_detection,
     "isotonic_calibration": q_isotonic_calibration,
     "km_survival": q_km_survival,
     "order_reconciliation": q_order_reconciliation,
@@ -14297,6 +14421,9 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
+    # batch-14 additions, newest first
+    "vocab_growth",
+    "burst_detection",
     # batch-13 additions, newest first
     "isotonic_calibration",
     "km_survival",
