@@ -8125,3 +8125,42 @@ SELECT user_id, n_events, max_burst_1h, peak_sec
 FROM pk WHERE max_burst_1h >= 2
 ORDER BY max_burst_1h DESC, user_id
 """
+
+
+# Batch-14 mirror (N225): weekly OHLC candles per nation — open/close
+# via (day, orderkey, cents) struct MIN/MAX, exact BIGINT cents.
+ORACLES["weekly_ohlc"] = """
+WITH o AS (
+  SELECT o_custkey,
+         strftime(CAST(date_trunc('week', o_orderdate) AS DATE), '%Y-%m-%d')
+           AS week,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_,
+         o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+j AS (
+  SELECT n.n_name AS nation, o.week, o.day_, o.o_orderkey, o.cents
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+r AS (
+  SELECT nation, week, cents,
+         ROW_NUMBER() OVER (PARTITION BY nation, week
+                            ORDER BY day_, o_orderkey, cents) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY nation, week
+                            ORDER BY day_ DESC, o_orderkey DESC, cents DESC)
+           AS rn_z
+  FROM j
+)
+SELECT nation, week,
+       CAST(MIN(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MIN(CASE WHEN rn_z = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM r GROUP BY nation, week
+ORDER BY nation, week
+"""

@@ -14083,6 +14083,69 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlesticks — the finance-standard open/high/low/close
+    rollup, here per (nation, week) over order totals: open = first
+    order's value in the week, close = last, high/low = extremes,
+    plus volume (exact cents) and trade count. The one argfirst/
+    arglast rollup shape (A10's ``first_by`` generalized to both
+    ends of an ordered group) the aggregate family hadn't composed.
+
+    Determinism: open/close resolve as MIN/MAX over
+    (epoch_day, orderkey, cents) structs — orderkey breaks same-day
+    ties, so the candle is bit-identical under any partitioning (a
+    plain first()/last() over a grouped frame is NOT — Spark
+    documents them non-deterministic). All money in BIGINT cents;
+    one orders⋈customer key join (broadcast nation attach), one
+    (nation, week) census aggregate riding map-side partials.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("__wk"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias("__day"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("__cents"),
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            "__wk",
+            F.struct(
+                F.col("__day").alias("d"),
+                F.col("o_orderkey").alias("k"),
+                F.col("__cents").alias("v"),
+            ).alias("__ord"),
+            "__cents",
+        )
+    )
+    return (
+        j.groupBy("n_name", "__wk")
+        .agg(
+            F.min("__ord")["v"].alias("open_cents"),
+            F.max("__cents").alias("high_cents"),
+            F.min("__cents").alias("low_cents"),
+            F.max("__ord")["v"].alias("close_cents"),
+            F.sum("__cents").alias("volume_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.date_format("__wk", "yyyy-MM-dd").alias("week"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume_cents",
+            "n_orders",
+        )
+        .orderBy("nation", "week")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -14095,6 +14158,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "weekly_ohlc": q_weekly_ohlc,
     "vocab_growth": q_vocab_growth,
     "burst_detection": q_burst_detection,
     "isotonic_calibration": q_isotonic_calibration,
@@ -14422,6 +14486,7 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # batch-14 additions, newest first
+    "weekly_ohlc",
     "vocab_growth",
     "burst_detection",
     # batch-13 additions, newest first

@@ -90,6 +90,46 @@ def test_burst_detection_brute_range_frame(spark):
     assert set(out) <= {u for u, (_, mx, _) in expected.items() if mx >= 2}
 
 
+def test_weekly_ohlc_brute_candles(spark):
+    """Every candle's open/close match a brute (day, orderkey, cents)
+    ordering replay; high >= open/close >= low; volume = sum."""
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    c = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in read_table(spark, SF_SMOKE, "customer").collect()
+    }
+    n = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(spark, SF_SMOKE, "nation").collect()
+    }
+    from datetime import date, timedelta
+    from decimal import Decimal
+
+    groups = defaultdict(list)
+    for r in o:
+        d = r["o_orderdate"].date()
+        wk = d - timedelta(days=d.weekday())
+        cents = int(Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")) * 100)
+        day = (d - date(1970, 1, 1)).days
+        groups[(n[c[r["o_custkey"]]], wk.isoformat())].append(
+            (day, r["o_orderkey"], cents)
+        )
+    out = QUERIES["weekly_ohlc"](spark, SF_SMOKE).collect()
+    assert len(out) == len(groups)
+    for r in out:
+        g = sorted(groups[(r["nation"], r["week"])])
+        assert r["open_cents"] == g[0][2]
+        assert r["close_cents"] == g[-1][2]
+        assert r["high_cents"] == max(x[2] for x in g)
+        assert r["low_cents"] == min(x[2] for x in g)
+        assert r["volume_cents"] == sum(x[2] for x in g)
+        assert r["n_orders"] == len(g)
+        assert r["low_cents"] <= min(r["open_cents"], r["close_cents"])
+        assert r["high_cents"] >= max(r["open_cents"], r["close_cents"])
+
+
 def test_batch14_plan_shapes(spark):
     """JVM-side only; burst_detection's RANGE frame is a window scan,
     not a time-band self-join."""
