@@ -8164,3 +8164,89 @@ SELECT nation, week,
 FROM r GROUP BY nation, week
 ORDER BY nation, week
 """
+
+
+# Batch-15 mirror (N226): seed-based common-neighbor link prediction
+# — seed-bounded wedge census, anti-join vs edges, per-seed top-3.
+ORACLES["link_prediction"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p
+  )
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+seeds AS (SELECT u AS a FROM deg ORDER BY deg DESC, u LIMIT 20),
+ea AS (SELECT s.a, e.v AS w FROM edges e JOIN seeds s ON e.u = s.a),
+wedges AS (
+  SELECT ea.a, e2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM ea JOIN edges e2 ON e2.u = ea.w
+  WHERE e2.v <> ea.a
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.u = w.a AND e.v = w.b
+  )
+),
+scored AS (
+  SELECT c.a, c.b, c.common,
+         CAST(c.common * 1000000 // (da.deg + db.deg - c.common) AS BIGINT)
+           AS jaccard_ppm,
+         ROW_NUMBER() OVER (PARTITION BY c.a
+                            ORDER BY c.common DESC, c.b) AS rank
+  FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+)
+SELECT a AS seed_part, CAST(rank AS BIGINT) AS rank, b AS candidate_part,
+       common AS common_neighbors, jaccard_ppm
+FROM scored WHERE rank <= 3
+ORDER BY seed_part, rank
+"""
+
+
+# Batch-15 mirror (N227): business-day SLA compliance — closed-form
+# weekend-skipping deadline on epoch days, per-priority census.
+ORACLES["sla_compliance"] = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0,
+         CASE o_orderpriority
+           WHEN '1-URGENT' THEN 3 WHEN '2-HIGH' THEN 5
+           WHEN '3-MEDIUM' THEN 10 WHEN '4-NOT SPECIFIED' THEN 15
+           ELSE 20 END AS sla
+  FROM orders
+),
+j AS (
+  SELECT o.o_orderpriority, o.d0, o.sla,
+         date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+           AS ship
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+),
+s AS (
+  SELECT o_orderpriority, ship, sla,
+         d0 + (CASE (d0 + 3) % 7 WHEN 5 THEN 2 WHEN 6 THEN 1 ELSE 0 END)
+           AS start
+  FROM j
+),
+dl AS (
+  SELECT o_orderpriority, ship,
+         start + (sla // 5) * 7 + (sla % 5)
+           + (CASE WHEN (start + 3) % 7 + (sla % 5) >= 5 THEN 2 ELSE 0 END)
+           AS deadline
+  FROM s
+)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN ship > deadline THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach,
+       CAST(SUM(CASE WHEN ship > deadline THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS breach_ppm,
+       CAST(MAX(GREATEST(ship - deadline, 0)) AS BIGINT) AS max_overrun_days
+FROM dl GROUP BY 1 ORDER BY priority
+"""
