@@ -8250,3 +8250,34 @@ SELECT o_orderpriority AS priority,
        CAST(MAX(GREATEST(ship - deadline, 0)) AS BIGINT) AS max_overrun_days
 FROM dl GROUP BY 1 ORDER BY priority
 """
+
+
+# Batch-15 mirror (N228): repeat-payment screen — (custkey, R$1,000
+# band) groups, consecutive-gap lag, <=7-day suspicion flag.
+ORACLES["duplicate_payments"] = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+           AS band,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_,
+         o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, band,
+         day_ - LAG(day_) OVER (PARTITION BY o_custkey, band
+                                ORDER BY day_, o_orderkey) AS gap
+  FROM o
+),
+a AS (
+  SELECT o_custkey, band,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(MIN(gap) AS BIGINT) AS min_gap_days
+  FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT o_custkey AS custkey, band AS amount_band, n_orders, min_gap_days,
+       CAST(CASE WHEN min_gap_days <= 7 THEN 1 ELSE 0 END AS INT)
+         AS suspicious
+FROM a ORDER BY min_gap_days, custkey, amount_band
+"""

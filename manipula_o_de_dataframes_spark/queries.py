@@ -14280,6 +14280,55 @@ def q_sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-payment screen — the AP-audit staple (same payer,
+    same amount, close together ⇒ probable double submission) that
+    the NEAR-dup family deliberately doesn't cover: the match key is
+    the payment AMOUNT, the evidence is temporal proximity. On a
+    production ledger the key is exact cents; this fixture's totals
+    are continuous synthetics (exact collisions: zero at every SF —
+    measured), so the shipped screen matches on R$1,000 amount BANDS
+    (cents div 100 000, one band-width parameter) — the same
+    blocking-loosened-for-recall call ``entity_resolution``
+    documents. Reports each (customer, band) repeat group with its
+    order count, tightest consecutive gap in days, and the flag at
+    the ≤7-day policy line.
+
+    Plan: ONE (custkey, band) shuffle — the consecutive-gap lag
+    window rides the SAME partitioning as the group aggregate (the
+    window key equals the grouping key, so Spark reuses the
+    exchange); integer cents and epoch-day gaps, timezone-proof.
+    At any scale the shuffle payload is (key, day) tuples.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 100000"
+        ).alias("__band"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias("__day"),
+        "o_orderkey",
+    )
+    wl = Window.partitionBy("o_custkey", "__band").orderBy("__day", "o_orderkey")
+    gap = F.col("__day") - F.lag("__day").over(wl)
+    g = o.select("o_custkey", "__band", gap.alias("__gap"))
+    return (
+        g.groupBy("o_custkey", "__band")
+        .agg(
+            (F.count(F.lit(1))).cast("long").alias("n_orders"),
+            F.min("__gap").cast("long").alias("min_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("__band").alias("amount_band"),
+            "n_orders",
+            "min_gap_days",
+            (F.col("min_gap_days") <= 7).cast("int").alias("suspicious"),
+        )
+        .orderBy("min_gap_days", "custkey", "amount_band")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -14292,6 +14341,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "duplicate_payments": q_duplicate_payments,
     "link_prediction": q_link_prediction,
     "sla_compliance": q_sla_compliance,
     "weekly_ohlc": q_weekly_ohlc,
@@ -14622,6 +14672,7 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # batch-15 additions, newest first
+    "duplicate_payments",
     "link_prediction",
     "sla_compliance",
     # batch-14 additions, newest first

@@ -130,6 +130,34 @@ def test_sla_closed_form_matches_walking_calendar(spark):
         assert r["max_overrun_days"] == mx
 
 
+def test_duplicate_payments_brute_gaps(spark):
+    """Every (custkey, band) repeat group matches a brute replay:
+    count, tightest consecutive same-band gap, and the <=7-day flag;
+    singleton groups never appear."""
+    from decimal import Decimal
+
+    orders = read_table(spark, SF_SMOKE, "orders").collect()
+    groups = defaultdict(list)
+    for r in orders:
+        cents = int(Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")) * 100)
+        day = (r["o_orderdate"].date() - date(1970, 1, 1)).days
+        groups[(r["o_custkey"], cents // 100000)].append((day, r["o_orderkey"]))
+    expected = {}
+    for k, v in groups.items():
+        if len(v) < 2:
+            continue
+        v.sort()
+        gaps = [b[0] - a[0] for a, b in zip(v, v[1:])]
+        expected[k] = (len(v), min(gaps))
+    out = {(r["custkey"], r["amount_band"]): r
+           for r in QUERIES["duplicate_payments"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(expected)
+    for k, (n, gap) in expected.items():
+        assert out[k]["n_orders"] == n
+        assert out[k]["min_gap_days"] == gap
+        assert out[k]["suspicious"] == int(gap <= 7)
+
+
 def test_batch15_plan_shapes(spark):
     """JVM-side only; link_prediction's wedge join is seed-bounded
     (no CartesianProduct) and sla_compliance is one key join plus a
