@@ -113,7 +113,6 @@ def test_bfs_distances_frontier_properties(spark):
     hop = {r["part"]: r["hop"] for r in rows}
     assert all(0 <= h <= 3 for h in hop.values())
     assert sum(1 for h in hop.values() if h == 0) == 3
-    q = QUERIES["bfs_distances"](spark, SF_SMOKE)
     # rebuild the symmetric edge list brute-force from lineitem
     li = (
         read_table(spark, SF_SMOKE, "lineitem")
@@ -143,7 +142,6 @@ def test_bfs_distances_frontier_properties(spark):
     # degree column matches the brute adjacency
     for r in rows:
         assert r["degree"] == len(adj[r["part"]])
-    del q
 
 
 def test_batch12_plan_shapes(spark):
