@@ -8281,3 +8281,46 @@ SELECT o_custkey AS custkey, band AS amount_band, n_orders, min_gap_days,
          AS suspicious
 FROM a ORDER BY min_gap_days, custkey, amount_band
 """
+
+
+# Batch-15 mirror (N229): weekly-revenue ACF lags 1-4 per nation —
+# mean multiplied out (n*x - S integers), HUGEINT moments, one
+# truncating division per (nation, lag).
+ORACLES["acf_weekly"] = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+census AS (
+  SELECT c.c_nationkey AS nat, o.wk, SUM(o.cents) AS x
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ts AS (
+  SELECT nat, ROW_NUMBER() OVER (PARTITION BY nat ORDER BY wk) AS t, x
+  FROM census
+),
+mom AS (SELECT nat, COUNT(*) AS n, SUM(x) AS s FROM ts GROUP BY 1),
+dev AS (
+  SELECT ts.nat, ts.t, m.n,
+         CAST(m.n AS HUGEINT) * ts.x - CAST(m.s AS HUGEINT) AS d
+  FROM ts JOIN mom m ON m.nat = ts.nat
+),
+den AS (SELECT nat, SUM(d * d) AS den, MAX(n) AS n FROM dev GROUP BY 1),
+num AS (
+  SELECT a.nat, l.lag, SUM(a.d * b.d) AS num
+  FROM dev a
+  JOIN (SELECT UNNEST(generate_series(1, 4)) AS lag) l ON TRUE
+  JOIN dev b ON b.nat = a.nat AND b.t = a.t + l.lag
+  GROUP BY 1, 2
+)
+SELECT CAST(num.nat AS BIGINT) AS nationkey,
+       CAST(num.lag AS BIGINT) AS lag,
+       CAST(den.n AS BIGINT) AS n_weeks,
+       CAST((num.num * 1000000) // den.den AS BIGINT) AS acf_ppm
+FROM num JOIN den ON den.nat = num.nat
+WHERE den.n > num.lag + 2
+ORDER BY nationkey, lag
+"""

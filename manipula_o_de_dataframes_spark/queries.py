@@ -14329,6 +14329,98 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1–4) of each nation's weekly
+    revenue — the seasonality/persistence diagnostic that completes
+    the time-series shelf (`weekly_trend` slope, `runs_test`
+    randomness, `changepoint_weeks` CUSUM, `ewma_weekly` smoothing;
+    ACF says WHICH lag structure the series carries). Observed-week
+    series (row_number over weeks with orders — the `runs_test`
+    census convention; calendar gaps are a different question,
+    `gapfill_weeks`' job).
+
+    Integer policy: multiply the mean out — with S = Σx and n weeks,
+    (x_t − x̄) scaled by n is (n·x_t − S), an exact integer, so
+    A_k = Σ(n·x_t − S)(n·x_{t+k} − S) and D = Σ(n·x_t − S)² need no
+    division until the single acf_ppm = trunc(A_k·10⁶ / D) site —
+    the `cuped_adjustment` DECIMAL(38,0) moment convention (products
+    reach ~10²³ per term at sf10 — BIGINT dies, DECIMAL(38) holds;
+    truncating division spelled (num − num % den)/den so Spark
+    decimal `/` HALF_UP never rounds, and `%` keeps the dividend's
+    sign so negative autocorrelations truncate toward zero in both
+    engines). Plan: one (nation, week) census shuffle; lag pairing
+    is a census self-join on (nation, t+k) against a ×4 literal lag
+    spine; per-nation moments broadcast back. FLAT in order volume —
+    everything after the census lives on |nations|·|weeks| rows.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("__wk"),
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("__cents"),
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    census = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "__wk")
+        .agg(F.sum("__cents").alias("__x"))
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("__wk")
+    ts = census.select(
+        F.col("c_nationkey").alias("__nat"),
+        F.row_number().over(wr).alias("__t"),
+        "__x",
+    )
+    mom = ts.groupBy("__nat").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+    )
+    dev = (
+        ts.join(F.broadcast(mom), "__nat")
+        .select(
+            "__nat",
+            "__t",
+            "__n",
+            F.expr(
+                "cast(__n as decimal(38,0)) * __x - cast(__s as decimal(38,0))"
+            ).alias("__d"),
+        )
+    )
+    den = dev.groupBy("__nat").agg(
+        F.sum(F.expr("__d * __d")).alias("__den"), F.max("__n").alias("__n")
+    )
+    lags = spark.range(1, 5).select(F.col("id").cast("int").alias("lag"))
+    a = dev.select("__nat", "__t", F.col("__d").alias("__da"))
+    b = dev.select(
+        F.col("__nat").alias("__nat2"),
+        F.col("__t").alias("__t2"),
+        F.col("__d").alias("__db"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("__nat") == F.col("__nat2"))
+            & (F.col("__t2") == F.col("__t") + F.col("lag")),
+        )
+        .groupBy("__nat", "lag")
+        .agg(F.sum(F.expr("__da * __db")).alias("__num"))
+    )
+    expr_div = (
+        "cast(((__num * 1000000) - (__num * 1000000) % __den) / __den as bigint)"
+    )
+    return (
+        num.join(den, "__nat")
+        .filter(F.col("__n") > F.col("lag") + 2)
+        .select(
+            F.col("__nat").cast("long").alias("nationkey"),
+            F.col("lag").cast("long").alias("lag"),
+            F.col("__n").cast("long").alias("n_weeks"),
+            F.expr(expr_div).alias("acf_ppm"),
+        )
+        .orderBy("nationkey", "lag")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -14341,6 +14433,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "acf_weekly": q_acf_weekly,
     "duplicate_payments": q_duplicate_payments,
     "link_prediction": q_link_prediction,
     "sla_compliance": q_sla_compliance,
@@ -14672,6 +14765,7 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # batch-15 additions, newest first
+    "acf_weekly",
     "duplicate_payments",
     "link_prediction",
     "sla_compliance",

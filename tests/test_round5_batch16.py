@@ -1,0 +1,54 @@
+"""Round-5 sixteenth batch: weekly-revenue autocorrelation (ACF).
+
+Oracle parity runs in test_oracle_parity; this pins the exact-integer
+moment formulation against a brute Python replay and the
+Cauchy-Schwarz bound.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import timedelta
+from decimal import Decimal
+
+from manipula_o_de_dataframes_spark.queries import QUERIES
+from manipula_o_de_dataframes_spark.sources.io import read_table
+
+from .conftest import SF_SMOKE
+
+
+def test_acf_brute_integer_replay(spark):
+    """acf_ppm equals the exact-integer minimax-free replay
+    trunc(A_k*1e6 / D) with A_k, D built from (n*x - S) deviations;
+    |acf_ppm| <= 1e6 (Cauchy-Schwarz); short series filtered."""
+    orders = read_table(spark, SF_SMOKE, "orders").collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in read_table(spark, SF_SMOKE, "customer").collect()
+    }
+    weekly = defaultdict(lambda: defaultdict(int))
+    for r in orders:
+        d = r["o_orderdate"].date()
+        wk = d - timedelta(days=d.weekday())
+        cents = int(Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")) * 100)
+        weekly[cust[r["o_custkey"]]][wk] += cents
+    expected = {}
+    for nat, by_wk in weekly.items():
+        xs = [by_wk[w] for w in sorted(by_wk)]
+        n, s = len(xs), sum(xs)
+        dev = [n * x - s for x in xs]
+        den = sum(d * d for d in dev)
+        for lag in range(1, 5):
+            if n <= lag + 2:
+                continue
+            num = sum(dev[t] * dev[t + lag] for t in range(n - lag))
+            q = num * 1_000_000
+            # truncation toward zero
+            ppm = abs(q) // den * (1 if q >= 0 else -1)
+            expected[(nat, lag)] = (n, ppm)
+    out = {(r["nationkey"], r["lag"]): r for r in QUERIES["acf_weekly"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(expected)
+    for k, (n, ppm) in expected.items():
+        assert out[k]["n_weeks"] == n
+        assert out[k]["acf_ppm"] == ppm, k
+        assert abs(out[k]["acf_ppm"]) <= 1_000_000
