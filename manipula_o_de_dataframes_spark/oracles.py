@@ -8324,3 +8324,45 @@ FROM num JOIN den ON den.nat = num.nat
 WHERE den.n > num.lag + 2
 ORDER BY nationkey, lag
 """
+
+
+# Batch-16 mirror (N230): per-source corpus health — composes the
+# dedup-rate and vocab-growth member oracles with an inline Gopher
+# census; all ratios fresh ppm divisions of exact counts.
+ORACLES["corpus_health"] = f"""
+WITH dr AS ({ORACLES["dedup_rate_by_source"]}),
+vg AS ({ORACLES["vocab_growth"]}),
+gf AS (
+  SELECT source,
+    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+    round((CAST(length(text) AS DOUBLE)
+           - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS mlen,
+    round((CAST(len(str_split(text, ' ')) AS DOUBLE)
+           - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS dup,
+    CAST(len(list_filter(str_split(text, ' '),
+             t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT)
+      AS stop_hits
+  FROM documents WHERE text IS NOT NULL
+),
+gq AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN (n_tokens BETWEEN 10 AND 1000)
+                        AND (mlen BETWEEN 2.0 AND 10.0)
+                        AND dup <= 0.6 AND stop_hits >= 2
+                       THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS gopher_pass_ppm
+  FROM gf GROUP BY 1
+)
+SELECT dr.source, dr.n_docs,
+       CAST((dr.n_docs - dr.n_exact_distintos) * 1000000 // dr.n_docs
+            AS BIGINT) AS exact_dup_ppm,
+       CAST(vg.cum_vocab * 1000000 // vg.cum_tokens AS BIGINT)
+         AS vocab_per_mtok,
+       gq.gopher_pass_ppm
+FROM dr
+JOIN (SELECT * FROM vg WHERE decile = 10) vg ON vg.source = dr.source
+JOIN gq ON gq.source = dr.source
+ORDER BY dr.source
+"""

@@ -14421,6 +14421,73 @@ def q_acf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus HEALTH REPORT — the one-table governance
+    view a corpus owner reads before a training run (the
+    ``experiment_report`` composition pattern applied to the corpus
+    shelf): volume, exact-duplication ppm, vocabulary saturation
+    (distinct terms per million tokens at full depth — the
+    ``vocab_growth`` decile-10 point: low = templated/repetitive
+    source), and the Gopher rule-gate pass ppm. Composes
+    ``dedup_rate_by_source`` ⋈ ``vocab_growth``@10 ⋈ an inline
+    per-source Gopher census; the oracle composes the member SQL
+    identically, so the COMPOSITION is what hash-verifies.
+
+    Integer policy: all three ratios are fresh ppm divisions of the
+    members' exact counts (never re-derived from their rounded
+    display columns). Three document scans — one per member lineage,
+    the documented composition trade (``corpus_pipeline`` spools
+    when members share a stage; these three share nothing but the
+    scan, and the scan is the cheap part at any SF).
+    """
+    dr = q_dedup_rate_by_source(spark, sf_dir).select(
+        "source",
+        "n_docs",
+        F.expr("(n_docs - n_exact_distintos) * 1000000 div n_docs").alias(
+            "exact_dup_ppm"
+        ),
+    )
+    vg = (
+        q_vocab_growth(spark, sf_dir)
+        .filter(F.col("decile") == 10)
+        .select(
+            "source",
+            F.expr("cum_vocab * 1000000 div cum_tokens").alias("vocab_per_mtok"),
+        )
+    )
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    dup = F.round(dup_token_ratio("text"), 9)
+    mlen = F.round(mean_token_len("text"), 9)
+    n_tok = token_count("text")
+    gopher = (
+        n_tok.between(10, 1000)
+        & mlen.between(2.0, 10.0)
+        & (dup <= 0.6)
+        & (stopword_hits("text") >= 2)
+    )
+    gq = (
+        d.select("source", gopher.cast("long").alias("__pass"))
+        .groupBy("source")
+        .agg(
+            F.sum("__pass").alias("__p"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select("source", F.expr("__p * 1000000 div __n").alias("gopher_pass_ppm"))
+    )
+    return (
+        dr.join(vg, "source")
+        .join(gq, "source")
+        .select(
+            "source",
+            "n_docs",
+            "exact_dup_ppm",
+            "vocab_per_mtok",
+            "gopher_pass_ppm",
+        )
+        .orderBy("source")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -14433,6 +14500,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "corpus_health": q_corpus_health,
     "acf_weekly": q_acf_weekly,
     "duplicate_payments": q_duplicate_payments,
     "link_prediction": q_link_prediction,
@@ -14764,7 +14832,8 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # batch-15 additions, newest first
+    # batch-16 additions, newest first
+    "corpus_health",
     "acf_weekly",
     "duplicate_payments",
     "link_prediction",

@@ -17,6 +17,28 @@ from manipula_o_de_dataframes_spark.sources.io import read_table
 from .conftest import SF_SMOKE
 
 
+def test_corpus_health_member_agreement(spark):
+    """Each report column re-derives from the member queries' exact
+    counts (never their rounded display ratios)."""
+    dr = {r["source"]: r for r in QUERIES["dedup_rate_by_source"](spark, SF_SMOKE).collect()}
+    vg = {
+        r["source"]: r
+        for r in QUERIES["vocab_growth"](spark, SF_SMOKE).collect()
+        if r["decile"] == 10
+    }
+    out = QUERIES["corpus_health"](spark, SF_SMOKE).collect()
+    assert {r["source"] for r in out} == set(dr) & set(vg)
+    for r in out:
+        m = dr[r["source"]]
+        assert r["n_docs"] == m["n_docs"]
+        assert r["exact_dup_ppm"] == (
+            (m["n_docs"] - m["n_exact_distintos"]) * 1_000_000 // m["n_docs"]
+        )
+        v = vg[r["source"]]
+        assert r["vocab_per_mtok"] == v["cum_vocab"] * 1_000_000 // v["cum_tokens"]
+        assert 0 <= r["gopher_pass_ppm"] <= 1_000_000
+
+
 def test_acf_brute_integer_replay(spark):
     """acf_ppm equals the exact-integer minimax-free replay
     trunc(A_k*1e6 / D) with A_k, D built from (n*x - S) deviations;
