@@ -8366,3 +8366,19 @@ JOIN (SELECT * FROM vg WHERE decile = 10) vg ON vg.source = dr.source
 JOIN gq ON gq.source = dr.source
 ORDER BY dr.source
 """
+
+
+# Batch-16 mirror (N231): per-language tokenizer fertility — the
+# bpe_apply member oracle aggregated over the lang dimension.
+ORACLES["bpe_fertility"] = f"""
+WITH b AS ({ORACLES["bpe_apply"]})
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tok_before) AS BIGINT) AS tok_before,
+       CAST(SUM(b.n_tok_after) AS BIGINT) AS tok_after,
+       CAST(SUM(b.n_tok_after) * 1000000 // SUM(b.n_tok_before) AS BIGINT)
+         AS fertility_ppm
+FROM b JOIN documents d ON d.doc_id = b.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""

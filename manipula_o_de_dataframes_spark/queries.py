@@ -14488,6 +14488,43 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per language — the number a
+    multilingual-pipeline owner tracks when choosing/retraining a
+    tokenizer (how many subword tokens a language pays per word;
+    a language the tokenizer serves badly trains slower and costs
+    more context): per lang, corpus token counts before/after the
+    induced BPE merges and fertility as Σafter·10⁶ div Σbefore ppm
+    (≤ 10⁶ here since merges only fuse). Composes ``bpe_apply``'s
+    per-doc encode with the lang dimension — the composition is the
+    hash-verified artifact, per the ``corpus_health`` convention.
+
+    Plan: the member's zero-shuffle map encode (driver-side 3-row
+    merge artifact inlined as literal replaces) + one doc_id join to
+    re-attach lang + a ≤|langs| census. Integer-exact: counts and
+    one truncating division per lang.
+    """
+    b = q_bpe_apply(spark, sf_dir)
+    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        b.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok_before").cast("long").alias("tok_before"),
+            F.sum("n_tok_after").cast("long").alias("tok_after"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tok_before",
+            "tok_after",
+            F.expr("tok_after * 1000000 div tok_before").alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -14500,6 +14537,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "bpe_fertility": q_bpe_fertility,
     "corpus_health": q_corpus_health,
     "acf_weekly": q_acf_weekly,
     "duplicate_payments": q_duplicate_payments,
@@ -14833,6 +14871,7 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # batch-16 additions, newest first
+    "bpe_fertility",
     "corpus_health",
     "acf_weekly",
     "duplicate_payments",

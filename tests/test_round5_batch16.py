@@ -39,6 +39,29 @@ def test_corpus_health_member_agreement(spark):
         assert 0 <= r["gopher_pass_ppm"] <= 1_000_000
 
 
+def test_bpe_fertility_member_agreement(spark):
+    """Per-lang sums re-derive from the member's per-doc counts;
+    fertility <= 1e6 (merges only fuse) and > 0."""
+    member = {r["doc_id"]: r for r in QUERIES["bpe_apply"](spark, SF_SMOKE).collect()}
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in read_table(spark, SF_SMOKE, "documents").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for doc_id, r in member.items():
+        a = agg[langs[doc_id]]
+        a[0] += 1
+        a[1] += r["n_tok_before"]
+        a[2] += r["n_tok_after"]
+    out = QUERIES["bpe_fertility"](spark, SF_SMOKE).collect()
+    assert {r["lang"] for r in out} == set(agg)
+    for r in out:
+        n, before, after = agg[r["lang"]]
+        assert (r["n_docs"], r["tok_before"], r["tok_after"]) == (n, before, after)
+        assert r["fertility_ppm"] == after * 1_000_000 // before
+        assert 0 < r["fertility_ppm"] <= 1_000_000
+
+
 def test_acf_brute_integer_replay(spark):
     """acf_ppm equals the exact-integer minimax-free replay
     trunc(A_k*1e6 / D) with A_k, D built from (n*x - S) deviations;
