@@ -8382,3 +8382,42 @@ FROM b JOIN documents d ON d.doc_id = b.doc_id
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+
+# Batch-16 mirror (N232): weekly count-vs-revenue lead-lag betas
+# (lags -3..+3) — sqrt-free cross-correlation via regression slopes,
+# HUGEINT moments, one truncating division per (lag, side).
+ORACLES["ccf_weekly"] = """
+WITH o AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+census AS (
+  SELECT wk, CAST(COUNT(*) AS BIGINT) AS x, SUM(cents) AS y
+  FROM o GROUP BY 1
+),
+ts AS (SELECT ROW_NUMBER() OVER (ORDER BY wk) AS t, x, y FROM census),
+mom AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy FROM ts),
+dev AS (
+  SELECT ts.t, m.n,
+         CAST(m.n AS HUGEINT) * ts.x - CAST(m.sx AS HUGEINT) AS dx,
+         CAST(m.n AS HUGEINT) * ts.y - CAST(m.sy AS HUGEINT) AS dy
+  FROM ts CROSS JOIN mom m
+),
+den AS (SELECT SUM(dx * dx) AS dxx, SUM(dy * dy) AS dyy, MAX(n) AS n FROM dev),
+num AS (
+  SELECT l.lag, SUM(a.dx * b.dy) AS a
+  FROM dev a
+  JOIN (SELECT UNNEST(generate_series(-3, 3)) AS lag) l ON TRUE
+  JOIN dev b ON b.t = a.t + l.lag
+  GROUP BY 1
+)
+SELECT CAST(num.lag AS BIGINT) AS lag,
+       CAST(den.n AS BIGINT) AS n_weeks,
+       CAST((num.a * 1000000) // den.dxx AS BIGINT) AS beta_y_on_x_ppm,
+       CAST((num.a * 1000000) // den.dyy AS BIGINT) AS beta_x_on_y_ppm
+FROM num CROSS JOIN den
+WHERE den.n > ABS(num.lag) + 2
+ORDER BY lag
+"""

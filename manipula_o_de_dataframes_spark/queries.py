@@ -14525,6 +14525,83 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between weekly ORDER COUNT and
+    weekly REVENUE (global series, lags −3..+3) — the diagnostic
+    that answers "does volume lead value?": positive-lag peaks mean
+    count moves first (mix shifts toward cheaper orders before
+    revenue follows), the ``acf_weekly`` machinery pointed across
+    two series. Same exact-integer policy: both series' means
+    multiplied out via their shared n, so the lag products
+    A_k = Σ(n·x_t − Sx)(n·y_{t+k} − Sy) and both denominators are
+    DECIMAL(38) moment sums. Pearson's r needs √(Dx·Dy) — a sqrt is
+    the cross-engine trap — so the report is the sqrt-free
+    equivalent pair of lagged REGRESSION SLOPES, A_k·10⁶ div Dx
+    (y-on-x beta) and A_k·10⁶ div Dy (x-on-y beta): one truncating
+    division each, r² = beta₁·beta₂ recoverable offline, and the
+    lead–lag PEAK position (all a lead–lag read needs) identical
+    under either normalization. No transcendental, no sqrt,
+    cross-engine exact.
+
+    Plan: one (week) census off the order scan (count + revenue
+    cents per week), deviations against broadcast moments, a ×7 lag
+    spine self-join on t+k — everything after the census lives on
+    |weeks| rows. FLAT in order volume.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("__wk"),
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("__cents"),
+    )
+    census = o.groupBy("__wk").agg(
+        F.count(F.lit(1)).alias("__x"),
+        F.sum("__cents").alias("__y"),
+    )
+    wr = Window.orderBy("__wk")
+    ts = census.select(F.row_number().over(wr).alias("__t"), "__x", "__y")
+    mom = ts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+    )
+    dev = ts.crossJoin(F.broadcast(mom)).select(
+        "__t",
+        "__n",
+        F.expr("cast(__n as decimal(38,0)) * __x - cast(__sx as decimal(38,0))").alias(
+            "__dx"
+        ),
+        F.expr("cast(__n as decimal(38,0)) * __y - cast(__sy as decimal(38,0))").alias(
+            "__dy"
+        ),
+    )
+    den = dev.agg(
+        F.sum(F.expr("__dx * __dx")).alias("__dxx"),
+        F.sum(F.expr("__dy * __dy")).alias("__dyy"),
+        F.max("__n").alias("__n"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = dev.select("__t", "__dx")
+    b = dev.select(F.col("__t").alias("__t2"), "__dy")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("__t2") == F.col("__t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.expr("__dx * __dy")).alias("__a"))
+    )
+    dx_div = "cast(((__a * 1000000) - (__a * 1000000) % __dxx) / __dxx as bigint)"
+    dy_div = "cast(((__a * 1000000) - (__a * 1000000) % __dyy) / __dyy as bigint)"
+    return (
+        num.crossJoin(F.broadcast(den))
+        .filter(F.col("__n") > F.abs(F.col("lag")) + 2)
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("__n").cast("long").alias("n_weeks"),
+            F.expr(dx_div).alias("beta_y_on_x_ppm"),
+            F.expr(dy_div).alias("beta_x_on_y_ppm"),
+        )
+        .orderBy("lag")
+    )
+
+
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
@@ -14537,6 +14614,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "ccf_weekly": q_ccf_weekly,
     "bpe_fertility": q_bpe_fertility,
     "corpus_health": q_corpus_health,
     "acf_weekly": q_acf_weekly,
@@ -14871,6 +14949,7 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # batch-16 additions, newest first
+    "ccf_weekly",
     "bpe_fertility",
     "corpus_health",
     "acf_weekly",

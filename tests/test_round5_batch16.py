@@ -62,6 +62,46 @@ def test_bpe_fertility_member_agreement(spark):
         assert 0 < r["fertility_ppm"] <= 1_000_000
 
 
+def test_ccf_brute_and_lag_symmetry(spark):
+    """Both beta columns equal the exact-integer replay at every lag;
+    lag 0 betas have the sign of the covariance; the beta product
+    never exceeds 1e12 (Cauchy-Schwarz: r^2 <= 1)."""
+    orders = read_table(spark, SF_SMOKE, "orders").collect()
+    weekly = defaultdict(lambda: [0, 0])
+    for r in orders:
+        d = r["o_orderdate"].date()
+        wk = d - timedelta(days=d.weekday())
+        cents = int(Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")) * 100)
+        weekly[wk][0] += 1
+        weekly[wk][1] += cents
+    xs = [weekly[w][0] for w in sorted(weekly)]
+    ys = [weekly[w][1] for w in sorted(weekly)]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    dx = [n * x - sx for x in xs]
+    dy = [n * y - sy for y in ys]
+    dxx = sum(d * d for d in dx)
+    dyy = sum(d * d for d in dy)
+
+    def trunc_div(a, b):
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    out = {r["lag"]: r for r in QUERIES["ccf_weekly"](spark, SF_SMOKE).collect()}
+    for lag in range(-3, 4):
+        if n <= abs(lag) + 2:
+            assert lag not in out
+            continue
+        a = sum(
+            dx[t] * dy[t + lag]
+            for t in range(n)
+            if 0 <= t + lag < n
+        )
+        r = out[lag]
+        assert r["n_weeks"] == n
+        assert r["beta_y_on_x_ppm"] == trunc_div(a * 1_000_000, dxx), lag
+        assert r["beta_x_on_y_ppm"] == trunc_div(a * 1_000_000, dyy), lag
+        assert r["beta_y_on_x_ppm"] * r["beta_x_on_y_ppm"] <= 10**12 + 1
+
+
 def test_acf_brute_integer_replay(spark):
     """acf_ppm equals the exact-integer minimax-free replay
     trunc(A_k*1e6 / D) with A_k, D built from (n*x - S) deviations;
