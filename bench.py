@@ -110,6 +110,29 @@ def main() -> None:
     baseline_fixtures = {"near_dup_jaccard", "embedding_near_dup"}
     total = round(sum(v for k, v in timings.items() if k not in baseline_fixtures), 3)
     baseline_total = round(sum(timings.get(k, 0.0) for k in baseline_fixtures), 3)
+    # The driver's tail-capture preserves only the last ~120 queries of
+    # the fat per-query line, so round-over-round comparison was sampling
+    # whatever survived truncation. Persist the FULL dict as a repo
+    # artifact so the next round can diff all queries (VERDICT r5 #5).
+    round_n = os.environ.get("SPARK_GRAFT_ROUND", "")
+    full_path = os.path.join(_REPO_DIR, f"BENCH_full_r{round_n}.json" if round_n else "BENCH_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "per_query_wall_seconds",
+                    "unit": "sec",
+                    "queries": timings,
+                    "queries_max_of_2": timings_max,
+                    "sf": sf,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries the dict
     # The driver tail-captures output, so the big per-query dict goes on an
     # EARLIER line and the LAST line stays compact enough that the headline
     # total always survives truncation (r2's single fat line lost its head).

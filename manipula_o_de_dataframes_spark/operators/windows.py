@@ -205,3 +205,136 @@ def with_pct_and_cum_scaled(
     return bucketed.withColumns(cols).drop(
         "__bucket", "__sum_off", "__cnt_off", "__grand"
     )
+
+
+def global_rank_scaled(
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+    *,
+    ascending: bool = True,
+    tiebreaks: tuple[str, ...] = (),
+    partition_cols: tuple[str, ...] = (),
+    n_buckets: int = 32,
+    kind: str = "row_number",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Bucketed two-pass global ROW_NUMBER/RANK — the scale-out for
+    ``row_number().over(Window.orderBy(...))`` (VERDICT r5 #4).
+
+    A plain global ordered window funnels the whole frame through ONE
+    task (Exchange SinglePartition) — correct, but a straggler the
+    moment the windowed input is data-proportional. This computes the
+    same numbers with no unbounded single-partition stage:
+
+    1. range-bucket ``value_col`` at approximate quantiles (probe rides
+       the spool write as an observed metric — zero extra jobs). The
+       bucket is a pure function of the value, so ties NEVER split
+       across buckets regardless of sketch error;
+    2. per-(partition, bucket) row counts aggregate to
+       ≤ |partitions|·n_buckets rows in-plan;
+    3. exact prefix offsets via a window over that tiny census,
+       broadcast-joined back (the only single-partition window in the
+       plan runs on the census, not the data);
+    4. per-bucket windows run in parallel;
+       global rn = within-bucket rn + preceding-bucket count.
+
+    Exactness: row_number needs the (value, *tiebreaks) order to be
+    total within a partition — the same contract the single-window
+    version already required. ``kind="rank"`` (ties share) is exact
+    because rank ties have equal ``value_col`` and equal values share a
+    bucket. ``count_col`` additionally emits the per-partition total
+    (the usual companion ``count().over(Window.partitionBy())`` —
+    riding the same census, no extra global stage).
+
+    NULL ``value_col`` would corrupt every bucket offset (NULL bucket
+    sorts first in the prefix window) — enforced with the same loud
+    ValueError as ``with_pct_and_cum_scaled``.
+    """
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    obs = Observation("global_rank_quantiles")
+    df = _spool(
+        df.observe(
+            obs,
+            F.percentile_approx(
+                F.col(value_col).cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(10_000),
+            ).alias("__q"),
+            F.count_if(F.col(value_col).isNull()).alias("__nulls"),
+        )
+    )
+    if obs.get["__nulls"]:
+        raise ValueError(
+            f"global_rank_scaled requires non-null {value_col!r}: "
+            f"{obs.get['__nulls']} NULL rows found — filter or fill upstream"
+        )
+    bounds = sorted(set(obs.get["__q"] or []), reverse=not ascending)
+
+    # bucket 0 holds the FIRST rows of the order; a row equal to a
+    # boundary stays in the bucket above it (strict compare), keeping
+    # value ties together.
+    bucket = F.lit(0)
+    v = F.col(value_col)
+    for b in bounds:
+        bucket = bucket + ((v > F.lit(b)) if ascending else (v < F.lit(b))).cast("int")
+    bucketed = df.withColumn("__gr_bucket", bucket)
+
+    pc = list(partition_cols)
+    census = bucketed.groupBy(*pc, "__gr_bucket").agg(
+        F.count(F.lit(1)).alias("__gr_c")
+    )
+    w_off = (
+        Window.partitionBy(*pc)
+        .orderBy("__gr_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*pc)
+        .orderBy("__gr_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    off_cols = [
+        F.col(c) for c in pc
+    ] + [
+        F.col("__gr_bucket"),
+        F.coalesce(F.sum("__gr_c").over(w_off), F.lit(0)).cast("long").alias("__gr_off"),
+    ]
+    if count_col:
+        off_cols.append(F.sum("__gr_c").over(w_all).cast("long").alias(count_col))
+    offsets = census.select(*off_cols)
+    bucketed = bucketed.join(F.broadcast(offsets), [*pc, "__gr_bucket"])
+
+    order = [v.asc() if ascending else v.desc()] + [F.col(t) for t in tiebreaks]
+    w_in = Window.partitionBy(*pc, "__gr_bucket").orderBy(*order)
+    fn = F.row_number() if kind == "row_number" else F.rank()
+    return bucketed.withColumn(
+        out_col, (fn.over(w_in) + F.col("__gr_off")).cast("long")
+    ).drop("__gr_bucket", "__gr_off")
+
+
+def ntile_from_rank(rn, n, k: int):
+    """Spark/ANSI NTILE(k) derived arithmetically from a global
+    row_number ``rn`` and total count ``n`` — the piece that lets
+    ``global_rank_scaled`` replace an ntile window: the first n%k
+    tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ (SQL spec distribution,
+    identical in Spark and DuckDB).
+    """
+    rn = F.col(rn) if isinstance(rn, str) else rn
+    n = F.col(n) if isinstance(n, str) else n
+    q = n / F.lit(k)  # placeholder, replaced below by integer ops
+    big = (n % k) * ((n.cast("long") / F.lit(k)).cast("long") + 1)
+    return (
+        F.when(
+            rn <= big,
+            (rn - 1) / ((n.cast("long") / F.lit(k)).cast("long") + 1),
+        )
+        .otherwise(
+            F.lit(n % k)
+            + (rn - big - 1) / (n.cast("long") / F.lit(k)).cast("long")
+        )
+        .cast("long")
+        + 1
+    )

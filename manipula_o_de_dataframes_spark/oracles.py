@@ -3568,7 +3568,7 @@ per AS (
 ),
 g AS (SELECT SUM(total_chars) AS grand FROM per)
 SELECT shard, n_docs, total_chars,
-       ((total_chars - grand // 8) * 1000000) // (grand // 8) AS skew_ppm
+       CAST(((total_chars - grand // 8) * 1000000) // (grand // 8) AS BIGINT) AS skew_ppm
 FROM per CROSS JOIN g
 ORDER BY shard
 """
@@ -3593,11 +3593,11 @@ bl AS (
 )
 SELECT o.digit,
        CAST(o.n_obs AS BIGINT) AS n_obs,
-       (o.n_obs * 1000000) // t.total AS obs_ppm,
+       CAST((o.n_obs * 1000000) // t.total AS BIGINT) AS obs_ppm,
        CAST(bl.benford_ppm AS BIGINT) AS benford_ppm,
-       ((o.n_obs * 1000000) // t.total - bl.benford_ppm)
+       CAST(((o.n_obs * 1000000) // t.total - bl.benford_ppm)
          * ((o.n_obs * 1000000) // t.total - bl.benford_ppm) // bl.benford_ppm
-         AS chi2_ppm
+         AS BIGINT) AS chi2_ppm
 FROM obs o CROSS JOIN t JOIN bl ON bl.digit = o.digit
 ORDER BY o.digit
 """
@@ -4284,9 +4284,9 @@ SELECT CAST(L AS BIGINT) AS week_k,
             AS BIGINT) AS at_risk,
        CAST(churn AS BIGINT) AS n_churned,
        CAST(cens AS BIGINT) AS n_censored,
-       (churn * 1000000) // (SUM(n) OVER (ORDER BY L DESC
+       CAST((churn * 1000000) // (SUM(n) OVER (ORDER BY L DESC
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         AS hazard_ppm
+            AS BIGINT) AS hazard_ppm
 FROM census ORDER BY week_k
 """
 
@@ -4360,7 +4360,7 @@ SELECT CAST(dow_iso AS INT) AS dow_iso,
        CAST(n AS BIGINT) AS n_events,
        cents,
        (cents * 10) // n AS mean_milli,
-       ((cents * 10) // n) * 1000000 // ((g_cents * 10) // g_n) AS index_ppm
+       CAST(((cents * 10) // n) * 1000000 // ((g_cents * 10) // g_n) AS BIGINT) AS index_ppm
 FROM census CROSS JOIN g
 ORDER BY dow_iso
 """
@@ -4484,7 +4484,7 @@ ORDER BY revenue DESC, n.n_name ASC
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag,
        l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
@@ -4530,7 +4530,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 ORACLES["tpch_q18"] = """
 WITH big AS (
-  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
 )
@@ -4609,11 +4609,11 @@ SELECT layout,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
-       SUM(n_rows) AS rows_total,
-       SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
-           THEN n_rows ELSE 0 END) AS rows_skipped,
-       SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
-           THEN n_rows ELSE 0 END) * 1000000 // SUM(n_rows) AS skip_ppm
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
+           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+       CAST(SUM(CASE WHEN max_d < date_diff('day', DATE '1970-01-01', DATE '2000-01-01')
+           THEN n_rows ELSE 0 END) * 1000000 // SUM(n_rows) AS BIGINT) AS skip_ppm
 FROM zones GROUP BY layout ORDER BY layout
 """
 
@@ -4786,8 +4786,8 @@ WITH rev AS (
   GROUP BY 1, 2
 ), piv AS (
   SELECT n_name,
-         COALESCE(SUM(CASE WHEN part = 'base' THEN cents END), 0) AS base_cents,
-         COALESCE(SUM(CASE WHEN part = 'delta' THEN cents END), 0) AS delta_cents
+         CAST(COALESCE(SUM(CASE WHEN part = 'base' THEN cents END), 0) AS BIGINT) AS base_cents,
+         CAST(COALESCE(SUM(CASE WHEN part = 'delta' THEN cents END), 0) AS BIGINT) AS delta_cents
   FROM rev GROUP BY 1
 ), full_mv AS (
   SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS full_cents
@@ -4797,7 +4797,7 @@ WITH rev AS (
   GROUP BY 1
 )
 SELECT p.n_name, p.base_cents, p.delta_cents,
-       p.base_cents + p.delta_cents AS merged_cents,
+       CAST(p.base_cents + p.delta_cents AS BIGINT) AS merged_cents,
        f.full_cents,
        CAST(CASE WHEN p.base_cents + p.delta_cents = f.full_cents THEN 1 ELSE 0 END AS BIGINT)
          AS match
@@ -5064,7 +5064,7 @@ WITH counts AS (
   SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM counts
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
-       SUM(x) AS total_orders,
+       CAST(SUM(x) AS BIGINT) AS total_orders,
        CAST(round(
          (CAST(2 AS DOUBLE) * CAST(SUM(i * x) AS DOUBLE)
             / CAST(COUNT(*) * SUM(x) AS DOUBLE)
@@ -5109,8 +5109,8 @@ ranked AS (
 SELECT source,
        n_s AS n_docs,
        v AS argmax_len,
-       abs(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s)
-         * 1000000 // (n_s * (n_all - n_s)) AS ks_d_ppm
+       CAST(abs(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s)
+         * 1000000 // (n_s * (n_all - n_s)) AS BIGINT) AS ks_d_ppm
 FROM ranked WHERE rn = 1 ORDER BY source
 """
 
@@ -5131,7 +5131,7 @@ WITH versioned AS (
 )
 SELECT n.n_name, vd.ver,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(vd.bal) AS pit_bal_cents
+       CAST(SUM(vd.bal) AS BIGINT) AS pit_bal_cents
 FROM orders o
 JOIN versioned vd ON o.o_custkey = vd.c_custkey
   AND o.o_orderdate >= vd.eff_from AND o.o_orderdate < vd.eff_to
@@ -5211,7 +5211,7 @@ scored AS (
   FROM census c CROSS JOIN mx m
 )
 SELECT p.p_name, CAST(s.l_partkey AS BIGINT) AS partkey,
-       SUM(s.decayed) AS decayed_score
+       CAST(SUM(s.decayed) AS BIGINT) AS decayed_score
 FROM scored s JOIN part p ON s.l_partkey = p.p_partkey
 GROUP BY 1, 2
 ORDER BY decayed_score DESC, partkey
@@ -5254,7 +5254,7 @@ WITH buys AS (
 SELECT position,
        CAST(COUNT(*) AS BIGINT) AS n_touches,
        CAST(SUM(w) AS BIGINT) AS total_weight_ppm,
-       SUM(CAST(cents AS BIGINT) * w // 1000000) AS credited_cents
+       CAST(SUM(CAST(cents AS BIGINT) * w // 1000000) AS BIGINT) AS credited_cents
 FROM weighted GROUP BY 1 ORDER BY 1
 """
 
@@ -5277,11 +5277,11 @@ WITH flagged AS (
               WHEN depth <= 10 THEN '4-10'
               ELSE '11+' END AS depth_band,
          CAST(COUNT(*) AS BIGINT) AS n_sessions,
-         SUM(depth) AS n_events
+         CAST(SUM(depth) AS BIGINT) AS n_events
   FROM depth GROUP BY 1
 ), tot AS (SELECT SUM(n_sessions) AS t FROM banded)
 SELECT depth_band, n_sessions, n_events,
-       n_sessions * 1000000 // (SELECT t FROM tot) AS share_ppm
+       CAST(n_sessions * 1000000 // (SELECT t FROM tot) AS BIGINT) AS share_ppm
 FROM banded ORDER BY depth_band
 """
 
@@ -5450,10 +5450,10 @@ SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate
             WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90
             THEN '2-OK'
             ELSE '3-LATE' END AS delay_band,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -5544,7 +5544,7 @@ WITH li AS (
   FROM li GROUP BY 1
 )
 SELECT COUNT(*) AS n_small_lines,
-       COALESCE(SUM(li.cents), 0) AS total_cents,
+       CAST(COALESCE(SUM(li.cents), 0) AS BIGINT) AS total_cents,
        CAST(COALESCE(SUM(li.cents), 0) AS DOUBLE) / 700.0 AS avg_yearly
 FROM li JOIN stats st ON li.p_partkey = st.p_partkey
 WHERE 5 * li.qty * st.cnt < st.sum_qty
@@ -5553,7 +5553,7 @@ WHERE 5 * li.qty * st.cnt < st.sum_qty
 ORACLES["tpch_q11"] = """
 WITH per_part AS (
   SELECT l.l_partkey,
-         SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS value_cents
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -5583,7 +5583,7 @@ WHERE (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 5
 
 ORACLES["tpch_q20"] = """
 WITH per_supp AS (
-  SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS BIGINT)) AS shipped_qty
+  SELECT l.l_suppkey, CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS shipped_qty
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey
   WHERE p.p_name LIKE '%blue%'
@@ -5690,7 +5690,7 @@ WITH li AS (
   FROM li GROUP BY 1, 2
 ), moments AS (
   SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
-         SUM(x * x) AS sxx, SUM(cents) AS revenue_cents
+         SUM(x * x) AS sxx, CAST(SUM(cents) AS BIGINT) AS revenue_cents
   FROM weekly GROUP BY 1 HAVING SUM(x) > 0
 ), classed AS (
   SELECT l_partkey, revenue_cents,
@@ -5699,7 +5699,7 @@ WITH li AS (
   FROM moments
 )
 SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
-       SUM(revenue_cents) AS revenue_cents
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
 FROM classed GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -5714,9 +5714,9 @@ h2 AS (SELECT o_custkey, cents AS c2 FROM per WHERE h = 1),
 both_h AS (SELECT h1.o_custkey, c1, c2 FROM h1 JOIN h2 USING (o_custkey))
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_comparable,
-       SUM(b.c1) AS h1_cents,
-       SUM(b.c2) AS h2_cents,
-       (SUM(b.c2) - SUM(b.c1)) * 1000000 // SUM(b.c1) AS samecust_growth_ppm
+       CAST(SUM(b.c1) AS BIGINT) AS h1_cents,
+       CAST(SUM(b.c2) AS BIGINT) AS h2_cents,
+       CAST((SUM(b.c2) - SUM(b.c1)) * 1000000 // SUM(b.c1) AS BIGINT) AS samecust_growth_ppm
 FROM both_h b
 JOIN customer c ON b.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -5787,9 +5787,9 @@ SELECT state, mass AS steady_ppm FROM v3 ORDER BY state
 ORACLES["discount_elasticity"] = """
 SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
-       SUM(CAST(l_quantity AS BIGINT)) * 1000 // COUNT(*) AS avg_qty_milli,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000 // COUNT(*) AS BIGINT) AS avg_qty_milli,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
@@ -5844,8 +5844,8 @@ folds AS (
 )
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(n_weeks AS BIGINT) AS n_weeks,
-       prefix[-1] AS final_cents,
-       list_max(prefix) AS peak_cents
+       CAST(prefix[-1] AS BIGINT) AS final_cents,
+       CAST(list_max(prefix) AS BIGINT) AS peak_cents
 FROM folds ORDER BY user_id
 """
 
@@ -5881,7 +5881,7 @@ SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
        CAST(c.n_active AS BIGINT) AS n_active,
        CAST(c.rev_cents AS BIGINT) AS rev_cents,
        CAST(c.cum_cents AS BIGINT) AS cum_cents,
-       (c.cum_cents * 10) // s.cohort_users AS ltv_per_user_milli
+       CAST((c.cum_cents * 10) // s.cohort_users AS BIGINT) AS ltv_per_user_milli
 FROM cum c JOIN sizes s ON s.cohort = c.cohort
 ORDER BY cohort_week, age_weeks
 """
@@ -5957,7 +5957,7 @@ streaks AS (
 ),
 masks AS (
   SELECT d.user_id,
-         SUM(DISTINCT (CAST(1 AS BIGINT) << d.d)) AS day_mask,
+         CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << d.d)) AS BIGINT) AS day_mask,
          COUNT(DISTINCT d.d) AS n_active_days
   FROM days d GROUP BY 1
 )

@@ -45,7 +45,22 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     a, b = _canon(sp), _canon(oracle_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+        # The driver's value hash is dtype-/rendering-sensitive: a bigint
+        # Spark column meeting a float64 oracle column hash-mismatches even
+        # when every value is equal (r5's km_survival red — DuckDB HUGEINT
+        # division surfacing as float64). Flag int-vs-float skew outright
+        # instead of silently widening both sides to float64.
+        a_float = np.issubdtype(a[c].dtype, np.floating)
+        b_float = np.issubdtype(b[c].dtype, np.floating)
+        a_int = np.issubdtype(a[c].dtype, np.integer)
+        b_int = np.issubdtype(b[c].dtype, np.integer)
+        if (a_float and b_int) or (a_int and b_float):
+            issues.append(
+                f"col {c}: DTYPE-SKEW spark={a[c].dtype} oracle={b[c].dtype} "
+                "(driver hash is dtype-sensitive; CAST the oracle or the query)"
+            )
+            continue
+        if a_float or b_float:
             af = a[c].astype("float64").to_numpy()
             bf = b[c].astype("float64").to_numpy()
             both_nan = np.isnan(af) & np.isnan(bf)

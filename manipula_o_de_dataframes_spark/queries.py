@@ -14948,95 +14948,39 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # batch-16 additions, newest first
-    "ccf_weekly",
-    "bpe_fertility",
-    "corpus_health",
-    "acf_weekly",
-    "duplicate_payments",
-    "link_prediction",
-    "sla_compliance",
-    # batch-14 additions, newest first
-    "weekly_ohlc",
-    "vocab_growth",
-    "burst_detection",
-    # batch-13 additions, newest first
-    "isotonic_calibration",
-    "km_survival",
-    "order_reconciliation",
-    # batch-12 additions, newest first
-    "inverted_index",
-    "entity_resolution",
-    "bfs_distances",
-    # batch-11 additions, newest first
-    "experiment_report",
-    "quantile_treatment_effects",
-    "srm_check",
-    "cuped_adjustment",
-    # batch-10 additions, newest first
-    "t_closeness_audit",
-    "gate_fairness_audit",
-    # batch-9 additions, newest first
-    "cep_pattern_match",
-    # batch-8 additions (N207-N209), newest first
-    "stream_upsert",
-    "join_order_audit",
-    "restatement_audit",
-    # batch-7 additions (N205-N206), newest first
-    "burn_rate_alerts",
-    "incident_metrics",
-    # batch-6 additions (N202-N204), newest first
-    "source_shapley",
-    "max_coverage_select",
-    "pocock_monitor",
-    # batch-5 additions (N198-N201), newest first
-    "ndcg_eval",
-    "bandit_replay",
-    "diff_in_diff",
-    "runs_test",
-    # batch-4 additions (N190-N197), newest first
-    "mann_whitney_u",
-    "kendall_tau",
-    "spearman_corr",
-    "chi2_terms",
-    "stump_gate",
-    "half_sample_ci",
-    "forecast_tournament",
-    "sequence_mining",
-    # close-out batch (N166-N189), newest first
-    "ivf_probe_sweep",
-    "banding_recall_audit",
-    "conformal_coverage",
-    "brier_decomposition",
-    "survey_raking",
-    "littles_law_audit",
-    "credibility_smoothing",
-    "mrr_waterfall",
-    "fair_token_budget",
-    "mix_rate_bridge",
-    "behavioral_cohort",
-    "neighborhood_function", "association_rules", "rendezvous_sharding",
-    "markov_attribution", "hyperball_2hop", "weighted_sample",
-    "shapley_channels", "rake_keywords", "quantile_normalize",
-    "apriori_triples", "activity_bitmaps", "leakage_safe_features",
-    "rle_sort_key_planner",
-    # one-per-family representatives of the r5 continuation
-    "tpch_q1", "tpch_q7", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21",
-    "label_propagation", "triangle_counts", "kcore_peel",
-    "winnow_near_dup", "cdc_chunk_dedup", "kcenter_coreset",
-    "maxsim_search", "keyset_page",
-    "stream_running_totals", "attribution_stream_wm", "enrich_stream",
-    "holt_trend", "theilsen_trend", "ewma_weekly", "naive_forecast_mape",
-    "capped_balance", "revenue_recognition", "twab_balance", "ltv_cohorts",
-    "state_snapshot_diff", "scd2_pit_join", "mv_join_delta",
-    "mad_outliers", "benford_audit", "ks_length_drift",
-    "order_count_gini", "weighted_median_price",
-    "zonemap_prune_audit", "bloom_join_prune", "range_split_points",
-    "balanced_shards",
-    "event_paths", "conversion_latency", "session_depth_profile",
-    "rfm_migration", "audience_overlap",
-    "l_diversity_audit", "fd_discovery",
-    "transition_steady_state", "discount_elasticity", "pareto_frontier",
+    # r6 rotation (VERDICT r5 #3): re-verify the two ever-red fixes
+    # (km_survival — r5 oracle-typing red, now CAST'd; join_skew_profile
+    # — r4 red, r5 fix never driver-sampled), then the 25 dtype-fixed
+    # oracles (each a guaranteed red before the CASTs), the full TPC-H
+    # suite, then every remaining query with no CORRECTNESS_r* row.
+    "km_survival", "join_skew_profile", "hazard_weekly", "activity_bitmaps",
+    "tpch_q1", "tpch_q17", "capped_balance", "ltv_cohorts",
+    "scd2_pit_join", "mv_join_delta", "benford_audit", "ks_length_drift",
+    "order_count_gini", "zonemap_prune_audit", "balanced_shards", "session_depth_profile",
+    "discount_elasticity", "tpch_q12", "tpch_q11", "tpch_q20",
+    "tpch_q18", "decayed_item_rank", "position_attribution", "abc_xyz_matrix",
+    "same_customer_growth", "weekday_seasonality", "tpch_q2", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19",
+    "tpch_q21", "tpch_q22", "mrr_waterfall", "fair_token_budget",
+    "mix_rate_bridge", "behavioral_cohort", "neighborhood_function", "association_rules",
+    "rendezvous_sharding", "markov_attribution", "hyperball_2hop", "weighted_sample",
+    "shapley_channels", "rake_keywords", "quantile_normalize", "apriori_triples",
+    "leakage_safe_features", "rle_sort_key_planner", "label_propagation", "triangle_counts",
+    "kcore_peel", "winnow_near_dup", "cdc_chunk_dedup", "kcenter_coreset",
+    "maxsim_search", "keyset_page", "stream_running_totals", "attribution_stream_wm",
+    "enrich_stream", "holt_trend", "theilsen_trend", "ewma_weekly",
+    "naive_forecast_mape", "revenue_recognition", "twab_balance", "state_snapshot_diff",
+    "mad_outliers", "weighted_median_price", "bloom_join_prune", "range_split_points",
+    "event_paths", "conversion_latency", "rfm_migration", "audience_overlap",
+    "l_diversity_audit", "fd_discovery", "transition_steady_state", "pareto_frontier",
+    "topk_with_ties", "zipf_audit", "source_overlap_matrix", "interpolate_weeks",
+    "ab_contingency_chi2", "backlog_aging", "stream_late_drop", "embedding_dim_profile",
+    "grouping_sets_rollup", "event_cooccurrence", "shard_manifest", "seasonal_band_breaches",
+    "rounding_drift_audit", "key_gap_islands", "join_size_estimate", "prefix_jaccard_join",
+    "open_order_concurrency", "column_profile", "mv_refresh", "trust_propagation",
+    "event_value_by_nation", "pagerank_items", "prefix_dup_groups", "winsorized_stats",
 ]
 assert set(_DRIVER_SAMPLE_PRIORITY) <= set(QUERIES), (
     sorted(set(_DRIVER_SAMPLE_PRIORITY) - set(QUERIES))

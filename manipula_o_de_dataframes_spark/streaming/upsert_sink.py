@@ -33,29 +33,45 @@ MERGED_SCHEMA = "pedido long, situacao string, total double, origem string"
 def merge_batch(state_dir: str, batch: DataFrame) -> None:
     """MERGE one micro-batch of final-form rows into the parquet
     state: batch rows win on key collision (last-writer-wins), state
-    rows survive otherwise. Overwrite goes through a temp dir +
-    atomic rename so a crash mid-write can't leave a half state."""
+    rows survive otherwise.
+
+    The overwrite is staged (write ``.next``, swap via rename). The
+    two renames are not jointly atomic — a crash between them leaves
+    no ``state_dir`` — so recovery is explicit: a surviving ``.old``
+    with no live state dir is promoted back on the next call, and any
+    stale ``.next``/``.old`` from a crashed run is cleared up front so
+    the renames can't collide. In a lakehouse format the transaction
+    log does this job; here the recovery protocol is the log.
+
+    Last-writer-wins is ROW-level: the merge picks the whole batch-side
+    struct when the key matched, never coalescing column-by-column, so
+    a NULL field in a batch row correctly overwrites (not resurrects)
+    the old value.
+    """
     spark = batch.sparkSession
+    old = state_dir + ".old"
+    tmp_out = state_dir + ".next"
+    # Recover from a crash between the two renames: promote .old back.
+    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")) and os.path.exists(
+        os.path.join(old, "_SUCCESS")
+    ):
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(old, state_dir)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     b = batch.select("pedido", "situacao", "total", "origem")
     if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
         state = spark.read.schema(MERGED_SCHEMA).parquet(state_dir)
-        s = state.select(
-            F.col("pedido").alias("__k"),
-            F.col("situacao").alias("__sit"),
-            F.col("total").alias("__tot"),
-            F.col("origem").alias("__org"),
-        )
-        merged = b.join(s, b["pedido"] == s["__k"], "full_outer").select(
-            F.coalesce(F.col("pedido"), F.col("__k")).alias("pedido"),
-            F.coalesce(F.col("situacao"), F.col("__sit")).alias("situacao"),
-            F.coalesce(F.col("total"), F.col("__tot")).alias("total"),
-            F.coalesce(F.col("origem"), F.col("__org")).alias("origem"),
+        bn = b.select(F.col("pedido").alias("__bk"), F.struct("*").alias("__b"))
+        sn = state.select(F.col("pedido").alias("__sk"), F.struct("*").alias("__s"))
+        merged = (
+            bn.join(sn, bn["__bk"] == sn["__sk"], "full_outer")
+            .select(F.coalesce(F.col("__b"), F.col("__s")).alias("__r"))
+            .select("__r.*")
         )
     else:
         merged = b
-    tmp_out = state_dir + ".next"
     merged.write.mode("overwrite").parquet(tmp_out)
-    old = state_dir + ".old"
     if os.path.exists(state_dir):
         os.rename(state_dir, old)
     os.rename(tmp_out, state_dir)
@@ -104,6 +120,16 @@ def upsert_drained(spark: SparkSession, sf_dir: str, state_dir: str | None = Non
         )
         base.coalesce(1).write.parquet(os.path.join(watch_dir, "d1_base"))
         upd.coalesce(1).write.parquet(os.path.join(watch_dir, "d2_updates"))
+        # FileStreamSource orders files by modification time; the two
+        # back-to-back writes can tie on mtime, which would invert the
+        # batch order and let last-writer-wins flip updates back to
+        # 'original'. Pin strictly increasing mtimes (stateful.py does
+        # the same for its staged deliveries).
+        for i, sub in enumerate(("d1_base", "d2_updates"), start=1):
+            t = 1_000_000_000 + i * 100
+            for root, _dirs, files in os.walk(os.path.join(watch_dir, sub)):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t, t))
         stream = (
             spark.readStream.schema(MERGED_SCHEMA)
             .option("maxFilesPerTrigger", 1)

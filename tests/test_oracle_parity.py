@@ -68,6 +68,9 @@ TZ_SENSITIVE = [
     "burn_rate_alerts", "incident_metrics", "restatement_audit",
     "cep_pattern_match", "srm_check", "cuped_adjustment",
     "quantile_treatment_effects", "experiment_report",
+    # batch-12..16: week/day-bucketed and epoch-second-derived members
+    "weekly_ohlc", "acf_weekly", "ccf_weekly", "sla_compliance",
+    "duplicate_payments", "burst_detection", "km_survival",
 ]
 
 
@@ -88,3 +91,22 @@ def test_parity_under_non_utc_session(spark, name):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert not issues, f"{name} under SP tz: " + " | ".join(issues)
+
+
+def test_compare_flags_int_vs_float_dtype_skew(spark):
+    """The r5 km_survival red class: identical VALUES, bigint on the
+    Spark side vs float64 on the oracle side (DuckDB HUGEINT via
+    pandas). The driver's value hash is dtype-sensitive, so the local
+    gate must flag this even though every value compares equal —
+    pre-r6 it silently widened both sides to float64 and blessed a
+    guaranteed driver red."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame([(1, 46666), (2, 0)], "k int, hazard_ppm bigint")
+    oracle = pd.DataFrame({"k": [1, 2], "hazard_ppm": [46666.0, 0.0]})
+    issues = compare(sdf, oracle)
+    assert issues and "DTYPE-SKEW" in issues[0], issues
+    # and the clean case still passes
+    ok = pd.DataFrame({"k": pd.array([1, 2], dtype="int32"),
+                       "hazard_ppm": pd.array([46666, 0], dtype="int64")})
+    assert compare(sdf, ok) == []
