@@ -324,17 +324,12 @@ def ntile_from_rank(rn, n, k: int):
     """
     rn = F.col(rn) if isinstance(rn, str) else rn
     n = F.col(n) if isinstance(n, str) else n
-    q = n / F.lit(k)  # placeholder, replaced below by integer ops
-    big = (n % k) * ((n.cast("long") / F.lit(k)).cast("long") + 1)
+    q = F.floor(n / k).cast("long")  # small-tile size
+    r = (n % k).cast("long")  # number of big (q+1-row) tiles
+    big = r * (q + 1)  # rows covered by the big tiles
     return (
-        F.when(
-            rn <= big,
-            (rn - 1) / ((n.cast("long") / F.lit(k)).cast("long") + 1),
-        )
-        .otherwise(
-            F.lit(n % k)
-            + (rn - big - 1) / (n.cast("long") / F.lit(k)).cast("long")
-        )
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - big - 1) / q))
         .cast("long")
         + 1
     )

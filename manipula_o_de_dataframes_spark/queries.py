@@ -41,6 +41,7 @@ from .operators import joins as jn
 from .operators.joins import enrich, left_unique, unmatched_keys
 from .operators.sets import union_by_name
 from .operators.sorting import paginate, sorted_distinct, top_k
+from .operators.windows import global_rank_scaled, ntile_from_rank
 from .plans.abc import abc_classification, abc_classification_scaled
 from .plans.history import product_client_history
 from .plans.pending import pending_by_week
@@ -1261,10 +1262,12 @@ def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass p = rank div 8.
     """
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
-    ranked = d.select(
-        "n_chars", (F.row_number().over(w) - 1).alias("__r")
-    )
+    # bucketed two-pass global rank (operators/windows.py) — no
+    # unbounded Exchange(SinglePartition); was the documented
+    # single-partition edge until r6
+    ranked = global_rank_scaled(
+        d, "n_chars", "__rn", ascending=False, tiebreaks=("doc_id",)
+    ).select("n_chars", (F.col("__rn") - 1).alias("__r"))
     shard = F.when(
         F.expr("(__r div 8) % 2 = 0"), F.expr("__r % 8")
     ).otherwise(F.expr("7 - (__r % 8)"))
@@ -2166,21 +2169,40 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequencia"),
         F.sum(F.col("o_totalprice").cast(MONEY)).alias("__mon"),
     )
-    w_r = Window.orderBy(F.col("__rec").desc(), F.col("cliente"))
-    w_f = Window.orderBy(F.col("frequencia").desc(), F.col("cliente"))
-    w_m = Window.orderBy(F.col("__mon").desc(), F.col("cliente"))
-    return per_c.select(
+    # Three ntile(5) windows, each the documented single-partition
+    # edge until r6 — now each quintile is the bucketed two-pass
+    # global row_number (operators/windows.py) with NTILE derived
+    # arithmetically from (rn, n). Recency ranks on a lossless
+    # MICROSECOND epoch long (timestampdiff on NTZ — tz-free), so the
+    # (rec desc, cliente) order matches the oracle exactly; the three
+    # ranks chain (each call spools its input once), no joins.
+    rec_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1990-01-01 00:00:00', __rec)"
+    )
+    scored = per_c.withColumn("__rec_us", rec_us)
+    scored = global_rank_scaled(
+        scored, "__rec_us", "__rn_r", ascending=False, tiebreaks=("cliente",),
+        count_col="__n",
+    )
+    scored = global_rank_scaled(
+        scored, "frequencia", "__rn_f", ascending=False, tiebreaks=("cliente",)
+    )
+    scored = global_rank_scaled(
+        scored, "__mon", "__rn_m", ascending=False, tiebreaks=("cliente",)
+    )
+    r_score = ntile_from_rank("__rn_r", "__n", 5)
+    f_score = ntile_from_rank("__rn_f", "__n", 5)
+    m_score = ntile_from_rank("__rn_m", "__n", 5)
+    return scored.select(
         "cliente",
         F.date_format("__rec", "yyyy-MM-dd").alias("ultima_compra"),
         "frequencia",
         F.col("__mon").cast("double").alias("valor_total"),
-        F.ntile(5).over(w_r).cast("long").alias("r_score"),
-        F.ntile(5).over(w_f).cast("long").alias("f_score"),
-        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
         F.concat(
-            F.ntile(5).over(w_r).cast("string"),
-            F.ntile(5).over(w_f).cast("string"),
-            F.ntile(5).over(w_m).cast("string"),
+            r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
         ).alias("segmento"),
     )
 
@@ -6121,14 +6143,12 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
     )
     ranked = s.withColumn("src_rank", src_rank.cast("long"))
-    position = F.row_number().over(Window.orderBy("src_rank", "source"))
-    return ranked.select(
-        position.cast("long").alias("position"),
-        "doc_id",
-        "source",
-        "src_rank",
-        "quality",
-    )
+    # global interleave position via the bucketed two-pass rank — the
+    # (src_rank, source) order is total, and bucketing on src_rank
+    # keeps ties (same rank, different sources) in one bucket
+    return global_rank_scaled(
+        ranked, "src_rank", "position", ascending=True, tiebreaks=("source",)
+    ).select("position", "doc_id", "source", "src_rank", "quality")
 
 
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6717,9 +6737,8 @@ def q_key_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    wseq = Window.orderBy("o_orderkey")
-    isl = f.withColumn(
-        "__isl", F.col("o_orderkey") - F.row_number().over(wseq)
+    isl = global_rank_scaled(f, "o_orderkey", "__rn").withColumn(
+        "__isl", F.col("o_orderkey") - F.col("__rn")
     )
     groups = isl.groupBy("__isl").agg(
         F.min("o_orderkey").alias("start_key"),
@@ -7865,9 +7884,9 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = purch.filter(F.col("s0").isNotNull()).select(
         "user_id", F.expr("(p0 - s0) div 60").alias("delta_min")
     )
-    w = Window.orderBy("delta_min", "user_id")
-    ranked = deltas.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = global_rank_scaled(
+        deltas, "delta_min", "rn", ascending=True, tiebreaks=("user_id",),
+        count_col="n",
     )
     pct = F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90)])).alias("pct")
     spine = ranked.select("rn", "delta_min", "n").crossJoin(
@@ -13498,14 +13517,10 @@ def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as long) % 2"
         ).alias("__arm"),
     )
-    w = Window.partitionBy("__arm").orderBy("__cents", "user_id")
-    nw = Window.partitionBy("__arm")
-    ranked = per_user.select(
-        "__arm",
-        "__cents",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(nw).alias("__n"),
-    )
+    ranked = global_rank_scaled(
+        per_user, "__cents", "__rn", ascending=True, tiebreaks=("user_id",),
+        partition_cols=("__arm",), count_col="__n",
+    ).select("__arm", "__cents", "__rn", "__n")
     dec = None
     for p in range(10, 100, 10):
         arm_vals = (

@@ -825,3 +825,45 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
         assert j.count() == expect
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_global_rank_scaled_queries_have_no_unbounded_single_partition(spark):
+    """VERDICT r5 #4: the six global-window queries were correct but
+    scale-killers — row_number()/ntile() over Window.orderBy(...) with
+    no partition funnels the whole frame through ONE task. After the
+    bucketed two-pass rewrite (operators/windows.py global_rank_scaled)
+    every data-proportional window must be partitioned by __gr_bucket;
+    the only SinglePartition stages left are census-bounded (the
+    ≤n_buckets offsets frame, one-row totals). Pin: every row_number/
+    rank windowspec in the plan carries the __gr_bucket partition, and
+    the Python interpreter never appears."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name in (
+        "balanced_shards",
+        "curriculum_order",
+        "key_gap_islands",
+        "conversion_latency",
+        "quantile_treatment_effects",
+        "rfm_segments",
+    ):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, f"{name}: Python in the hot path\n{p}"
+        assert "__gr_bucket" in p, f"{name}: two-pass rank path missing\n{p}"
+        for ln in p.splitlines():
+            for fn in ("row_number() windowspecdefinition(", "rank(") :
+                if fn in ln and "windowspecdefinition(" in ln:
+                    # src_rank's per-source window (curriculum) and other
+                    # key-partitioned windows are fine; only an ORDER-only
+                    # spec (no partition columns before the first ASC/DESC
+                    # sort spec... conservatively: no partition at all) is
+                    # the straggler. A windowspecdefinition whose argument
+                    # list starts directly with a sort order has no
+                    # partition columns.
+                    spec = ln.split("windowspecdefinition(", 1)[1]
+                    first_arg = spec.split(",", 1)[0]
+                    assert (
+                        "DESC" not in first_arg and "ASC" not in first_arg
+                    ) or "specifiedwindowframe" in first_arg, (
+                        f"{name}: unpartitioned ranking window\n{ln}"
+                    )

@@ -71,6 +71,9 @@ TZ_SENSITIVE = [
     # batch-12..16: week/day-bucketed and epoch-second-derived members
     "weekly_ohlc", "acf_weekly", "ccf_weekly", "sla_compliance",
     "duplicate_payments", "burst_detection", "km_survival",
+    # r6 global_rank_scaled rewrites that rank on epoch-derived longs
+    # or render timestamps
+    "rfm_segments", "balanced_shards", "key_gap_islands",
 ]
 
 
