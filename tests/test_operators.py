@@ -445,3 +445,70 @@ def test_graft_checkpoint_repoints_stale_dir(spark, tmp_path):
         )
     finally:
         spark.conf.unset("spark.graft.checkpoint.dir")
+
+
+def test_global_rank_scaled_matches_plain_window(spark):
+    """global_rank_scaled must be BIT-IDENTICAL to the plain global
+    window it replaces, on data with heavy value ties (ties are the
+    correctness risk: a tie split across buckets would corrupt both
+    row_number tie-breaking and rank sharing). Duplicate-heavy values,
+    a unique tie-break, both directions, rank and row_number, and a
+    partitioned variant — each checked against the naive formulation."""
+    from pyspark.sql import Window
+
+    from manipula_o_de_dataframes_spark.operators.windows import (
+        global_rank_scaled,
+        ntile_from_rank,
+    )
+
+    rows = [(i, (i * 7) % 13, "g%d" % (i % 3)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, grp string")
+
+    # row_number asc, heavy ties broken by id
+    ref = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("rn"),
+    )
+    got = global_rank_scaled(df, "v", "rn", ascending=True, tiebreaks=("id",)).select(
+        "id", "rn"
+    )
+    assert ref.exceptAll(got).count() == 0 and got.exceptAll(ref).count() == 0
+
+    # rank desc with ties shared, partitioned, plus the count companion
+    refr = df.select(
+        "id",
+        F.rank().over(Window.partitionBy("grp").orderBy(F.col("v").desc()))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("long").alias("n"),
+    )
+    gotr = global_rank_scaled(
+        df, "v", "rk", ascending=False, partition_cols=("grp",), kind="rank",
+        count_col="n",
+    ).select("id", "rk", "n")
+    assert refr.exceptAll(gotr).count() == 0 and gotr.exceptAll(refr).count() == 0
+
+    # ntile over awkward n (500 % 7 != 0 exercises big/small tiles)
+    for k in (5, 7):
+        refn = df.select(
+            "id",
+            F.ntile(k).over(Window.orderBy("v", "id")).cast("long").alias("t"),
+        )
+        base = global_rank_scaled(
+            df, "v", "rn", ascending=True, tiebreaks=("id",), count_col="n"
+        )
+        gotn = base.select("id", ntile_from_rank("rn", "n", k).alias("t"))
+        assert refn.exceptAll(gotn).count() == 0, k
+
+
+def test_global_rank_scaled_rejects_null_values(spark):
+    """A NULL order key would silently corrupt every bucket offset —
+    the helper must refuse loudly (same contract as
+    with_pct_and_cum_scaled)."""
+    import pytest as _pytest
+
+    from manipula_o_de_dataframes_spark.operators.windows import global_rank_scaled
+
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, v long")
+    with _pytest.raises(ValueError, match="non-null"):
+        global_rank_scaled(df, "v", "rn")

@@ -32,6 +32,13 @@ def main() -> int:
     names = sys.argv[2:] or list(QUERIES)
     spark = get_spark("parity-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_TZ=America/Sao_Paulo replays the sweep under a
+    # non-UTC session (the driver's session config is unknown; the
+    # r5 keyset_page tz bug was visible ONLY under a shifted zone).
+    tz = os.environ.get("SPARK_GRAFT_TZ")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        print(f"session timezone overridden: {tz}")
     reds: list[str] = []
     t_all = time.perf_counter()
     for i, name in enumerate(names):
