@@ -10552,6 +10552,35 @@ def _hb_sym_edges(spark: SparkSession, sf_dir: str):
     return sym, sym.unionAll(nodes.select("src", F.col("src").alias("dst")))
 
 
+def _hb_round_regs(spark: SparkSession, sf_dir: str, upto: int) -> list:
+    """Packed HyperBall register tables for rounds 1..upto, each
+    spooled ONCE per (application, sf_dir) — VERDICT r5 #7's
+    spool-reuse across the HyperBall pair: ``hyperball_2hop`` needs
+    rounds 1–2, ``neighborhood_function`` rounds 1–4; in a bench or
+    sweep session the second query reuses the first's rounds and pays
+    only the increment. Incremental by construction (round r merges
+    round r−1), so asking for more rounds later extends the cache."""
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    app = spark.sparkContext.applicationId
+    sf = os.path.abspath(sf_dir)
+    ws = _GRAPH_SPOOL_CACHE.get((app, sf, "hb_ws"))
+    if ws is None:
+        _, ws = _hb_sym_edges(spark, sf_dir)
+        ws = spool(ws)
+        _GRAPH_SPOOL_CACHE[(app, sf, "hb_ws")] = ws
+    rounds: list = []
+    for r in range(1, upto + 1):
+        b = _GRAPH_SPOOL_CACHE.get((app, sf, "hb_round", r))
+        if b is None:
+            b = spool(_hb_b1(ws) if r == 1 else _hb_merge_round(ws, rounds[-1]))
+            _GRAPH_SPOOL_CACHE[(app, sf, "hb_round", r)] = b
+        rounds.append(b)
+    return rounds
+
+
 def _hb_b1(with_self) -> DataFrame:
     """Round-1 HyperBall registers, PACKED one row per node (16 rank
     columns r0..r15, null = empty register) — the paper's layout: the
@@ -10642,8 +10671,8 @@ def q_hyperball_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     register packing is a 16× shuffle cut with identical hashes.
     Accuracy vs brute 2-hop is pinned in the test (m=16 ⇒ ~26% σ).
     """
-    sym, with_self = _hb_sym_edges(spark, sf_dir)
-    b2 = _hb_merge_round(with_self, _hb_b1(with_self))
+    sym, _ = _hb_sym_edges(spark, sf_dir)
+    b2 = _hb_round_regs(spark, sf_dir, 2)[-1]
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return b2.select("src", _hb_num().alias("__num")).join(deg, "src").select(
         F.col("src").alias("node"),
@@ -10950,11 +10979,6 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     r — asserted in the test beside the sanity anchor N(1) ≈ nodes +
     2·edges (which exact counting gives for free).
     """
-    from .operators.spool import spool  # noqa: PLC0415
-
-    _, with_self = _hb_sym_edges(spark, sf_dir)
-    with_self = spool(with_self)
-
     def est_sum(b) -> DataFrame:
         return (
             b.select(
@@ -10965,13 +10989,11 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("__est").alias("n_pairs_est"))
         )
 
-    b = spool(_hb_b1(with_self))
-    sums = [est_sum(b).select(F.lit(1).alias("radius"), "n_pairs_est")]
-    for radius in (2, 3, 4):
-        b = spool(_hb_merge_round(with_self, b))
-        sums.append(
-            est_sum(b).select(F.lit(radius).alias("radius"), "n_pairs_est")
-        )
+    rounds = _hb_round_regs(spark, sf_dir, 4)
+    sums = [
+        est_sum(b).select(F.lit(radius).alias("radius"), "n_pairs_est")
+        for radius, b in enumerate(rounds, start=1)
+    ]
     out = sums[0]
     for s_ in sums[1:]:
         out = out.unionAll(s_)
