@@ -140,9 +140,26 @@ def near_dup_pairs(
     S-curve that crushes low-similarity collisions. n_hashes must be a
     multiple of rows_per_band.
     """
+    sig = minhash_signature(df, text_col, id_col, n_hashes)
+    return near_dup_pairs_from_sig(
+        sig, id_col, n_hashes, min_matches=min_matches, rows_per_band=rows_per_band
+    )
+
+
+def near_dup_pairs_from_sig(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    min_matches: int = 1,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """``near_dup_pairs`` over a PRECOMPUTED signature frame
+    (id_col, mh0..mh{n-1}) — lets callers that build several banding
+    arms over the same hashes (``banding_recall_audit``) compute and
+    spool the signatures once instead of re-shingling the corpus per
+    arm. Semantics identical to ``near_dup_pairs``."""
     assert n_hashes % rows_per_band == 0, "n_hashes must be a multiple of rows_per_band"
     n_bands = n_hashes // rows_per_band
-    sig = minhash_signature(df, text_col, id_col, n_hashes)
     # F.concat (NOT concat_ws, which SKIPS null args): a NULL signature
     # slot must poison its band key so the row never buckets — matching
     # the oracle's NULL-propagating '||' concatenation.

@@ -11716,11 +11716,17 @@ def q_banding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer counts, one ppm rounding per band.
     """
     d = _docs_parallel(spark, sf_dir)
+    # The two arms share one LAZY signature frame (bit-identical md5
+    # minhashes either way); a spooled variant was measured and did
+    # NOT pay — the audit's cost is the exact-Jaccard verify join,
+    # not the shingling, and the eager spool write only added a
+    # barrier (6.1 s vs 5.8 s warm at sf0.1).
+    sig = dd.minhash_signature(d, "text", "doc_id", 8)
     ref = dd.jaccard_pairs(
-        d, "text", "doc_id", dd.near_dup_pairs(d, "text", "doc_id", n_hashes=8)
+        d, "text", "doc_id", dd.near_dup_pairs_from_sig(sig, "doc_id", 8)
     ).filter(F.col("jaccard") >= 0.5)
-    banded = dd.near_dup_pairs(
-        d, "text", "doc_id", n_hashes=8, rows_per_band=2
+    banded = dd.near_dup_pairs_from_sig(
+        sig, "doc_id", 8, rows_per_band=2
     ).select(
         F.col("id_a").alias("__ba"),
         F.col("id_b").alias("__bb"),
