@@ -8421,3 +8421,91 @@ FROM num CROSS JOIN den
 WHERE den.n > ABS(num.lag) + 2
 ORDER BY lag
 """
+
+
+# Round-6 additions: exact rank-sum ROC-AUC (N233) and classical
+# additive seasonal decomposition (N234). The AUC mirror re-derives
+# the quality_calibration feature CTE and ranks on the LINEAR logit z
+# (no engine evaluates exp); doubled average ranks keep it BIGINT.
+ORACLES["roc_auc"] = """
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+    round(least(
+        least((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(str_split(text, ' ')) AS DOUBLE) / 8.0, 1.0) * 0.4
+        + CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+          / CAST(len(str_split(text, ' ')) AS DOUBLE) * 2.0 * 0.3
+        + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
+      1.0), 9) AS q,
+    round((CAST(len(str_split(text, ' ')) AS DOUBLE)
+           - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS dup,
+    round((CAST(length(text) AS DOUBLE) - (CAST(len(str_split(text, ' ')) AS DOUBLE) - 1.0))
+          / CAST(len(str_split(text, ' ')) AS DOUBLE), 9) AS mlen,
+    CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT)
+      AS stop_hits
+  FROM documents WHERE text IS NOT NULL
+),
+zt AS (
+  SELECT round(-2.0 + 6.0 * q + -3.0 * dup + 0.25 * mlen
+               + 0.002 * CAST(n_tokens AS DOUBLE), 9) AS z,
+         CASE WHEN (n_tokens BETWEEN 10 AND 1000) AND (mlen BETWEEN 2.0 AND 10.0)
+                   AND dup <= 0.6 AND stop_hits >= 2 THEN 1 ELSE 0 END AS pos
+  FROM f
+),
+r AS (
+  SELECT pos,
+         2 * RANK() OVER (ORDER BY z) + COUNT(*) OVER (PARTITION BY z) - 1 AS a2
+  FROM zt
+),
+s AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN pos = 1 THEN a2 END) AS BIGINT) AS rs2
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CAST((rs2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+         AS auc_ppm,
+       CAST(2 * ((rs2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg))
+            - 1000000 AS BIGINT) AS gini_ppm
+FROM s
+"""
+
+# Seasonal decomposition mirror: identical epoch-day arithmetic,
+# identical RANGE(3 PRECEDING, 3 FOLLOWING) full-window gate,
+# identical truncating integer divisions (negatives included).
+ORACLES["seasonal_decompose"] = """
+WITH e AS (
+  SELECT date_diff('second', TIMESTAMP '1990-01-01', ts) // 86400 AS day,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+daily AS (
+  SELECT day, CAST(SUM(v) * 100 AS BIGINT) AS cents FROM e GROUP BY 1
+),
+tr AS (
+  SELECT day, cents,
+         COUNT(*) OVER w AS n7,
+         SUM(cents) OVER w * 1000 AS s7
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT CAST(day % 7 + 1 AS INTEGER) AS dow_iso,
+         CAST(cents * 1000 - s7 // 7 AS BIGINT) AS d
+  FROM tr WHERE n7 = 7
+),
+seas AS (
+  SELECT dow_iso, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(d) // COUNT(*) AS BIGINT) AS seasonal_milli
+  FROM detr GROUP BY 1
+)
+SELECT s.dow_iso, s.n_days, s.seasonal_milli,
+       CAST(SUM(abs(d.d - s.seasonal_milli)) // COUNT(*) AS BIGINT)
+         AS mean_abs_remainder_milli
+FROM detr d JOIN seas s USING (dow_iso)
+GROUP BY 1, 2, 3
+ORDER BY 1
+"""

@@ -14678,6 +14678,145 @@ def q_ccf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the learned quality score against the Gopher
+    gate label — the DISCRIMINATION companion to `quality_calibration`
+    (calibration) and `brier_decomposition` (proper score): AUC = the
+    probability a random passing doc outranks a random failing one,
+    computed EXACTLY by the Mann-Whitney rank-sum identity with the
+    standard average-rank tie handling (ties at 0.5 credit) — the same
+    U statistic `mann_whitney_u` tests, re-read as a classifier metric
+    (Hanley & McNeil 1982).
+
+    Number policy: ranking is on the LINEAR logit z (monotone in the
+    sigmoid p, so the AUC is identical and no engine evaluates exp);
+    z is built from the established 9dp-rounded doc features and
+    itself rounded at 9dp, so tie groups are bit-identical
+    cross-engine. Doubled average ranks (2·rank_min + ties − 1) keep
+    the whole statistic BIGINT; one ppm division at the edge.
+
+    Scale shape: the global rank is the bucketed two-pass
+    `global_rank_scaled` (r6 — no single-partition stage); the tie
+    census is a hash-partitioned window on z. int64 headroom: the
+    doubled rank-sum ≤ 2n·n_pos caps the exact path at ~3e9 ranked
+    docs; past that, the per-z census pair-count formulation with
+    DECIMAL(38) accumulators is the drop-in. Output: one row
+    (n_pos, n_neg, auc_ppm, gini_ppm = 2·AUC−1 in ppm).
+
+    Honest negative control (like `benford_audit`): on this fixture
+    the audit reads AUC ≈ 0.361 — the logistic score is
+    ANTI-correlated with the gate, because z rewards length
+    (+0.002/token) while the gate caps tokens at 1000. Surfacing that
+    inversion before anyone ships the score as a filter is the whole
+    point of a discrimination audit; the brute pairwise test pins the
+    number.
+    """
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    q = F.round(quality_score("text"), 9)
+    dup = F.round(dup_token_ratio("text"), 9)
+    mlen = F.round(mean_token_len("text"), 9)
+    n_tok = token_count("text")
+    z = F.round(
+        F.lit(-2.0)
+        + F.lit(6.0) * q
+        + F.lit(-3.0) * dup
+        + F.lit(0.25) * mlen
+        + F.lit(0.002) * n_tok.cast("double"),
+        9,
+    )
+    gopher = (
+        n_tok.between(10, 1000)
+        & mlen.between(2.0, 10.0)
+        & (dup <= 0.6)
+        & (stopword_hits("text") >= 2)
+    )
+    scored = d.select(z.alias("z"), gopher.cast("long").alias("__pos"))
+    ranked = global_rank_scaled(scored, "z", "__rk", ascending=True, kind="rank")
+    g = F.count(F.lit(1)).over(Window.partitionBy("z"))
+    avg2 = (F.lit(2) * F.col("__rk") + g - 1).cast("long")
+    agg = ranked.select("__pos", avg2.alias("__a2")).agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("__pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__pos") == 1, F.col("__a2"))).cast("long").alias("__rs2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "cast((__rs2 - n_pos * (n_pos + 1)) * 1000000"
+            " div (2 * n_pos * n_neg) as bigint)"
+        ).alias("auc_ppm"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_ppm",
+        (F.lit(2) * F.col("auc_ppm") - F.lit(1000000)).cast("long").alias("gini_ppm"),
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily purchase revenue —
+    the classical-decomposition core of STL (Cleveland et al. 1990)
+    restricted to what is exact: trend = centered 7-day moving average
+    (emitted only where all 7 calendar days exist — a RANGE frame on
+    the epoch day, so a missing day disqualifies the window instead of
+    silently shrinking it), weekday seasonal index = per-ISO-weekday
+    mean of the detrended series, remainder = what neither explains.
+    The time-series shelf had the pieces (trend fits, ACF, bands) but
+    not the decomposition every forecasting workflow starts from.
+
+    Integer-exact throughout: cents from DECIMAL, milli-cents for the
+    /7 and per-dow means via truncating integer division (Spark `div`
+    and DuckDB `//` both truncate toward zero, negatives included —
+    the probed `balanced_shards` precedent, and detrended values ARE
+    negative). Weekday from pure epoch-day arithmetic on tz-free NTZ
+    seconds (origin 1990-01-01 is a Monday) — session-tz-independent.
+
+    Scale shape: one event-scan shuffle to the per-day census; every
+    window after that runs on the CALENDAR-BOUNDED census (|days|
+    rows), the same posture as the weekly shelf. Output: 7 rows
+    (dow_iso, n_days, seasonal_milli, mean_abs_remainder_milli).
+    """
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        e.select(
+            tmp.seconds_since_origin("ts").alias("__s"),
+            F.col("value").cast(MONEY).alias("__v"),
+        )
+        .groupBy(F.expr("__s div 86400").alias("day"))
+        .agg((F.sum("__v") * 100).cast("long").alias("cents"))
+    )
+    w7 = Window.orderBy("day").rangeBetween(-3, 3)
+    with_trend = daily.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w7).alias("__n7"),
+        (F.sum("cents").over(w7) * 1000).alias("__s7"),
+    ).filter(F.col("__n7") == 7)
+    detr = with_trend.select(
+        (F.col("day") % 7 + 1).cast("int").alias("dow_iso"),
+        (F.col("cents") * 1000 - F.expr("__s7 div 7")).cast("long").alias("__d"),
+    )
+    seasonal = detr.groupBy("dow_iso").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("cast(sum(__d) div count(1) as bigint)").alias("seasonal_milli"),
+    )
+    rem = (
+        detr.join(F.broadcast(seasonal), "dow_iso")
+        .groupBy("dow_iso")
+        .agg(
+            F.expr(
+                "cast(sum(abs(__d - seasonal_milli)) div count(1) as bigint)"
+            ).alias("mean_abs_remainder_milli")
+        )
+    )
+    return (
+        seasonal.join(rem, "dow_iso")
+        .select("dow_iso", "n_days", "seasonal_milli", "mean_abs_remainder_milli")
+        .orderBy("dow_iso")
+    )
+
+
 QUERIES = {
     # Dict order = the driver's ~50-row sampling order. Priority: (1)
     # new in round 5 with NO driver row yet — the continuation batches
@@ -14687,6 +14826,8 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "roc_auc": q_roc_auc,
+    "seasonal_decompose": q_seasonal_decompose,
     "ccf_weekly": q_ccf_weekly,
     "bpe_fertility": q_bpe_fertility,
     "corpus_health": q_corpus_health,
@@ -15036,7 +15177,10 @@ _DRIVER_SAMPLE_PRIORITY = [
     "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19",
-    "tpch_q21", "tpch_q22", "mrr_waterfall", "fair_token_budget",
+    "tpch_q21", "tpch_q22",
+    # r6 additions (no driver row yet)
+    "roc_auc", "seasonal_decompose",
+    "mrr_waterfall", "fair_token_budget",
     "mix_rate_bridge", "behavioral_cohort", "neighborhood_function", "association_rules",
     "rendezvous_sharding", "markov_attribution", "hyperball_2hop", "weighted_sample",
     "shapley_channels", "rake_keywords", "quantile_normalize", "apriori_triples",

@@ -1,0 +1,103 @@
+"""Round-6 additions (N233 roc_auc, N234 seasonal_decompose):
+semantic checks independent of the DuckDB mirrors — brute pairwise
+AUC and a pandas recompute of the decomposition, both at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from manipula_o_de_dataframes_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def test_roc_auc_matches_brute_pairwise(spark):
+    """The rank-sum identity vs the DEFINITION: AUC = mean over all
+    (pos, neg) pairs of [z_pos > z_neg] + 0.5·[z_pos == z_neg]. O(n²)
+    on the smoke corpus — the independent check the oracle (also
+    rank-sum) can't provide."""
+    row = QUERIES["roc_auc"](spark, SF_SMOKE).collect()[0]
+
+    # rebuild z/label via the engine's own feature expressions (the
+    # statistic under test is the PAIRING, not the features)
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.functions.text import (
+        dup_token_ratio,
+        mean_token_len,
+        quality_score,
+        stopword_hits,
+        token_count,
+    )
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    d = read_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    q = F.round(quality_score("text"), 9)
+    dup = F.round(dup_token_ratio("text"), 9)
+    mlen = F.round(mean_token_len("text"), 9)
+    n_tok = token_count("text")
+    z = F.round(
+        F.lit(-2.0) + F.lit(6.0) * q + F.lit(-3.0) * dup + F.lit(0.25) * mlen
+        + F.lit(0.002) * n_tok.cast("double"), 9)
+    gopher = (
+        n_tok.between(10, 1000) & mlen.between(2.0, 10.0) & (dup <= 0.6)
+        & (stopword_hits("text") >= 2)
+    )
+    pdf = d.select(z.alias("z"), gopher.alias("pos")).toPandas()
+    pos = pdf[pdf["pos"]]["z"].to_numpy()
+    neg = pdf[~pdf["pos"]]["z"].to_numpy()
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    wins = halves = 0
+    for zp in pos:
+        wins += int((zp > neg).sum())
+        halves += int((zp == neg).sum())
+    brute_ppm = (2 * wins + halves) * 1_000_000 // (2 * len(pos) * len(neg))
+    assert row["auc_ppm"] == brute_ppm
+    assert row["gini_ppm"] == 2 * row["auc_ppm"] - 1_000_000
+    # On THIS fixture the logistic score is ANTI-correlated with the
+    # gate (AUC 0.36): z rewards length (+0.002/token) while the gate
+    # caps tokens at 1000, so long docs score high and fail. The audit
+    # exists to surface exactly this; assert it is far from random in
+    # either direction, not that it flatters the score.
+    assert abs(row["auc_ppm"] - 500_000) > 50_000
+
+
+def test_seasonal_decompose_matches_pandas_recompute(spark):
+    """Full integer recompute of trend/seasonal/remainder in pandas
+    (truncating divisions via int(), matching Spark div / DuckDB //
+    toward-zero semantics) — 7 rows, exact equality."""
+    got = {
+        r["dow_iso"]: r
+        for r in QUERIES["seasonal_decompose"](spark, SF_SMOKE).collect()
+    }
+    ev = pd.read_parquet(SF_SMOKE + "/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    origin = pd.Timestamp("1990-01-01")
+    secs = ((ev["ts"] - origin).dt.total_seconds()).astype("int64")
+    day = secs // 86400  # non-negative: floor == trunc
+    cents = (ev["value"].map(lambda v: round(v, 2)) * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": day, "cents": cents}).groupby("day")["cents"].sum()
+    )
+    detr: dict[int, list[int]] = {}
+    for dcur, c in daily.items():
+        window = [daily.get(dcur + k) for k in range(-3, 4)]
+        if any(w is None for w in window):
+            continue
+        trend7 = int(sum(window) * 1000 / 7) if sum(window) >= 0 else -int(
+            -sum(window) * 1000 / 7
+        )
+        dow = int(dcur % 7 + 1)
+        detr.setdefault(dow, []).append(int(c) * 1000 - trend7)
+    def trunc_div(a: int, b: int) -> int:
+        qd = abs(a) // b
+        return qd if a >= 0 else -qd
+    assert sorted(got) == sorted(detr)
+    for dow, ds in detr.items():
+        s = trunc_div(sum(ds), len(ds))
+        mar = trunc_div(sum(abs(x - s) for x in ds), len(ds))
+        r = got[dow]
+        assert r["n_days"] == len(ds), dow
+        assert r["seasonal_milli"] == s, dow
+        assert r["mean_abs_remainder_milli"] == mar, dow
