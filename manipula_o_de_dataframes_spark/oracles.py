@@ -8509,3 +8509,9 @@ FROM detr d JOIN seas s USING (dow_iso)
 GROUP BY 1, 2, 3
 ORDER BY 1
 """
+
+
+# Streaming near-dup admission (N235): kappa parity — the drained
+# admissions log must hash-match the BATCH incremental screen on the
+# same even/odd split, so it shares incremental_dedup's oracle.
+ORACLES["stream_near_dup"] = ORACLES["incremental_dedup"]

@@ -14678,6 +14678,16 @@ def q_ccf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest gate (streaming/neardup_stream.py):
+    two REAL micro-batches — index build, then screened batch — with
+    incremental MinHash-LSH admission per delivery; kappa parity with
+    `incremental_dedup` (same even/odd split, same DuckDB oracle)."""
+    from .streaming.neardup_stream import neardup_stream  # noqa: PLC0415
+
+    return neardup_stream(spark, sf_dir)
+
+
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the learned quality score against the Gopher
     gate label — the DISCRIMINATION companion to `quality_calibration`
@@ -14826,6 +14836,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "stream_near_dup": q_stream_near_dup,
     "roc_auc": q_roc_auc,
     "seasonal_decompose": q_seasonal_decompose,
     "ccf_weekly": q_ccf_weekly,
@@ -15179,7 +15190,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19",
     "tpch_q21", "tpch_q22",
     # r6 additions (no driver row yet)
-    "roc_auc", "seasonal_decompose",
+    "roc_auc", "seasonal_decompose", "stream_near_dup",
     "mrr_waterfall", "fair_token_budget",
     "mix_rate_bridge", "behavioral_cohort", "neighborhood_function", "association_rules",
     "rendezvous_sharding", "markov_attribution", "hyperball_2hop", "weighted_sample",

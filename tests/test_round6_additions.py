@@ -101,3 +101,49 @@ def test_seasonal_decompose_matches_pandas_recompute(spark):
         assert r["n_days"] == len(ds), dow
         assert r["seasonal_milli"] == s, dow
         assert r["mean_abs_remainder_milli"] == mar, dow
+
+
+def test_neardup_screen_batch_is_idempotent_under_redelivery(spark):
+    """foreachBatch is at-least-once: replaying a batch with the same
+    batch_id must leave the admissions log and index byte-identical
+    (batch-keyed overwrite paths), and a retried batch must never
+    screen against its own earlier write."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+    from manipula_o_de_dataframes_spark.streaming.neardup_stream import screen_batch
+
+    root = tempfile.mkdtemp(prefix="neardup_idem_")
+    index_dir = os.path.join(root, "index")
+    out_dir = os.path.join(root, "adm")
+    os.makedirs(index_dir)
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    screen_batch(index_dir, out_dir, seed, 0)
+    assert not os.path.exists(out_dir)  # seeding produces no admissions
+    screen_batch(index_dir, out_dir, batch, 1)
+    first = sorted(
+        (r["doc_id"], r["n_candidates"], r["is_dup"])
+        for r in spark.read.parquet(out_dir + "/b*").collect()
+    )
+    # redeliver BOTH batches (same ids) — results must not change
+    screen_batch(index_dir, out_dir, seed, 0)
+    screen_batch(index_dir, out_dir, batch, 1)
+    again = sorted(
+        (r["doc_id"], r["n_candidates"], r["is_dup"])
+        for r in spark.read.parquet(out_dir + "/b*").collect()
+    )
+    assert first == again
+    # batch 1's docs are in the index now, but its own retry excluded
+    # them: no doc may report itself as its best match
+    self_hits = [
+        r
+        for r in spark.read.parquet(out_dir + "/b*").collect()
+        if r["best_match"] == r["doc_id"]
+    ]
+    assert not self_hits
