@@ -8515,3 +8515,34 @@ ORDER BY 1
 # admissions log must hash-match the BATCH incremental screen on the
 # same even/odd split, so it shares incremental_dedup's oracle.
 ORACLES["stream_near_dup"] = ORACLES["incremental_dedup"]
+
+
+# Pinball / quantile loss of the naive weekly forecast (N236): exact
+# BIGINT centi-cents, max of two integer products per week.
+ORACLES["forecast_pinball"] = """
+WITH census AS (
+  SELECT n.n_name AS nation,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+err AS (
+  SELECT nation, cents - LAG(cents) OVER (PARTITION BY nation ORDER BY wk) AS e
+  FROM census
+),
+fan AS (
+  SELECT nation, e, pct
+  FROM err CROSS JOIN (VALUES (10), (50), (90)) AS q(pct)
+  WHERE e IS NOT NULL
+)
+SELECT nation, CAST(pct AS INT) AS pct,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       CAST(SUM(GREATEST(pct * e, (pct - 100) * e)) AS BIGINT)
+         AS total_pinball_centicents,
+       CAST(SUM(GREATEST(pct * e, (pct - 100) * e)) // COUNT(*) AS BIGINT)
+         AS mean_pinball_centicents
+FROM fan GROUP BY 1, 2 ORDER BY 1, 2
+"""

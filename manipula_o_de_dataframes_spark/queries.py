@@ -14678,6 +14678,55 @@ def q_ccf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
+def q_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the naive last-week forecast at
+    q ∈ {10, 50, 90}% — the proper scoring rule for QUANTILE forecasts
+    (Koenker & Bassett 1978; what the M5-uncertainty competition
+    scored), completing the forecast-eval shelf: `naive_forecast_mape`
+    grades the point forecast, `conformal_coverage` its intervals,
+    this grades any quantile claim. For the naive point forecast the
+    three losses also READ as an asymmetry diagnostic: if under- and
+    over-shoots were symmetric, q10 and q90 would match.
+
+    Integer-exact: with pct ∈ {10,50,90} and e = actual−forecast in
+    cents, the per-week loss is max(pct·e, (pct−100)·e) — exact BIGINT
+    centi-cents (the max of two integer products; no division at all
+    until the mean). Per (nation, pct): n_weeks, total loss, and the
+    mean via one truncating div. One fact shuffle to the (nation,
+    week) census; the 3-quantile fan-out is a 3-row broadcast cross
+    join on the census.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    census = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("wk")
+    err = census.select(
+        "nation", (F.col("cents") - F.lag("cents").over(w)).alias("__e")
+    ).filter(F.col("__e").isNotNull())
+    q = F.explode(F.array(*[F.lit(p_) for p_ in (10, 50, 90)])).alias("pct")
+    fan = err.select("nation", "__e", q)
+    loss = F.greatest(F.col("pct") * F.col("__e"), (F.col("pct") - 100) * F.col("__e"))
+    return (
+        fan.select("nation", "pct", loss.cast("long").alias("__l"))
+        .groupBy("nation", "pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.sum("__l").cast("long").alias("total_pinball_centicents"),
+            F.expr("cast(sum(__l) div count(1) as bigint)").alias(
+                "mean_pinball_centicents"
+            ),
+        )
+        .orderBy("nation", "pct")
+    )
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup ingest gate (streaming/neardup_stream.py):
     two REAL micro-batches — index build, then screened batch — with
@@ -14836,6 +14885,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "forecast_pinball": q_forecast_pinball,
     "stream_near_dup": q_stream_near_dup,
     "roc_auc": q_roc_auc,
     "seasonal_decompose": q_seasonal_decompose,
@@ -15190,7 +15240,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19",
     "tpch_q21", "tpch_q22",
     # r6 additions (no driver row yet)
-    "roc_auc", "seasonal_decompose", "stream_near_dup",
+    "roc_auc", "seasonal_decompose", "stream_near_dup", "forecast_pinball",
     "mrr_waterfall", "fair_token_budget",
     "mix_rate_bridge", "behavioral_cohort", "neighborhood_function", "association_rules",
     "rendezvous_sharding", "markov_attribution", "hyperball_2hop", "weighted_sample",

@@ -147,3 +147,52 @@ def test_neardup_screen_batch_is_idempotent_under_redelivery(spark):
         if r["best_match"] == r["doc_id"]
     ]
     assert not self_hits
+
+
+def test_forecast_pinball_identities(spark):
+    """Pinball-loss identities the formula must satisfy: at q=50 the
+    loss is exactly 50·|e| (so total_50 = 50·Σ|e|), and q10+q90 =
+    100·|e| − 80·e per week, so total_10 + total_90 relates to the
+    raw error sums — check both from an independent error recompute."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.functions.formatting import MONEY
+    from manipula_o_de_dataframes_spark.sources.io import read_table
+
+    rows = QUERIES["forecast_pinball"](spark, SF_SMOKE).collect()
+    got = {(r["nation"], r["pct"]): r for r in rows}
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
+    c = read_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    census = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("wk")
+    errs = (
+        census.select("nation", (F.col("cents") - F.lag("cents").over(w)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs("e")).alias("sum_abs"),
+            F.sum("e").alias("sum_e"),
+        )
+        .collect()
+    )
+    for r in errs:
+        nat = r["nation"]
+        assert got[(nat, 50)]["n_weeks"] == r["n"]
+        assert got[(nat, 50)]["total_pinball_centicents"] == 50 * r["sum_abs"], nat
+        # q10 + q90 per week: max(10e,-90e) + max(90e,-10e) = 100|e| - 80e·sign… 
+        # for e>=0: 10e + 90e = 100e; for e<0: -90e + -10e = -100e = 100|e|.
+        assert (
+            got[(nat, 10)]["total_pinball_centicents"]
+            + got[(nat, 90)]["total_pinball_centicents"]
+            == 100 * r["sum_abs"]
+        ), nat
