@@ -8546,3 +8546,57 @@ SELECT nation, CAST(pct AS INT) AS pct,
          AS mean_pinball_centicents
 FROM fan GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# Additive Holt-Winters (N237): the km_survival recursive-CTE pattern
+# carrying (level, trend, 7-slot seasonal list) state; identical
+# dyadic truncating updates, identical t = ROW_NUMBER reindexing.
+# Layered subqueries give the recurrence let-bindings (s_prev ->
+# l_new -> b_new) that a single SELECT can't express.
+ORACLES["holt_winters"] = """
+WITH RECURSIVE e AS (
+  SELECT date_diff('second', TIMESTAMP '1990-01-01', ts) // 86400 AS day,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+daily AS (
+  SELECT day, CAST(SUM(v) * 100 AS BIGINT) AS cents FROM e GROUP BY 1
+),
+seq AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, day, cents FROM daily
+),
+init AS (
+  SELECT CAST(SUM(cents) * 1000 // 7 AS BIGINT) AS l0 FROM seq WHERE t <= 7
+),
+s_init AS (
+  SELECT list(cents * 1000 - l0 ORDER BY t) AS s FROM seq, init WHERE t <= 7
+),
+hw AS (
+  SELECT CAST(7 AS BIGINT) AS t, CAST(NULL AS BIGINT) AS day,
+         CAST(NULL AS BIGINT) AS cents, CAST(NULL AS BIGINT) AS fc,
+         l0 AS l, CAST(0 AS BIGINT) AS b, s_init.s AS s
+  FROM init, s_init
+  UNION ALL
+  SELECT t, day, cents, fc, l_new AS l,
+         CAST(((l_new - l) + 15 * b) // 16 AS BIGINT) AS b,
+         list_transform(range(1, 8),
+             i -> CASE WHEN i = idx
+                  THEN CAST(((cents * 1000 - l_new) + 3 * s_prev) // 4 AS BIGINT)
+                  ELSE s[i] END) AS s
+  FROM (
+    SELECT *,
+           CAST(((cents * 1000 - s_prev) + 7 * (l + b)) // 8 AS BIGINT) AS l_new
+    FROM (
+      SELECT x.t, x.day, x.cents, hw.l, hw.b, hw.s,
+             CAST(((x.t - 1) % 7) + 1 AS BIGINT) AS idx,
+             hw.s[CAST(((x.t - 1) % 7) + 1 AS BIGINT)] AS s_prev,
+             CAST(hw.l + hw.b + hw.s[CAST(((x.t - 1) % 7) + 1 AS BIGINT)] AS BIGINT) AS fc
+      FROM hw JOIN seq x ON x.t = hw.t + 1
+    )
+  )
+)
+SELECT day, cents, fc AS forecast_milli, l AS level_milli, b AS trend_milli
+FROM hw
+WHERE t >= 8 AND t > (SELECT MAX(t) FROM seq) - 14
+ORDER BY day
+"""

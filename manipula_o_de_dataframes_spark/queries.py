@@ -14678,6 +14678,94 @@ def q_ccf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dict order doubles as the driver's sampling order (it verifies the first
 # ~50 per round): queries with no driver-green CORRECTNESS row yet go first,
 # then round-1-only rows (due a re-check), then round-2-green rows.
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, Winters
+    1960) over the daily purchase-revenue series with a 7-step season
+    — the forecasting capstone over `ewma_weekly` (level only),
+    `holt_trend` (level+trend) and `seasonal_decompose` (static
+    decomposition): level, trend and a 7-slot seasonal state all
+    update every step, and the one-step-ahead forecast
+    l + b + s[(t−1) mod 7] is emitted BEFORE the step's update — a
+    true backtest, no look-ahead.
+
+    Exactness: dyadic smoothing constants (α=1/8, β=1/16, γ=1/4 — the
+    ewma α=1/8 lesson: a dyadic rational keeps every update one
+    integer multiply-add plus one truncating power-of-two division,
+    probed identical Spark `div` / DuckDB `//` on negatives) over
+    milli-cent BIGINTs; init is the textbook first-season mean
+    (l₀ = mean of days 1..7, b₀ = 0, s₀ᵢ = yᵢ − l₀). The series is
+    REINDEXED t = row_number(day) so both engines walk the identical
+    sequence regardless of calendar gaps.
+
+    Scale shape: one fact shuffle to the per-day census; the fold is a
+    single `aggregate` HOF over the CALENDAR-BOUNDED day array (~365
+    structs — a bounded model artifact, same class as the BPE merge
+    loop), mirrored in DuckDB by a recursive CTE (the `km_survival`
+    pattern). Output: the last 14 backtest days (day, cents,
+    forecast_milli, level_milli, trend_milli).
+    """
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        e.select(
+            tmp.seconds_since_origin("ts").alias("__s"),
+            F.col("value").cast(MONEY).alias("__v"),
+        )
+        .groupBy(F.expr("__s div 86400").alias("day"))
+        .agg((F.sum("__v") * 100).cast("long").alias("cents"))
+    )
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "day", "cents"
+    )
+    one = seq.agg(
+        F.sort_array(F.collect_list(F.struct("t", "day", "cents"))).alias("xs")
+    ).selectExpr(
+        "xs",
+        "cast(aggregate(slice(xs, 1, 7), cast(0 as bigint), (a, x) -> a + x.cents)"
+        " * 1000 div 7 as bigint) as l0",
+    ).selectExpr(
+        "xs", "l0", "transform(slice(xs, 1, 7), x -> x.cents * 1000 - l0) as s0"
+    )
+    # The recurrence, written once and interpolated (the expression is
+    # repeated per struct field because SQL lambdas have no let-binding):
+    idx = "cast((x.t - 1) % 7 as int) + 1"
+    s_prev = f"element_at(st.s, {idx})"
+    l_new = f"cast(((x.cents * 1000 - {s_prev}) + 7 * (st.l + st.b)) div 8 as bigint)"
+    b_new = f"cast((({l_new} - st.l) + 15 * st.b) div 16 as bigint)"
+    s_new = f"cast(((x.cents * 1000 - {l_new}) + 3 * {s_prev}) div 4 as bigint)"
+    fc = f"cast(st.l + st.b + {s_prev} as bigint)"
+    rec = (
+        "named_struct('day', x.day, 'cents', x.cents, "
+        f"'fc', {fc}, 'l', {l_new}, 'b', {b_new})"
+    )
+    out_t = "array<struct<day:bigint,cents:bigint,fc:bigint,l:bigint,b:bigint>>"
+    fold = f"""
+    aggregate(
+      slice(xs, 8, size(xs) - 7),
+      named_struct('l', l0, 'b', cast(0 as bigint), 's', s0,
+                   'out', cast(array() as {out_t})),
+      (st, x) -> named_struct(
+        'l', {l_new},
+        'b', {b_new},
+        's', transform(sequence(1, 7),
+                       i -> if(i = {idx}, {s_new}, element_at(st.s, i))),
+        'out', concat(st.out, array({rec}))),
+      st -> st.out
+    ) as out
+    """
+    return (
+        one.selectExpr(fold)
+        .selectExpr("explode(slice(out, greatest(size(out) - 13, 1), 14)) as r")
+        .select(
+            F.col("r.day").alias("day"),
+            F.col("r.cents").alias("cents"),
+            F.col("r.fc").alias("forecast_milli"),
+            F.col("r.l").alias("level_milli"),
+            F.col("r.b").alias("trend_milli"),
+        )
+        .orderBy("day")
+    )
+
+
 def q_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinball (quantile) loss of the naive last-week forecast at
     q ∈ {10, 50, 90}% — the proper scoring rule for QUANTILE forecasts
@@ -14885,6 +14973,7 @@ QUERIES = {
     # rotates the rest forward; (3) round-5-changed then r1/r2-stale
     # blocks; r3/r4-green rows last, freshest.
     # --- new in round 5 (no driver row yet) ---
+    "holt_winters": q_holt_winters,
     "forecast_pinball": q_forecast_pinball,
     "stream_near_dup": q_stream_near_dup,
     "roc_auc": q_roc_auc,
@@ -15241,6 +15330,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "tpch_q21", "tpch_q22",
     # r6 additions (no driver row yet)
     "roc_auc", "seasonal_decompose", "stream_near_dup", "forecast_pinball",
+    "holt_winters",
     "mrr_waterfall", "fair_token_budget",
     "mix_rate_bridge", "behavioral_cohort", "neighborhood_function", "association_rules",
     "rendezvous_sharding", "markov_attribution", "hyperball_2hop", "weighted_sample",

@@ -74,7 +74,7 @@ TZ_SENSITIVE = [
     # r6 global_rank_scaled rewrites that rank on epoch-derived longs
     # or render timestamps
     "rfm_segments", "balanced_shards", "key_gap_islands",
-    "seasonal_decompose", "forecast_pinball",
+    "seasonal_decompose", "forecast_pinball", "holt_winters",
 ]
 
 

@@ -196,3 +196,42 @@ def test_forecast_pinball_identities(spark):
             + got[(nat, 90)]["total_pinball_centicents"]
             == 100 * r["sum_abs"]
         ), nat
+
+
+def test_holt_winters_matches_python_recompute(spark):
+    """Full integer recompute of the Holt-Winters fold in plain Python
+    (truncating divisions toward zero, matching Spark div / DuckDB //)
+    from the same daily census — exact equality on all 14 output rows,
+    independently of either engine's HOF/recursive-CTE machinery."""
+    rows = QUERIES["holt_winters"](spark, SF_SMOKE).collect()
+    ev = pd.read_parquet(SF_SMOKE + "/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    origin = pd.Timestamp("1990-01-01")
+    secs = ((ev["ts"] - origin).dt.total_seconds()).astype("int64")
+    ev["day"] = secs // 86400
+    ev["v"] = ev["value"].map(lambda x: round(x, 2))
+    daily = (ev.groupby("day")["v"].sum() * 100).round().astype("int64").sort_index()
+    ys = [(int(d), int(c)) for d, c in daily.items()]
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    l = tdiv(sum(c for _, c in ys[:7]) * 1000, 7)
+    b = 0
+    s = [c * 1000 - l for _, c in ys[:7]]
+    out = []
+    for t, (day, c) in enumerate(ys[7:], start=8):
+        i = (t - 1) % 7
+        fc = l + b + s[i]
+        l_new = tdiv((c * 1000 - s[i]) + 7 * (l + b), 8)
+        b = tdiv((l_new - l) + 15 * b, 16)
+        s[i] = tdiv((c * 1000 - l_new) + 3 * s[i], 4)
+        l = l_new
+        out.append((day, c, fc, l, b))
+    expect = out[-14:]
+    got = [
+        (r["day"], r["cents"], r["forecast_milli"], r["level_milli"], r["trend_milli"])
+        for r in rows
+    ]
+    assert got == expect
