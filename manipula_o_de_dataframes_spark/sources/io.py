@@ -587,3 +587,28 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """ORC sink (S18, r6) — the second columnar interchange format
+    Spark ships natively (Hive/Trino ecosystems read it directly).
+    Same footer-statistics story as parquet: min/max stripes power
+    predicate pushdown on re-read, dictionary encoding for low-card
+    strings. Partition columns become directory keys, exactly as the
+    parquet writer's layout."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan (S18): schema-on-read when a schema is given (the CSV
+    adapter's discipline — a declared schema keeps the scan one pass
+    and makes missing columns loud), else footer inference. Filters
+    pushed on read reach the stripe level (`PushedFilters` in the
+    plan, pinned in tests)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

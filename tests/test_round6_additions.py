@@ -235,3 +235,51 @@ def test_holt_winters_matches_python_recompute(spark):
         for r in rows
     ]
     assert got == expect
+
+
+def test_orc_roundtrip_and_pushdown(spark):
+    """S18: ORC sink/scan — values survive a roundtrip bit-exactly
+    (decimal, long, string, timestamp_ntz) and a filter on re-read
+    reaches the ORC scan as a pushed predicate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from manipula_o_de_dataframes_spark.sources.io import (
+        read_orc,
+        read_table,
+        write_orc,
+    )
+
+    src = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        "o_orderdate",
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    try:
+        write_orc(src, out)
+        back = read_orc(spark, out)
+        assert back.schema == src.schema
+        assert back.exceptAll(src).count() == 0
+        assert src.exceptAll(back).count() == 0
+
+        filtered = back.filter(F.col("o_orderkey") == 42).select("o_orderkey")
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "o_orderkey" in plan.split(
+            "PushedFilters"
+        )[1].split("]")[0], plan
+
+        # partitioned layout: directory keys + partition pruning
+        part_out = out + "_bystatus"
+        write_orc(src, part_out, partition_by=("o_orderstatus",))
+        pruned = read_orc(spark, part_out).filter(F.col("o_orderstatus") == "F")
+        pplan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in pplan and "o_orderstatus" in pplan, pplan
+        n_f = src.filter(F.col("o_orderstatus") == "F").count()
+        assert pruned.count() == n_f
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out + "_bystatus", ignore_errors=True)
