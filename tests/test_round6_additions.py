@@ -189,8 +189,8 @@ def test_forecast_pinball_identities(spark):
         nat = r["nation"]
         assert got[(nat, 50)]["n_weeks"] == r["n"]
         assert got[(nat, 50)]["total_pinball_centicents"] == 50 * r["sum_abs"], nat
-        # q10 + q90 per week: max(10e,-90e) + max(90e,-10e) = 100|e| - 80e·sign… 
-        # for e>=0: 10e + 90e = 100e; for e<0: -90e + -10e = -100e = 100|e|.
+        # q10 + q90 per week: max(10e,-90e) + max(90e,-10e) = 100|e|
+        # (e>=0: 10e + 90e = 100e; e<0: -90e + -10e = 100|e|).
         assert (
             got[(nat, 10)]["total_pinball_centicents"]
             + got[(nat, 90)]["total_pinball_centicents"]
