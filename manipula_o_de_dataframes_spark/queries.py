@@ -1207,7 +1207,6 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets. 3 iterations = 3 joins; top-20 is TakeOrderedAndProject
     under a total order.
     """
-    from .operators.spool import spool  # noqa: PLC0415
     edges_deg = _edges_sym_deg(spark, sf_dir)
     deg = edges_deg.select("u", "__deg").distinct()
     r = deg.select(F.col("u").alias("node"), F.lit(1000000).cast("long").alias("__r"))
@@ -1688,7 +1687,6 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     never baskets. 3 rounds = fixed depth; at 100 TB rounds would be
     checkpointed via ``graft_checkpoint`` exactly like the CC fixpoint.
     """
-    from .operators.spool import spool  # noqa: PLC0415
 
     edges = _edges_sym_deg(spark, sf_dir).select("u", "v")
     lab = edges.select(F.col("u").alias("node")).distinct().select(
@@ -13830,7 +13828,6 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves re-reached nodes in one pass — fewer shuffles, same
     answer, the right trade at 3 hops.
     """
-    from .operators.spool import spool  # noqa: PLC0415
 
     edges_deg = _edges_sym_deg(spark, sf_dir)
     edges = edges_deg.select("u", "v")
@@ -14246,7 +14243,6 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, degree attach, per-seed top-3 window on the bounded
     census. Jaccard ppm is one truncating division per pair.
     """
-    from .operators.spool import spool  # noqa: PLC0415
 
     edges_deg = _edges_sym_deg(spark, sf_dir)
     edges = edges_deg.select("u", "v")

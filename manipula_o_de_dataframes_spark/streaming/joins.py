@@ -29,6 +29,26 @@ from pyspark.sql import functions as F
 _DRAIN_LOCK = threading.Lock()
 
 
+def pin_increasing_mtimes(watch_dir: str, subdirs) -> None:
+    """Pin strictly increasing mtimes on staged delivery subdirs.
+
+    FileStreamSource orders files by modification time; back-to-back
+    writes can tie, which would reorder micro-batches and silently
+    flip any order-dependent sink (last-writer-wins upserts, index
+    builds). One shared implementation of the convention so a future
+    change (e.g. nanosecond ties) lands everywhere at once; the
+    single-file staging sites in this module and stateful.py pin the
+    same way inline at copy time.
+    """
+    import os  # noqa: PLC0415
+
+    for i, sub in enumerate(subdirs, start=1):
+        t = 1_000_000_000 + i * 100
+        for root, _dirs, files in os.walk(os.path.join(watch_dir, sub)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+
 @contextmanager
 def drain_shuffle_partitions(spark: SparkSession, n: int = 8):
     """Scope ``spark.sql.shuffle.partitions`` down for a one-shot drain.

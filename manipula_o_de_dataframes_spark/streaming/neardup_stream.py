@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_near_dups
 from ..sources.io import read_table
-from .joins import drain_shuffle_partitions
+from .joins import drain_shuffle_partitions, pin_increasing_mtimes
 
 DOCS_SCHEMA = "doc_id long, text string"
 
@@ -47,12 +47,14 @@ def screen_batch(index_dir: str, out_dir: str, batch: DataFrame, batch_id: int) 
     write lands in a batch_id-keyed subdir with mode=overwrite, so a
     redelivered batch replays into the same paths instead of
     double-appending — and "the index" is the parts with batch id
-    STRICTLY BELOW mine (zero-padded names make the string compare the
-    numeric one), so a retry reproduces its original decision exactly:
-    a redelivered seed stays a seed even though later parts now exist,
-    and no batch can ever screen against its own earlier write. The
-    test replays both deliveries and asserts the log is unchanged —
-    the ">= my id" formulation it replaced failed exactly there."""
+    STRICTLY BELOW mine (compared NUMERICALLY, so the invariant
+    survives any batch count — a lexicographic compare on the padded
+    names would break at id 100000), so a retry reproduces its
+    original decision exactly: a redelivered seed stays a seed even
+    though later parts now exist, and no batch can ever screen against
+    its own earlier write. The test replays both deliveries and
+    asserts the log is unchanged — the ">= my id" formulation it
+    replaced failed exactly there."""
     import glob  # noqa: PLC0415
 
     spark = batch.sparkSession
@@ -61,7 +63,7 @@ def screen_batch(index_dir: str, out_dir: str, batch: DataFrame, batch_id: int) 
     prior = sorted(
         p
         for p in glob.glob(os.path.join(index_dir, "b*"))
-        if os.path.basename(p) < part
+        if int(os.path.basename(p)[1:]) < batch_id
         and os.path.exists(os.path.join(p, "_SUCCESS"))
     )
     if prior:
@@ -88,13 +90,8 @@ def neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(watch_dir, "d2_batch")
         )
         # FileStreamSource orders by mtime; a tie would screen the
-        # index delivery against the batch. Pin strictly increasing
-        # mtimes (the stateful.py/upsert_sink.py convention).
-        for i, sub in enumerate(("d1_index", "d2_batch"), start=1):
-            t = 1_000_000_000 + i * 100
-            for root, _dirs, files in os.walk(os.path.join(watch_dir, sub)):
-                for fn in files:
-                    os.utime(os.path.join(root, fn), (t, t))
+        # index delivery against the batch.
+        pin_increasing_mtimes(watch_dir, ("d1_index", "d2_batch"))
         stream = (
             spark.readStream.schema(DOCS_SCHEMA)
             .option("maxFilesPerTrigger", 1)

@@ -91,7 +91,7 @@ def upsert_drained(spark: SparkSession, sf_dir: str, state_dir: str | None = Non
     the update batch genuinely merges against persisted state, not
     against co-delivered rows.
     """
-    from .joins import drain_shuffle_partitions  # noqa: PLC0415
+    from .joins import drain_shuffle_partitions, pin_increasing_mtimes  # noqa: PLC0415
     from ..functions.formatting import MONEY  # noqa: PLC0415
     from ..sources.io import read_table  # noqa: PLC0415
 
@@ -120,16 +120,10 @@ def upsert_drained(spark: SparkSession, sf_dir: str, state_dir: str | None = Non
         )
         base.coalesce(1).write.parquet(os.path.join(watch_dir, "d1_base"))
         upd.coalesce(1).write.parquet(os.path.join(watch_dir, "d2_updates"))
-        # FileStreamSource orders files by modification time; the two
-        # back-to-back writes can tie on mtime, which would invert the
-        # batch order and let last-writer-wins flip updates back to
-        # 'original'. Pin strictly increasing mtimes (stateful.py does
-        # the same for its staged deliveries).
-        for i, sub in enumerate(("d1_base", "d2_updates"), start=1):
-            t = 1_000_000_000 + i * 100
-            for root, _dirs, files in os.walk(os.path.join(watch_dir, sub)):
-                for fn in files:
-                    os.utime(os.path.join(root, fn), (t, t))
+        # FileStreamSource orders files by modification time; a tie
+        # would invert the batch order and let last-writer-wins flip
+        # updates back to 'original'.
+        pin_increasing_mtimes(watch_dir, ("d1_base", "d2_updates"))
         stream = (
             spark.readStream.schema(MERGED_SCHEMA)
             .option("maxFilesPerTrigger", 1)

@@ -41,5 +41,6 @@ def pytest_collection_modifyitems(config, items):
         key = param.rstrip("]") if param else os.path.basename(str(item.fspath))
         if zlib.crc32(key.encode()) % n == i:
             keep.append(item)
-    config.hook.pytest_deselected(items=[x for x in items if x not in set(keep)])
+    kept = set(keep)
+    config.hook.pytest_deselected(items=[x for x in items if x not in kept])
     items[:] = keep
