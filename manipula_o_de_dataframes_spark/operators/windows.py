@@ -249,7 +249,11 @@ def global_rank_scaled(
 
     NULL ``value_col`` would corrupt every bucket offset (NULL bucket
     sorts first in the prefix window) — enforced with the same loud
-    ValueError as ``with_pct_and_cum_scaled``.
+    ValueError as ``with_pct_and_cum_scaled``. NaN is equally fatal for
+    floating inputs (every strict boundary compare is false, so NaN
+    lands in bucket 0 while a plain orderBy sorts it LAST, shifting
+    every later offset) — observed and rejected the same way, riding
+    the same spool write (r6 ADVICE).
     """
     from pyspark.sql import Observation  # noqa: PLC0415
 
@@ -264,12 +268,20 @@ def global_rank_scaled(
                 F.lit(10_000),
             ).alias("__q"),
             F.count_if(F.col(value_col).isNull()).alias("__nulls"),
+            F.count_if(F.isnan(F.col(value_col).cast("double"))).alias("__nans"),
         )
     )
     if obs.get["__nulls"]:
         raise ValueError(
             f"global_rank_scaled requires non-null {value_col!r}: "
             f"{obs.get['__nulls']} NULL rows found — filter or fill upstream"
+        )
+    if obs.get["__nans"]:
+        raise ValueError(
+            f"global_rank_scaled requires NaN-free {value_col!r}: "
+            f"{obs.get['__nans']} NaN rows found — NaN buckets to 0 under "
+            "strict boundary compares but sorts LAST under orderBy, so "
+            "every later bucket offset would shift — filter upstream"
         )
     bounds = sorted(set(obs.get["__q"] or []), reverse=not ascending)
 
@@ -327,9 +339,14 @@ def ntile_from_rank(rn, n, k: int):
     q = F.floor(n / k).cast("long")  # small-tile size
     r = (n % k).cast("long")  # number of big (q+1-row) tiles
     big = r * (q + 1)  # rows covered by the big tiles
+    # q == 0 whenever a partition has fewer than k rows; the when()
+    # branch then covers every row, but guard the otherwise-divisor so
+    # the dead branch stays well-defined under eager evaluation
+    # (r6 ADVICE).
+    q_safe = F.greatest(q, F.lit(1))
     return (
         F.when(rn <= big, F.floor((rn - 1) / (q + 1)))
-        .otherwise(r + F.floor((rn - big - 1) / q))
+        .otherwise(r + F.floor((rn - big - 1) / q_safe))
         .cast("long")
         + 1
     )

@@ -1401,11 +1401,18 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-loop precedent) — the true fixpoint is this loop run to
     stability, checkpointed via ``graft_checkpoint`` at cluster scale.
 
-    Scale: each round is two degree aggregations + two semi-joins of
-    census-row payloads ((node, degree) pairs, edge endpoints); every
-    round's induced edge list is SPOOLED — without it round r's
-    lineage contains round r−1 TWICE (degree + filter), an
-    exponential replay. All-integer output.
+    Scale: each round is one degree aggregation over the base edge
+    spool double-semi-joined with the surviving node set. Only the
+    per-round (node, degree) CENSUS is spooled (kilobyte-scale node
+    lists) — never the induced edge list. Because survivor sets are
+    nested (S_r ⊆ S_{r-1}), the round-r induced subgraph of round
+    r−1's graph EQUALS the induced subgraph of the ORIGINAL graph on
+    S_r, so every round re-derives its edges from the ONE shared
+    `_edges_uv` spool: bounded lineage with no edge-list re-writes
+    (the r6 cold-session profile showed the 4 eager edge spools
+    dominating — 62.6 s cold at sf0.01/8 cpus; this shape removes
+    them). n_edges = Σdeg div 2 rides the same census, so each round
+    is exactly one pass over the base edges. All-integer output.
     """
     from .operators.spool import spool  # noqa: PLC0415
 
@@ -1419,7 +1426,7 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("__deg"))
         )
 
-    deg0 = degrees(edges)
+    deg0 = spool(degrees(edges))  # round-0 (node, degree) census
     w = Window.orderBy("__deg", "node")
     kf = (
         deg0.withColumn("__rn", F.row_number().over(w))
@@ -1428,24 +1435,27 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__deg").alias("__k"))
     )
     rows = []
-    cur, curdeg = edges, deg0
+    deg = deg0
     for rnd in range(4):
         rows.append(
-            curdeg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-            .crossJoin(cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-            .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+            deg.agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.coalesce(F.expr("sum(__deg) div 2"), F.lit(0))
+                .cast("long")
+                .alias("n_edges"),
+            ).select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
         )
         if rnd == 3:
             break
-        kept = curdeg.crossJoin(F.broadcast(kf)).filter(
+        kept = deg.crossJoin(F.broadcast(kf)).filter(
             F.col("__deg") >= F.col("__k")
         ).select("node")
-        cur = spool(
-            cur.join(kept.withColumnRenamed("node", "u"), "u").join(
-                kept.withColumnRenamed("node", "v"), "v"
-            ).select("u", "v")
+        induced = (
+            edges.join(kept.withColumnRenamed("node", "u"), "u")
+            .join(kept.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
         )
-        curdeg = degrees(cur)
+        deg = spool(degrees(induced))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)

@@ -35,6 +35,12 @@ def pytest_collection_modifyitems(config, items):
     if not shard:
         return
     i, n = (int(x) for x in shard.split("/"))
+    if not (n > 0 and 0 <= i < n):
+        raise pytest.UsageError(
+            f"SPARK_GRAFT_TEST_SHARD={shard!r} out of range: need 0 <= i < n "
+            "— a bad shard index would silently collect an empty shard "
+            "(r6 ADVICE)"
+        )
     keep = []
     for item in items:
         _, _, param = item.name.partition("[")

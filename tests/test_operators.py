@@ -512,3 +512,43 @@ def test_global_rank_scaled_rejects_null_values(spark):
     df = spark.createDataFrame([(1, 10), (2, None)], "id long, v long")
     with _pytest.raises(ValueError, match="non-null"):
         global_rank_scaled(df, "v", "rn")
+
+
+def test_global_rank_scaled_rejects_nan_values(spark):
+    """NaN in a floating order key buckets to 0 under the strict
+    boundary compares but sorts LAST under a plain orderBy, so every
+    later bucket offset would silently shift — the helper must refuse
+    loudly (r6 ADVICE)."""
+    import pytest as _pytest
+
+    from manipula_o_de_dataframes_spark.operators.windows import global_rank_scaled
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, float("nan")), (3, 3.0)], "id long, v double"
+    )
+    with _pytest.raises(ValueError, match="NaN"):
+        global_rank_scaled(df, "v", "rn")
+
+
+def test_ntile_from_rank_small_partition(spark):
+    """k > n (q = floor(n/k) = 0): every row is a 'big' tile so the
+    otherwise-branch is dead, but its divisor must still be
+    well-defined (F.greatest guard, r6 ADVICE) and match F.ntile."""
+    from pyspark.sql import Window
+
+    from manipula_o_de_dataframes_spark.operators.windows import ntile_from_rank
+
+    df = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    ref = df.select(
+        "id", F.ntile(7).over(Window.orderBy("id")).cast("long").alias("t")
+    )
+    got = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("id")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    ).select("id", ntile_from_rank("rn", "n", 7).alias("t"))
+    assert ref.exceptAll(got).count() == 0 and got.exceptAll(ref).count() == 0

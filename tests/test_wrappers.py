@@ -120,7 +120,7 @@ def test_shard_hash_partitions_every_key_exactly_once():
     keys = list(QUERIES) + sorted(
         f for f in os.listdir(test_dir) if f.startswith("test_") and f.endswith(".py")
     )
-    for n in (2, 3, 4, 8):
+    for n in (2, 3, 4, 5, 6, 7, 8, 12, 16):
         assignment = {k: zlib.crc32(k.encode()) % n for k in keys}
         # exactly-once: each key has one shard in [0, n)
         assert all(0 <= s < n for s in assignment.values())
@@ -130,3 +130,22 @@ def test_shard_hash_partitions_every_key_exactly_once():
         # the hash were degenerate)
         counts = [sum(1 for s in assignment.values() if s == i) for i in range(n)]
         assert min(counts) > 0, (n, counts)
+
+
+def test_shard_spec_out_of_range_is_rejected():
+    """SPARK_GRAFT_TEST_SHARD='4/4' (i >= n) must be a loud UsageError,
+    not a silently-empty shard that 'passes' with zero coverage
+    (r6 ADVICE). Runs a tiny collect-only pytest subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_TEST_SHARD": "4/4"}
+    p = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_wrappers.py",
+         "--collect-only", "-q", "-p", "no:cacheprovider"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert p.returncode != 0, p.stdout
+    assert "out of range" in (p.stdout + p.stderr)

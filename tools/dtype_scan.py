@@ -5,8 +5,12 @@ column meeting a float64 oracle column hash-mismatches even when every
 value is equal. The r5 red (`km_survival`) was exactly this — DuckDB's
 HUGEINT (from un-CAST SUM arithmetic) surfaces as float64 in `.df()`
 while Spark emits bigint. This scan finds every such skew across the
-whole registry WITHOUT running the Spark side: Spark column types come
-from the lazy plan's schema; the oracle runs at a small SF in DuckDB.
+whole registry. Spark column types come from the plan's schema — for
+LAZY queries that means no Spark execution, but building the plan for
+eager queries DOES run real work (global_rank_scaled spools+observes at
+build time; the q_stream_* harnesses drain full micro-batch pipelines),
+so a full scan is heavier than a schema peek (r6 ADVICE). The oracle
+runs at a small SF in DuckDB.
 
 Rule: Spark integral type + oracle float64 column containing no NaN
 => SKEW (the oracle needs a CAST ... AS BIGINT, or the query is wrong).

@@ -48,13 +48,26 @@ def main() -> int:
             )
         )
     rc = 0
+    total_ran = 0
     for i, logp, p in procs:
         code = p.wait()
         tail = open(logp).read().strip().splitlines()
         last = tail[-1] if tail else "(no output)"
+        # Sum the "N passed/skipped/failed" counts so an all-empty run
+        # (e.g. a bad shard spec making every shard exit 5) cannot
+        # report success with zero coverage (r6 ADVICE).
+        import re
+
+        total_ran += sum(
+            int(m.group(1))
+            for m in re.finditer(r"(\d+) (?:passed|failed|skipped|error)", last)
+        )
         print(f"shard {i}/{n}: exit={code} :: {last}", flush=True)
         if code not in (0, 5):  # 5 = no tests collected (tiny shard)
             rc = 1
+    if total_ran == 0:
+        print("FAIL: zero tests ran across all shards", flush=True)
+        rc = 1
     print(f"total wall: {time.time() - t0:.0f}s")
     return rc
 
