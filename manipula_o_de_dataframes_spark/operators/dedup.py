@@ -69,8 +69,19 @@ def minhash(col, seed: int, k: int = SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int = 4) -> DataFrame:
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 4,
+    keep_shingles: bool = False,
+) -> DataFrame:
     """Per-document MinHash signature (n_hashes min-wise hashes).
+
+    ``keep_shingles=True`` additionally carries the shingle array
+    through as ``__sh`` — the verify half of a persistable near-dup
+    index artifact (signatures band, shingles verify), computed in the
+    SAME single scan.
 
     Hash function i is the (i % 4)-th disjoint 8-hex-char (32-bit) slice
     of digest group i // 4 — each slice is an independent uniform hash
@@ -100,8 +111,10 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int =
     # projection so shingle md5s are computed once per row per group,
     # not once per signature column
     staged = df.select(F.col(id_col), shingles(F.col(text_col)).alias("__sh"))
+    carry = [F.col("__sh")] if keep_shingles else []
     digests = staged.select(
         F.col(id_col),
+        *carry,
         *[
             F.transform(F.col("__sh"), digest_of(g)).alias(f"__hs{g}")
             for g in range(n_groups)
@@ -109,6 +122,7 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, n_hashes: int =
     )
     return digests.select(
         F.col(id_col),
+        *carry,
         *[
             F.array_min(
                 F.transform(F.col(f"__hs{i // 4}"), slice_of(i % 4))
@@ -581,12 +595,13 @@ def simhash_long(
 
 def incremental_near_dups(
     new: DataFrame,
-    index: DataFrame,
+    index: DataFrame | None,
     text_col: str,
     id_col: str,
     n_hashes: int = 4,
     jaccard_threshold: float = 0.5,
     rows_per_band: int = 1,
+    index_features: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: screen a NEW batch against an existing corpus
     index — the posture a production pipeline runs per ingest, where
@@ -601,14 +616,24 @@ def incremental_near_dups(
     comes back exactly once (zero-candidate docs with n=0/NULL match),
     so the output is directly the batch admission decision.
 
-    At 100 TB the index side's band table is a precomputed artifact
-    (signatures are bytes/doc, persisted once); only the new batch
-    computes signatures, and the shuffle carries (id, band) pairs —
-    never text. NULL text → NULL signature → no bands (engine-wide
-    contract), surfacing as n_candidates=0.
+    At 100 TB the index side's features are a precomputed artifact
+    (signatures band, shingles verify — persisted once, passed in via
+    ``index_features``, the frame ``minhash_signature(...,
+    keep_shingles=True)`` produces); only the new batch computes
+    features from text, and the shuffle carries (id, band) pairs —
+    never text. The streaming admission gate
+    (`streaming/neardup_stream.py`) exercises exactly that artifact
+    handoff; with ``index_features=None`` the features are derived
+    from ``index`` in-plan (the batch posture). NULL text → NULL
+    signature → no bands (engine-wide contract), surfacing as
+    n_candidates=0.
     """
-    sig_new = minhash_signature(new, text_col, id_col, n_hashes)
-    sig_idx = minhash_signature(index, text_col, id_col, n_hashes)
+    feats_new = minhash_signature(new, text_col, id_col, n_hashes, keep_shingles=True)
+    feats_idx = (
+        index_features
+        if index_features is not None
+        else minhash_signature(index, text_col, id_col, n_hashes, keep_shingles=True)
+    )
 
     assert n_hashes % rows_per_band == 0, "n_hashes must be a multiple of rows_per_band"
     n_bands = n_hashes // rows_per_band
@@ -631,16 +656,16 @@ def incremental_near_dups(
         )
 
     cand = (
-        bandify(sig_new, "id_new")
-        .join(bandify(sig_idx, "id_idx"), "band")
+        bandify(feats_new, "id_new")
+        .join(bandify(feats_idx, "id_idx"), "band")
         .select("id_new", "id_idx")
         .distinct()
     )
-    sh_new = new.select(
-        F.col(id_col).alias("id_new"), shingles(F.col(text_col)).alias("__sa")
+    sh_new = feats_new.select(
+        F.col(id_col).alias("id_new"), F.col("__sh").alias("__sa")
     )
-    sh_idx = index.select(
-        F.col(id_col).alias("id_idx"), shingles(F.col(text_col)).alias("__sb")
+    sh_idx = feats_idx.select(
+        F.col(id_col).alias("id_idx"), F.col("__sh").alias("__sb")
     )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = F.size(F.array_union("__sa", "__sb")).cast("double")

@@ -50,14 +50,17 @@ def pin_increasing_mtimes(watch_dir: str, subdirs) -> None:
 
 
 @contextmanager
-def drain_shuffle_partitions(spark: SparkSession, n: int = 8):
+def drain_shuffle_partitions(spark: SparkSession, n: int = 4):
     """Scope ``spark.sql.shuffle.partitions`` down for a one-shot drain.
 
     Each stateful operator keeps one state store PER shuffle partition
     and commits every store every micro-batch — overhead linear in the
     partition count, regardless of data volume. An availableNow drain
     of a bounded snapshot wants a small fixed count (measured 2× on the
-    stream-stream join at 32→8). The conf is restored on exit, so batch
+    stream-stream join at 32→8, and a further ~0.7s at 8→4 — the
+    symmetric hash join keeps FOUR stores per partition, so the
+    commit count is 4·n·batches; below 4 the gain flattens while
+    per-partition state grows). The conf is restored on exit, so batch
     parallelism outside the drain is untouched; streaming queries latch
     the value at .start(), which this context encloses.
     """
@@ -112,6 +115,43 @@ def _events_ts_unit(watch_dir: str) -> str:
             "stream"
         )
     return pq.ParquetFile(resolved[0]).schema_arrow.field("ts").type.unit
+
+
+def _events_footer_max_ts(sf_dir: str):
+    """max(ts) of the events table from parquet row-group FOOTER
+    statistics — a driver-side metadata read, zero Spark jobs (the
+    same footer trick zone-map pruning rides). Returns None when any
+    row group lacks usable stats, so callers can fall back to a real
+    aggregation. Only safe for uses where the exact value is
+    non-semantic (e.g. picking a staging split point): a NANOS footer
+    truncates to the datetime's micros."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    from datetime import datetime  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    if not files:
+        return None
+    mx = None
+    for f in files:
+        pf = pq.ParquetFile(f)
+        try:
+            ci = pf.metadata.schema.names.index("ts")
+        except ValueError:
+            return None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max or not isinstance(st.max, datetime):
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+    return mx
 
 
 def _events_stream(spark: SparkSession, watch_dir: str) -> DataFrame:
@@ -287,18 +327,42 @@ def attribution_pairs_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         e = read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "ts"
         )
-        split = e.agg(
-            F.expr("max(ts) - INTERVAL 3 DAYS").alias("cut")
-        ).collect()[0]["cut"]
-        for i, part in enumerate(
-            (e.filter(F.col("ts") < F.lit(split)), e.filter(F.col("ts") >= F.lit(split))),
-            start=1,
-        ):
-            out = os.path.join(stage_dir, f"d{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(out)
-            src = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        # The split point is non-semantic (ANY time-ordered 2-way split
+        # yields the identical pair set — see the retention argument
+        # above), so read max(ts) from the parquet footer stats when
+        # available instead of paying a Spark aggregation job.
+        from datetime import timedelta  # noqa: PLC0415
+
+        footer_max = _events_footer_max_ts(sf_dir)
+        if footer_max is not None:
+            split = footer_max - timedelta(days=3)
+        else:
+            split = e.agg(
+                F.expr("max(ts) - INTERVAL 3 DAYS").alias("cut")
+            ).collect()[0]["cut"]
+        # one staging job: partitionBy splits the two deliveries in a
+        # single scan (was two sequential coalesce(1) writes)
+        e.withColumn(
+            "__d", F.when(F.col("ts") < F.lit(split), 1).otherwise(2)
+        ).coalesce(1).write.partitionBy("__d").mode("overwrite").parquet(stage_dir)
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+            }
+        )
+        for i in (1, 2):
             dst = os.path.join(watch_dir, f"delivery{i}.parquet")
-            shutil.copyfile(src, dst)
+            parts = glob.glob(os.path.join(stage_dir, f"__d={i}", "part-*.parquet"))
+            if parts:
+                shutil.copyfile(parts[0], dst)
+            else:
+                pq.write_table(empty, dst)
             os.utime(dst, (1_000_000_000 + i * 100,) * 2)
         schema = "event_id long, user_id long, event_type string, ts timestamp_ntz"
         ts_i = F.expr(

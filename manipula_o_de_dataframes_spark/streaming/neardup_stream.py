@@ -31,17 +31,25 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import incremental_near_dups
+from ..operators.dedup import incremental_near_dups, minhash_signature
 from ..sources.io import read_table
 from .joins import drain_shuffle_partitions, pin_increasing_mtimes
 
 DOCS_SCHEMA = "doc_id long, text string"
+# The persisted index artifact: banding signatures + verify shingles —
+# bytes/doc instead of the raw text, which is what makes the admission
+# gate's index side a bounded artifact at 100 TB.
+FEATURES_SCHEMA = (
+    "doc_id long, __sh array<string>, mh0 string, mh1 string, "
+    "mh2 string, mh3 string"
+)
 
 
 def screen_batch(index_dir: str, out_dir: str, batch: DataFrame, batch_id: int) -> None:
     """foreachBatch handler: the first delivery seeds the index; every
     later delivery is screened against everything delivered BEFORE it,
-    its admission decisions logged, and its docs added to the index.
+    its admission decisions logged, and its FEATURES (signatures +
+    shingles, not text) added to the index artifact.
 
     IDEMPOTENT under foreachBatch's at-least-once contract: every
     write lands in a batch_id-keyed subdir with mode=overwrite, so a
@@ -58,7 +66,11 @@ def screen_batch(index_dir: str, out_dir: str, batch: DataFrame, batch_id: int) 
     import glob  # noqa: PLC0415
 
     spark = batch.sparkSession
-    b = batch.select("doc_id", "text")
+    # The delivery arrives as ONE file => one input partition, so the
+    # MinHash/shingle stages would run at parallelism 1 (measured 3.3s
+    # -> 2.1s on the sf0.1 screen with this spread); fan the batch out
+    # before the signature work.
+    b = batch.select("doc_id", "text").repartition(8)
     part = f"b{batch_id:05d}"
     prior = sorted(
         p
@@ -67,12 +79,18 @@ def screen_batch(index_dir: str, out_dir: str, batch: DataFrame, batch_id: int) 
         and os.path.exists(os.path.join(p, "_SUCCESS"))
     )
     if prior:
-        index = spark.read.schema(DOCS_SCHEMA).parquet(*prior)
+        index_feats = spark.read.schema(FEATURES_SCHEMA).parquet(*prior)
         result = incremental_near_dups(
-            b, index, "text", "doc_id", n_hashes=4, jaccard_threshold=0.5
+            b, None, "text", "doc_id", n_hashes=4, jaccard_threshold=0.5,
+            index_features=index_feats,
         )
         result.write.mode("overwrite").parquet(os.path.join(out_dir, part))
-    b.write.mode("overwrite").parquet(os.path.join(index_dir, part))
+    # the index artifact is FEATURES (signatures + shingles), computed
+    # once at admission time — later batches never re-derive them from
+    # text (the persisted-artifact posture the 100 TB design requires)
+    minhash_signature(b, "text", "doc_id", 4, keep_shingles=True).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, part))
 
 
 def neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,8 +69,12 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes")
                 .start()
                 .awaitTermination()
             )
-        sink = spark.table(name)
-        result = spark.createDataFrame(sink.collect(), sink.schema)
+        # ~95k session rows at sf0.1: spool executor-side instead of
+        # collect+createDataFrame, which round-trips every row through
+        # the driver twice (py4j out, py4j back in)
+        from ..operators.spool import spool  # noqa: PLC0415
+
+        result = spool(spark.table(name))
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(watch_dir, ignore_errors=True)

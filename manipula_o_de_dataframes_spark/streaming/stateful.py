@@ -181,15 +181,31 @@ def late_drop_drained(spark, sf_dir: str) -> DataFrame:
             % 8
             == 0
         )
-        for i, part in enumerate(
-            (e.filter(~is_late), e.filter(F.lit(False)), e.filter(is_late)),
-            start=1,
-        ):
-            out = os.path.join(stage_dir, f"d{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(out)
-            src = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        # ONE staging job: partitionBy splits on-time (d=1) and late
+        # (d=3) in a single scan (was 3 sequential coalesce(1) writes,
+        # ~0.3s saved warm); the empty d=2 heartbeat needs no Spark job
+        # at all — an empty parquet footer with the matching physical
+        # schema (int64 + MICROS-NTZ, what Spark writes for
+        # timestamp_ntz) is written driver-side.
+        e.withColumn("__d", F.when(is_late, 3).otherwise(1)).coalesce(
+            1
+        ).write.partitionBy("__d").mode("overwrite").parquet(stage_dir)
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+            }
+        )
+        for i in (1, 2, 3):
             dst = os.path.join(watch_dir, f"delivery{i}.parquet")
-            shutil.copyfile(src, dst)
+            parts = glob.glob(os.path.join(stage_dir, f"__d={i}", "part-*.parquet"))
+            if parts:
+                shutil.copyfile(parts[0], dst)
+            else:
+                pq.write_table(empty, dst)
             os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
         stream = spark.readStream.schema("event_id long, ts timestamp_ntz").option(
             "maxFilesPerTrigger", 1
