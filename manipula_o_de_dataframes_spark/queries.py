@@ -14970,6 +14970,93 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _excel_roundtrip_dir() -> str:
+    """Session-scoped scratch dir for the xlsx ingest queries — must
+    outlive the call because the distributed reader scans the file
+    LAZILY (a per-call tempdir deleted in a finally would yank the
+    file from under the returned plan)."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    global _EXCEL_RT_DIR
+    if _EXCEL_RT_DIR is None:
+        _EXCEL_RT_DIR = tempfile.mkdtemp(prefix="manipula_excel_rt_")
+        atexit.register(shutil.rmtree, _EXCEL_RT_DIR, ignore_errors=True)
+    return _EXCEL_RT_DIR
+
+
+_EXCEL_RT_DIR = None
+
+
+def _excel_roundtrip_file(spark: SparkSession, sf_dir: str) -> str:
+    """Write the nation table to ONE xlsx (S8 sink, named sheet) once
+    per (session, sf_dir); both ingest queries read it back."""
+    import os  # noqa: PLC0415
+
+    from .sources.io import write_excel  # noqa: PLC0415
+
+    out = os.path.join(
+        _excel_roundtrip_dir(),
+        f"nation_{spark.sparkContext.applicationId}_"
+        f"{os.path.abspath(sf_dir).replace(os.sep, '_')}",
+    )
+    path = os.path.join(out, "nation.xlsx")
+    if not os.path.exists(path):
+        os.makedirs(out, exist_ok=True)
+        write_excel(
+            read_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ),
+            path,
+            sheet_name="Nacoes",
+        )
+    return path
+
+
+def q_excel_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S8 under the HASH gate (VERDICT r6 #6): the nation table
+    round-trips through a real xlsx file — write_excel (named sheet,
+    AP:110-114 sink) then read_excel (sheet-name scan, AP:12/APC:150)
+    — and must come back value-identical to the parquet the DuckDB
+    oracle reads. Numeric cells are doubles in the xlsx data model
+    (stdlib codec and pandas alike), so keys cast back to bigint; an
+    off-by-one header, a dropped row, or a string-mangled name all
+    hash-mismatch. Driver-side by design: the reference's xlsx inputs
+    are tens of MB; the fleet path is `excel_ingest_distributed`.
+    """
+    from .sources.io import read_excel  # noqa: PLC0415
+
+    path = _excel_roundtrip_file(spark, sf_dir)
+    back = read_excel(spark, path, sheet_name="Nacoes")
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    ).orderBy("n_nationkey")
+
+
+def q_excel_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet twin of `excel_ingest`: the same workbook ingested via
+    `read_excel_distributed` (binaryFile scan → executor-side stdlib
+    xlsx parse, S1 at many-workbook scale) — hash-verified against the
+    same parquet oracle, proving the distributed parse is cell-exact,
+    with the `source_file` lineage column checked too.
+    """
+    import os  # noqa: PLC0415
+
+    from .sources.io import read_excel_distributed  # noqa: PLC0415
+
+    path = _excel_roundtrip_file(spark, sf_dir)
+    back = read_excel_distributed(spark, os.path.dirname(path), sheet_name="Nacoes")
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.col("source_file").alias("source_file"),
+    ).orderBy("n_nationkey")
+
+
 QUERIES = {
     # Dict order = the driver's ~50-row sampling order. Priority: (1)
     # new in round 5 with NO driver row yet — the continuation batches
@@ -15306,6 +15393,8 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "embedding_quantize": q_embedding_quantize,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "excel_ingest": q_excel_ingest,
+    "excel_ingest_distributed": q_excel_ingest_distributed,
 }
 
 # The driver verifies roughly the FIRST 50 entries each round, so dict
@@ -15318,43 +15407,43 @@ QUERIES = {
 # r5-new queries follow immediately and rotate into the r6 sample.
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
-    # r6 rotation (VERDICT r5 #3): re-verify the two ever-red fixes
-    # (km_survival — r5 oracle-typing red, now CAST'd; join_skew_profile
-    # — r4 red, r5 fix never driver-sampled), then the 25 dtype-fixed
-    # oracles (each a guaranteed red before the CASTs), the full TPC-H
-    # suite, then every remaining query with no CORRECTNESS_r* row.
-    "km_survival", "join_skew_profile", "hazard_weekly", "activity_bitmaps",
-    "tpch_q1", "tpch_q17", "capped_balance", "ltv_cohorts",
-    "scd2_pit_join", "mv_join_delta", "benford_audit", "ks_length_drift",
-    "order_count_gini", "zonemap_prune_audit", "balanced_shards", "session_depth_profile",
-    "discount_elasticity", "tpch_q12", "tpch_q11", "tpch_q20",
-    "tpch_q18", "decayed_item_rank", "position_attribution", "abc_xyz_matrix",
-    "same_customer_growth", "weekday_seasonality", "tpch_q2", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19",
-    "tpch_q21", "tpch_q22",
-    # r6 additions (no driver row yet)
-    "roc_auc", "seasonal_decompose", "stream_near_dup", "forecast_pinball",
-    "holt_winters",
-    "mrr_waterfall", "fair_token_budget",
-    "mix_rate_bridge", "behavioral_cohort", "neighborhood_function", "association_rules",
-    "rendezvous_sharding", "markov_attribution", "hyperball_2hop", "weighted_sample",
-    "shapley_channels", "rake_keywords", "quantile_normalize", "apriori_triples",
-    "leakage_safe_features", "rle_sort_key_planner", "label_propagation", "triangle_counts",
-    "kcore_peel", "winnow_near_dup", "cdc_chunk_dedup", "kcenter_coreset",
-    "maxsim_search", "keyset_page", "stream_running_totals", "attribution_stream_wm",
-    "enrich_stream", "holt_trend", "theilsen_trend", "ewma_weekly",
-    "naive_forecast_mape", "revenue_recognition", "twab_balance", "state_snapshot_diff",
-    "mad_outliers", "weighted_median_price", "bloom_join_prune", "range_split_points",
-    "event_paths", "conversion_latency", "rfm_migration", "audience_overlap",
-    "l_diversity_audit", "fd_discovery", "transition_steady_state", "pareto_frontier",
-    "topk_with_ties", "zipf_audit", "source_overlap_matrix", "interpolate_weeks",
-    "ab_contingency_chi2", "backlog_aging", "stream_late_drop", "embedding_dim_profile",
-    "grouping_sets_rollup", "event_cooccurrence", "shard_manifest", "seasonal_band_breaches",
-    "rounding_drift_audit", "key_gap_islands", "join_size_estimate", "prefix_jaccard_join",
-    "open_order_concurrency", "column_profile", "mv_refresh", "trust_propagation",
-    "event_value_by_nation", "pagerank_items", "prefix_dup_groups", "winsorized_stats",
+    # r7 rotation (VERDICT r6 #1): close the driver-provenance gap.
+    # Front: the two r7 additions (excel_ingest twins, VERDICT #6) and
+    # every query whose plan changed this round (streaming-harness
+    # staging pass, kcore/global-rank rewrites) so each gets a
+    # fresh driver row; then the 67 queries with NO CORRECTNESS_r*
+    # row in r1-r6 (judge-sweep green in r6, never driver-sampled);
+    # then the 11 queries whose newest driver row dates to r1.
+    # ~50 sampled this round finishes the never-set by r8.
+    "excel_ingest", "excel_ingest_distributed", "stream_near_dup",
+    "stream_upsert", "sessionize_stream", "incremental_dedup",
+    "roc_auc", "abc_classification_scaled", "curriculum_order",
+    "ab_contingency_chi2", "apriori_triples", "association_rules",
+    "attribution_stream_wm", "audience_overlap", "backlog_aging",
+    "behavioral_cohort", "bloom_join_prune", "cdc_chunk_dedup",
+    "column_profile", "conversion_latency", "embedding_dim_profile",
+    "enrich_stream", "event_cooccurrence", "event_paths",
+    "event_value_by_nation", "ewma_weekly", "fd_discovery",
+    "grouping_sets_rollup", "holt_trend", "hyperball_2hop",
+    "interpolate_weeks", "join_size_estimate", "kcenter_coreset",
+    "kcore_peel", "key_gap_islands", "keyset_page",
+    "l_diversity_audit", "label_propagation", "leakage_safe_features",
+    "mad_outliers", "markov_attribution", "maxsim_search",
+    "mv_refresh", "naive_forecast_mape", "neighborhood_function",
+    "open_order_concurrency", "pagerank_items", "pareto_frontier",
+    "prefix_dup_groups", "prefix_jaccard_join", "quantile_normalize",
+    "rake_keywords", "range_split_points", "rendezvous_sharding",
+    "revenue_recognition", "rfm_migration", "rle_sort_key_planner",
+    "rounding_drift_audit", "seasonal_band_breaches", "shapley_channels",
+    "shard_manifest", "source_overlap_matrix", "state_snapshot_diff",
+    "stream_late_drop", "stream_running_totals", "theilsen_trend",
+    "topk_with_ties", "transition_steady_state", "triangle_counts",
+    "trust_propagation", "twab_balance", "weighted_median_price",
+    "weighted_sample", "winnow_near_dup", "winsorized_stats",
+    "zipf_audit", "clean_pipeline", "dashboard_serve",
+    "date_slice_metrics", "embedding_near_dup", "ivf_topk",
+    "multimodal_frames", "pending_stream", "skewed_flag_history",
+    "tfidf_top_term", "top_bigrams", "weekly_snapshots",
 ]
 assert set(_DRIVER_SAMPLE_PRIORITY) <= set(QUERIES), (
     sorted(set(_DRIVER_SAMPLE_PRIORITY) - set(QUERIES))

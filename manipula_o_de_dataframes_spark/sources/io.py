@@ -91,13 +91,13 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 
 def _cell_str(v) -> str | None:
-    """Render a mixed-type cell for a string column (integral floats
-    drop the '.0', matching how the reference's IDs display)."""
-    if v is None:
-        return None
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
-    return str(v)
+    """Render a mixed-type cell for a string column — delegated to
+    ``xlsx_lite.cell_str`` (moved there with the table-inference
+    helpers so the distributed reader's executor closure pickles by
+    value; see ``xlsx_lite.infer_table``)."""
+    from . import xlsx_lite  # noqa: PLC0415
+
+    return xlsx_lite.cell_str(v)
 
 
 def read_excel(
@@ -142,49 +142,17 @@ def read_excel(
 
 
 def _infer_table(rows: list[list], header: int):
-    """Shared header/width/type inference for the stdlib xlsx path:
-    returns (column names, Spark types, padded data rows). Width is
-    the max over header AND data rows — a sheet whose data rows extend
-    past the header surfaces the extra cells as 'Unnamed: i' columns
-    (what pandas+openpyxl does), not silently dropped."""
-    from pyspark.sql.types import (  # noqa: PLC0415
-        BooleanType,
-        DoubleType,
-        StringType,
-    )
+    """Delegates to ``xlsx_lite.infer_table`` (moved so executor
+    closures can pickle the codec module by value)."""
+    from . import xlsx_lite  # noqa: PLC0415
 
-    if header >= len(rows):
-        raise ValueError(f"header row {header} beyond sheet ({len(rows)} rows)")
-    width = max(len(r) for r in rows[header:])
-    cols = [
-        _cell_str(c) if c is not None else f"Unnamed: {i}"
-        for i, c in enumerate((rows[header] + [None] * width)[:width])
-    ]
-    data = [(r + [None] * width)[:width] for r in rows[header + 1 :]]
-
-    def _col_type(ci: int):
-        nn = [r[ci] for r in data if r[ci] is not None]
-        if nn and all(isinstance(v, bool) for v in nn):
-            # keep real booleans — the pandas+openpyxl path yields a
-            # bool column, the two engines must agree on schema
-            return BooleanType()
-        if nn and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn):
-            return DoubleType()
-        return StringType()
-
-    return cols, [_col_type(ci) for ci in range(width)], data
+    return xlsx_lite.infer_table(rows, header)
 
 
 def _coerce_cell(v, t):
-    from pyspark.sql.types import BooleanType, DoubleType  # noqa: PLC0415
+    from . import xlsx_lite  # noqa: PLC0415
 
-    if v is None:
-        return None
-    if isinstance(t, BooleanType):
-        return bool(v)
-    if isinstance(t, DoubleType):
-        return float(v)
-    return _cell_str(v)
+    return xlsx_lite.coerce_cell(v, t)
 
 
 def read_excel_distributed(
@@ -249,6 +217,14 @@ def read_excel_distributed(
         + [StructField("source_file", StringType())]
     )
 
+    # The executor closure must survive a FOREIGN-CWD driver (the
+    # external harness launches its own session with no repo on the
+    # worker sys.path): pickle the stdlib codec module BY VALUE so the
+    # worker never tries `import manipula_o_de_dataframes_spark...`.
+    from pyspark import cloudpickle  # noqa: PLC0415
+
+    cloudpickle.register_pickle_by_value(xlsx_lite)
+
     def _parse(batches):
         import pandas as pd  # noqa: PLC0415
 
@@ -256,7 +232,7 @@ def read_excel_distributed(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 rows = xlsx_lite.read_rows(_io.BytesIO(bytes(content)), sheet_name)
-                file_cols, _, data = _infer_table(rows, header)
+                file_cols, _, data = xlsx_lite.infer_table(rows, header)
                 base = os.path.basename(str(p))
                 # Homogeneity contract, enforced LOUDLY: a file wider
                 # than the probe schema would silently lose its extra
@@ -276,7 +252,7 @@ def read_excel_distributed(
                     padded = (list(r) + [None] * len(cols))[: len(cols)]
                     out.append(
                         [
-                            _coerce_cell(v, types[ci])
+                            xlsx_lite.coerce_cell(v, types[ci])
                             for ci, v in enumerate(padded)
                         ]
                         + [base]

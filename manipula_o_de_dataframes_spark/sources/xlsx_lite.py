@@ -195,3 +195,67 @@ def write_sheets(path: str, sheets: dict[str, list[list]]) -> str:
                 f"<sheetData>{''.join(body)}</sheetData></worksheet>",
             )
     return path
+
+
+def cell_str(v) -> str | None:
+    """Render a mixed-type cell for a string column (integral floats
+    drop the '.0', matching how the reference's IDs display)."""
+    if v is None:
+        return None
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def infer_table(rows: list[list], header: int):
+    """Shared header/width/type inference for the stdlib xlsx path:
+    returns (column names, Spark types, padded data rows). Width is
+    the max over header AND data rows — a sheet whose data rows extend
+    past the header surfaces the extra cells as 'Unnamed: i' columns
+    (what pandas+openpyxl does), not silently dropped.
+
+    Lives HERE (not sources.io) so the distributed reader's executor
+    closure can be pickled BY VALUE with this module alone — a
+    foreign-cwd driver (the external harness) has no repo on the
+    worker sys.path, so any by-reference module pickle fails to
+    import there. The pyspark import is function-local: workers ship
+    pyspark, this module stays stdlib-importable.
+    """
+    from pyspark.sql.types import (  # noqa: PLC0415
+        BooleanType,
+        DoubleType,
+        StringType,
+    )
+
+    if header >= len(rows):
+        raise ValueError(f"header row {header} beyond sheet ({len(rows)} rows)")
+    width = max(len(r) for r in rows[header:])
+    cols = [
+        cell_str(c) if c is not None else f"Unnamed: {i}"
+        for i, c in enumerate((rows[header] + [None] * width)[:width])
+    ]
+    data = [(r + [None] * width)[:width] for r in rows[header + 1 :]]
+
+    def _col_type(ci: int):
+        nn = [r[ci] for r in data if r[ci] is not None]
+        if nn and all(isinstance(v, bool) for v in nn):
+            # keep real booleans — the pandas+openpyxl path yields a
+            # bool column, the two engines must agree on schema
+            return BooleanType()
+        if nn and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn):
+            return DoubleType()
+        return StringType()
+
+    return cols, [_col_type(ci) for ci in range(width)], data
+
+
+def coerce_cell(v, t):
+    from pyspark.sql.types import BooleanType, DoubleType  # noqa: PLC0415
+
+    if v is None:
+        return None
+    if isinstance(t, BooleanType):
+        return bool(v)
+    if isinstance(t, DoubleType):
+        return float(v)
+    return cell_str(v)
