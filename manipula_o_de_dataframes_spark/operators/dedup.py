@@ -602,6 +602,7 @@ def incremental_near_dups(
     jaccard_threshold: float = 0.5,
     rows_per_band: int = 1,
     index_features: DataFrame | None = None,
+    new_features: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: screen a NEW batch against an existing corpus
     index — the posture a production pipeline runs per ingest, where
@@ -628,7 +629,11 @@ def incremental_near_dups(
     signature → no bands (engine-wide contract), surfacing as
     n_candidates=0.
     """
-    feats_new = minhash_signature(new, text_col, id_col, n_hashes, keep_shingles=True)
+    feats_new = (
+        new_features
+        if new_features is not None
+        else minhash_signature(new, text_col, id_col, n_hashes, keep_shingles=True)
+    )
     feats_idx = (
         index_features
         if index_features is not None
@@ -682,7 +687,11 @@ def incremental_near_dups(
         .select("id_new", "id_idx", "__j", "__n")
     )
     return (
-        new.select(F.col(id_col).alias("id_new"))
+        # anchor on the FEATURES frame (row-preserving projection of
+        # `new`): every new doc comes back exactly once, including
+        # NULL-text docs (NULL signature → no bands → n_candidates=0),
+        # and the anchor works when only new_features was passed
+        feats_new.select(F.col(id_col).alias("id_new"))
         .join(best, "id_new", "left")
         .select(
             F.col("id_new").alias(id_col),

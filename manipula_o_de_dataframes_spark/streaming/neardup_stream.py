@@ -78,19 +78,23 @@ def screen_batch(index_dir: str, out_dir: str, batch: DataFrame, batch_id: int) 
         if int(os.path.basename(p)[1:]) < batch_id
         and os.path.exists(os.path.join(p, "_SUCCESS"))
     )
-    if prior:
-        index_feats = spark.read.schema(FEATURES_SCHEMA).parquet(*prior)
-        result = incremental_near_dups(
-            b, None, "text", "doc_id", n_hashes=4, jaccard_threshold=0.5,
-            index_features=index_feats,
-        )
-        result.write.mode("overwrite").parquet(os.path.join(out_dir, part))
     # the index artifact is FEATURES (signatures + shingles), computed
-    # once at admission time — later batches never re-derive them from
-    # text (the persisted-artifact posture the 100 TB design requires)
+    # ONCE at admission time — written first, then read back for this
+    # batch's own screening, so the batch's text is featurized exactly
+    # once and later batches never re-derive anything from text (the
+    # persisted-artifact posture the 100 TB design requires)
+    part_path = os.path.join(index_dir, part)
     minhash_signature(b, "text", "doc_id", 4, keep_shingles=True).write.mode(
         "overwrite"
-    ).parquet(os.path.join(index_dir, part))
+    ).parquet(part_path)
+    if prior:
+        index_feats = spark.read.schema(FEATURES_SCHEMA).parquet(*prior)
+        my_feats = spark.read.schema(FEATURES_SCHEMA).parquet(part_path)
+        result = incremental_near_dups(
+            None, None, "text", "doc_id", n_hashes=4, jaccard_threshold=0.5,
+            index_features=index_feats, new_features=my_feats,
+        )
+        result.write.mode("overwrite").parquet(os.path.join(out_dir, part))
 
 
 def neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
