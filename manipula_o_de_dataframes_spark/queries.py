@@ -15003,14 +15003,26 @@ def _excel_roundtrip_file(spark: SparkSession, sf_dir: str) -> str:
     )
     path = os.path.join(out, "nation.xlsx")
     if not os.path.exists(path):
+        import uuid  # noqa: PLC0415
+
         os.makedirs(out, exist_ok=True)
+        # write-then-rename so a concurrent caller never reads a
+        # half-written workbook (os.replace is atomic on one fs).
+        # The tmp lives OUTSIDE the scanned subdir (the distributed
+        # reader globs *.xlsx under `out`, and a crash-leftover tmp
+        # there would surface as a second workbook) and keeps the
+        # .xlsx suffix (pandas' to_excel infers its engine from it).
+        tmp = os.path.join(
+            _excel_roundtrip_dir(), f"tmp_{uuid.uuid4().hex}.xlsx"
+        )
         write_excel(
             read_table(spark, sf_dir, "nation").select(
                 "n_nationkey", "n_name", "n_regionkey"
             ),
-            path,
+            tmp,
             sheet_name="Nacoes",
         )
+        os.replace(tmp, path)
     return path
 
 

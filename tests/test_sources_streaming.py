@@ -431,3 +431,47 @@ def test_distributed_excel_ingest_rejects_heterogeneous_workbooks(spark, tmp_pat
     )
     with _pytest.raises(Exception, match="homogeneous"):
         read_excel_distributed(spark, str(tmp_path), sheet_name="S").collect()
+
+
+def test_distributed_excel_ingest_survives_foreign_cwd_driver(tmp_path):
+    """The external harness launches its OWN SparkSession from an
+    arbitrary cwd with no repo on the worker sys.path — the executor
+    closure must therefore pickle the xlsx codec BY VALUE, never
+    `import manipula_o_de_dataframes_spark...` on a worker (the r7
+    first cut did exactly that and died with ModuleNotFoundError).
+    Reproduced in a subprocess: repo importable on the DRIVER only
+    (sys.path insert), cwd and PYTHONPATH both pointing elsewhere."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repo!r})  # driver-side ONLY
+        from pyspark.sql import SparkSession
+        from manipula_o_de_dataframes_spark.sources import xlsx_lite
+        from manipula_o_de_dataframes_spark.sources.io import read_excel_distributed
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        xlsx_lite.write_sheets(
+            "wb.xlsx", {{"S": [["cliente", "valor"], ["c1", 1.0], ["c2", 2.0]]}}
+        )
+        rows = read_excel_distributed(spark, ".", sheet_name="S").collect()
+        assert len(rows) == 2 and {{r["cliente"] for r in rows}} == {{"c1", "c2"}}, rows
+        print("FOREIGN_CWD_OK")
+        """
+    )
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_GRAFT_TEST_SHARD")
+    }
+    p = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0 and "FOREIGN_CWD_OK" in p.stdout, (
+        p.stdout[-2000:] + p.stderr[-2000:]
+    )
