@@ -69,8 +69,12 @@ def screen_batch(index_dir: str, out_dir: str, batch: DataFrame, batch_id: int) 
     # The delivery arrives as ONE file => one input partition, so the
     # MinHash/shingle stages would run at parallelism 1 (measured 3.3s
     # -> 2.1s on the sf0.1 screen with this spread); fan the batch out
-    # before the signature work.
-    b = batch.select("doc_id", "text").repartition(8)
+    # before the signature work. Sized to the cluster, not a constant:
+    # a fixed 8 would serialize the featurize on a 1000-executor
+    # deployment.
+    b = batch.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     part = f"b{batch_id:05d}"
     prior = sorted(
         p
