@@ -8625,3 +8625,48 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
 FROM nation
 ORDER BY n_nationkey
 """
+
+# exact_substr_dedup: ExactSubstr-style duplicated-span coverage —
+# identical 8-word-gram hashing (md5 prefix, same input string both
+# engines), identical gaps-and-islands merge; list slicing is
+# INCLUSIVE in DuckDB (t[i : i+7] = 8 elements = Spark slice(t, i, 8)).
+# Integer division: // floors, Spark div truncates — equal on the
+# non-negative operands here.
+ORACLES["exact_substr_dedup"] = """
+WITH sized AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, n, i AS p,
+         substr(md5(array_to_string(t[i : i + 7], ' ')), 1, 16) AS h
+  FROM sized, unnest(generate_series(1, n - 7)) AS g(i)
+  WHERE n >= 8
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1),
+marked AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM (
+    SELECT doc_id, p, LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+    FROM marked
+  )
+),
+spans AS (
+  SELECT doc_id, isl, MAX(p) - MIN(p) + 8 AS cov
+  FROM isl GROUP BY doc_id, isl
+),
+census AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(cov) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(1000 * COALESCE(c.dup_tokens, 0) // s.n AS BIGINT) AS dup_ratio_milli
+FROM sized s LEFT JOIN census c USING (doc_id)
+ORDER BY s.doc_id
+"""

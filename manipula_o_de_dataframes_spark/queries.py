@@ -15026,6 +15026,103 @@ def _excel_roundtrip_file(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage census (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr family): every 8-word gram that occurs MORE THAN ONCE
+    in the corpus (across documents or repeated within one) marks its
+    start position duplicated; per document, overlapping duplicated
+    grams merge into MAXIMAL spans (gaps-and-islands on start
+    positions, a new island when the gap exceeds the gram width), and
+    the census reports span count, covered tokens, and an integer
+    coverage ratio. The exact-span complement of the shelf's sampled
+    and chunked arms: `winnow_near_dup` fingerprints a SAMPLE of
+    grams (winnowing windows), `cdc_chunk_dedup` dedups at chunk
+    granularity — this one answers "how many of this doc's tokens sit
+    inside some exactly-duplicated passage", the statistic ExactSubstr
+    cuts on.
+
+    Scale: the gram table carries (16-hex md5 prefix, doc, pos) — one
+    row per token, never the text (the inverted-index posture); the
+    duplicate census is a map-side-combined count per hash; positions
+    semi-join the duplicated-hash set; the island merge is a per-doc
+    window over that doc's OWN duplicated positions (bounded by doc
+    length — never a corpus-wide frame). ExactSubstr's suffix array
+    does this marking in O(corpus) on one machine; the fixed-k
+    gram-hash shuffle is its distributed equivalent (k = 8 plays the
+    role of the 50-token threshold at the fixture's doc lengths).
+    All-integer output (count/coverage/ratio via `div`).
+    """
+    K = 8
+    base = (
+        _docs_parallel(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("__t"))
+        .select("doc_id", "__t", F.size("__t").alias("__n"))
+    )
+    grams = (
+        base.filter(F.col("__n") >= K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - K + 1),
+                    lambda i: F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("__t", i, K))), 1, 16
+                    ),
+                )
+            ).alias("__pi", "__h"),
+        )
+        .select("doc_id", (F.col("__pi") + 1).alias("__p"), "__h")
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__h")
+    )
+    marked = grams.join(dup, "__h").select("doc_id", "__p")
+    w = Window.partitionBy("doc_id").orderBy("__p")
+    isl = (
+        marked.withColumn("__prev", F.lag("__p").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("__p") - F.col("__prev") > K)).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("doc_id", "__isl").agg(
+        (F.max("__p") - F.min("__p") + K).alias("__cov")
+    )
+    census = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("__cov").cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", F.col("__n").cast("long").alias("n_tokens"))
+        .join(census, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.expr("1000 * coalesce(dup_tokens, 0) div n_tokens")
+            .cast("long")
+            .alias("dup_ratio_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_excel_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S8 under the HASH gate (VERDICT r6 #6): the nation table
     round-trips through a real xlsx file — write_excel (named sheet,
@@ -15407,6 +15504,7 @@ QUERIES = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "excel_ingest": q_excel_ingest,
     "excel_ingest_distributed": q_excel_ingest_distributed,
+    "exact_substr_dedup": q_exact_substr_dedup,
 }
 
 # The driver verifies roughly the FIRST 50 entries each round, so dict
@@ -15427,7 +15525,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     # row in r1-r6 (judge-sweep green in r6, never driver-sampled);
     # then the 11 queries whose newest driver row dates to r1.
     # ~50 sampled this round finishes the never-set by r8.
-    "excel_ingest", "excel_ingest_distributed", "stream_near_dup",
+    "excel_ingest", "excel_ingest_distributed", "exact_substr_dedup",
+    "stream_near_dup",
     "stream_upsert", "sessionize_stream", "incremental_dedup",
     "roc_auc", "abc_classification_scaled", "curriculum_order",
     "ab_contingency_chi2", "apriori_triples", "association_rules",

@@ -552,3 +552,69 @@ def test_ntile_from_rank_small_partition(spark):
         ).cast("long").alias("n"),
     ).select("id", ntile_from_rank("rn", "n", 7).alias("t"))
     assert ref.exceptAll(got).count() == 0 and got.exceptAll(ref).count() == 0
+
+
+def test_exact_substr_dedup_spans_on_known_corpus(spark):
+    """Hand-checkable ExactSubstr census: a 12-word passage shared by
+    two docs merges its 5 duplicated 8-gram starts into ONE maximal
+    span covering exactly 12 tokens; an intra-doc repeat of an 8-word
+    phrase yields TWO spans of 8 (the phrase occurs twice in the
+    corpus, positions far apart); short (<8 tokens) and fully-unique
+    docs report zeros."""
+    from manipula_o_de_dataframes_spark.queries import q_exact_substr_dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))       # the shared passage
+    phrase = " ".join(f"p{i}" for i in range(8))        # intra-doc repeat
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(20))),                       # unique
+        (2, " ".join(f"b{i}" for i in range(5)) + " " + shared +
+            " " + " ".join(f"c{i}" for i in range(5))),                  # shared@6
+        (3, shared + " " + " ".join(f"d{i}" for i in range(9))),         # shared@1
+        (4, phrase + " " + " ".join(f"e{i}" for i in range(10)) +
+            " " + phrase),                                               # repeat
+        (5, "x0 x1 x2"),                                                 # too short
+    ]
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ess_test_")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+            for r in q_exact_substr_dedup(spark, tmp).collect()
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got[1] == (20, 0, 0)
+    assert got[2] == (22, 1, 12), got[2]
+    assert got[3] == (21, 1, 12), got[3]
+    assert got[4] == (26, 2, 16), got[4]
+    assert got[5] == (3, 0, 0)
+
+
+def test_exact_substr_dedup_plan_is_jvm_side_and_doc_partitioned(spark):
+    """Plan pin: no Python in the hot path, no cartesian, and the
+    island-merge windows are partitioned by doc_id (never a
+    corpus-wide single-partition frame)."""
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    p = (
+        QUERIES["exact_substr_dedup"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    for ln in p.splitlines():
+        if "windowspecdefinition(" in ln:
+            spec = ln.split("windowspecdefinition(", 1)[1]
+            assert spec.split("#", 1)[0].strip("") is not None
+            assert "doc_id" in spec.split(",", 1)[0], (
+                f"window not partitioned by doc_id:\n{ln}"
+            )
