@@ -15075,13 +15075,18 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("__pi") + 1).alias("__p"), "__h")
     )
-    dup = (
-        grams.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # duplicate marking via a count-over-hash window, NOT a census +
+    # self-join: the census formulation computed the gram table TWICE
+    # (no ReusedExchange — the aggregate changes the exchange
+    # signature), i.e. two tokenize+md5 passes over the corpus text at
+    # 100 TB. One window over tiny per-hash partitions = one gram
+    # computation, one shuffle.
+    wh = Window.partitionBy("__h")
+    marked = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(wh))
         .filter(F.col("__c") > 1)
-        .select("__h")
+        .select("doc_id", "__p")
     )
-    marked = grams.join(dup, "__h").select("doc_id", "__p")
     w = Window.partitionBy("doc_id").orderBy("__p")
     isl = (
         marked.withColumn("__prev", F.lag("__p").over(w))

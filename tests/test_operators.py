@@ -598,9 +598,10 @@ def test_exact_substr_dedup_spans_on_known_corpus(spark):
 
 
 def test_exact_substr_dedup_plan_is_jvm_side_and_doc_partitioned(spark):
-    """Plan pin: no Python in the hot path, no cartesian, and the
-    island-merge windows are partitioned by doc_id (never a
-    corpus-wide single-partition frame)."""
+    """Plan pin: no Python in the hot path, no cartesian, and every
+    window is partitioned (duplicate-marking by gram hash __h,
+    island-merge by doc_id) — never a corpus-wide single-partition
+    frame."""
     from manipula_o_de_dataframes_spark.queries import QUERIES
 
     p = (
@@ -613,8 +614,7 @@ def test_exact_substr_dedup_plan_is_jvm_side_and_doc_partitioned(spark):
     assert "CartesianProduct" not in p, p
     for ln in p.splitlines():
         if "windowspecdefinition(" in ln:
-            spec = ln.split("windowspecdefinition(", 1)[1]
-            assert spec.split("#", 1)[0].strip("") is not None
-            assert "doc_id" in spec.split(",", 1)[0], (
-                f"window not partitioned by doc_id:\n{ln}"
+            first_arg = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+            assert "doc_id" in first_arg or "__h" in first_arg, (
+                f"unpartitioned window:\n{ln}"
             )
