@@ -8670,3 +8670,85 @@ SELECT s.doc_id,
 FROM sized s LEFT JOIN census c USING (doc_id)
 ORDER BY s.doc_id
 """
+
+# cluster_safe_split: composes the dedup_clusters recursive-CTE
+# replica with the frozen md5-prefix split CASE keyed on the CLUSTER
+# label, so near-dups cannot straddle train/eval; the straddle count
+# is definitionally 0 and reported as the alert column.
+ORACLES["cluster_safe_split"] = """
+WITH RECURSIVE 
+shing AS (
+  SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE list_distinct(list_transform(
+    generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
+    i -> array_to_string((str_split(text, ' '))[i:i+2], ' ')
+  )) END AS sh
+  FROM documents
+),
+hashed8 AS (
+  SELECT doc_id,
+    list_transform(sh, x -> md5(x)) AS hs0,
+    list_transform(sh, x -> md5('1:' || x)) AS hs1
+  FROM shing
+),
+sig8 AS (
+  SELECT doc_id,
+    list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+    list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+    list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+    list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+    list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+    list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+    list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+    list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+  FROM hashed8
+),
+bands AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+    unnest(['0|' || mh0 || '|' || mh1,
+            '1|' || mh2 || '|' || mh3,
+            '2|' || mh4 || '|' || mh5,
+            '3|' || mh6 || '|' || mh7]) AS band
+  FROM sig8
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+clusters AS (
+  SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
+),
+with_split AS (
+  SELECT doc_id, cluster,
+    CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END AS split
+  FROM clusters
+),
+straddle AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_straddle_clusters FROM (
+    SELECT cluster FROM (SELECT DISTINCT cluster, split FROM with_split)
+    GROUP BY cluster HAVING COUNT(*) > 1
+  )
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       (SELECT n_straddle_clusters FROM straddle) AS n_straddle_clusters
+FROM with_split
+GROUP BY split
+ORDER BY split
+"""

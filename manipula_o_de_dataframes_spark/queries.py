@@ -673,6 +673,30 @@ def _edges_sym_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels for the documents table — the SHARED
+    artifact of the dedup shelf (same memoization pattern as
+    `_edges_uv`): `dedup_clusters` runs a spooled O(log n) fixpoint,
+    and three queries (dedup_clusters, dedup_survivors,
+    cluster_safe_split) need the identical (doc_id, cluster) frame, so
+    the first caller in a session pays the fixpoint and the rest read
+    the spool. Keyed by applicationId like the graph spools."""
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "doc_clusters",
+    )
+    df = _GRAPH_SPOOL_CACHE.get(key)
+    if df is None:
+        df = spool(dd.dedup_clusters(_docs_parallel(spark, sf_dir), "text", "doc_id"))
+        _GRAPH_SPOOL_CACHE[key] = df
+    return df
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, quality score, language-ID, fingerprint."""
     d = _docs_parallel(spark, sf_dir)
@@ -2307,9 +2331,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup connected components: one cluster label per doc,
     canonical = min id. The distributed iterative-algorithm surface
     with an exact oracle (min-label propagation vs DuckDB's recursive
-    transitive closure) — integer-deterministic, unlike kmeans."""
-    d = _docs_parallel(spark, sf_dir)
-    return dd.dedup_clusters(d, "text", "doc_id")
+    transitive closure) — integer-deterministic, unlike kmeans.
+    Served from the session-shared `_doc_clusters` spool."""
+    return _doc_clusters(spark, sf_dir)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4346,7 +4370,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves as the dedup audit (how much each survivor displaced).
     """
     d = _docs_parallel(spark, sf_dir)
-    clusters = dd.dedup_clusters(d, "text", "doc_id")
+    clusters = _doc_clusters(spark, sf_dir)
     joined = d.join(clusters, "doc_id")
     wc = Window.partitionBy("cluster")
     w = wc.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
@@ -15128,6 +15152,44 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware train/val/test split audit — the
+    decontamination-correct split discipline: `train_split` keys on
+    doc_id and `grouped_split` on source, but near-duplicates CROSS
+    sources, so either can put two ~identical documents on opposite
+    sides of the eval boundary (the leakage every "test-set
+    contamination" postmortem traces back to). Here the split keys on
+    the near-dup CLUSTER label (`dedup_clusters`' connected
+    components, canonical = min doc_id), making no-straddle structural
+    — the split is a pure function of the cluster — and the audit
+    reports it anyway (`n_straddle_clusters`, definitionally 0, the
+    column a corpus owner alerts on if an upstream change ever breaks
+    the keying).
+
+    Scale: clustering is the O(log n) large/small-star fixpoint the
+    dedup shelf already runs; the split itself is a pure md5-prefix
+    projection over (doc, cluster) rows (zero extra shuffle); the
+    audit aggregates (split, partials). All-integer output.
+    """
+    from .operators.sampling import hash_split  # noqa: PLC0415
+
+    clusters = _doc_clusters(spark, sf_dir)  # (doc_id, cluster), shared spool
+    with_split = hash_split(clusters, "cluster")
+    per = with_split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+    )
+    straddle = (
+        with_split.select("cluster", "split")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_straddle_clusters"))
+    )
+    return per.crossJoin(F.broadcast(straddle)).orderBy("split")
+
+
 def q_excel_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S8 under the HASH gate (VERDICT r6 #6): the nation table
     round-trips through a real xlsx file — write_excel (named sheet,
@@ -15510,6 +15572,7 @@ QUERIES = {
     "excel_ingest": q_excel_ingest,
     "excel_ingest_distributed": q_excel_ingest_distributed,
     "exact_substr_dedup": q_exact_substr_dedup,
+    "cluster_safe_split": q_cluster_safe_split,
 }
 
 # The driver verifies roughly the FIRST 50 entries each round, so dict
@@ -15531,7 +15594,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # then the 11 queries whose newest driver row dates to r1.
     # ~50 sampled this round finishes the never-set by r8.
     "excel_ingest", "excel_ingest_distributed", "exact_substr_dedup",
-    "stream_near_dup",
+    "cluster_safe_split", "stream_near_dup",
     "stream_upsert", "sessionize_stream", "incremental_dedup",
     "roc_auc", "abc_classification_scaled", "curriculum_order",
     "ab_contingency_chi2", "apriori_triples", "association_rules",

@@ -618,3 +618,36 @@ def test_exact_substr_dedup_plan_is_jvm_side_and_doc_partitioned(spark):
             assert "doc_id" in first_arg or "__h" in first_arg, (
                 f"unpartitioned window:\n{ln}"
             )
+
+
+def test_cluster_safe_split_never_straddles_cross_source_near_dups(spark):
+    """The decontamination invariant: two near-identical docs from
+    DIFFERENT sources must land on the same side of the split (they
+    share a cluster, and the split is a pure function of the cluster).
+    train_split (doc-keyed) and grouped_split (source-keyed) both lack
+    this guarantee — the point of the cluster-keyed variant."""
+    from manipula_o_de_dataframes_spark.operators import dedup as dd
+    from manipula_o_de_dataframes_spark.operators.sampling import hash_split
+
+    passage = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (1, passage, "srcA"),
+        (2, passage + " tail", "srcB"),     # near-dup of 1, OTHER source
+        (3, " ".join(f"u{i}" for i in range(30)), "srcA"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    clusters = dd.dedup_clusters(d, "text", "doc_id")
+    got = {r["doc_id"]: (r["cluster"], r["split"])
+           for r in hash_split(clusters, "cluster").collect()}
+    assert got[1][0] == got[2][0], got          # one cluster
+    assert got[1][1] == got[2][1], got          # hence one split
+    assert got[3][0] == 3                        # singleton keeps own label
+
+
+def test_cluster_safe_split_audit_reports_zero_straddle(spark):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    rows = QUERIES["cluster_safe_split"](spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert all(r["n_straddle_clusters"] == 0 for r in rows)
+    assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
