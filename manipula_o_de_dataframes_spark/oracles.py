@@ -8752,3 +8752,102 @@ FROM with_split
 GROUP BY split
 ORDER BY split
 """
+
+# good_turing_mass: frequencies-of-frequencies census over word
+# trigrams; Good–Turing class masses (r+1)·N_{r+1}/N in ppm and the
+# Chao1 bias-corrected unseen-types estimate at r=0. DuckDB `//` and
+# Spark `div` both truncate toward zero; every input is non-negative.
+# The oracle censuses gram TEXT while Spark censuses xxhash64(gram):
+# the frequencies-of-frequencies table is identical under ANY
+# injective key, so the engines need not share a hash function.
+ORACLES["good_turing_mass"] = """
+WITH toks AS (
+  SELECT str_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+tri AS (
+  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+  FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+counts AS (
+  SELECT gram, COUNT(*) AS f FROM tri GROUP BY 1
+),
+fof AS (
+  SELECT f, COUNT(*) AS n FROM counts GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(f * n) AS BIGINT) AS big_n,
+         CAST(COALESCE(SUM(CASE WHEN f = 1 THEN n END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN f = 2 THEN n END), 0) AS BIGINT) AS n2
+  FROM fof
+),
+spine AS (SELECT unnest(range(0, 6)) AS r)
+SELECT CAST(r AS BIGINT) AS freq_r,
+       CAST(CASE WHEN r = 0 THEN (s.n1 * (s.n1 - 1)) // (2 * (s.n2 + 1))
+                 ELSE COALESCE(fr.n, 0) END AS BIGINT) AS n_types,
+       CAST(CASE WHEN r = 0 THEN 0
+                 ELSE (r * COALESCE(fr.n, 0) * 1000000) // s.big_n
+            END AS BIGINT) AS raw_mass_ppm,
+       CAST(((r + 1) * COALESCE(fn.n, 0) * 1000000) // s.big_n AS BIGINT)
+         AS gt_mass_ppm
+FROM spine CROSS JOIN stats s
+LEFT JOIN fof fr ON fr.f = spine.r
+LEFT JOIN fof fn ON fn.f = spine.r + 1
+ORDER BY freq_r
+"""
+
+# neyman_allocation: Gini-mean-difference Neyman weights via the rank
+# identity, largest-remainder apportionment of 1000 for both arms.
+# Milli-weight truncation and the +1 floor mirror the Spark side
+# exactly (frozen contract); all quantities non-negative.
+ORACLES["neyman_allocation"] = """
+WITH docs AS (
+  SELECT source, doc_id, len(str_split(text, ' ')) AS x
+  FROM documents WHERE text IS NOT NULL
+),
+ranked AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS r
+  FROM docs
+),
+strata AS (
+  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(r * x) AS srx
+  FROM ranked GROUP BY 1
+),
+wts AS (
+  SELECT source, n,
+         CASE WHEN n >= 2
+              THEN (2000 * (2 * srx - (n + 1) * sx)) // (n * (n - 1))
+              ELSE 0 END AS gmd_milli,
+         CASE WHEN n >= 2
+              THEN (2000 * (2 * srx - (n + 1) * sx)) // (n - 1) + 1
+              ELSE 1 END AS w
+  FROM strata
+),
+base AS (
+  SELECT source, n, gmd_milli,
+         (1000 * w) // SUM(w) OVER () AS nb,
+         1000 * w - ((1000 * w) // SUM(w) OVER ()) * SUM(w) OVER () AS nrem,
+         (1000 * n) // SUM(n) OVER () AS pb,
+         1000 * n - ((1000 * n) // SUM(n) OVER ()) * SUM(n) OVER () AS prem
+  FROM wts
+),
+final AS (
+  SELECT source, n, gmd_milli, nb, pb,
+         ROW_NUMBER() OVER (ORDER BY nrem DESC, source) AS nrk,
+         ROW_NUMBER() OVER (ORDER BY prem DESC, source) AS prk,
+         1000 - SUM(nb) OVER () AS nshort,
+         1000 - SUM(pb) OVER () AS pshort
+  FROM base
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(gmd_milli AS BIGINT) AS gmd_milli,
+       CAST(nb + CASE WHEN nrk <= nshort THEN 1 ELSE 0 END AS BIGINT)
+         AS neyman_n,
+       CAST(pb + CASE WHEN prk <= pshort THEN 1 ELSE 0 END AS BIGINT)
+         AS prop_n
+FROM final
+ORDER BY source
+"""

@@ -15233,6 +15233,220 @@ def q_excel_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def q_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-mass + Chao1 unseen-vocabulary estimate over
+    the corpus word-TRIGRAM table (Good 1953; Chao 1984) — the
+    frequencies-of-frequencies TAIL read that answers "how much
+    probability mass / how many n-gram types does this corpus NOT yet
+    contain?", the question behind LM smoothing (Katz backoff runs on
+    exactly these adjusted counts) and behind "is more of this source
+    worth buying" (complements ``vocab_growth``'s Heaps curve, which
+    tracks the seen side). Trigrams, not unigrams, because that is the
+    LM-smoothing unit — and honestly because this fixture's word
+    vocabulary is closed (min word freq 26; zero hapax), while the
+    trigram table has the natural long tail (N₁≈9.4k of 26.9k
+    instances at sf0.001 ⇒ ≈35% unseen mass).
+
+    One row per count class r = 0..5: N_r (types seen r times), the
+    raw mass r·N_r/N, and the Good–Turing total mass of the class,
+    (r+1)·N_{r+1}/N — one uniform formula that at r=0 IS the unseen
+    mass N₁/N. The r=0 row carries Chao's bias-corrected unseen-types
+    estimate N₁(N₁−1)/(2(N₂+1)) in n_types (estimator, not census —
+    the bias-corrected form needs no N₂>0 guard). Integer policy: ppm
+    masses are one truncating div of exact BIGINT counts; the Chao
+    product fits long to ~3e9 hapax types and the r·N_r·1e6 products
+    to ~1.8e12 types per class (beyond, promote to DECIMAL(38,0) —
+    documented bound, ``km_survival`` convention).
+
+    Scale: one documents scan → gram explode → map-side-combined
+    census shuffle carrying (xxhash64, count) longs, never text → a
+    second tiny shuffle to the
+    frequencies-of-frequencies census (rows = distinct counts,
+    O(√N)); the fof census is SPOOLED because three plan branches
+    (totals, N_r attach, N_{r+1} attach) would otherwise each replay
+    the corpus scan (the ``isotonic_calibration`` posture). Everything
+    after the spool runs on ≤ a few hundred rows via broadcasts."""
+    from .operators.spool import spool  # noqa: PLC0415
+
+    d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Census keys are xxhash64 LONGS, not gram text: the shuffle
+    # carries 8 bytes/row instead of ~25 (the exact_substr_dedup
+    # never-shuffle-text discipline) and the fof table downstream is
+    # identical under ANY injective key, so the oracle can census the
+    # text itself — no cross-engine hash needed. Measured sf0.1→10×:
+    # text 2.5→3.8 s, md5-prefix 2.5→11.8 s (hex is as wide as the
+    # gram AND pays md5 CPU), xxhash64 1.6→3.0 s. Birthday collisions
+    # start to matter past ~10⁹ distinct types (p≈3%at 2⁶⁴); beyond,
+    # widen to the 128-bit pair (xxhash64 of gram, xxhash64 reversed).
+    counts = (
+        d.select(F.explode(tris).alias("__gram"))
+        .select(F.xxhash64("__gram").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    fof = spool(counts.groupBy("__f").agg(F.count(F.lit(1)).alias("__n")))
+    stats = fof.agg(
+        F.sum(F.col("__f") * F.col("__n")).cast("long").alias("__N"),
+        F.coalesce(F.sum(F.when(F.col("__f") == 1, F.col("__n"))), F.lit(0))
+        .cast("long")
+        .alias("__n1"),
+        F.coalesce(F.sum(F.when(F.col("__f") == 2, F.col("__n"))), F.lit(0))
+        .cast("long")
+        .alias("__n2"),
+    )
+    spine = spark.range(0, 6).select(F.col("id").alias("freq_r"))
+    fr = fof.select(F.col("__f").alias("__fr_f"), F.col("__n").alias("__fr_n"))
+    fn = fof.select(F.col("__f").alias("__fn_f"), F.col("__n").alias("__fn_n"))
+    return (
+        spine.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(fr), F.col("freq_r") == F.col("__fr_f"), "left")
+        .join(F.broadcast(fn), F.col("freq_r") + 1 == F.col("__fn_f"), "left")
+        .select(
+            "freq_r",
+            F.when(
+                F.col("freq_r") == 0,
+                F.expr("__n1 * (__n1 - 1) div (2 * (__n2 + 1))"),
+            )
+            .otherwise(F.coalesce(F.col("__fr_n"), F.lit(0)))
+            .cast("long")
+            .alias("n_types"),
+            F.when(F.col("freq_r") == 0, F.lit(0))
+            .otherwise(F.expr("freq_r * coalesce(__fr_n, 0) * 1000000 div __N"))
+            .cast("long")
+            .alias("raw_mass_ppm"),
+            F.expr("(freq_r + 1) * coalesce(__fn_n, 0) * 1000000 div __N")
+            .cast("long")
+            .alias("gt_mass_ppm"),
+        )
+        .orderBy("freq_r")
+    )
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation (Neyman 1934) of a 1000-read human-
+    eval budget across source strata — THE classic answer to "which
+    sources get how many eval samples": n_h ∝ N_h·spread_h minimizes
+    the variance of the stratified estimate of mean doc length, vs
+    the proportional n_h ∝ N_h baseline reported beside it. The
+    budgeting complement to ``fair_token_budget`` (max-min fairness)
+    and ``survey_raking`` (post-hoc reweighting): this one decides
+    where to SPEND before sampling.
+
+    Sqrt-free spread: the Gini mean difference Σ_{i<j}|x_i−x_j| /
+    C(n,2) replaces σ (same optimal-allocation shape; GMD is a
+    first-class dispersion measure and, unlike σ, exact in integers):
+    via the rank identity Σ(2r_i−n−1)·x_(i) it is ONE partitioned
+    rank window + one aggregate — no pairwise join, no sqrt (the
+    ``ccf_weekly`` sqrt-free discipline). Budget shares then follow
+    largest-remainder apportionment (Hamilton), so both arms sum to
+    EXACTLY 1000 structurally; milli-scaled weights carry one
+    truncating div each (frozen contract, identical cross-engine),
+    and a +1 milli-weight floor keeps the apportionment total even
+    on degenerate spreads (singleton or constant strata).
+
+    Scale: one documents scan; the rank window is PARTITIONED by
+    source (a mega-stratum would two-pass the rank — the
+    ``key_gap_islands`` note); the per-stratum aggregate rides the
+    same key. Everything after runs on the #strata-row census
+    (bounded: sources are a catalog, not data) — the documented
+    bounded-census single-partition edge."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    x = F.size(F.split(F.col("text"), " ")).cast("long")
+    ranked = d.select("source", "doc_id", x.alias("__x")).withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("__x", "doc_id")
+        ),
+    )
+    strata = (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__x").cast("long").alias("__sx"),
+            F.sum(F.col("__r") * F.col("__x")).cast("long").alias("__srx"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (2 * F.col("__srx") - (F.col("n_docs") + 1) * F.col("__sx")).alias(
+                "__S"
+            ),
+        )
+    )
+    wts = strata.select(
+        "source",
+        "n_docs",
+        F.when(
+            F.col("n_docs") >= 2,
+            F.expr("2000 * __S div (n_docs * (n_docs - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gmd_milli"),
+        F.when(F.col("n_docs") >= 2, F.expr("2000 * __S div (n_docs - 1) + 1"))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("__w"),
+    )
+    tot = Window.partitionBy()  # strata census only — bounded
+    base = wts.select(
+        "source",
+        "n_docs",
+        "gmd_milli",
+        F.expr("1000 * __w").alias("__bw"),
+        F.sum("__w").over(tot).alias("__tw"),
+        F.expr("1000 * n_docs").alias("__bp"),
+        F.sum("n_docs").over(tot).alias("__tn"),
+    ).select(
+        "source",
+        "n_docs",
+        "gmd_milli",
+        F.expr("__bw div __tw").alias("__nb"),
+        F.expr("__bw - (__bw div __tw) * __tw").alias("__nrem"),
+        F.expr("__bp div __tn").alias("__pb"),
+        F.expr("__bp - (__bp div __tn) * __tn").alias("__prem"),
+    )
+    final = base.select(
+        "source",
+        "n_docs",
+        "gmd_milli",
+        "__nb",
+        "__pb",
+        F.row_number()
+        .over(Window.orderBy(F.col("__nrem").desc(), "source"))
+        .alias("__nrk"),
+        F.row_number()
+        .over(Window.orderBy(F.col("__prem").desc(), "source"))
+        .alias("__prk"),
+        (F.lit(1000) - F.sum("__nb").over(tot)).alias("__nshort"),
+        (F.lit(1000) - F.sum("__pb").over(tot)).alias("__pshort"),
+    )
+    return final.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "gmd_milli",
+        (F.col("__nb") + (F.col("__nrk") <= F.col("__nshort")).cast("long"))
+        .cast("long")
+        .alias("neyman_n"),
+        (F.col("__pb") + (F.col("__prk") <= F.col("__pshort")).cast("long"))
+        .cast("long")
+        .alias("prop_n"),
+    ).orderBy("source")
+
+
 QUERIES = {
     # Dict order = the driver's ~50-row sampling order. Priority: (1)
     # new in round 5 with NO driver row yet — the continuation batches
@@ -15573,6 +15787,8 @@ QUERIES = {
     "excel_ingest_distributed": q_excel_ingest_distributed,
     "exact_substr_dedup": q_exact_substr_dedup,
     "cluster_safe_split": q_cluster_safe_split,
+    "good_turing_mass": q_good_turing_mass,
+    "neyman_allocation": q_neyman_allocation,
 }
 
 # The driver verifies roughly the FIRST 50 entries each round, so dict
@@ -15594,7 +15810,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     # then the 11 queries whose newest driver row dates to r1.
     # ~50 sampled this round finishes the never-set by r8.
     "excel_ingest", "excel_ingest_distributed", "exact_substr_dedup",
-    "cluster_safe_split", "stream_near_dup",
+    "cluster_safe_split", "good_turing_mass", "neyman_allocation",
+    "stream_near_dup",
     "stream_upsert", "sessionize_stream", "incremental_dedup",
     "roc_auc", "abc_classification_scaled", "curriculum_order",
     "ab_contingency_chi2", "apriori_triples", "association_rules",
