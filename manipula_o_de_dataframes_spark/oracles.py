@@ -8851,3 +8851,92 @@ SELECT source,
 FROM final
 ORDER BY source
 """
+
+# Shared observational frame for ipw_ate / mantel_haenszel: exposure =
+# ordered before 1996, outcome = 2001+ spend (cents / binary),
+# confounder = mid-period order-count tier. NTZ date-literal bounds,
+# right join keeps order-less customers as untreated zeros.
+_OBS_FRAME = """
+per_cust AS (
+  SELECT c.c_custkey,
+         LEAST(SUM(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+                         AND o.o_orderdate < DATE '2001-01-01'
+                    THEN 1 ELSE 0 END) // 3, 3) AS tier,
+         MAX(CASE WHEN o.o_orderdate < DATE '1996-01-01'
+             THEN 1 ELSE 0 END) AS t,
+         COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '2001-01-01'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END), 0) AS y,
+         MAX(CASE WHEN o.o_orderdate >= DATE '2001-01-01'
+             THEN 1 ELSE 0 END) AS y2
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+"""
+
+ORACLES["ipw_ate"] = f"""
+WITH {_OBS_FRAME},
+strata AS (
+  SELECT tier, COUNT(*) AS n_custs, SUM(t) AS n_treated,
+         SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS s1,
+         SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS s0
+  FROM per_cust GROUP BY 1
+),
+per AS (
+  SELECT tier, n_custs, n_treated,
+         (s1 * 1000) // NULLIF(n_treated, 0) AS mean1_millicents,
+         (s0 * 1000) // NULLIF(n_custs - n_treated, 0) AS mean0_millicents,
+         CASE WHEN n_treated > 0 AND n_custs - n_treated > 0
+              THEN 1 ELSE 0 END AS valid,
+         s1, s0
+  FROM strata
+),
+per2 AS (
+  SELECT *, mean1_millicents - mean0_millicents AS dte_millicents FROM per
+)
+SELECT CAST(tier AS INT) AS tier,
+       CAST(n_custs AS BIGINT) AS n_custs,
+       CAST(n_treated AS BIGINT) AS n_treated,
+       CAST(mean1_millicents AS BIGINT) AS mean1_millicents,
+       CAST(mean0_millicents AS BIGINT) AS mean0_millicents,
+       CAST(dte_millicents AS BIGINT) AS dte_millicents,
+       CAST(valid AS INT) AS valid,
+       CAST(SUM(CASE WHEN valid = 1 THEN n_custs * dte_millicents
+                     ELSE 0 END) OVER ()
+            // NULLIF(SUM(CASE WHEN valid = 1 THEN n_custs ELSE 0 END)
+                      OVER (), 0) AS BIGINT) AS ate_millicents,
+       CAST((SUM(s1) OVER () * 1000) // NULLIF(SUM(n_treated) OVER (), 0)
+            - (SUM(s0) OVER () * 1000)
+              // NULLIF(SUM(n_custs - n_treated) OVER (), 0)
+         AS BIGINT) AS naive_millicents
+FROM per2
+ORDER BY tier
+"""
+
+ORACLES["mantel_haenszel"] = f"""
+WITH {_OBS_FRAME},
+cells AS (
+  SELECT tier, COUNT(*) AS n_custs,
+         SUM(CASE WHEN t = 1 AND y2 = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN t = 1 AND y2 = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN t = 0 AND y2 = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN t = 0 AND y2 = 0 THEN 1 ELSE 0 END) AS d
+  FROM per_cust GROUP BY 1
+),
+scaled AS (
+  SELECT tier, n_custs, a, b, c, d,
+         CASE WHEN b * c > 0 THEN (a * d * 1000000) // (b * c) END AS or_ppm,
+         (a * d * 1000) // n_custs AS num,
+         (b * c * 1000) // n_custs AS den
+  FROM cells
+)
+SELECT CAST(tier AS INT) AS tier,
+       CAST(n_custs AS BIGINT) AS n_custs,
+       CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       CAST(or_ppm AS BIGINT) AS or_ppm,
+       CAST((SUM(num) OVER () * 1000000) // NULLIF(SUM(den) OVER (), 0)
+         AS BIGINT) AS mh_or_ppm
+FROM scaled
+ORDER BY tier
+"""

@@ -15447,6 +15447,187 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _obs_customer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer observational frame for the causal-adjustment pair
+    (``ipw_ate`` / ``mantel_haenszel``): exposure t = ordered in the
+    first fixture year (< 1996), outcome y = 2001+ spend in exact
+    cents (y2 = its binary form), confounder tier = mid-period
+    (1996–2000) order-count band least(n div 3, 3) — activity drives
+    BOTH early ordering and late spend, the classic confounding
+    shape. Bands are a pure function of the count (no ranking, no
+    quantile — deterministic and engine-free). One orders scan,
+    customer left-joined on custkey (order-less customers stay as
+    untreated zeros) with the groupBy riding the same key; date
+    bounds are string-literal NTZ comparisons (wall-clock, tz-safe).
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("long")
+    late = F.col("o_orderdate") >= F.lit("2001-01-01")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderdate") < F.lit("1996-01-01"), 1).otherwise(0)
+            ).alias("__t"),
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                    & (F.col("o_orderdate") < F.lit("2001-01-01")),
+                    1,
+                ).otherwise(0)
+            ).alias("__nmid"),
+            F.coalesce(F.sum(F.when(late, cents)), F.lit(0)).alias("__y"),
+            F.max(F.when(late, 1).otherwise(0)).alias("__y2"),
+        )
+        .select(
+            "c_custkey",
+            F.least(F.expr("__nmid div 3"), F.lit(3)).cast("int").alias("tier"),
+            "__t",
+            "__y",
+            "__y2",
+        )
+    )
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification / exact-propensity IPW treatment effect
+    (Horvitz–Thompson 1952; Rosenbaum & Rubin 1983's discrete case):
+    does ordering in the FIRST fixture year "cause" higher 2001+
+    spend, adjusting for mid-period activity tier? Within a tier the
+    propensity is exactly n₁s/n_s, so the IPW estimator collapses to
+    the stratum-weighted mean difference Σ (n_s/N)·(ȳ₁s − ȳ₀s) —
+    reported beside the NAIVE unadjusted difference, the contrast an
+    observational readout exists to show. Completes the causal shelf
+    (`diff_in_diff` needs a parallel pre-trend, `cuped_adjustment` a
+    randomized arm; this is the no-randomization estimator). Honest
+    fixture read: TPC-H-ish order behavior is near-random, so
+    adjusted ≈ naive here — the audit's value is that it PROVES that
+    (the `roc_auc` negative-control convention).
+
+    Integer policy: per-stratum means are one truncating div each in
+    exact milli-cents; the ATE re-weights the already-rounded stratum
+    gaps by exact counts with one final div (rounded values are
+    never summed raw — weighted by BIGINT counts then divided once).
+    Strata missing either arm (positivity violation) are EXCLUDED
+    from the ATE and flagged by valid=0. Scale: everything after the
+    ``_obs_customer_frame`` groupBy runs on the ≤4-row tier census
+    (bounded single-partition edge, documented)."""
+    f = _obs_customer_frame(spark, sf_dir)
+    strata = f.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("__t").cast("long").alias("n_treated"),
+        F.sum(F.when(F.col("__t") == 1, F.col("__y")).otherwise(0)).alias("__s1"),
+        F.sum(F.when(F.col("__t") == 0, F.col("__y")).otherwise(0)).alias("__s0"),
+    )
+    per = strata.select(
+        "tier",
+        "n_custs",
+        "n_treated",
+        F.expr("__s1 * 1000 div nullif(n_treated, 0)").alias("mean1_millicents"),
+        F.expr("__s0 * 1000 div nullif(n_custs - n_treated, 0)").alias(
+            "mean0_millicents"
+        ),
+        (
+            (F.col("n_treated") > 0) & (F.col("n_custs") - F.col("n_treated") > 0)
+        )
+        .cast("int")
+        .alias("valid"),
+        "__s1",
+        "__s0",
+    ).withColumn(
+        "dte_millicents",
+        F.col("mean1_millicents") - F.col("mean0_millicents"),
+    )
+    # census windows below run on the ≤4-row tier table — bounded
+    return per.select(
+        "tier",
+        F.col("n_custs").cast("long").alias("n_custs"),
+        "n_treated",
+        F.col("mean1_millicents").cast("long").alias("mean1_millicents"),
+        F.col("mean0_millicents").cast("long").alias("mean0_millicents"),
+        F.col("dte_millicents").cast("long").alias("dte_millicents"),
+        F.col("valid").alias("valid"),
+        F.expr(
+            "sum(case when valid = 1 then n_custs * dte_millicents else 0 end)"
+            " over () div nullif(sum(case when valid = 1 then n_custs"
+            " else 0 end) over (), 0)"
+        )
+        .cast("long")
+        .alias("ate_millicents"),
+        (
+            F.expr("sum(__s1) over () * 1000 div nullif(sum(n_treated) over (), 0)")
+            - F.expr(
+                "sum(__s0) over () * 1000"
+                " div nullif(sum(n_custs - n_treated) over (), 0)"
+            )
+        )
+        .cast("long")
+        .alias("naive_millicents"),
+    ).orderBy("tier")
+
+
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio (JNCI 1959) over the same
+    exposure/outcome/tier frame as ``ipw_ate`` — the binary-outcome
+    twin: per activity tier the 2×2 table (a,b,c,d) of early-order ×
+    any-2001-order, its crude per-stratum OR, and the MH common OR
+    Σ(a_s·d_s/n_s) / Σ(b_s·c_s/n_s) that weights strata without
+    modeling — THE stratified-table classic every epidemiology and
+    experimentation toolkit ships.
+
+    Integer policy: each stratum's a·d/n and b·c/n is one truncating
+    div on a milli grid (frozen contract); the pooled ratio is one
+    further ppm div of the two exact sums. Per-stratum ORs are NULL
+    when b·c = 0 (undefined crude ratio — synthetic-frame tested;
+    the fixture tiers all keep four live cells); the MH sums stay
+    defined (that stratum simply contributes 0). Scale: identical to
+    ``ipw_ate`` — one orders scan + custkey groupBy; the 2×2 algebra
+    runs on the ≤4-row census."""
+    f = _obs_customer_frame(spark, sf_dir)
+    cells = f.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(F.expr("case when __t = 1 and __y2 = 1 then 1 else 0 end")).alias("a"),
+        F.sum(F.expr("case when __t = 1 and __y2 = 0 then 1 else 0 end")).alias("b"),
+        F.sum(F.expr("case when __t = 0 and __y2 = 1 then 1 else 0 end")).alias("c"),
+        F.sum(F.expr("case when __t = 0 and __y2 = 0 then 1 else 0 end")).alias("d"),
+    )
+    # census windows below run on the ≤4-row tier table — bounded
+    return (
+        cells.select(
+            "tier",
+            F.col("n_custs").cast("long").alias("n_custs"),
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.col("d").cast("long").alias("d"),
+            F.expr(
+                "case when b * c > 0 then a * d * 1000000 div (b * c) end"
+            ).alias("or_ppm"),
+            F.expr("a * d * 1000 div n_custs").alias("__num"),
+            F.expr("b * c * 1000 div n_custs").alias("__den"),
+        )
+        .select(
+            "tier",
+            "n_custs",
+            "a",
+            "b",
+            "c",
+            "d",
+            F.col("or_ppm").cast("long").alias("or_ppm"),
+            F.expr(
+                "sum(__num) over () * 1000000 div nullif(sum(__den) over (), 0)"
+            )
+            .cast("long")
+            .alias("mh_or_ppm"),
+        )
+        .orderBy("tier")
+    )
+
+
 QUERIES = {
     # Dict order = the driver's ~50-row sampling order. Priority: (1)
     # new in round 5 with NO driver row yet — the continuation batches
@@ -15789,6 +15970,8 @@ QUERIES = {
     "cluster_safe_split": q_cluster_safe_split,
     "good_turing_mass": q_good_turing_mass,
     "neyman_allocation": q_neyman_allocation,
+    "ipw_ate": q_ipw_ate,
+    "mantel_haenszel": q_mantel_haenszel,
 }
 
 # The driver verifies roughly the FIRST 50 entries each round, so dict
@@ -15811,6 +15994,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # ~50 sampled this round finishes the never-set by r8.
     "excel_ingest", "excel_ingest_distributed", "exact_substr_dedup",
     "cluster_safe_split", "good_turing_mass", "neyman_allocation",
+    "ipw_ate", "mantel_haenszel",
     "stream_near_dup",
     "stream_upsert", "sessionize_stream", "incremental_dedup",
     "roc_auc", "abc_classification_scaled", "curriculum_order",

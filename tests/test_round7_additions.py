@@ -188,3 +188,180 @@ def test_neyman_rank_window_is_source_partitioned(spark):
     for ln in p.splitlines():
         if "windowspecdefinition(__x" in ln or "windowspecdefinition(doc_id" in ln:
             raise AssertionError(f"rank window lost its partition:\n{ln}")
+
+
+# --------------------------------------------------------------------------
+# ipw_ate / mantel_haenszel
+
+
+def _py_obs_frame(cust_rows, order_rows):
+    """Pure-Python rebuild of _obs_customer_frame from raw rows."""
+    per = {
+        ck: {"t": 0, "nmid": 0, "y": 0, "y2": 0} for (ck,) in cust_rows
+    }
+    for ck, od, cents in order_rows:
+        u = per[ck]
+        if od < "1996-01-01":
+            u["t"] = 1
+        elif od < "2001-01-01":
+            u["nmid"] += 1
+        else:
+            u["y"] += cents
+            u["y2"] = 1
+    return [
+        (min(u["nmid"] // 3, 3), u["t"], u["y"], u["y2"])
+        for u in per.values()
+    ]
+
+
+def _load_obs_rows(spark, sf_dir):
+    cust = [
+        (r["c_custkey"],)
+        for r in spark.read.parquet(
+            os.path.join(sf_dir, "customer.parquet")
+        ).select("c_custkey").collect()
+    ]
+    orders = [
+        (r["o_custkey"], r["o_orderdate"].strftime("%Y-%m-%d"),
+         int(round(float(r["o_totalprice"]) * 100)))
+        for r in spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).select("o_custkey", "o_orderdate", "o_totalprice").collect()
+    ]
+    return cust, orders
+
+
+def test_ipw_ate_matches_python_recompute(spark):
+    """Stratum means, the positivity-filtered weighted ATE, and the
+    naive contrast must all match a from-scratch Python recompute."""
+    frame = _py_obs_frame(*_load_obs_rows(spark, SF_SMOKE))
+    strata: dict[int, list] = {}
+    for tier, t, y, _ in frame:
+        strata.setdefault(tier, []).append((t, y))
+    expected = {}
+    wsum = nsum = 0
+    for tier, rows in strata.items():
+        n = len(rows)
+        n1 = sum(t for t, _ in rows)
+        s1 = sum(y for t, y in rows if t == 1)
+        s0 = sum(y for t, y in rows if t == 0)
+        m1 = (s1 * 1000) // n1 if n1 else None
+        m0 = (s0 * 1000) // (n - n1) if n - n1 else None
+        valid = 1 if (n1 > 0 and n - n1 > 0) else 0
+        dte = m1 - m0 if valid else None
+        expected[tier] = (n, n1, m1, m0, dte, valid)
+        if valid:
+            wsum += n * dte
+            nsum += n
+    ate = wsum // nsum
+    s1t = sum(y for _, t, y, _ in [(0, t, y, 0) for _, t, y, _ in frame] if t == 1)
+    s0t = sum(y for _, t, y, _ in frame if t == 0)
+    n1t = sum(t for _, t, _, _ in frame)
+    n0t = len(frame) - n1t
+    naive = (s1t * 1000) // n1t - (s0t * 1000) // n0t
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    out = QUERIES["ipw_ate"](spark, SF_SMOKE).collect()
+    for r in out:
+        exp = expected[r["tier"]]
+        got = (r["n_custs"], r["n_treated"], r["mean1_millicents"],
+               r["mean0_millicents"], r["dte_millicents"], r["valid"])
+        assert got == exp, (r["tier"], got, exp)
+        assert r["ate_millicents"] == ate
+        assert r["naive_millicents"] == naive
+
+
+def test_mantel_haenszel_matches_python_recompute(spark):
+    frame = _py_obs_frame(*_load_obs_rows(spark, SF_SMOKE))
+    cells: dict[int, list] = {}
+    for tier, t, _, y2 in frame:
+        cells.setdefault(tier, [0, 0, 0, 0, 0])
+        k = {(1, 1): 0, (1, 0): 1, (0, 1): 2, (0, 0): 3}[(t, y2)]
+        cells[tier][k] += 1
+        cells[tier][4] += 1
+    num = den = 0
+    expected = {}
+    for tier, (a, b, c, d, n) in cells.items():
+        or_ppm = (a * d * 1_000_000) // (b * c) if b * c > 0 else None
+        expected[tier] = (n, a, b, c, d, or_ppm)
+        num += (a * d * 1000) // n
+        den += (b * c * 1000) // n
+    mh = (num * 1_000_000) // den
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    out = QUERIES["mantel_haenszel"](spark, SF_SMOKE).collect()
+    for r in out:
+        exp = expected[r["tier"]]
+        got = (r["n_custs"], r["a"], r["b"], r["c"], r["d"], r["or_ppm"])
+        assert got == exp, (r["tier"], got, exp)
+        assert r["mh_or_ppm"] == mh
+        assert r["a"] + r["b"] + r["c"] + r["d"] == r["n_custs"]
+
+
+def test_mantel_haenszel_null_guard_and_ipw_positivity(spark):
+    """Synthetic frame: a stratum with an empty 2x2 cell reports a
+    NULL crude OR but still feeds the MH sums; a stratum missing an
+    arm entirely is excluded from the ATE (valid=0) yet listed."""
+    import datetime as dt
+
+    custs = [(i,) for i in range(1, 13)]
+    d_pre, d_late = dt.datetime(1995, 6, 1), dt.datetime(2001, 3, 1)
+    d_mid = dt.datetime(1998, 6, 1)
+    orders, oid = [], 0
+
+    def add(ck, when, price="100.00"):
+        nonlocal oid
+        oid += 1
+        orders.append((oid, ck, when, price))
+
+    # tier 0 (no mid orders): custs 1-4 — treated all with outcome
+    # (b=0 -> NULL or), controls split
+    for ck in (1, 2):
+        add(ck, d_pre)
+        add(ck, d_late)
+    add(3, d_late)   # control with outcome
+    # cust 4: control, no outcome
+    # tier 1 (3+ mid orders): custs 5-8 ALL TREATED -> valid=0 stratum
+    for ck in (5, 6, 7, 8):
+        add(ck, d_pre)
+        for _ in range(3):
+            add(ck, d_mid)
+    add(5, d_late, "200.00")
+    # custs 9-12: tier 0 extras to keep both arms alive there
+    add(9, d_pre)
+    add(10, d_pre)
+
+    tmp = tempfile.mkdtemp(prefix="mh_test_")
+    spark.createDataFrame(custs, "c_custkey long").write.parquet(
+        os.path.join(tmp, "customer.parquet")
+    )
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz,"
+        " o_totalprice string"
+    ).write.parquet(os.path.join(tmp, "orders.parquet"))
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    try:
+        mh = {r["tier"]: r for r in QUERIES["mantel_haenszel"](spark, tmp).collect()}
+        ipw = {r["tier"]: r for r in QUERIES["ipw_ate"](spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # tier 0: treated {1,2,9,10} all with b>0? a=2 (1,2), b=2 (9,10),
+    # c=1 (3), d=3 (4,11,12) — live OR
+    assert mh[0]["or_ppm"] == (2 * 3 * 1_000_000) // (2 * 1)
+    # tier 1: all treated -> c=d=0 -> b*c=0 -> NULL crude OR
+    assert mh[1]["or_ppm"] is None
+    assert mh[1]["mh_or_ppm"] == mh[0]["mh_or_ppm"]  # pooled is global
+    # ipw: tier 1 has no controls -> valid=0, excluded from ATE
+    assert ipw[1]["valid"] == 0
+    assert ipw[0]["valid"] == 1
+    assert ipw[0]["ate_millicents"] == ipw[0]["dte_millicents"]
+
+
+def test_causal_pair_plans_are_jvm_side(spark):
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    for name in ("ipw_ate", "mantel_haenszel"):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
