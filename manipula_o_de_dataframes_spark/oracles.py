@@ -8854,8 +8854,8 @@ ORDER BY source
 
 # Shared observational frame for ipw_ate / mantel_haenszel: exposure =
 # ordered before 1996, outcome = 2001+ spend (cents / binary),
-# confounder = mid-period order-count tier. NTZ date-literal bounds,
-# right join keeps order-less customers as untreated zeros.
+# confounder = mid-period order-count tier. NTZ date-literal bounds;
+# customer LEFT JOIN orders keeps order-less customers as untreated zeros.
 _OBS_FRAME = """
 per_cust AS (
   SELECT c.c_custkey,

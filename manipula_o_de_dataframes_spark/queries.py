@@ -15459,14 +15459,29 @@ def _obs_customer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer left-joined on custkey (order-less customers stay as
     untreated zeros) with the groupBy riding the same key; date
     bounds are string-literal NTZ comparisons (wall-clock, tz-safe).
+    Session-memoized via the `_doc_clusters` spool pattern: both
+    causal queries need the identical per-customer frame, so the
+    first caller pays the orders scan and the second reads the spool.
     """
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "obs_customer_frame",
+    )
+    cached = _GRAPH_SPOOL_CACHE.get(key)
+    if cached is not None:
+        return cached
     c = read_table(spark, sf_dir, "customer").select("c_custkey")
     o = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("long")
     late = F.col("o_orderdate") >= F.lit("2001-01-01")
-    return (
+    frame = (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left")
         .groupBy("c_custkey")
         .agg(
@@ -15491,6 +15506,9 @@ def _obs_customer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__y2",
         )
     )
+    df = spool(frame)
+    _GRAPH_SPOOL_CACHE[key] = df
+    return df
 
 
 def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15581,10 +15599,14 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer policy: each stratum's a·d/n and b·c/n is one truncating
     div on a milli grid (frozen contract); the pooled ratio is one
-    further ppm div of the two exact sums. Per-stratum ORs are NULL
-    when b·c = 0 (undefined crude ratio — synthetic-frame tested;
-    the fixture tiers all keep four live cells); the MH sums stay
-    defined (that stratum simply contributes 0). Scale: identical to
+    further ppm div of the two exact sums. The a·d·10⁶ / b·c·10⁶
+    products fit BIGINT while every 2×2 cell stays ≤ ~3M customers
+    (a·d < 9.2×10¹²); beyond that, promote the milli/ppm products to
+    DECIMAL(38,0) — the `cuped_adjustment` overflow pattern
+    (documented bound, `km_survival` convention). Per-stratum ORs are
+    NULL when b·c = 0 (undefined crude ratio — synthetic-frame
+    tested; the fixture tiers all keep four live cells); the MH sums
+    stay defined (that stratum simply contributes 0). Scale: identical to
     ``ipw_ate`` — one orders scan + custkey groupBy; the 2×2 algebra
     runs on the ≤4-row census."""
     f = _obs_customer_frame(spark, sf_dir)
@@ -15985,7 +16007,8 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # r7 rotation (VERDICT r6 #1): close the driver-provenance gap.
-    # Front: the two r7 additions (excel_ingest twins, VERDICT #6) and
+    # Front: the eight r7 additions (excel_ingest twins + exact-substr/
+    # cluster-split + the N240-N243 continuation batch) and
     # every query whose plan changed this round (streaming-harness
     # staging pass, kcore/global-rank rewrites) so each gets a
     # fresh driver row; then the 67 queries with NO CORRECTNESS_r*

@@ -194,6 +194,17 @@ def test_neyman_rank_window_is_source_partitioned(spark):
 # ipw_ate / mantel_haenszel
 
 
+def _tdiv(n: int, d: int) -> int:
+    """Integer division truncating toward zero — Spark `div` / DuckDB
+    `//` semantics. Python's `//` FLOORS, which differs on inexact
+    negative quotients (−7//2 = −4 vs trunc −3), so any recompute of
+    a possibly-negative engine division must use this."""
+    q = n // d
+    if q < 0 and q * d != n:
+        q += 1
+    return q
+
+
 def _py_obs_frame(cust_rows, order_rows):
     """Pure-Python rebuild of _obs_customer_frame from raw rows."""
     per = {
@@ -231,10 +242,8 @@ def _load_obs_rows(spark, sf_dir):
     return cust, orders
 
 
-def test_ipw_ate_matches_python_recompute(spark):
-    """Stratum means, the positivity-filtered weighted ATE, and the
-    naive contrast must all match a from-scratch Python recompute."""
-    frame = _py_obs_frame(*_load_obs_rows(spark, SF_SMOKE))
+def _py_ipw(frame):
+    """From-scratch IPW recompute: per-tier rows, (wsum, nsum), naive."""
     strata: dict[int, list] = {}
     for tier, t, y, _ in frame:
         strata.setdefault(tier, []).append((t, y))
@@ -253,12 +262,21 @@ def test_ipw_ate_matches_python_recompute(spark):
         if valid:
             wsum += n * dte
             nsum += n
-    ate = wsum // nsum
-    s1t = sum(y for _, t, y, _ in [(0, t, y, 0) for _, t, y, _ in frame] if t == 1)
+    s1t = sum(y for _, t, y, _ in frame if t == 1)
     s0t = sum(y for _, t, y, _ in frame if t == 0)
     n1t = sum(t for _, t, _, _ in frame)
     n0t = len(frame) - n1t
     naive = (s1t * 1000) // n1t - (s0t * 1000) // n0t
+    return expected, wsum, nsum, naive
+
+
+def test_ipw_ate_matches_python_recompute(spark):
+    """Stratum means, the positivity-filtered weighted ATE, and the
+    naive contrast must all match a from-scratch Python recompute."""
+    expected, wsum, nsum, naive = _py_ipw(
+        _py_obs_frame(*_load_obs_rows(spark, SF_SMOKE))
+    )
+    ate = _tdiv(wsum, nsum)  # wsum can be negative — trunc, not floor
     from manipula_o_de_dataframes_spark.queries import QUERIES
 
     out = QUERIES["ipw_ate"](spark, SF_SMOKE).collect()
@@ -269,6 +287,24 @@ def test_ipw_ate_matches_python_recompute(spark):
         assert got == exp, (r["tier"], got, exp)
         assert r["ate_millicents"] == ate
         assert r["naive_millicents"] == naive
+
+
+def test_ipw_ate_negative_inexact_ate_truncates_toward_zero(spark):
+    """sf0.01's weighted ATE sum is negative and inexact — exactly
+    where Python floor and engine truncation diverge by one (a review
+    caught the first recompute using floor; both engines truncate).
+    Pin that the engine result is the TRUNCATED quotient."""
+    expected, wsum, nsum, _ = _py_ipw(
+        _py_obs_frame(*_load_obs_rows(spark, "/root/testdata/sf0.01"))
+    )
+    assert wsum < 0 and wsum % nsum != 0, (wsum, nsum)
+    from manipula_o_de_dataframes_spark.queries import QUERIES
+
+    got = QUERIES["ipw_ate"](spark, "/root/testdata/sf0.01").first()[
+        "ate_millicents"
+    ]
+    assert got == _tdiv(wsum, nsum)
+    assert got == (wsum // nsum) + 1  # floor would be off by one here
 
 
 def test_mantel_haenszel_matches_python_recompute(spark):
