@@ -8940,3 +8940,45 @@ SELECT CAST(tier AS INT) AS tier,
 FROM scaled
 ORDER BY tier
 """
+
+# schema_evolution_ingest: the mergeSchema read must equal this direct
+# recompute — early-batch rows (key < 13) carry NULL in the column the
+# later batch introduced.
+ORACLES["schema_evolution_ingest"] = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       CASE WHEN n_nationkey >= 13 THEN 'b2-' || n_name END AS ingest_tag
+FROM nation
+ORDER BY n_nationkey
+"""
+
+# cmh_test: CMH chi-squared on the shared observational frame — exact
+# milli/micro grids, hypergeometric variance, no continuity correction.
+ORACLES["cmh_test"] = f"""
+WITH {_OBS_FRAME},
+cells AS (
+  SELECT tier, COUNT(*) AS n, SUM(t) AS n1,
+         SUM(CASE WHEN t = 1 AND y2 = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(y2) AS m1
+  FROM per_cust GROUP BY 1
+),
+per AS (
+  SELECT tier, n, a,
+         (n1 * m1 * 1000) // n AS e_milli,
+         CASE WHEN n >= 2 THEN
+           (n1 * (n - n1) * m1 * (n - m1) * 1000000) // (n * n * (n - 1))
+         ELSE 0 END AS v_micro
+  FROM cells
+)
+SELECT CAST(tier AS INT) AS tier,
+       CAST(n AS BIGINT) AS n_custs,
+       CAST(a AS BIGINT) AS a,
+       CAST(e_milli AS BIGINT) AS e_milli,
+       CAST(v_micro AS BIGINT) AS v_micro,
+       CAST((SUM(a) OVER () * 1000 - SUM(e_milli) OVER ())
+            * (SUM(a) OVER () * 1000 - SUM(e_milli) OVER ()) * 1000
+            // NULLIF(SUM(v_micro) OVER (), 0) AS BIGINT) AS cmh_stat_milli
+FROM per
+ORDER BY tier
+"""

@@ -15050,6 +15050,124 @@ def _excel_roundtrip_file(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel chi-squared statistic (Cochran 1954;
+    Mantel–Haenszel 1959) on the same stratified 2×2 frame as
+    ``mantel_haenszel`` — the TEST beside that ESTIMATE: under
+    "no exposure–outcome association in any stratum", the statistic
+    (Σa_s − ΣE_s)²/ΣV_s with E_s = n₁s·m₁s/n_s and hypergeometric
+    V_s = n₁s·n₀s·m₁s·m₀s/(n_s²(n_s−1)) is χ²(1); the caller reads
+    stat_milli against 3841 (the 5% critical value ×1000). No
+    continuity correction (the modern default; a frozen contract
+    either way).
+
+    Integer policy: E on an exact milli grid (one truncating div per
+    stratum), V on a micro grid (n₁n₀m₁m₀·10⁶ div n²(n−1) — fits
+    BIGINT while each stratum stays ≤ ~50k customers since
+    n⁴/4·10⁶ < 9.2×10¹⁸; beyond, promote to DECIMAL(38,0), the
+    `cuped_adjustment` pattern); the final (1000·T − E_milli)²·1000
+    div V_micro is exact while |T − E| ≤ ~3×10⁶. Same scan shape as
+    the pair: memoized frame + ≤4-row census algebra."""
+    f = _obs_customer_frame(spark, sf_dir)
+    cells = f.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("__t").cast("long").alias("__n1"),
+        F.sum(F.expr("case when __t = 1 and __y2 = 1 then 1 else 0 end")).alias("a"),
+        F.sum("__y2").cast("long").alias("__m1"),
+    )
+    per = cells.select(
+        "tier",
+        F.col("n_custs").cast("long").alias("n_custs"),
+        F.col("a").cast("long").alias("a"),
+        F.expr("__n1 * __m1 * 1000 div n_custs").alias("e_milli"),
+        F.expr(
+            "case when n_custs >= 2 then"
+            " __n1 * (n_custs - __n1) * __m1 * (n_custs - __m1) * 1000000"
+            " div (n_custs * n_custs * (n_custs - 1)) else 0 end"
+        ).alias("v_micro"),
+    )
+    # census windows below run on the ≤4-row tier table — bounded
+    return per.select(
+        "tier",
+        "n_custs",
+        "a",
+        F.col("e_milli").cast("long").alias("e_milli"),
+        F.col("v_micro").cast("long").alias("v_micro"),
+        F.expr(
+            "(sum(a) over () * 1000 - sum(e_milli) over ())"
+            " * (sum(a) over () * 1000 - sum(e_milli) over ()) * 1000"
+            " div nullif(sum(v_micro) over (), 0)"
+        )
+        .cast("long")
+        .alias("cmh_stat_milli"),
+    ).orderBy("tier")
+
+
+def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a two-batch parquet ingest directory ONCE per (session,
+    sf_dir): batch1 = nation keys < 13 with the base 3-column schema,
+    batch2 = the rest PLUS an `ingest_tag` column that batch1 never
+    saw — the mid-corpus schema-evolution shape a long-running ingest
+    actually produces. Atomically staged (write to a tmp dir, rename
+    into place — the `_excel_roundtrip_file` discipline; a loser of a
+    concurrent race just discards its tmp)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    out = os.path.join(
+        _excel_roundtrip_dir(),
+        f"schemaevo_{spark.sparkContext.applicationId}_"
+        f"{os.path.abspath(sf_dir).replace(os.sep, '_')}",
+    )
+    if not os.path.isdir(out):
+        nat = read_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        tmp = os.path.join(_excel_roundtrip_dir(), f"tmpevo_{uuid.uuid4().hex}")
+        nat.filter(F.col("n_nationkey") < 13).write.parquet(
+            os.path.join(tmp, "batch1")
+        )
+        nat.filter(F.col("n_nationkey") >= 13).withColumn(
+            "ingest_tag", F.concat(F.lit("b2-"), F.col("n_name"))
+        ).write.parquet(os.path.join(tmp, "batch2"))
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    return out
+
+
+def q_schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: schema-evolution ingest under the HASH gate — read a
+    parquet directory whose later batch added a column
+    (`mergeSchema=true`), and prove value-exactly that early rows
+    surface the new column as NULL while late rows keep it. The
+    ingest reality at 100 TB: corpora accrete batches for months and
+    a field appears mid-stream; the engine must union the schemas
+    without rewriting history. The oracle recomputes the merged frame
+    from the nation table directly (CASE on the batch boundary), so
+    the parquet-level merge behavior itself is what gets verified —
+    the `excel_ingest` pattern applied to the second columnar edge.
+    Scale: footer-schema merge is metadata-only (per-file footers,
+    no data scan); the read itself stays a plain pruned columnar
+    scan, and filter pushdown through a merged schema is pinned by
+    test."""
+    d = _schema_evolution_dir(spark, sf_dir)
+    import os  # noqa: PLC0415
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(d, "batch1"), os.path.join(d, "batch2"))
+    )
+    return merged.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        "ingest_tag",
+    ).orderBy("n_nationkey")
+
+
 def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring coverage census (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -15994,6 +16112,8 @@ QUERIES = {
     "neyman_allocation": q_neyman_allocation,
     "ipw_ate": q_ipw_ate,
     "mantel_haenszel": q_mantel_haenszel,
+    "schema_evolution_ingest": q_schema_evolution_ingest,
+    "cmh_test": q_cmh_test,
 }
 
 # The driver verifies roughly the FIRST 50 entries each round, so dict
@@ -16017,7 +16137,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # ~50 sampled this round finishes the never-set by r8.
     "excel_ingest", "excel_ingest_distributed", "exact_substr_dedup",
     "cluster_safe_split", "good_turing_mass", "neyman_allocation",
-    "ipw_ate", "mantel_haenszel",
+    "ipw_ate", "mantel_haenszel", "schema_evolution_ingest", "cmh_test",
     "stream_near_dup",
     "stream_upsert", "sessionize_stream", "incremental_dedup",
     "roc_auc", "abc_classification_scaled", "curriculum_order",

@@ -75,8 +75,8 @@ TZ_SENSITIVE = [
     # or render timestamps
     "rfm_segments", "balanced_shards", "key_gap_islands",
     "seasonal_decompose", "forecast_pinball", "holt_winters",
-    # r7 causal pair — exposure/outcome windows are o_orderdate bounds
-    "ipw_ate", "mantel_haenszel",
+    # r7 causal family — exposure/outcome windows are o_orderdate bounds
+    "ipw_ate", "mantel_haenszel", "cmh_test",
 ]
 
 

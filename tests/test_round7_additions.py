@@ -1,5 +1,6 @@
-"""Round-7 continuation additions: Good–Turing unseen mass and
-Neyman-optimal eval-budget allocation.
+"""Round-7 continuation additions: Good–Turing unseen mass,
+Neyman-optimal eval-budget allocation, the causal pair
+(IPW ATE / Mantel–Haenszel), and the schema-evolution ingest edge.
 
 Each gets (a) an independent plain-Python recompute on the smoke
 fixture, (b) its structural identities, and (c) plan pins — the
@@ -401,3 +402,96 @@ def test_causal_pair_plans_are_jvm_side(spark):
         p = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "EvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+# --------------------------------------------------------------------------
+# schema_evolution_ingest
+
+
+def test_schema_evolution_merged_nulls_and_schema(spark):
+    """Early-batch rows must surface the late-added column as NULL;
+    late rows carry the derived tag; the merged Spark schema contains
+    the evolved column exactly once."""
+    out = QUERIES["schema_evolution_ingest"](spark, SF_SMOKE)
+    assert out.columns.count("ingest_tag") == 1
+    rows = out.collect()
+    assert rows, "nation fixture empty?"
+    for r in rows:
+        if r["n_nationkey"] < 13:
+            assert r["ingest_tag"] is None, r
+        else:
+            assert r["ingest_tag"] == f"b2-{r['n_name']}", r
+
+
+def test_schema_evolution_filter_pushes_down_through_merge(spark):
+    """Schema merge is footer metadata only — a key filter must still
+    reach the parquet scan as a pushed filter."""
+    from manipula_o_de_dataframes_spark.queries import (
+        _schema_evolution_dir,
+    )
+    import os
+
+    d = _schema_evolution_dir(spark, SF_SMOKE)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(d, "batch1"), os.path.join(d, "batch2"))
+        .filter("n_nationkey >= 13")
+        .select("n_nationkey", "ingest_tag")
+    )
+    p = merged._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThanOrEqual(n_nationkey,13)]" in p, p
+    assert "EvalPython" not in p
+
+
+# --------------------------------------------------------------------------
+# cmh_test
+
+
+def test_cmh_matches_python_recompute_and_exact_rational(spark):
+    """Per-stratum E/V on their milli/micro grids must match a plain
+    recompute, and the final milli statistic must sit within 2 milli
+    of the EXACT rational CMH value (Fraction arithmetic) — the grid
+    truncation bound."""
+    from fractions import Fraction
+
+    frame = _py_obs_frame(*_load_obs_rows(spark, SF_SMOKE))
+    cells: dict[int, list] = {}
+    for tier, t, _, y2 in frame:
+        c = cells.setdefault(tier, [0, 0, 0, 0])  # n, n1, a, m1
+        c[0] += 1
+        c[1] += t
+        c[2] += t & y2
+        c[3] += y2
+    expected, T, Em, Vm = {}, 0, 0, 0
+    eT, eE, eV = 0, Fraction(0), Fraction(0)
+    for tier, (n, n1, a, m1) in cells.items():
+        e_milli = (n1 * m1 * 1000) // n
+        v_micro = (
+            (n1 * (n - n1) * m1 * (n - m1) * 1_000_000)
+            // (n * n * (n - 1))
+            if n >= 2
+            else 0
+        )
+        expected[tier] = (n, a, e_milli, v_micro)
+        T, Em, Vm = T + a, Em + e_milli, Vm + v_micro
+        eT += a
+        eE += Fraction(n1 * m1, n)
+        eV += Fraction(n1 * (n - n1) * m1 * (n - m1), n * n * (n - 1))
+    stat_milli = _tdiv((T * 1000 - Em) ** 2 * 1000, Vm)
+    exact_milli = float((eT - eE) ** 2 / eV) * 1000
+    out = QUERIES["cmh_test"](spark, SF_SMOKE).collect()
+    for r in out:
+        assert (r["n_custs"], r["a"], r["e_milli"], r["v_micro"]) == expected[
+            r["tier"]
+        ], r
+        assert r["cmh_stat_milli"] == stat_milli
+        assert abs(r["cmh_stat_milli"] - exact_milli) <= 2, (
+            r["cmh_stat_milli"],
+            exact_milli,
+        )
+
+
+def test_cmh_plan_is_jvm_side(spark):
+    p = _plan(QUERIES["cmh_test"](spark, SF_SMOKE))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
