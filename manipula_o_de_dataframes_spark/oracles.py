@@ -8967,7 +8967,8 @@ per AS (
   SELECT tier, n, a,
          (n1 * m1 * 1000) // n AS e_milli,
          CASE WHEN n >= 2 THEN
-           (n1 * (n - n1) * m1 * (n - m1) * 1000000) // (n * n * (n - 1))
+           (CAST(n1 AS HUGEINT) * (n - n1) * m1 * (n - m1) * 1000000)
+             // (CAST(n AS HUGEINT) * n * (n - 1))
          ELSE 0 END AS v_micro
   FROM cells
 )

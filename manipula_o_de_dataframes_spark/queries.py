@@ -15062,12 +15062,15 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     either way).
 
     Integer policy: E on an exact milli grid (one truncating div per
-    stratum), V on a micro grid (n₁n₀m₁m₀·10⁶ div n²(n−1) — fits
-    BIGINT while each stratum stays ≤ ~50k customers since
-    n⁴/4·10⁶ < 9.2×10¹⁸; beyond, promote to DECIMAL(38,0), the
-    `cuped_adjustment` pattern); the final (1000·T − E_milli)²·1000
-    div V_micro is exact while |T − E| ≤ ~3×10⁶. Same scan shape as
-    the pair: memoized frame + ≤4-row census algebra."""
+    stratum), V on a micro grid whose n⁴-scale product runs in
+    DECIMAL(38,0) with truncating division spelled (num − num%den)/den
+    — the `cuped_adjustment` overflow pattern, because BIGINT dies
+    already at ~50k-customer strata (the 10× replica probe raised an
+    ANSI overflow before this promotion; DuckDB mirrors in HUGEINT).
+    Safe to ~10⁸ customers per stratum (n⁴·10⁶ < 10³⁸); the final
+    (1000·T − E_milli)²·1000 div V_micro is exact while
+    |T − E| ≤ ~3×10⁶. Same scan shape as the pair: memoized frame +
+    ≤4-row census algebra."""
     f = _obs_customer_frame(spark, sf_dir)
     cells = f.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_custs"),
@@ -15081,9 +15084,14 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("long").alias("a"),
         F.expr("__n1 * __m1 * 1000 div n_custs").alias("e_milli"),
         F.expr(
-            "case when n_custs >= 2 then"
-            " __n1 * (n_custs - __n1) * __m1 * (n_custs - __m1) * 1000000"
-            " div (n_custs * n_custs * (n_custs - 1)) else 0 end"
+            "case when n_custs >= 2 then cast("
+            " ((cast(__n1 as decimal(38,0)) * (n_custs - __n1) * __m1"
+            "   * (n_custs - __m1) * 1000000)"
+            "  - (cast(__n1 as decimal(38,0)) * (n_custs - __n1) * __m1"
+            "     * (n_custs - __m1) * 1000000)"
+            "    % (cast(n_custs as decimal(38,0)) * n_custs * (n_custs - 1)))"
+            " / (cast(n_custs as decimal(38,0)) * n_custs * (n_custs - 1))"
+            " as bigint) else 0 end"
         ).alias("v_micro"),
     )
     # census windows below run on the ≤4-row tier table — bounded
