@@ -8965,7 +8965,7 @@ cells AS (
 ),
 per AS (
   SELECT tier, n, a,
-         (n1 * m1 * 1000) // n AS e_milli,
+         (CAST(n1 AS HUGEINT) * m1 * 1000) // n AS e_milli,
          CASE WHEN n >= 2 THEN
            (CAST(n1 AS HUGEINT) * (n - n1) * m1 * (n - m1) * 1000000)
              // (CAST(n AS HUGEINT) * n * (n - 1))
@@ -8977,7 +8977,7 @@ SELECT CAST(tier AS INT) AS tier,
        CAST(a AS BIGINT) AS a,
        CAST(e_milli AS BIGINT) AS e_milli,
        CAST(v_micro AS BIGINT) AS v_micro,
-       CAST((SUM(a) OVER () * 1000 - SUM(e_milli) OVER ())
+       CAST(CAST(SUM(a) OVER () * 1000 - SUM(e_milli) OVER () AS HUGEINT)
             * (SUM(a) OVER () * 1000 - SUM(e_milli) OVER ()) * 1000
             // NULLIF(SUM(v_micro) OVER (), 0) AS BIGINT) AS cmh_stat_milli
 FROM per

@@ -15061,16 +15061,17 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity correction (the modern default; a frozen contract
     either way).
 
-    Integer policy: E on an exact milli grid (one truncating div per
-    stratum), V on a micro grid whose n⁴-scale product runs in
+    Integer policy: E on an exact milli grid, V on a micro grid, and
+    EVERY multi-count product — E's n₁·m₁·10³, V's n⁴-scale
+    numerator, and the final (1000·T − ΣE_milli)²·10³ — runs in
     DECIMAL(38,0) with truncating division spelled (num − num%den)/den
-    — the `cuped_adjustment` overflow pattern, because BIGINT dies
-    already at ~50k-customer strata (the 10× replica probe raised an
-    ANSI overflow before this promotion; DuckDB mirrors in HUGEINT).
-    Safe to ~10⁸ customers per stratum (n⁴·10⁶ < 10³⁸); the final
-    (1000·T − E_milli)²·1000 div V_micro is exact while
-    |T − E| ≤ ~3×10⁶. Same scan shape as the pair: memoized frame +
-    ≤4-row census algebra."""
+    (the `cuped_adjustment` overflow pattern; DuckDB mirrors in
+    HUGEINT). BIGINT died already at ~50k-customer strata — the 10×
+    replica probe raised an ANSI overflow on the variance product,
+    and review showed the SAME class latent in E and the final
+    square. Safe to ~10⁸ customers per stratum (n⁴·10⁶ < 10³⁸) and
+    |T − E| ≤ ~10¹⁶ in the final square. Same scan shape as the
+    pair: memoized frame + ≤4-row census algebra."""
     f = _obs_customer_frame(spark, sf_dir)
     cells = f.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_custs"),
@@ -15082,7 +15083,11 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier",
         F.col("n_custs").cast("long").alias("n_custs"),
         F.col("a").cast("long").alias("a"),
-        F.expr("__n1 * __m1 * 1000 div n_custs").alias("e_milli"),
+        F.expr(
+            "cast(((cast(__n1 as decimal(38,0)) * __m1 * 1000)"
+            " - (cast(__n1 as decimal(38,0)) * __m1 * 1000) % n_custs)"
+            " / n_custs as bigint)"
+        ).alias("e_milli"),
         F.expr(
             "case when n_custs >= 2 then cast("
             " ((cast(__n1 as decimal(38,0)) * (n_custs - __n1) * __m1"
@@ -15102,12 +15107,16 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_milli").cast("long").alias("e_milli"),
         F.col("v_micro").cast("long").alias("v_micro"),
         F.expr(
-            "(sum(a) over () * 1000 - sum(e_milli) over ())"
-            " * (sum(a) over () * 1000 - sum(e_milli) over ()) * 1000"
-            " div nullif(sum(v_micro) over (), 0)"
-        )
-        .cast("long")
-        .alias("cmh_stat_milli"),
+            "cast((("
+            " cast(sum(a) over () * 1000 - sum(e_milli) over ()"
+            "      as decimal(38,0))"
+            " * (sum(a) over () * 1000 - sum(e_milli) over ()) * 1000)"
+            " - (cast(sum(a) over () * 1000 - sum(e_milli) over ()"
+            "         as decimal(38,0))"
+            "    * (sum(a) over () * 1000 - sum(e_milli) over ()) * 1000)"
+            "   % nullif(sum(v_micro) over (), 0))"
+            " / nullif(sum(v_micro) over (), 0) as bigint)"
+        ).alias("cmh_stat_milli"),
     ).orderBy("tier")
 
 
@@ -15142,7 +15151,10 @@ def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.replace(tmp, out)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out):
+                # not a lost concurrency race — surface the real error
+                raise
     return out
 
 
@@ -16135,8 +16147,8 @@ QUERIES = {
 # Everything not listed keeps its literal order above.
 _DRIVER_SAMPLE_PRIORITY = [
     # r7 rotation (VERDICT r6 #1): close the driver-provenance gap.
-    # Front: the eight r7 additions (excel_ingest twins + exact-substr/
-    # cluster-split + the N240-N243 continuation batch) and
+    # Front: the ten r7 additions (excel_ingest twins + exact-substr/
+    # cluster-split + the N240-N244/S19 continuation batch) and
     # every query whose plan changed this round (streaming-harness
     # staging pass, kcore/global-rank rewrites) so each gets a
     # fresh driver row; then the 67 queries with NO CORRECTNESS_r*
