@@ -504,3 +504,47 @@ def test_cmh_plan_is_jvm_side(spark):
     p = _plan(QUERIES["cmh_test"](spark, SF_SMOKE))
     assert "EvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_cmh_survives_the_bigint_overflow_regime(spark):
+    """Regression for the 10x-probe overflow: a single ~60k-customer
+    stratum puts the hypergeometric variance product at n^4*1e6 ~
+    1.3e25 — far past BIGINT — which the first formulation raised on.
+    The DECIMAL(38,0) path must return the exact recomputed value."""
+    n = 60_000
+    import datetime as dt
+
+    d_pre, d_late = dt.datetime(1995, 6, 1), dt.datetime(2001, 3, 1)
+    rows = []
+    for ck in range(1, n + 1):
+        if ck % 3 == 0:
+            rows.append((ck, d_pre))      # treated
+        if ck % 2 == 0:
+            rows.append((ck, d_late))     # outcome
+    custs = spark.range(1, n + 1).selectExpr("id as c_custkey")
+    orders = spark.createDataFrame(
+        [(i + 1, ck, when, "10.00") for i, (ck, when) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz,"
+        " o_totalprice string",
+    )
+    tmp = tempfile.mkdtemp(prefix="cmh_big_")
+    custs.write.parquet(os.path.join(tmp, "customer.parquet"))
+    orders.write.parquet(os.path.join(tmp, "orders.parquet"))
+    try:
+        out = QUERIES["cmh_test"](spark, tmp).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # everyone has 0 mid-period orders -> one tier-0 stratum of n rows
+    assert len(out) == 1 and out[0]["n_custs"] == n
+    n1 = n // 3                     # treated: ck % 3 == 0
+    a = sum(1 for ck in range(1, n + 1) if ck % 3 == 0 and ck % 2 == 0)
+    m1 = n // 2
+    e_milli = (n1 * m1 * 1000) // n
+    v_micro = (n1 * (n - n1) * m1 * (n - m1) * 1_000_000) // (
+        n * n * (n - 1)
+    )
+    assert out[0]["a"] == a
+    assert out[0]["e_milli"] == e_milli
+    assert out[0]["v_micro"] == v_micro
+    d = a * 1000 - e_milli
+    assert out[0]["cmh_stat_milli"] == (d * d * 1000) // v_micro
