@@ -8983,3 +8983,53 @@ SELECT CAST(tier AS INT) AS tier,
 FROM per
 ORDER BY tier
 """
+
+# kish_ess: effective sample size / design effect of the soft
+# NEAR-dedup weights (1/cluster-size over the dedup_clusters
+# components) — HUGEINT mirrors the Spark DECIMAL(38,0) arithmetic.
+ORACLES["kish_ess"] = f"""
+WITH RECURSIVE {_SIG8_CTE},{_BANDS8_CTE}, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+clusters AS (
+  SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
+),
+sizes AS (SELECT cluster, COUNT(*) AS sz FROM clusters GROUP BY 1),
+weighted AS (
+  SELECT d.source, 1000000 // s.sz AS w
+  FROM documents d
+  JOIN clusters c ON c.doc_id = d.doc_id
+  JOIN sizes s ON s.cluster = c.cluster
+),
+census AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(w) AS HUGEINT) AS sw,
+         CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+  FROM weighted GROUP BY 1
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((sw * sw * 1000) // sww AS BIGINT) AS ess_milli,
+       CAST((CAST(n_docs AS HUGEINT) * sww * 1000) // (sw * sw) AS BIGINT)
+         AS deff_milli,
+       CAST((sw * sw * 1000000) // (CAST(n_docs AS HUGEINT) * sww) AS BIGINT)
+         AS retention_ppm
+FROM census
+ORDER BY source
+"""

@@ -15120,6 +15120,69 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tier")
 
 
+def q_kish_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size (Kish 1965) of the soft-dedup
+    weights, per source — the diagnostic EVERY reweighting pipeline
+    reads before trusting its weights: ESS = (Σw)²/Σw² is the number
+    of equal-weight documents the weighted corpus is actually worth,
+    and the design effect DEFF = n·Σw²/(Σw)² the variance inflation
+    the weighting costs. The missing readout beside the weight
+    PRODUCERS (`dedup_weights` 1/cluster-size, `dsir_weights`,
+    `survey_raking`): those emit weights, this prices them. Same
+    survey-statistics lineage as `neyman_allocation`.
+
+    Weights are the ppm soft NEAR-dedup weights 1/cluster-size over
+    the MinHash-LSH components (`dedup_clusters` — exact-dup weights
+    would be degenerate here: the fixture has ZERO exact duplicates
+    at the driver SF, while near-dup clusters are real): a source of
+    all-singleton docs reads ESS = n exactly (retention 10⁶ ppm,
+    DEFF 1000 milli), and clustering drags ESS below n. Integer
+    policy: w and w² are exact longs; BOTH census sums and the (Σw)²
+    square run in DECIMAL(38,0) with truncating division
+    (num − num%den)/den — Σw² alone overflows BIGINT at ~9M
+    docs/source and (Σw)² at ~3k, so this one is decimal from birth
+    (the cmh_test lesson; DuckDB mirrors in HUGEINT). Safe to ~10¹³
+    docs/source ((n·10⁶)² < 10³⁸). Scale: cluster labels come from
+    the session-memoized `_doc_clusters` spool (shared with
+    dedup_survivors / cluster_safe_split — one fixpoint per
+    session); the ESS algebra runs on the per-source census."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = _doc_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("__sz"))
+    weighted = (
+        d.join(clusters, "doc_id")
+        .join(sizes, "cluster")
+        .select("source", F.expr("1000000 div __sz").alias("__w"))
+    )
+    census = weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__w").cast("decimal(38,0)")).alias("__sw"),
+        F.sum((F.col("__w") * F.col("__w")).cast("decimal(38,0)")).alias(
+            "__sww"
+        ),
+    )
+    return census.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr(
+            "cast(((__sw * __sw * 1000) - (__sw * __sw * 1000) % __sww)"
+            " / __sww as bigint)"
+        ).alias("ess_milli"),
+        F.expr(
+            "cast(((cast(n_docs as decimal(38,0)) * __sww * 1000)"
+            " - (cast(n_docs as decimal(38,0)) * __sww * 1000)"
+            "   % (__sw * __sw))"
+            " / (__sw * __sw) as bigint)"
+        ).alias("deff_milli"),
+        F.expr(
+            "cast(((__sw * __sw * 1000000)"
+            " - (__sw * __sw * 1000000)"
+            "   % (cast(n_docs as decimal(38,0)) * __sww))"
+            " / (cast(n_docs as decimal(38,0)) * __sww) as bigint)"
+        ).alias("retention_ppm"),
+    ).orderBy("source")
+
+
 def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage a two-batch parquet ingest directory ONCE per (session,
     sf_dir): batch1 = nation keys < 13 with the base 3-column schema,
@@ -16134,6 +16197,7 @@ QUERIES = {
     "mantel_haenszel": q_mantel_haenszel,
     "schema_evolution_ingest": q_schema_evolution_ingest,
     "cmh_test": q_cmh_test,
+    "kish_ess": q_kish_ess,
 }
 
 # The driver verifies roughly the FIRST 50 entries each round, so dict
@@ -16158,6 +16222,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "excel_ingest", "excel_ingest_distributed", "exact_substr_dedup",
     "cluster_safe_split", "good_turing_mass", "neyman_allocation",
     "ipw_ate", "mantel_haenszel", "schema_evolution_ingest", "cmh_test",
+    "kish_ess",
     "stream_near_dup",
     "stream_upsert", "sessionize_stream", "incremental_dedup",
     "roc_auc", "abc_classification_scaled", "curriculum_order",

@@ -548,3 +548,86 @@ def test_cmh_survives_the_bigint_overflow_regime(spark):
     assert out[0]["v_micro"] == v_micro
     d = a * 1000 - e_milli
     assert out[0]["cmh_stat_milli"] == (d * d * 1000) // v_micro
+
+
+# --------------------------------------------------------------------------
+# kish_ess
+
+
+def test_kish_ess_matches_exact_recompute_from_clusters(spark):
+    """The ESS/DEFF/retention algebra must match a Python big-int
+    recompute from the (oracle-verified) cluster labels joined to
+    sources — same truncating divisions, no floats anywhere."""
+    labels = {
+        r["doc_id"]: r["cluster"]
+        for r in QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(
+            os.path.join(SF_SMOKE, "documents.parquet")
+        ).select("doc_id", "source").collect()
+    }
+    sizes = Counter(labels.values())
+    per: dict[str, list[int]] = {}
+    for doc, cl in labels.items():
+        per.setdefault(src[doc], []).append(1_000_000 // sizes[cl])
+    expected = {}
+    for s, ws in per.items():
+        n, sw, sww = len(ws), sum(ws), sum(w * w for w in ws)
+        expected[s] = (
+            n,
+            (sw * sw * 1000) // sww,
+            (n * sww * 1000) // (sw * sw),
+            (sw * sw * 1_000_000) // (n * sww),
+        )
+    got = {
+        r["source"]: (r["n_docs"], r["ess_milli"], r["deff_milli"],
+                      r["retention_ppm"])
+        for r in QUERIES["kish_ess"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # the fixture has real near-dup clusters: some source must pay
+    assert any(v[3] < 1_000_000 for v in got.values())
+
+
+def test_kish_ess_uniform_weights_read_full_retention(spark):
+    """Kish ESS prices weight VARIANCE, not downweighting: a source of
+    all-singletons reads ESS = n exactly, and so does a source whose
+    docs all sit in same-size clusters (equal weights). Only MIXED
+    weights drag retention below 10^6 ppm."""
+    docs = (
+        [(i, f"unique text number {i} " + " ".join(f"u{i}w{j}" for j in range(12)),
+          "s_single") for i in range(1, 6)]
+        # two exact-duplicate pairs -> all weights 1/2 (equal)
+        + [(10 + i, "pair one " + " ".join(f"p1w{j}" for j in range(12)), "s_pairs")
+           for i in range(2)]
+        + [(20 + i, "pair two " + " ".join(f"p2w{j}" for j in range(12)), "s_pairs")
+           for i in range(2)]
+        # mixed: one singleton + one duplicate pair
+        + [(30, "lonely " + " ".join(f"mw{j}" for j in range(12)), "s_mixed")]
+        + [(40 + i, "dup here " + " ".join(f"dw{j}" for j in range(12)), "s_mixed")
+           for i in range(2)]
+    )
+    tmp = tempfile.mkdtemp(prefix="kish_test_")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    try:
+        out = {
+            r["source"]: r for r in QUERIES["kish_ess"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out["s_single"]["retention_ppm"] == 1_000_000
+    assert out["s_single"]["ess_milli"] == 5000
+    assert out["s_pairs"]["retention_ppm"] == 1_000_000  # equal 1/2 weights
+    assert out["s_pairs"]["ess_milli"] == 4000
+    assert out["s_mixed"]["retention_ppm"] < 1_000_000   # 1 vs 1/2 mix
+    assert out["s_mixed"]["deff_milli"] > 1000
+
+
+def test_kish_ess_plan_is_jvm_side(spark):
+    p = _plan(QUERIES["kish_ess"](spark, SF_SMOKE))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
