@@ -8787,9 +8787,11 @@ SELECT CAST(r AS BIGINT) AS freq_r,
        CAST(CASE WHEN r = 0 THEN (s.n1 * (s.n1 - 1)) // (2 * (s.n2 + 1))
                  ELSE COALESCE(fr.n, 0) END AS BIGINT) AS n_types,
        CAST(CASE WHEN r = 0 THEN 0
-                 ELSE (r * COALESCE(fr.n, 0) * 1000000) // s.big_n
+                 ELSE (r * COALESCE(fr.n, 0) * 1000000)
+                      // NULLIF(s.big_n, 0)
             END AS BIGINT) AS raw_mass_ppm,
-       CAST(((r + 1) * COALESCE(fn.n, 0) * 1000000) // s.big_n AS BIGINT)
+       CAST(((r + 1) * COALESCE(fn.n, 0) * 1000000)
+            // NULLIF(s.big_n, 0) AS BIGINT)
          AS gt_mass_ppm
 FROM spine CROSS JOIN stats s
 LEFT JOIN fof fr ON fr.f = spine.r
