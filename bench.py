@@ -19,7 +19,15 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-from manipula_o_de_dataframes_spark.queries import QUERIES  # noqa: E402
+from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
+    QUERIES,
+    _doc_clusters,
+    _edges_sym_deg,
+    _edges_uv,
+    _hb_round_regs,
+    _obs_customer_frame,
+    _pq_codes_spooled,
+)
 from manipula_o_de_dataframes_spark.session import get_spark  # noqa: E402
 
 
@@ -37,6 +45,30 @@ def main() -> None:
     # daemons used by mapInPandas (small SF, not timed)
     materialize(QUERIES["abc_classification"](spark, "/root/testdata/sf0.001"))
     materialize(QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001"))
+
+    # Session-memoized spools are built HERE, each charged to its own
+    # line item, BEFORE the timed sweep (VERDICT r7 #2): previously the
+    # first family query to run in a session silently paid the shared
+    # build (the incremental_dedup 2.8→9.1→3.9 s round-over-round flap
+    # was exactly this accounting, not a plan change). With the builds
+    # fronted, every per-query number below is the warm, plan-only cost
+    # and is reproducible across runs; the build cost stays visible in
+    # `spool_build_seconds` and is added back into the headline total so
+    # round-over-round totals remain apples-to-apples.
+    spool_builds: dict[str, float] = {}
+
+    def build_spool(name: str, thunk) -> None:
+        t0 = time.perf_counter()
+        thunk()
+        spool_builds[name] = round(time.perf_counter() - t0, 3)
+
+    build_spool("edges_uv", lambda: _edges_uv(spark, sf_dir))
+    build_spool("edges_sym_deg", lambda: _edges_sym_deg(spark, sf_dir))
+    build_spool("hyperball_rounds_1_4", lambda: _hb_round_regs(spark, sf_dir, 4))
+    build_spool("doc_clusters", lambda: _doc_clusters(spark, sf_dir))
+    build_spool("pq_codes", lambda: _pq_codes_spooled(spark, sf_dir))
+    build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
+    spool_total = round(sum(spool_builds.values()), 3)
 
     # Each query runs TWICE and the headline records the MIN: the bench
     # shares the machine with the driver's other work, and r2/r3 showed
@@ -108,7 +140,11 @@ def main() -> None:
     # only, so round-over-round perf compares the plans you'd actually
     # run at 100 TB (VERDICT r2 #6).
     baseline_fixtures = {"near_dup_jaccard", "embedding_near_dup"}
-    total = round(sum(v for k, v in timings.items() if k not in baseline_fixtures), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k not in baseline_fixtures)
+        + spool_total,
+        3,
+    )
     baseline_total = round(sum(timings.get(k, 0.0) for k in baseline_fixtures), 3)
     # The driver's tail-capture preserves only the last ~120 queries of
     # the fat per-query line, so round-over-round comparison was sampling
@@ -124,6 +160,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "queries_max_of_2": timings_max,
+                    "spool_build_seconds": spool_builds,
                     "sf": sf,
                 },
                 fh,
@@ -143,6 +180,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_max_of_2": timings_max,
+                "spool_build_seconds": spool_builds,
                 "sf": sf,
             }
         )
@@ -158,6 +196,7 @@ def main() -> None:
                 "runs_per_query": 2,
                 "agg": "min",
                 "baseline_fixtures_seconds": baseline_total,
+                "spool_build_seconds": spool_total,
             }
         )
     )
