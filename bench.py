@@ -25,6 +25,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _edges_sym_deg,
     _edges_uv,
     _hb_round_regs,
+    _minhash_sig8,
     _obs_customer_frame,
     _pq_codes_spooled,
 )
@@ -66,6 +67,7 @@ def main() -> None:
     build_spool("edges_sym_deg", lambda: _edges_sym_deg(spark, sf_dir))
     build_spool("hyperball_rounds_1_4", lambda: _hb_round_regs(spark, sf_dir, 4))
     build_spool("doc_clusters", lambda: _doc_clusters(spark, sf_dir))
+    build_spool("minhash_sig8", lambda: _minhash_sig8(spark, sf_dir))
     build_spool("pq_codes", lambda: _pq_codes_spooled(spark, sf_dir))
     build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
     spool_total = round(sum(spool_builds.values()), 3)

@@ -166,12 +166,22 @@ def near_dup_pairs_from_sig(
     n_hashes: int,
     min_matches: int = 1,
     rows_per_band: int = 1,
+    keep_agreement: bool = False,
 ) -> DataFrame:
     """``near_dup_pairs`` over a PRECOMPUTED signature frame
     (id_col, mh0..mh{n-1}) — lets callers that build several banding
     arms over the same hashes (``banding_recall_audit``) compute and
     spool the signatures once instead of re-shingling the corpus per
-    arm. Semantics identical to ``near_dup_pairs``."""
+    arm. Semantics identical to ``near_dup_pairs``.
+
+    ``keep_agreement=True`` additionally carries the per-hash equality
+    flags ``eq0..eq{n-1}`` through the output. Any coarser banding over
+    the SAME hashes is then a pure EXPRESSION on these flags — an r-row
+    band j fires iff eq(j·r)…eq(j·r+r−1) all agree — so a banding
+    audit derives every stricter arm from the permissive r=1 pair set
+    without a second explode/self-join/distinct pipeline (a matched
+    r-row band implies each constituent hash matched, so stricter-arm
+    pairs are always a subset of the r=1 candidates)."""
     assert n_hashes % rows_per_band == 0, "n_hashes must be a multiple of rows_per_band"
     n_bands = n_hashes // rows_per_band
     # F.concat (NOT concat_ws, which SKIPS null args): a NULL signature
@@ -212,6 +222,10 @@ def near_dup_pairs_from_sig(
         # the (single-split) scan, re-evaluating the whole minhash
         # pipeline serially per predicate (~5× slower end-to-end).
         out = out.filter(F.col("n_agree") >= min_matches)
+    if keep_agreement:
+        return out.select(
+            "id_a", "id_b", "n_agree", *[f"eq{s}" for s in range(n_hashes)]
+        )
     return out.select("id_a", "id_b", "n_agree")
 
 

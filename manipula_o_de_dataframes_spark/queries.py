@@ -15,6 +15,8 @@ Determinism rules used throughout (SURVEY §7 "hard" list):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -697,6 +699,38 @@ def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _minhash_sig8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-hash MinHash signature + shingle frame over documents
+    (doc_id, __sh, mh0..mh7), spooled once per (application, sf_dir) —
+    the shared artifact of the 8-hash near-dup shelf: three queries
+    (`banding_recall_audit`, `near_dup_jaccard_banded`,
+    `edit_distance_near_dup`) band over the IDENTICAL signatures, and
+    the first two also verify on the identical shingle sets, so the
+    first caller pays the one shingle+md5 scan and the rest read the
+    spool (`_doc_clusters` memoization pattern, keyed by
+    applicationId). At 100 TB this IS the persisted feature-index
+    posture (`incremental_near_dups`' index_features): signatures band,
+    shingles verify, text itself never re-scanned per query."""
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "mh8_sh")
+    df = _GRAPH_SPOOL_CACHE.get(key)
+    if df is None:
+        df = spool(
+            dd.minhash_signature(
+                _docs_parallel(spark, sf_dir),
+                "text",
+                "doc_id",
+                8,
+                keep_shingles=True,
+            )
+        )
+        _GRAPH_SPOOL_CACHE[key] = df
+    return df
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, quality score, language-ID, fingerprint."""
     d = _docs_parallel(spark, sf_dir)
@@ -716,17 +750,41 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 min-wise hashes over 3-word shingles)."""
-    d = _docs_parallel(spark, sf_dir)
-    return dd.minhash_signature(d, "text", "doc_id", n_hashes=4)
+    """MinHash signatures (4 min-wise hashes over 3-word shingles),
+    read from the session-shared `_minhash_sig4` spool view."""
+    return _minhash_sig4(spark, sf_dir).drop("__sh")
+
+
+def _minhash_sig4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-hash signature + shingle view of `_minhash_sig8`: hash i
+    of the md5-slice family is the same expression whatever n_hashes
+    is (slice i%4 of digest group i//4), so the first four columns of
+    the 8-hash spool ARE the 4-hash signature bit-for-bit — the whole
+    4-hash shelf (`minhash_signatures`, `near_dup_jaccard`,
+    `containment_near_dup`, `incremental_dedup`) rides the one spooled
+    scan for free."""
+    sig = _minhash_sig8(spark, sf_dir)
+    return sig.select("doc_id", "__sh", "mh0", "mh1", "mh2", "mh3")
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates + exact n-gram Jaccard verify on candidates."""
-    d = _docs_parallel(spark, sf_dir)
-    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=4, min_matches=1)
-    jac = dd.jaccard_pairs(d, "text", "doc_id", cands)
-    return jac.select("id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard"))
+    """MinHash-LSH candidates + exact n-gram Jaccard verify on
+    candidates. Signatures and verify shingles from the session-shared
+    `_minhash_sig4` spool view."""
+    sig = _minhash_sig4(spark, sf_dir)
+    cands = dd.near_dup_pairs_from_sig(sig.drop("__sh"), "doc_id", 4)
+    verified = cands.join(
+        sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sha")),
+        "id_a",
+    ).join(
+        sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__shb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    union = F.size(F.array_union("__sha", "__shb")).cast("double")
+    return verified.select(
+        "id_a", "id_b", "n_agree", F.round(inter / union, 9).alias("jaccard")
+    )
 
 
 def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,11 +801,28 @@ def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     crush exactly the pairs this detector exists to find (P[candidate]
     at j=0.2: 59% with 4×r=1 vs 1.6% with 2×r=2). The verify bar then
     restores precision. Set sizes ride along so the output shows which
-    side is the fragment.
+    side is the fragment. Signatures and verify shingles from the
+    session-shared `_minhash_sig4` spool view.
     """
-    d = _docs_parallel(spark, sf_dir)
-    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=4, min_matches=1)
-    con = dd.containment_pairs(d, "text", "doc_id", cands)
+    sig = _minhash_sig4(spark, sf_dir)
+    cands = dd.near_dup_pairs_from_sig(sig.drop("__sh"), "doc_id", 4)
+    verified = cands.join(
+        sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sha")),
+        "id_a",
+    ).join(
+        sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__shb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    smaller = F.least(F.size("__sha"), F.size("__shb")).cast("double")
+    con = verified.select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.size("__sha").cast("long").alias("n_sh_a"),
+        F.size("__shb").cast("long").alias("n_sh_b"),
+        (inter / smaller).alias("containment"),
+    )
     return con.filter(F.col("containment") >= 0.8).select(
         "id_a",
         "id_b",
@@ -2297,12 +2372,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: screen a new batch (odd doc_id) against the
     existing corpus index (even doc_id) — per-ingest admission, linear
     in the batch instead of re-pairing the whole corpus.
+
+    Both sides' features (signatures + verify shingles) are parity
+    filters over the session-shared `_minhash_sig4` spool view, passed
+    through `incremental_near_dups`' index_features/new_features seam
+    — the persisted-feature-artifact posture the operator documents
+    for 100 TB, and one shingle+md5 scan per session instead of two
+    per run.
     """
-    d = _docs_parallel(spark, sf_dir)
-    index = d.filter(F.col("doc_id") % 2 == 0)
-    batch = d.filter(F.col("doc_id") % 2 == 1)
+    sig = _minhash_sig4(spark, sf_dir)
     return dd.incremental_near_dups(
-        batch, index, "text", "doc_id", n_hashes=4, jaccard_threshold=0.5
+        None,
+        None,
+        "text",
+        "doc_id",
+        n_hashes=4,
+        jaccard_threshold=0.5,
+        index_features=sig.filter(F.col("doc_id") % 2 == 0),
+        new_features=sig.filter(F.col("doc_id") % 2 == 1),
     )
 
 
@@ -3151,11 +3238,30 @@ def q_near_dup_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission curve is 1-(1-j^2)^4 instead of r=1's 1-(1-j)^8 — low-
     similarity pairs are crushed before the (quadratic-within-bucket)
     pair join. Candidates then get the exact shingle-Jaccard verify.
+    Signatures AND verify shingles come from the session-shared
+    `_minhash_sig8` spool — one shingle+md5 scan serves the whole
+    8-hash shelf, and the verify reads the spooled shingle sets
+    instead of re-shingling the corpus.
     """
-    d = _docs_parallel(spark, sf_dir)
-    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=8, rows_per_band=2)
-    jac = dd.jaccard_pairs(d, "text", "doc_id", cands)
-    return jac.select("id_a", "id_b", "n_agree", F.round("jaccard", 9).alias("jaccard"))
+    sig = _minhash_sig8(spark, sf_dir)
+    cands = dd.near_dup_pairs_from_sig(
+        sig.drop("__sh"), "doc_id", 8, rows_per_band=2
+    )
+    verified = cands.join(
+        sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sha")),
+        "id_a",
+    ).join(
+        sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__shb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    union = F.size(F.array_union("__sha", "__shb")).cast("double")
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.round(inter / union, 9).alias("jaccard"),
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4253,9 +4359,16 @@ def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHARACTER edits, DuckDB counts BYTE edits, so on multi-byte text
     the engine's char-level metric is authoritative (see the oracle's
     comment).
+
+    Candidates band over the session-shared `_minhash_sig8` spool
+    (identical signatures to `near_dup_jaccard_banded` — one
+    shingle+md5 scan serves the 8-hash shelf); only the Levenshtein
+    verify touches text.
     """
     d = _docs_parallel(spark, sf_dir)
-    cands = dd.near_dup_pairs(d, "text", "doc_id", n_hashes=8, rows_per_band=2)
+    cands = dd.near_dup_pairs_from_sig(
+        _minhash_sig8(spark, sf_dir).drop("__sh"), "doc_id", 8, rows_per_band=2
+    )
     txt = d.select("doc_id", "text")
     joined = (
         cands.join(
@@ -11747,32 +11860,50 @@ def q_banding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition, so the audit isolates the BANDING decision alone.
     Integer counts, one ppm rounding per band.
     """
-    d = _docs_parallel(spark, sf_dir)
-    # The two arms share one LAZY signature frame (bit-identical md5
-    # minhashes either way); a spooled variant was measured and did
-    # NOT pay — the audit's cost is the exact-Jaccard verify join,
-    # not the shingling, and the eager spool write only added a
-    # barrier (6.1 s vs 5.8 s warm at sf0.1).
-    sig = dd.minhash_signature(d, "text", "doc_id", 8)
-    ref = dd.jaccard_pairs(
-        d, "text", "doc_id", dd.near_dup_pairs_from_sig(sig, "doc_id", 8)
-    ).filter(F.col("jaccard") >= 0.5)
-    banded = dd.near_dup_pairs_from_sig(
-        sig, "doc_id", 8, rows_per_band=2
-    ).select(
-        F.col("id_a").alias("__ba"),
-        F.col("id_b").alias("__bb"),
-        F.lit(1).alias("__found"),
-    ).distinct()
-    audited = ref.join(
-        banded,
-        (ref["id_a"] == banded["__ba"]) & (ref["id_b"] == banded["__bb"]),
-        "left",
-    ).select(
+    # ONE LSH pipeline, not two: a matched r=2 band implies both of its
+    # constituent hashes matched, so every r=2-admitted pair is already
+    # in the permissive r=1 candidate set — the banded arm is therefore
+    # a pure EXPRESSION over the r=1 pairs' per-hash agreement flags
+    # (band j fires iff eq(2j) ∧ eq(2j+1)). The previous formulation
+    # ran a second explode/self-join/distinct banding pipeline and
+    # left-joined it back. The signature+shingle frame comes from the
+    # session-shared `_minhash_sig8` spool (one shingle+md5 scan for
+    # the whole 8-hash shelf) and feeds both the band join and the
+    # exact-Jaccard verify, so the corpus is shingled once instead of
+    # three times. Together: 8.3 → 4.4 s warm at sf0.1/32cpus with the
+    # hash unchanged; the residual is the r=1 reference arm's self-join
+    # + 82k-pair verify, which IS the audit's price. (Broadcasting the
+    # band/signature sides was measured ~1.5 s faster here and
+    # rejected: both sides grow with the corpus, so the shuffle join is
+    # the only plan that survives 100 TB.) Within candidate pairs the
+    # eq-flags are never NULL (a candidate doc has non-empty shingles,
+    # so every md5-slice minhash is set).
+    sig = _minhash_sig8(spark, sf_dir)
+    cand = dd.near_dup_pairs_from_sig(
+        sig.drop("__sh"), "doc_id", 8, keep_agreement=True
+    )
+    verified = cand.join(
+        sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sha")),
+        "id_a",
+    ).join(
+        sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__shb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    union = F.size(F.array_union("__sha", "__shb")).cast("double")
+    ref = verified.withColumn("jaccard", inter / union).filter(
+        F.col("jaccard") >= 0.5
+    )
+    band_fires = [
+        (F.col(f"eq{2 * j}") == 1) & (F.col(f"eq{2 * j + 1}") == 1)
+        for j in range(4)
+    ]
+    found = reduce(lambda a, b: a | b, band_fires).cast("int")
+    audited = ref.select(
         F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
             "sim_band"
         ),
-        F.coalesce(F.col("__found"), F.lit(0)).alias("__f"),
+        found.alias("__f"),
     )
     return (
         audited.groupBy("sim_band")
@@ -11802,9 +11933,19 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed floats); each arm is cells ⋈ broadcast(8-row rank table)
     filtered to rank ≤ nprobe, top-10 under the (cos desc, id) total
     order, counted against the brute set. Output is pure integers
-    (hits, scanned, ppm). Four arms re-scan the bounded embedding
-    table — the audit's price, not the serving path's.
+    (hits, scanned, ppm).
+
+    The scored frame (vec_id, cell rank, cosine) is SPOOLED once and
+    the brute set plus all four arms read the spool: without it each
+    of the nine consumers (4 arms × hits+scanned, + brute) re-ran the
+    full cosine scan — Spark does no common-subexpression reuse across
+    union branches — and the audit cost 9 scans for 1 scan's worth of
+    information (measured 8.0 → 3.0 s warm at sf0.1/32cpus; doubles
+    survive the parquet round-trip bit-exactly, so the hash is
+    unchanged).
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = [
         (r[0], list(r[1]))
@@ -11830,7 +11971,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("__crk"),
         )
     )
-    scored = (
+    scored = spool(
         cells.join(F.broadcast(crank), F.col("__cell") == F.col("cid"))
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
