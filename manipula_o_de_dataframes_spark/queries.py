@@ -13756,27 +13756,29 @@ def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user, "__cents", "__rn", ascending=True, tiebreaks=("user_id",),
         partition_cols=("__arm",), count_col="__n",
     ).select("__arm", "__cents", "__rn", "__n")
-    dec = None
-    for p in range(10, 100, 10):
-        arm_vals = (
-            ranked.filter(
-                F.col("__rn") == F.expr(f"cast(({p} * __n + 99) div 100 as int)")
-            )
-            .select(
-                F.lit(p).alias("pct"),
-                "__arm",
-                F.col("__cents").alias("__v"),
-            )
+    # ONE pass over the ranked census, not eleven: the per-decile
+    # union (9 branches) plus the arm split (2 filters) each re-ran
+    # the whole rank subtree — Spark does no common-subexpression
+    # reuse across union branches (the `ivf_probe_sweep` lesson).
+    # Explode the 9 percentile literals against each census row and
+    # keep rank hits, then pivot the two arms in one aggregate; the
+    # both-arms-not-null filter is exactly the old inner join (ranks
+    # are unique per arm, so each (pct, arm) selects ≤ 1 row).
+    pcts = F.array(*[F.lit(p) for p in range(10, 100, 10)])
+    dec = (
+        ranked.select(
+            "__arm", "__cents", "__rn", "__n", F.explode(pcts).alias("pct")
         )
-        dec = arm_vals if dec is None else dec.unionAll(arm_vals)
-    a = dec.filter(F.col("__arm") == 0).select(
-        "pct", F.col("__v").alias("__va")
-    )
-    b = dec.filter(F.col("__arm") == 1).select(
-        "pct", F.col("__v").alias("__vb")
+        .filter(F.col("__rn") == F.expr("cast((pct * __n + 99) div 100 as int)"))
+        .select("pct", "__arm", F.col("__cents").alias("__v"))
     )
     return (
-        a.join(b, "pct")
+        dec.groupBy("pct")
+        .agg(
+            F.max(F.when(F.col("__arm") == 0, F.col("__v"))).alias("__va"),
+            F.max(F.when(F.col("__arm") == 1, F.col("__v"))).alias("__vb"),
+        )
+        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
         .select(
             F.col("pct").cast("int").alias("pct"),
             F.col("__va").cast("long").alias("control_cents"),
