@@ -1239,10 +1239,19 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"s{c}")
         for c in range(dims)
     ]
-    feats = chunks.select("doc_id", "c_idx", *stride_sum).withColumn(
-        "__ss",
-        sum(F.col(f"s{c}") * F.col(f"s{c}") for c in range(dims)),
-    ).filter(F.col("__ss") > 0)
+    # spooled: the chunk-feature frame is the precomputed index column
+    # the docstring promises — the probe projection and the scoring
+    # join otherwise each re-ran the ascii-stride feature stack
+    from .operators.spool import spool  # noqa: PLC0415
+
+    feats = spool(
+        chunks.select("doc_id", "c_idx", *stride_sum)
+        .withColumn(
+            "__ss",
+            sum(F.col(f"s{c}") * F.col(f"s{c}") for c in range(dims)),
+        )
+        .filter(F.col("__ss") > 0)
+    )
     probe_id = d.agg(F.min("doc_id").alias("__qid"))
     q = (
         feats.join(F.broadcast(probe_id), feats["doc_id"] == probe_id["__qid"])
@@ -2037,10 +2046,20 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Epoch-aligned 7-day buckets against the fixed NTZ origin (same
     rule as retention_cohorts) keep both engines bucketing
     identically under any session timezone.
+
+    The distinct (user, week) tuple frame is SPOOLED: five consumers
+    (first-seen, the shifted self-join's both sides, the churn
+    anti-join, the max-week clip) otherwise each re-scan events and
+    re-pay the distinct — a 6× fact-table read at 100 TB for a frame
+    that is |users|×|weeks|, the classic materialized intermediate.
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     e = read_table(spark, sf_dir, "events")
     week = (F.floor(tmp.seconds_since_origin("ts") / F.lit(7 * 86400))).cast("long")
-    puw = e.select(F.col("user_id").alias("usuario"), week.alias("semana")).distinct()
+    puw = spool(
+        e.select(F.col("user_id").alias("usuario"), week.alias("semana")).distinct()
+    )
     first_seen = puw.groupBy("usuario").agg(F.min("semana").alias("__first"))
     prev = puw.select("usuario", (F.col("semana") + 1).alias("semana"))
     status = (
@@ -4969,7 +4988,12 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    uni = (
+    # the unigram census is SPOOLED: its three consumers (total, both
+    # attach sides) otherwise each re-ran the token explode — the
+    # corpus is exploded twice (unigrams + bigrams), not four times
+    from .operators.spool import spool  # noqa: PLC0415
+
+    uni = spool(
         d.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_tok"))
@@ -5481,8 +5505,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         % n_buckets
     )
     b = g.select("doc_id", "__is_t", bucket.alias("bucket"))
-    stats = b.groupBy("bucket").agg(
-        F.sum("__is_t").alias("__t"), F.count(F.lit(1)).alias("__r")
+    # ONE explode pass: the (doc, bucket) census is SPOOLED and both
+    # the 256-row bucket stats and the per-doc dot product derive from
+    # it — the previous shape re-ran the bigram explode+md5 for every
+    # consumer (4 document scans; the explode is the expensive stage).
+    from .operators.spool import spool  # noqa: PLC0415
+
+    census = spool(
+        b.groupBy("doc_id", "__is_t", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+    )
+    stats = census.groupBy("bucket").agg(
+        F.sum(F.col("__is_t") * F.col("__n")).alias("__t"),
+        F.sum("__n").alias("__r"),
     )
     tot = stats.agg(F.sum("__t").alias("__tt"), F.sum("__r").alias("__rt"))
     w = stats.crossJoin(F.broadcast(tot)).select(
@@ -5499,9 +5535,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__w"),
     )
     per_doc = (
-        b.groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .join(F.broadcast(w), "bucket")
+        census.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("__n") * F.col("__w")).alias("dsir_w_scaled"),
@@ -5548,7 +5582,13 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = d.select("doc_id", F.explode(bigrams).alias("gram"))
-    c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__c2"))
+    # the bigram-count model census is SPOOLED: the backoff-count
+    # derivation and the model projection otherwise each re-ran the
+    # corpus explode (the model is the reusable artifact — this is
+    # its materialization)
+    from .operators.spool import spool  # noqa: PLC0415
+
+    c2 = spool(g.groupBy("gram").agg(F.count(F.lit(1)).alias("__c2")))
     c1 = c2.groupBy(F.split(F.col("gram"), " ").getItem(0).alias("__w1")).agg(
         F.sum("__c2").alias("__c1")
     )
@@ -5748,7 +5788,15 @@ def _drift_from_counts(counts: DataFrame) -> DataFrame:
     """χ²/L1 drift report from a (__wk, event_type, __c) count frame —
     shared by the batch query above and ``drift_stream`` (the streaming
     ingest produces the identical count frame, so both front-ends share
-    one oracle: the kappa-architecture parity claim, verified)."""
+    one oracle: the kappa-architecture parity claim, verified).
+
+    The |weeks×types|-bounded count frame is SPOOLED: its five
+    consumers (week spine, type spine, grid, and the shifted
+    cur/prev pair) otherwise each re-ran the upstream fact aggregate
+    (an 8× event read in the batch front-end)."""
+    from .operators.spool import spool  # noqa: PLC0415
+
+    counts = spool(counts)
     weeks = counts.select("__wk").distinct()
     types = counts.select("event_type").distinct()
     n_types = types.agg(F.count(F.lit(1)).alias("__t"))
@@ -6778,9 +6826,17 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"))
     )
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).filter(F.col("tok") != "")
+    # spooled: the sampled token-list frame feeds the df census, the
+    # rank/prefix build and both verify sides — one text explode, not
+    # six (this is also AllPairs' real artifact: the tokenized sample)
+    from .operators.spool import spool  # noqa: PLC0415
+
+    toks = spool(
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     wlen = Window.partitionBy("doc_id")
     wrank = Window.partitionBy("doc_id").orderBy("__df", "tok")
@@ -7545,18 +7601,27 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two aggregate-then-broadcast passes (median, then MAD of the
     residuals) and a final flag count: three small shuffles keyed by
-    event_type, facts never re-shuffle wider than the census.
+    event_type, facts never re-shuffle wider than the census. The two
+    ≤|types|-row medians are SPOOLED so the three intrinsic fact
+    passes stay three — without the spools each reuse of the residual
+    frame re-ran the nested median pass (4–5 fact reads).
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     e = read_table(spark, sf_dir, "events").select(
         "event_type",
         (F.col("value").cast(MONEY) * 100).cast("bigint").alias("cents"),
     )
-    med = e.groupBy("event_type").agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    med = spool(
+        e.groupBy("event_type").agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad"), F.max("med").alias("med")
+    mad = spool(
+        dev.groupBy("event_type").agg(
+            F.percentile("adev", F.lit(0.5)).alias("mad"), F.max("med").alias("med")
+        )
     )
     flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
     return (
@@ -8410,23 +8475,32 @@ def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the length domain, not the corpus — documented 100 TB posture:
     bucket lengths first if the domain ever grows); two window scans
     per source partition over that grid.
+
+    The (source, v, cnt) census is SPOOLED and every other frame
+    (value spine, source spine, per-source totals, grand total,
+    marginal length counts) derives from it by exact integer
+    aggregation — documents is scanned ONCE, where the previous
+    formulation re-scanned it six times (each derived frame re-read
+    the fact table at 100 TB).
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     d = _docs_parallel(spark, sf_dir).filter(F.col("n_chars").isNotNull())
-    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts = spool(
+        d.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
-    values = d.select(F.col("n_chars").alias("v")).distinct()
-    sources = d.select("source").distinct()
-    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    grand = d.agg(F.count(F.lit(1)).alias("n_all"))
+    values = counts.select("v").distinct()
+    sources = counts.select("source").distinct()
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    grand = counts.agg(F.sum("cnt").alias("n_all"))
     grid = (
         values.crossJoin(F.broadcast(sources))
         .join(counts, ["source", "v"], "left")
         .select("source", "v", F.coalesce("cnt", F.lit(0)).alias("cnt"))
     )
-    all_counts = d.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt_all")
-    )
+    all_counts = counts.groupBy("v").agg(F.sum("cnt").alias("cnt_all"))
     w_s = Window.partitionBy("source").orderBy("v")
     w_all = Window.orderBy("v")
     cums = (
@@ -8874,13 +8948,19 @@ def q_seasonal_band_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bands are exact rank-selected elements (⌈p·n/100⌉ under
     (cents, day) per weekday — no interpolation); breaches compare
     integers. Two passes over the (day, weekday) census, which is
-    calendar-bounded; one fact shuffle builds it.
+    calendar-bounded; one fact shuffle builds it — the census is
+    SPOOLED so the midpoint probe and both halves read the bounded
+    artifact instead of each re-scanning events (was a 4× fact read).
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     e = read_table(spark, sf_dir, "events")
     day = (tmp.seconds_since_origin("ts") / 86400).cast("long")
-    daily = e.groupBy(day.alias("d")).agg(
-        (F.sum(F.col("value").cast(MONEY)) * 100).cast("bigint").alias("cents")
-    ).withColumn("dow", (F.col("d") % 7 + 1).cast("int"))
+    daily = spool(
+        e.groupBy(day.alias("d")).agg(
+            (F.sum(F.col("value").cast(MONEY)) * 100).cast("bigint").alias("cents")
+        ).withColumn("dow", (F.col("d") % 7 + 1).cast("int"))
+    )
     mid = daily.agg(((F.min("d") + F.max("d")) / 2).cast("long").alias("mid"))
     with_mid = daily.crossJoin(F.broadcast(mid))
     hist = with_mid.filter(F.col("d") <= F.col("mid"))
@@ -9280,13 +9360,18 @@ def q_transition_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One user-keyed lag pass builds the census; each iteration is a
     5-row × 25-row broadcast join — nothing beyond the census ever
-    shuffles, at any scale.
+    shuffles, at any scale. The ≤|types|² census is SPOOLED: the
+    state spine (two reads), the bounded count, and all three
+    unrolled iterations otherwise each re-ran the events lag pass —
+    a 5× fact read for a 25-row artifact.
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     e = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    census = (
+    census = spool(
         e.withColumn("__prev", F.lag("event_type").over(w))
         .filter(F.col("__prev").isNotNull())
         .groupBy(F.col("__prev").alias("de"), F.col("event_type").alias("para"))
@@ -10185,10 +10270,15 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is a model artifact, not data). In the giant-basket regime
     you'd additionally filter basket arrays against frequent ITEMS
     before generating (L1 prune); with ≤7-item baskets generation is
-    cheaper than the filter. Top-100 under a total order.
+    cheaper than the filter. Top-100 under a total order. The pruned
+    L2 table is SPOOLED: its three semi-join uses otherwise each
+    re-ran the basket-pair fan-out — lineitem is read twice (pair
+    census + basket arrays) instead of four times.
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     pairs = _basket_pairs(spark, sf_dir)
-    fp = (
+    fp = spool(
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= 2)
@@ -10486,8 +10576,15 @@ def q_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("__conv"),
     )
-    census = pu.groupBy("tmask").agg(
-        F.count(F.lit(1)).alias("n_users"), F.sum("__conv").alias("n_conv")
+    # spooled: the <=16-row lattice census feeds v(S), reach, and
+    # through them every downstream frame — without the spool each of
+    # the five consumers re-ran the events scan + user groupBy
+    from .operators.spool import spool  # noqa: PLC0415
+
+    census = spool(
+        pu.groupBy("tmask").agg(
+            F.count(F.lit(1)).alias("n_users"), F.sum("__conv").alias("n_conv")
+        )
     )
     coal = spark.range(16).select(F.col("id").alias("smask"))
     v = (
@@ -10628,10 +10725,17 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's rank_ppm — cumulative counts strictly increase, so the
     argmax is unique), and docs attach back by (source, length).
     No row-proportional sort or single-partition window anywhere;
-    everything is integer-exact.
+    everything is integer-exact. The (source, length) census is
+    SPOOLED and the global census derives from it by aggregation, so
+    documents is scanned twice (census build + the final attach)
+    instead of five times.
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     d = _docs_parallel(spark, sf_dir).select("doc_id", "source", "n_chars")
-    sc = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("__n"))
+    sc = spool(
+        d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("__n"))
+    )
     ws = (
         Window.partitionBy("source")
         .orderBy("n_chars")
@@ -10655,7 +10759,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_ppm"),
         )
     )
-    gc = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("__n"))
+    gc = sc.groupBy("n_chars").agg(F.sum("__n").alias("__n"))
     wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
     g_tot = gc.agg(F.sum("__n").alias("__gt"))
     glob = (
@@ -11058,18 +11162,25 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast one-rower. Top-20 by (lift desc, antecedent,
     consequent) under a total order.
     """
+    # item and pair censuses are SPOOLED (both support-bounded): the
+    # two directed-rule branches and the two item-side attaches
+    # otherwise each re-ran their fact scan — lineitem is now read
+    # three times (basket count, item census, pair fan-out) instead
+    # of five-plus.
+    from .operators.spool import spool  # noqa: PLC0415
+
     li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
         "l_orderkey", "l_partkey"
     )
     n_baskets = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("__nb")
     )
-    items = (
+    items = spool(
         li.distinct()
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("__ni"))
     )
-    pairs = (
+    pairs = spool(
         _basket_pairs(spark, sf_dir)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("__nuv"))
@@ -11298,9 +11409,15 @@ def q_fair_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, token) census is windows over ≤ n_sources rows; all
     operands non-negative, so Spark `div` and DuckDB `//` agree.
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
-    census = d.groupBy("source").agg(
-        F.sum(token_count("text")).alias("demand_tokens")
+    # spooled: the demand census feeds the total, the saturation scan
+    # and the allocation frame — one corpus token-count pass, not four
+    census = spool(
+        d.groupBy("source").agg(
+            F.sum(token_count("text")).alias("demand_tokens")
+        )
     )
     total = census.agg(
         F.sum("demand_tokens").alias("__tot"),
@@ -11372,7 +11489,11 @@ def q_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed max (right-censoring, the `growth_accounting` rule).
     Months are epoch-aligned 30-day buckets against the fixed NTZ
     origin, so both engines bucket identically in any session tz.
+    The census is SPOOLED (same reasoning as `growth_accounting`):
+    its four consumers otherwise each re-ran the orders scan.
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     o = read_table(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("__c"),
@@ -11380,7 +11501,7 @@ def q_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("__m"),
     )
-    cur = o.groupBy("o_custkey", "__m").agg(F.sum("__c").alias("cents"))
+    cur = spool(o.groupBy("o_custkey", "__m").agg(F.sum("__c").alias("cents")))
     first = cur.groupBy("o_custkey").agg(F.min("__m").alias("__first"))
     prev = cur.select(
         "o_custkey", (F.col("__m") + 1).alias("__m"), F.col("cents").alias("__pc")
@@ -11694,10 +11815,17 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dup <= 0.6)
         & (stopword_hits("text") >= 2)
     )
-    scored = d.select(
-        F.round(p * 1e6, 0).cast("long").alias("__p_ppm"),
-        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("decile"),
-        gopher.cast("long").alias("__o"),
+    # spooled: three consumers (global moments, bin census, within-bin
+    # variance) otherwise each re-ran the full text-scoring expression
+    # stack over the corpus — the scored frame is 3 ints per doc
+    from .operators.spool import spool  # noqa: PLC0415
+
+    scored = spool(
+        d.select(
+            F.round(p * 1e6, 0).cast("long").alias("__p_ppm"),
+            F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("decile"),
+            gopher.cast("long").alias("__o"),
+        )
     )
     glob = scored.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -12038,10 +12166,17 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one doc shuffle to the census, broadcast 10-row pair spine,
     one window per (pair) partition. Scale: value domain is bounded
     (doc length in chars), so the census is bounded regardless of
-    corpus size — the §6.4 state-vs-data split.
+    corpus size — the §6.4 state-vs-data split. The census is SPOOLED
+    so its four consumers (the lang spine twice via the pair cross,
+    both merge sides) read the bounded artifact instead of each
+    re-scanning documents (was a 6× fact read).
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     d = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
-    census = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    census = spool(
+        d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    )
     langs = census.select("lang").distinct()
     pairs = (
         langs.select(F.col("lang").alias("lang_a"))
@@ -12550,12 +12685,23 @@ def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp census (n_users×5 rows — one event shuffle); triples
     re-join events once, user-keyed, for the "earliest B after first
     signup" midpoint. No per-pattern scan of raw events.
+
+    The census is SPOOLED: its four consumers (both pair sides, the
+    signup root, the triple tail) plus the user count otherwise each
+    re-scan events — events is read exactly twice (census build +
+    the triple midpoint join), whatever the pattern count.
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    firsts = ev.groupBy("user_id", "event_type").agg(
-        F.min("ts").alias("__t1"), F.max("ts").alias("__tmax")
+    firsts = spool(
+        ev.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("__t1"), F.max("ts").alias("__tmax")
+        )
     )
-    n_users = ev.agg(F.countDistinct("user_id").alias("__nu"))
+    # every user has >= 1 event, so the census carries the same
+    # distinct-user set as the raw table
+    n_users = firsts.agg(F.countDistinct("user_id").alias("__nu"))
     a = firsts.select(
         F.col("user_id").alias("__u"),
         F.col("event_type").alias("__ta"),
@@ -12660,7 +12806,12 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = t.filter(F.col("doc_id") == 0).select(
         F.col("__toks").alias("__ptoks")
     )
-    graded = (
+    # spooled: the ideal ranking plus both ranker arms (each a grade
+    # consumer, two reads apiece through dcg10) otherwise re-ran the
+    # probe-intersection grading over the corpus eight times
+    from .operators.spool import spool  # noqa: PLC0415
+
+    graded = spool(
         t.filter(F.col("doc_id") != 0)
         .crossJoin(F.broadcast(probe))
         .select(
@@ -12948,7 +13099,12 @@ def q_source_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(substring(source, 4) as int) % 4").alias("__g"),
         F.explode(dd.shingles(F.col("text"))).alias("__sh"),
     )
-    mask_counts = (
+    # spooled: the ≤15-row bitmask census feeds v(S), whose four
+    # downstream reads (both marginal sides, solo, grand) otherwise
+    # each re-ran the corpus shingle explode
+    from .operators.spool import spool  # noqa: PLC0415
+
+    mask_counts = spool(
         ex.groupBy("__sh")
         .agg(F.expr("bit_or(cast(1 as int) << __g)").alias("__mask"))
         .groupBy("__mask")
@@ -13643,15 +13799,19 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ANSI overflow before this guard); adjusted means apply θ_ppm
     with one further truncating division. Plan: one event scan →
     per-user conditional sums → one global + one per-arm census
-    aggregate.
+    aggregate. The per-user frame is SPOOLED: the pooled-moment and
+    per-arm aggregates otherwise each re-ran the event scan + groupBy
+    (a 4× fact read for two census consumers).
     """
+    from .operators.spool import spool  # noqa: PLC0415
+
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
     wk = F.floor(F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7)
     cents = (F.col("value").cast(MONEY) * 100).cast("long")
     first_wk = ev.agg(F.min(wk).alias("__w0"))
-    per_user = (
+    per_user = spool(
         ev.crossJoin(F.broadcast(first_wk))
         .groupBy("user_id")
         .agg(
@@ -14611,10 +14771,17 @@ def q_acf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__cents").alias("__x"))
     )
     wr = Window.partitionBy("c_nationkey").orderBy("__wk")
-    ts = census.select(
-        F.col("c_nationkey").alias("__nat"),
-        F.row_number().over(wr).alias("__t"),
-        "__x",
+    # spooled: moments, deviations, the denominator and both lag-join
+    # sides otherwise each re-ran the orders⋈customer census build
+    # (a 6× fact read for a |nations|·|weeks| frame)
+    from .operators.spool import spool  # noqa: PLC0415
+
+    ts = spool(
+        census.select(
+            F.col("c_nationkey").alias("__nat"),
+            F.row_number().over(wr).alias("__t"),
+            "__x",
+        )
     )
     mom = ts.groupBy("__nat").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -14803,7 +14970,13 @@ def q_ccf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__cents").alias("__y"),
     )
     wr = Window.orderBy("__wk")
-    ts = census.select(F.row_number().over(wr).alias("__t"), "__x", "__y")
+    # spooled (the acf_weekly reasoning): moments, deviations, both
+    # lag-join sides and the denominator share one |weeks|-row census
+    from .operators.spool import spool  # noqa: PLC0415
+
+    ts = spool(
+        census.select(F.row_number().over(wr).alias("__t"), "__x", "__y")
+    )
     mom = ts.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__x").alias("__sx"),
