@@ -63,6 +63,25 @@ def main() -> None:
         thunk()
         spool_builds[name] = round(time.perf_counter() - t0, 3)
 
+    # Machine-load probe: a FIXED synthetic workload (range-sum — no
+    # repo code, no I/O) timed before and after the sweep. The two
+    # permissive-fixture covariate proved blind to co-tenant bursts
+    # (r8: untouched queries swung 17× inside one sweep while the
+    # fixtures moved <4%), so the artifact now carries a code-
+    # independent load reading at both ends; a large start/end spread
+    # or a high absolute value marks the capture as load-contaminated.
+    def machine_probe() -> float:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 50_000_000, 1, 16).selectExpr(
+                "sum(id * 3 % 7)"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    probe_start = machine_probe()
+
     build_spool("edges_uv", lambda: _edges_uv(spark, sf_dir))
     build_spool("edges_sym_deg", lambda: _edges_sym_deg(spark, sf_dir))
     build_spool("hyperball_rounds_1_4", lambda: _hb_round_regs(spark, sf_dir, 4))
@@ -141,6 +160,7 @@ def main() -> None:
     # oracle-checked, but the HEADLINE total tracks the scale-path plans
     # only, so round-over-round perf compares the plans you'd actually
     # run at 100 TB (VERDICT r2 #6).
+    probe_end = machine_probe()
     baseline_fixtures = {"near_dup_jaccard", "embedding_near_dup"}
     total = round(
         sum(v for k, v in timings.items() if k not in baseline_fixtures)
@@ -163,6 +183,7 @@ def main() -> None:
                     "queries": timings,
                     "queries_max_of_2": timings_max,
                     "spool_build_seconds": spool_builds,
+                    "machine_probe_seconds": [probe_start, probe_end],
                     "sf": sf,
                 },
                 fh,
@@ -183,6 +204,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_max_of_2": timings_max,
                 "spool_build_seconds": spool_builds,
+                "machine_probe_seconds": [probe_start, probe_end],
                 "sf": sf,
             }
         )
@@ -199,6 +221,7 @@ def main() -> None:
                 "agg": "min",
                 "baseline_fixtures_seconds": baseline_total,
                 "spool_build_seconds": spool_total,
+                "machine_probe_seconds": [probe_start, probe_end],
             }
         )
     )
