@@ -97,8 +97,15 @@ def main() -> None:
     # plan). Noise only ever ADDS time, so min-of-2 is a consistent
     # estimator of the plan's cost; the max is kept alongside so a real
     # regression (both runs slow) is still visible in the record.
+    # When the two runs disagree >2× the entry gets a THIRD run
+    # (min-of-3) and is listed in `noisy_entries` (VERDICT r8 #4):
+    # a co-tenant burst that lands on exactly one of two runs still
+    # poisons the min, and r8's back-to-back captures showed 17/335
+    # entries outside the 2× band for exactly that reason. The third
+    # run is bounded extra cost (only flagged outliers pay it).
     timings: dict[str, float] = {}
     timings_max: dict[str, float] = {}
+    noisy_entries: dict[str, list[float]] = {}
 
     def timed(name: str, thunk) -> None:
         runs = []
@@ -106,6 +113,11 @@ def main() -> None:
             t0 = time.perf_counter()
             thunk()
             runs.append(time.perf_counter() - t0)
+        if max(runs) > 2.0 * min(runs):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(time.perf_counter() - t0)
+            noisy_entries[name] = [round(r, 3) for r in runs]
         timings[name] = round(min(runs), 3)
         timings_max[name] = round(max(runs), 3)
 
@@ -162,6 +174,14 @@ def main() -> None:
     # run at 100 TB (VERDICT r2 #6).
     probe_end = machine_probe()
     baseline_fixtures = {"near_dup_jaccard", "embedding_near_dup"}
+    # Attribution note (ADVICE r8): spool_total is added back in FULL even
+    # though one build (`minhash_sig8`, the largest) also serves the
+    # excluded near_dup_jaccard fixture — at most its build cost is
+    # double-counted against the scale path. Kept whole deliberately:
+    # splitting a shared build by consumer would make the headline depend
+    # on which fixtures happen to share a spool, and the scale path DOES
+    # pay the full build in any real session. The per-build breakdown is
+    # in `spool_build_seconds` for anyone re-attributing.
     total = round(
         sum(v for k, v in timings.items() if k not in baseline_fixtures)
         + spool_total,
@@ -182,6 +202,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "queries_max_of_2": timings_max,
+                    "noisy_entries_runs": noisy_entries,
                     "spool_build_seconds": spool_builds,
                     "machine_probe_seconds": [probe_start, probe_end],
                     "sf": sf,
@@ -203,6 +224,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_max_of_2": timings_max,
+                "noisy_entries_runs": noisy_entries,
                 "spool_build_seconds": spool_builds,
                 "machine_probe_seconds": [probe_start, probe_end],
                 "sf": sf,
@@ -221,6 +243,7 @@ def main() -> None:
                 "agg": "min",
                 "baseline_fixtures_seconds": baseline_total,
                 "spool_build_seconds": spool_total,
+                "n_noisy_entries": len(noisy_entries),
                 "machine_probe_seconds": [probe_start, probe_end],
             }
         )

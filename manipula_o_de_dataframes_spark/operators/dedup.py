@@ -181,7 +181,16 @@ def near_dup_pairs_from_sig(
     audit derives every stricter arm from the permissive r=1 pair set
     without a second explode/self-join/distinct pipeline (a matched
     r-row band implies each constituent hash matched, so stricter-arm
-    pairs are always a subset of the r=1 candidates)."""
+    pairs are always a subset of the r=1 candidates).
+
+    The flags are coalesced to 0 at this boundary, so they are never
+    NULL even if a caller composes band expressions over a frame where
+    the surviving-the-band-join non-NULL argument no longer applies
+    (filtered/unioned candidate frames): inside this operator a band
+    match already implies both signatures are fully non-NULL (a
+    non-NULL band key needs its hashes, and any non-empty shingle set
+    yields ALL hashes), so the coalesce is an identity here — it exists
+    to make the eq-column contract hold unconditionally downstream."""
     assert n_hashes % rows_per_band == 0, "n_hashes must be a multiple of rows_per_band"
     n_bands = n_hashes // rows_per_band
     # F.concat (NOT concat_ws, which SKIPS null args): a NULL signature
@@ -206,7 +215,9 @@ def near_dup_pairs_from_sig(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             *[
-                (F.col(f"a.mh{s}") == F.col(f"b.mh{s}")).cast("int").alias(f"eq{s}")
+                F.coalesce(
+                    (F.col(f"a.mh{s}") == F.col(f"b.mh{s}")).cast("int"), F.lit(0)
+                ).alias(f"eq{s}")
                 for s in range(n_hashes)
             ],
         )

@@ -762,7 +762,17 @@ def _minhash_sig4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8-hash spool ARE the 4-hash signature bit-for-bit — the whole
     4-hash shelf (`minhash_signatures`, `near_dup_jaccard`,
     `containment_near_dup`, `incremental_dedup`) rides the one spooled
-    scan for free."""
+    scan for free.
+
+    Cold-session cost (ADVICE r8): because the spool is EAGER, a
+    session whose first (or only) MinHash query needs 4 hashes still
+    pays the 8-hash digest work plus one spool write — roughly 2× the
+    md5 cost of a lazy 4-hash scan. Deliberate: the shelf posture
+    assumes a session serves the family, not one query, and keying the
+    spool by n_hashes would double-build (4 then 8) in exactly the
+    sessions that touch both. The one-off overpay is bounded (digest
+    slice width, not extra scans) and is charged to
+    `spool_build_seconds` in the bench, never to a query."""
     sig = _minhash_sig8(spark, sf_dir)
     return sig.select("doc_id", "__sh", "mh0", "mh1", "mh2", "mh3")
 
@@ -16523,49 +16533,40 @@ QUERIES = {
 # the window on the queries with the weakest driver provenance
 # (never-sampled first, then oldest rows).
 _DRIVER_SAMPLE_PRIORITY = [
-    # r8 rotation (VERDICT r7 #1): finish the driver-provenance set.
-    # After r1-r7, exactly 35 registry queries have NO driver
-    # CORRECTNESS row (all 35 judge-verified green at the identical
-    # gate in the r7 sweep, log `.judge_sweep_r7.log`) and 11 more
-    # have their newest row dating to r1. Those 46 fill the front of
-    # r8's ~50-row window, making every one of the 334 registry
-    # queries driver-verified; the 48 r2-stale queries follow as the
-    # overflow buffer so any window slop still refreshes the oldest
-    # provenance. Everything not listed keeps its literal order above.
-    # -- the 35 never-driver-sampled --
-    "maxsim_search", "mv_refresh", "naive_forecast_mape",
-    "neighborhood_function", "open_order_concurrency", "pagerank_items",
-    "pareto_frontier", "prefix_dup_groups", "prefix_jaccard_join",
-    "quantile_normalize", "rake_keywords", "range_split_points",
-    "rendezvous_sharding", "revenue_recognition", "rfm_migration",
-    "rle_sort_key_planner", "rounding_drift_audit",
-    "seasonal_band_breaches", "shapley_channels", "shard_manifest",
-    "source_overlap_matrix", "state_snapshot_diff", "stream_late_drop",
-    "stream_running_totals", "theilsen_trend", "topk_with_ties",
-    "transition_steady_state", "triangle_counts", "trust_propagation",
-    "twab_balance", "weighted_median_price", "weighted_sample",
-    "winnow_near_dup", "winsorized_stats", "zipf_audit",
-    # -- the 11 whose newest driver row dates to r1 --
-    "clean_pipeline", "dashboard_serve", "date_slice_metrics",
-    "embedding_near_dup", "ivf_topk", "multimodal_frames",
-    "pending_stream", "skewed_flag_history", "tfidf_top_term",
-    "top_bigrams", "weekly_snapshots",
-    # -- r2-stale overflow buffer (oldest remaining provenance) --
-    "abc_classification", "all_equal_collapse", "anti_join_unmatched",
-    "attribution_stream", "corpus_filter", "customer_multi_agg",
-    "dedup_keep_first", "distinct_combinations", "doc_dedup_exact",
-    "dynamic_filters", "embedding_batch_topk", "embedding_lsh_buckets",
-    "embedding_lsh_topk", "embedding_topk", "enrich_left_join",
-    "enrich_unique_left", "event_attribution", "events_pivot",
-    "events_rollup", "events_summary", "events_unpivot",
-    "first_order_per_customer", "format_currency", "gopher_quality",
-    "group_median_pandas", "join_compatibility", "lenient_dates",
-    "minhash_signatures", "near_dup_jaccard", "neighbor_counts",
-    "null_diagnostics", "paginate_orders", "pending_by_week",
-    "product_client_history", "projection_ops", "sales_cube",
-    "sales_rollup", "sessionize_events", "sessionize_native",
-    "simhash", "simhash_near_dup", "sorted_distinct_weeks",
-    "text_stats", "top_k_customers", "train_split", "tuple_render",
+    # r9 rotation (VERDICT r8 #1): post-rewrite provenance. The 24
+    # queries whose plans changed in r8 (6 audit-family rewrites + 18
+    # scan-multiplicity batch queries) were all judge-verified green at
+    # the identical gate post-rewrite (`logs/.judge_sweep_r8.log`) but none
+    # has a driver CORRECTNESS row that postdates its rewrite; they
+    # fill the front of r9's ~50-row window so every registry query's
+    # newest driver row postdates its newest plan change. The 44
+    # r2-stale queries (oldest remaining provenance — every registry
+    # query's newest row now dates to r2+) follow as fill + overflow.
+    # -- the 24 r8-changed (audit-family rewrites + scan batch) --
+    "banding_recall_audit", "ivf_probe_sweep", "near_dup_jaccard_banded",
+    "edit_distance_near_dup", "incremental_dedup",
+    "quantile_treatment_effects", "acf_weekly", "apriori_triples",
+    "association_rules", "brier_decomposition", "ccf_weekly",
+    "cuped_adjustment", "dsir_weights", "fair_token_budget",
+    "growth_accounting", "ks_length_drift", "mad_outliers",
+    "mann_whitney_u", "mrr_waterfall", "ndcg_eval", "ngram_lm_score",
+    "pmi_collocations", "sequence_mining", "source_shapley",
+    # -- r2-stale fill + overflow buffer (oldest remaining provenance;
+    #    minhash_signatures also gets a post-r8-shelf-rewrite row here) --
+    "minhash_signatures", "near_dup_jaccard", "simhash",
+    "simhash_near_dup", "doc_dedup_exact", "corpus_filter",
+    "gopher_quality", "text_stats", "embedding_batch_topk",
+    "embedding_lsh_buckets", "embedding_lsh_topk", "embedding_topk",
+    "customer_multi_agg", "dedup_keep_first", "distinct_combinations",
+    "dynamic_filters", "enrich_left_join", "enrich_unique_left",
+    "event_attribution", "events_pivot", "events_rollup",
+    "events_summary", "events_unpivot", "first_order_per_customer",
+    "format_currency", "group_median_pandas", "join_compatibility",
+    "lenient_dates", "neighbor_counts", "null_diagnostics",
+    "paginate_orders", "pending_by_week", "product_client_history",
+    "projection_ops", "sales_cube", "sales_rollup",
+    "sessionize_events", "sessionize_native", "sorted_distinct_weeks",
+    "top_k_customers", "train_split", "tuple_render",
     "union_by_name", "weekly_deltas",
 ]
 assert set(_DRIVER_SAMPLE_PRIORITY) <= set(QUERIES), (

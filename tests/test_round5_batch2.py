@@ -221,9 +221,14 @@ def test_round5_batch2_plan_shapes(spark):
     # AllPairs: token-keyed candidate join + pair verify; all
     # expression-side. The tokenize explode runs ONCE in the spooled
     # token-artifact build (r8), so the final plan reads the spool —
-    # a bare (doc_id, tok) scan — instead of containing the Generate.
+    # a parquet scan of the spool dir — instead of containing the
+    # Generate. Pinned structurally (no explode + spool-root scan)
+    # rather than on the Spark-rendered schema string, which is
+    # coupled to plan-string formatting and spool column order
+    # (ADVICE r8).
     p = shape("prefix_jaccard_join")
-    assert "struct<doc_id:bigint,tok:string>" in p, p
+    assert "Generate explode" not in p, f"tokenize explode re-entered the serve plan\n{p}"
+    assert "spark_graft_spool" in p, f"serve plan no longer reads the token spool\n{p}"
 
 
 def test_hazard_weekly_risk_set_accounting(spark):
