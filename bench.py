@@ -210,7 +210,7 @@ def main() -> None:
                     "metric": "per_query_wall_seconds",
                     "unit": "sec",
                     "queries": timings,
-                    "queries_max_of_2": timings_max,
+                    "queries_max": timings_max,
                     "noisy_entries_runs": noisy_entries,
                     "spool_build_seconds": spool_builds,
                     "machine_probe_seconds": [probe_start, probe_end],
@@ -232,7 +232,7 @@ def main() -> None:
                 "metric": "per_query_wall_seconds",
                 "unit": "sec",
                 "queries": timings,
-                "queries_max_of_2": timings_max,
+                "queries_max": timings_max,
                 "noisy_entries_runs": noisy_entries,
                 "spool_build_seconds": spool_builds,
                 "machine_probe_seconds": [probe_start, probe_end],
