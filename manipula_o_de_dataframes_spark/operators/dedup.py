@@ -442,11 +442,61 @@ def dedup_clusters(
         .distinct()
     )
 
+    roots, used_local = _component_roots(e, max_iter, local_cc_max_edges)
+    labels = (
+        df.select(F.col(id_col).alias("node"))
+        .join(
+            F.broadcast(roots) if used_local else roots,
+            F.col("node") == F.col("a"),
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__root"), F.col("node")).alias("label"))
+    )
+
+    if not used_local:
+        # Loud post-check against the ORIGINAL verified pairs: connected
+        # endpoints must agree. One join pass; catches any star-
+        # contraction bug as an error instead of an oracle hash
+        # mismatch. The local path needs none — union-find agreement on
+        # every edge holds by construction (both endpoints resolve
+        # through find()), and path equivalence is pinned by randomized
+        # test against the star fixpoint.
+        la = labels.select(F.col("node").alias("id_a"), F.col("label").alias("__la"))
+        lb = labels.select(F.col("node").alias("id_b"), F.col("label").alias("__lb"))
+        bad = (
+            edges.join(la, "id_a")
+            .join(lb, "id_b")
+            .filter(F.col("__la") != F.col("__lb"))
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"dedup_clusters: {bad} verified near-dup edges ended with "
+                "differing labels — star contraction produced a wrong fixpoint"
+            )
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+
+
+def _component_roots(
+    e: DataFrame, max_iter: int, local_cc_max_edges: int
+) -> tuple[DataFrame, bool]:
+    """Connected-component root map over an oriented edge frame —
+    the CC core of ``dedup_clusters``, factored out so BOTH paths are
+    directly testable on arbitrary graphs (randomized equivalence test
+    in tests/test_round9_consolidation.py).
+
+    ``e``: (a, b) rows with a > b, distinct, self-loop-free. Returns
+    ``(roots, used_local)``: ``roots`` maps every node APPEARING IN AN
+    EDGE to its component minimum as (a, __root) — isolated nodes are
+    absent and label themselves via the caller's coalesce; ``used_local``
+    says which path ran, so the caller can broadcast the (bounded)
+    local result and skip the star post-check where correctness holds
+    by construction. Union-by-min keeps every union-find root the
+    component minimum — exactly the star-contraction fixed point — so
+    the two paths are label-identical.
+    """
     # Small-graph fast path: one cheap count over the checkpointed
-    # edges gates a driver union-find (see docstring). Labels are
-    # identical to the star fixpoint's — union-by-min makes every root
-    # its component's minimum, exactly the star-contraction fixed
-    # point — so the two paths are interchangeable mid-pipeline.
+    # edges gates a driver union-find (see dedup_clusters docstring).
     if e.count() <= local_cc_max_edges:
         pdf = e.toPandas()
         parent: dict = {}
@@ -467,25 +517,11 @@ def dedup_clusters(
                 parent[rb] = ra
         nodes = set(pdf["a"].tolist()) | set(pdf["b"].tolist())
         rows = [(n, find(n)) for n in sorted(nodes)]
-        spark = df.sparkSession
         id_type = e.schema["a"].dataType.simpleString()
-        roots = spark.createDataFrame(
+        roots = e.sparkSession.createDataFrame(
             rows, schema=f"a {id_type}, __root {id_type}"
         )
-        labels = (
-            df.select(F.col(id_col).alias("node"))
-            .join(F.broadcast(roots), F.col("node") == F.col("a"), "left")
-            .select(
-                "node", F.coalesce(F.col("__root"), F.col("node")).alias("label")
-            )
-        )
-        # No distributed post-check here: union-find agreement on every
-        # edge holds by construction (both endpoints resolve through
-        # find()), and the path equivalence is pinned by test against
-        # the star fixpoint.
-        return labels.select(
-            F.col("node").alias(id_col), F.col("label").alias("cluster")
-        )
+        return roots, True
 
     prev_sig: tuple | None = None
     converged = False
@@ -545,29 +581,7 @@ def dedup_clusters(
     # At the fixed point e holds (node, component-min) stars; nodes
     # absent from the edge list are singletons labeled by themselves.
     # min(b) per a guards against a transient non-star duplicate.
-    roots = e.groupBy("a").agg(F.min("b").alias("__root"))
-    labels = (
-        df.select(F.col(id_col).alias("node"))
-        .join(roots, F.col("node") == F.col("a"), "left")
-        .select("node", F.coalesce(F.col("__root"), F.col("node")).alias("label"))
-    )
-
-    # Loud post-check against the ORIGINAL verified pairs: connected
-    # endpoints must agree. One join pass; catches any star-contraction
-    # bug as an error instead of an oracle hash mismatch.
-    la = labels.select(F.col("node").alias("id_a"), F.col("label").alias("__la"))
-    lb = labels.select(F.col("node").alias("id_b"), F.col("label").alias("__lb"))
-    bad = (
-        edges.join(la, "id_a").join(lb, "id_b")
-        .filter(F.col("__la") != F.col("__lb"))
-        .count()
-    )
-    if bad:
-        raise RuntimeError(
-            f"dedup_clusters: {bad} verified near-dup edges ended with "
-            "differing labels — star contraction produced a wrong fixpoint"
-        )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+    return e.groupBy("a").agg(F.min("b").alias("__root")), False
 
 
 def simhash(
