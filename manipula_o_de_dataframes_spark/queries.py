@@ -16551,6 +16551,11 @@ _DRIVER_SAMPLE_PRIORITY = [
     "growth_accounting", "ks_length_drift", "mad_outliers",
     "mann_whitney_u", "mrr_waterfall", "ndcg_eval", "ngram_lm_score",
     "pmi_collocations", "sequence_mining", "source_shapley",
+    # -- the 5 whose plans changed IN r9 (the dedup_clusters small-graph
+    #    CC gate + refactor): fronted so their driver rows postdate the
+    #    change within the same round, not one round later --
+    "dedup_clusters", "dedup_survivors", "dedup_weights",
+    "cluster_safe_split", "corpus_pipeline",
     # -- r2-stale fill + overflow buffer (oldest remaining provenance;
     #    minhash_signatures also gets a post-r8-shelf-rewrite row here) --
     "minhash_signatures", "near_dup_jaccard", "simhash",
