@@ -196,12 +196,23 @@ def main() -> None:
     # BENCH_full.json is DEFINED as the sf0.1 capture (the committed
     # artifact the judge diffs round-over-round); a debug run at another
     # SF must not clobber it, so off-sf0.1 runs write an sf-suffixed
-    # sibling instead.
+    # sibling instead. Canonical-ness is decided on the directory
+    # BASENAME, not a float compare on the parsed sf — "sf0.10" or a
+    # path whose last "sf" substring isn't the scale token must not
+    # silently leave BENCH_full.json stale (ADVICE r9), so the skip is
+    # announced.
+    canonical = os.path.basename(os.path.normpath(sf_dir)) == "sf0.1"
     base = (
         f"BENCH_full_r{round_n}.json"
         if round_n
-        else ("BENCH_full.json" if sf == 0.1 else f"BENCH_full_sf{sf}.json")
+        else ("BENCH_full.json" if canonical else f"BENCH_full_sf{sf}.json")
     )
+    if not round_n and not canonical:
+        print(
+            f"bench: non-canonical sf dir {sf_dir!r} -> writing {base}; "
+            "BENCH_full.json left untouched",
+            file=sys.stderr,
+        )
     full_path = os.path.join(_REPO_DIR, base)
     try:
         with open(full_path, "w") as fh:

@@ -419,8 +419,12 @@ def dedup_clusters(
     filter-then-local posture production dedup pipelines use for the
     post-LSH component step — and the distributed star contraction
     runs only above the bound. The collect is threshold-bounded BY
-    CONSTRUCTION (the count gates it, ≤ ~32 MB of id pairs at the
-    default bound), union-by-min keeps every root the component
+    CONSTRUCTION (a limit(bound+1) probe over the checkpointed edge
+    view gates it; at the default 1M-edge bound the Arrow transfer is
+    ~16 MB of int64 pairs — string ids scale that by their length, so
+    size the bound to driver memory if ids are long strings, and the
+    roots frame it broadcasts is at most 2×bound rows),
+    union-by-min keeps every root the component
     minimum, so labels are bit-identical on both paths (pinned by
     test); duplicate-heavy corpora whose within-cluster pair volume is
     quadratic still take the star path, which stays O(log n) rounds.
@@ -494,10 +498,30 @@ def _component_roots(
     by construction. Union-by-min keeps every union-find root the
     component minimum — exactly the star-contraction fixed point — so
     the two paths are label-identical.
+
+    ``SPARK_GRAFT_CC_FORCE_STAR`` (env) forces the distributed star
+    path regardless of edge count, so oracle-verified runs can keep
+    the star contraction AND its loud edge-consistency post-check
+    exercised even though real post-LSH graphs almost always fit the
+    local bound (the guard must not go dormant just because the fast
+    path usually wins).
     """
-    # Small-graph fast path: one cheap count over the checkpointed
-    # edges gates a driver union-find (see dedup_clusters docstring).
-    if e.count() <= local_cc_max_edges:
+    import os  # noqa: PLC0415
+
+    if os.environ.get("SPARK_GRAFT_CC_FORCE_STAR"):
+        local_cc_max_edges = -1
+    # The oriented/distinct edge view is materialized ONCE before the
+    # gate: the distinct is a shuffle, and without the checkpoint the
+    # local path would run it twice (gate count, then toPandas) while
+    # the star path would pay the gate count as pure extra work before
+    # round 1 recomputed it anyway. Checkpointed, the count is a cheap
+    # scan and whichever path runs reads the materialized blocks.
+    e = _ckpt(e)
+    # Small-graph fast path: the bounded count gates a driver
+    # union-find (see dedup_clusters docstring). limit(bound+1) keeps
+    # the probe itself bounded — the star path never pays a full count.
+    probe = e.limit(max(local_cc_max_edges, 0) + 1).count() if local_cc_max_edges >= 0 else 1
+    if local_cc_max_edges >= 0 and probe <= local_cc_max_edges:
         pdf = e.toPandas()
         parent: dict = {}
 
@@ -515,11 +539,20 @@ def _component_roots(
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        nodes = set(pdf["a"].tolist()) | set(pdf["b"].tolist())
-        rows = [(n, find(n)) for n in sorted(nodes)]
+        nodes = sorted(set(pdf["a"].tolist()) | set(pdf["b"].tolist()))
         id_type = e.schema["a"].dataType.simpleString()
+        schema = f"a {id_type}, __root {id_type}"
+        if not nodes:
+            return e.sparkSession.createDataFrame([], schema=schema), True
+        # pandas in, pandas out: createDataFrame from a pandas frame
+        # takes the Arrow batch path — a tuple list would round-trip
+        # every row through pickle, ~2M driver objects at the default
+        # bound (ADVICE r9).
+        import pandas as pd  # noqa: PLC0415
+
         roots = e.sparkSession.createDataFrame(
-            rows, schema=f"a {id_type}, __root {id_type}"
+            pd.DataFrame({"a": nodes, "__root": [find(n) for n in nodes]}),
+            schema=schema,
         )
         return roots, True
 

@@ -1,0 +1,82 @@
+"""Round-10 consolidation invariants.
+
+1. ADVICE r9: `_component_roots` gained (a) a checkpoint of the
+   oriented/distinct edge view before the gate (no double evaluation
+   on the local path, no pure-overhead full count on the star path —
+   the gate is a bounded limit(bound+1) probe), (b) an Arrow-path
+   roots build (pandas frame, not a pickled tuple list), and (c) the
+   `SPARK_GRAFT_CC_FORCE_STAR` env escape so oracle-verified runs can
+   keep the star contraction and its loud edge-consistency post-check
+   exercised even though real post-LSH graphs fit the local bound.
+   The flag must flip the PATH without changing a single label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from manipula_o_de_dataframes_spark.operators import dedup as dd
+from manipula_o_de_dataframes_spark.operators.dedup import _component_roots
+
+_ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (1, "the quick brown fox jumps over the lazy dog again and again yes"),
+    (2, "the quick brown fox jumps over the lazy dog again and again yes sir"),
+    (3, "completely different text about spark catalyst optimizer internals here"),
+    (4, "another unrelated document mentioning parquet row groups and arrow"),
+    (5, "final text on union find connected components and lsh banding"),
+]
+
+
+def test_force_star_env_flips_path_not_labels(spark, monkeypatch):
+    """SPARK_GRAFT_CC_FORCE_STAR routes _component_roots to the star
+    path at any edge count; labels stay bit-identical to the local
+    path (union-by-min == star fixed point)."""
+    e = spark.createDataFrame(
+        [(3, 1), (5, 3), (9, 8)], "a bigint, b bigint"
+    )
+    monkeypatch.delenv("SPARK_GRAFT_CC_FORCE_STAR", raising=False)
+    local, used_local = _component_roots(e, 50, 10**6)
+    assert used_local
+    monkeypatch.setenv("SPARK_GRAFT_CC_FORCE_STAR", "1")
+    star, used_local2 = _component_roots(e, 50, 10**6)
+    assert not used_local2
+    lm = {r["a"]: r["__root"] for r in local.collect()}
+    sm = {r["a"]: r["__root"] for r in star.collect()}
+    assert all(lm[k] == v for k, v in sm.items()), (lm, sm)
+    assert all(v == k for k, v in lm.items() if k not in sm), (lm, sm)
+
+
+def test_force_star_env_runs_loud_check_in_dedup_clusters(spark, monkeypatch):
+    """Under the flag, dedup_clusters takes the star path end-to-end —
+    including the edge-consistency post-check — and returns the same
+    clusters the default local path produces."""
+    df = spark.createDataFrame(_ROWS, "doc_id bigint, text string")
+    monkeypatch.delenv("SPARK_GRAFT_CC_FORCE_STAR", raising=False)
+    base = {
+        (r["doc_id"], r["cluster"])
+        for r in dd.dedup_clusters(df, "text", "doc_id", jaccard_threshold=0.3).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CC_FORCE_STAR", "1")
+    forced = {
+        (r["doc_id"], r["cluster"])
+        for r in dd.dedup_clusters(df, "text", "doc_id", jaccard_threshold=0.3).collect()
+    }
+    assert base == forced
+    assert (2, 0) in forced, forced
+
+
+def test_component_roots_empty_and_string_ids(spark):
+    """The Arrow roots build handles the empty edge set (schema-only
+    frame) and non-numeric id types (string ids ride the same pandas
+    path)."""
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    roots, used_local = _component_roots(empty, 50, 10**6)
+    assert used_local and roots.count() == 0
+    e = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "y")], "a string, b string"
+    )
+    roots, used_local = _component_roots(e, 50, 10**6)
+    assert used_local
+    m = {r["a"]: r["__root"] for r in roots.collect()}
+    assert m == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}

@@ -18,6 +18,31 @@ import sys
 
 BASELINE_FIXTURES = ("near_dup_jaccard", "embedding_near_dup")
 
+# Pricing tags for entries that may cross the 5 s line: WHY each one is
+# allowed to be slow, with the SURVEY section that prices it. VERDICT
+# r9 #2: §6.19 claimed a two-entry tail while the committed artifact
+# held five — because the tail sentence was typed, not generated. Now
+# the tail list below is printed FROM the artifact; an entry with no
+# tag renders UNPRICED, which is a loud close-gate flag, never a
+# silent omission.
+TAIL_PRICING = {
+    "stream_near_dup": "streaming trigger-latency floor + two-real-micro-batch "
+    "admission screen (§6.16; banded candidates sub-linear at 10×)",
+    "attribution_stream_wm": "streaming first-start floor, watermark state "
+    "bounded (flat at 10×, §6.16)",
+    "stream_dedup": "streaming trigger-latency floor (§6.16)",
+    "corpus_pipeline": "composed 7-stage corpus build, priced by design "
+    "(§6.19; CC stage takes the local path post-r9)",
+    "triangle_counts": "exact ~36M-wedge count, degree-oriented "
+    "Suri–Vassilvitskii; edge-iterator alternative measured SLOWER and "
+    "rejected (§6.19); HyperBall sketch twin ~0.6 s",
+    "half_sample_ci": "×16 deterministic replicate fan-out, "
+    "per-(segment,replicate) windows — the one data-proportional member "
+    "of its family (3.7× at 10×, §6.12)",
+    "banding_recall_audit": "two-config banded recall audit over the "
+    "shared signature shelf (§6.18 rewrite; pair volume sub-linear)",
+}
+
 
 def report(path: str) -> str:
     with open(path) as fh:
@@ -43,11 +68,23 @@ def report(path: str) -> str:
         else "0 min-of-3 entries"
     )
     n = sum(1 for k in q if k not in BASELINE_FIXTURES)
-    return (
+    head = (
         f"{total} s = {scale_path} query + {spool_total} spool over "
         f"{n} scale-path queries at sf{art.get('sf')}; "
         f"baseline fixtures {fixtures} s; {probe_txt}; {noisy_txt}"
     )
+    tail = sorted(
+        ((k, v) for k, v in q.items() if k not in BASELINE_FIXTURES and v > 5.0),
+        key=lambda kv: -kv[1],
+    )
+    if not tail:
+        return head + "\n>5 s tail: none"
+    lines = [f">5 s tail ({len(tail)} entries):"]
+    for k, v in tail:
+        lines.append(
+            f"  {k} {v:.2f} s — {TAIL_PRICING.get(k, 'UNPRICED (close-gate flag: isolated re-time + price or rewrite)')}"
+        )
+    return head + "\n" + "\n".join(lines)
 
 
 if __name__ == "__main__":

@@ -1,41 +1,70 @@
-"""Compare two bench artifacts: totals, median ratio, 2x-band outliers.
+"""Compare two bench artifacts: totals, median ratio, band outliers.
 
 The cross-round reproducibility check (VERDICT r8 #4's done criterion):
 
     python tools/capture_compare.py BENCH_full_a.json BENCH_full_b.json
 
-Entries outside the 2x band between two captures mark co-tenant bursts
-that survived even the per-capture min-of-2/3; anything listed here
-needs an isolated re-time (tools/isolated_retime.py) before being read
-as a regression. Sub-0.5 s entries are skipped — at that absolute
-scale a 2x swing is scheduler jitter, not signal.
+Either path may be `git:REV:PATH` (e.g. `git:HEAD~1:BENCH_full.json`)
+to read the artifact from a git revision — so the PRIOR round's
+committed capture is always diffable without keeping renamed copies.
+
+Two bands are reported (VERDICT r9 #1 — the r9 cross-capture audit at
+2x missed four queries that regressed between ROUNDS at 1.4–2.8x):
+
+- outside_2x_band: co-tenant bursts that survived per-capture
+  min-of-2/3; each needs an isolated re-time
+  (tools/isolated_retime.py) before being read as a regression.
+- regressions_1p4x (b vs a, directional): every entry whose newer time
+  exceeds the older by >1.4x. When `a` is the prior round's committed
+  artifact, this IS the list the isolated-re-time protocol must
+  process before close — noise-classify or rewrite, never ignore.
+
+Sub-0.5 s entries are skipped in both bands — at that absolute scale
+a 2x swing is scheduler jitter, not signal.
 """
 
 from __future__ import annotations
 
 import json
 import statistics
+import subprocess
 import sys
 
 
+def _load(spec: str) -> dict:
+    if spec.startswith("git:"):
+        _, rev, path = spec.split(":", 2)
+        raw = subprocess.run(
+            ["git", "show", f"{rev}:{path}"],
+            capture_output=True,
+            check=True,
+            text=True,
+        ).stdout
+        return json.loads(raw)["queries"]
+    return json.load(open(spec))["queries"]
+
+
 def main() -> int:
-    a = json.load(open(sys.argv[1]))["queries"]
-    b = json.load(open(sys.argv[2]))["queries"]
+    a = _load(sys.argv[1])
+    b = _load(sys.argv[2])
     common = sorted(set(a) & set(b))
     out = [
         k
         for k in common
         if max(a[k], b[k]) > 2 * min(a[k], b[k]) and max(a[k], b[k]) > 0.5
     ]
+    regress = [k for k in common if b[k] > 1.4 * a[k] and b[k] > 0.5]
     ratios = sorted(b[k] / a[k] for k in common if a[k] > 0)
     print(
         f"common={len(common)} sum_a={sum(a[k] for k in common):.1f} "
         f"sum_b={sum(b[k] for k in common):.1f} "
         f"median_ratio={statistics.median(ratios):.3f} "
-        f"outside_2x_band={len(out)}"
+        f"outside_2x_band={len(out)} regressions_1p4x={len(regress)}"
     )
     for k in sorted(out, key=lambda k: -max(a[k], b[k])):
-        print(f"  {k}: {a[k]} vs {b[k]}")
+        print(f"  2x  {k}: {a[k]} vs {b[k]}")
+    for k in sorted(regress, key=lambda k: -b[k] / a[k]):
+        print(f"  1.4x {k}: {a[k]} -> {b[k]} ({b[k] / a[k]:.2f}x)")
     return 0
 
 
