@@ -413,31 +413,61 @@ def dedup_clusters(
     magnitude smaller than the corpus (LSH banding + Jaccard verify
     already collapsed it — measured 107 edges from a 2,137-doc gated
     corpus at sf0.1, where each star round still pays ~1 s of fixed
-    job-scheduling cost). When the checkpointed edge count is at most
+    job-scheduling cost). When the oriented edge count is at most
     ``local_cc_max_edges`` the components are computed by driver-side
     union-find over the Arrow-collected pairs — the classic
     filter-then-local posture production dedup pipelines use for the
     post-LSH component step — and the distributed star contraction
     runs only above the bound. The collect is threshold-bounded BY
-    CONSTRUCTION (a limit(bound+1) probe over the checkpointed edge
-    view gates it; at the default 1M-edge bound the Arrow transfer is
-    ~16 MB of int64 pairs — string ids scale that by their length, so
-    size the bound to driver memory if ids are long strings, and the
-    roots frame it broadcasts is at most 2×bound rows),
+    CONSTRUCTION (``limit(bound+1).toPandas()`` is both the gate and,
+    when local, already the data — ONE bounded job; at the default
+    1M-edge bound the Arrow transfer is ~16 MB of int64 pairs —
+    string ids scale that by their length, so size the bound to driver
+    memory if ids are long strings, and the roots frame it broadcasts
+    is at most 2×bound rows),
     union-by-min keeps every root the component
     minimum, so labels are bit-identical on both paths (pinned by
     test); duplicate-heavy corpora whose within-cluster pair volume is
     quadratic still take the star path, which stays O(log n) rounds.
     """
-    cands = near_dup_pairs(df, text_col, id_col, n_hashes, rows_per_band=rows_per_band)
+    # ONE feature scan (r10): the r9 shape evaluated the shingle+md5
+    # subtree ~4x — the band self-join computes its build subtree on
+    # BOTH sides, and the Jaccard verify re-shingled the corpus for
+    # each pair side. Materializing (id, __sh, mh0..n) once — the same
+    # persisted feature-index posture `incremental_near_dups` uses —
+    # lets banding read signatures and the verify read shingles from
+    # the spool; the text is scanned exactly once. Semantics are
+    # unchanged: near_dup_pairs IS near_dup_pairs_from_sig over this
+    # signature frame, and the verify's shingle expression is the
+    # identical `shingles(text)` the signature staging carries as __sh.
+    feat = _spool(
+        minhash_signature(df, text_col, id_col, n_hashes, keep_shingles=True)
+    )
+    cands = near_dup_pairs_from_sig(
+        feat.drop("__sh"), id_col, n_hashes, rows_per_band=rows_per_band
+    )
+    sh = feat.select(F.col(id_col), F.col("__sh"))
+    paired = cands.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")), "id_a"
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")), "id_b"
+    )
+    jac = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double") / F.size(
+        F.array_union("__sh_a", "__sh_b")
+    ).cast("double")
     edges = (
-        jaccard_pairs(df, text_col, id_col, cands)
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        paired.filter(jac >= jaccard_threshold)
         .select("id_a", "id_b")
     )
-    edges = _ckpt(edges)
 
     # Work on edges oriented (a=larger, b=smaller); self-loops dropped.
+    # The raw verified pairs are NOT checkpointed separately (r10): the
+    # oriented/distinct view is the only consumer — orientation drops
+    # only self-loops (which satisfy any label check trivially) and
+    # distinct only collapses duplicates, so the star post-check below
+    # runs against the oriented view with identical coverage, and the
+    # whole LSH-verify subtree is materialized exactly once (inside
+    # _component_roots) instead of twice.
     e = (
         edges.select(
             F.greatest("id_a", "id_b").alias("a"), F.least("id_a", "id_b").alias("b")
@@ -446,7 +476,7 @@ def dedup_clusters(
         .distinct()
     )
 
-    roots, used_local = _component_roots(e, max_iter, local_cc_max_edges)
+    roots, used_local, e_base = _component_roots(e, max_iter, local_cc_max_edges)
     labels = (
         df.select(F.col(id_col).alias("node"))
         .join(
@@ -458,18 +488,20 @@ def dedup_clusters(
     )
 
     if not used_local:
-        # Loud post-check against the ORIGINAL verified pairs: connected
-        # endpoints must agree. One join pass; catches any star-
+        # Loud post-check against the verified pairs (the checkpointed
+        # oriented view — same coverage as the raw pair list, see the
+        # orientation comment above): connected endpoints must agree.
+        # One join pass over materialized blocks; catches any star-
         # contraction bug as an error instead of an oracle hash
         # mismatch. The local path needs none — union-find agreement on
         # every edge holds by construction (both endpoints resolve
         # through find()), and path equivalence is pinned by randomized
         # test against the star fixpoint.
-        la = labels.select(F.col("node").alias("id_a"), F.col("label").alias("__la"))
-        lb = labels.select(F.col("node").alias("id_b"), F.col("label").alias("__lb"))
+        la = labels.select(F.col("node").alias("a"), F.col("label").alias("__la"))
+        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("__lb"))
         bad = (
-            edges.join(la, "id_a")
-            .join(lb, "id_b")
+            e_base.join(la, "a")
+            .join(lb, "b")
             .filter(F.col("__la") != F.col("__lb"))
             .count()
         )
@@ -483,21 +515,34 @@ def dedup_clusters(
 
 def _component_roots(
     e: DataFrame, max_iter: int, local_cc_max_edges: int
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, bool, DataFrame | None]:
     """Connected-component root map over an oriented edge frame —
     the CC core of ``dedup_clusters``, factored out so BOTH paths are
     directly testable on arbitrary graphs (randomized equivalence test
     in tests/test_round9_consolidation.py).
 
     ``e``: (a, b) rows with a > b, distinct, self-loop-free. Returns
-    ``(roots, used_local)``: ``roots`` maps every node APPEARING IN AN
-    EDGE to its component minimum as (a, __root) — isolated nodes are
-    absent and label themselves via the caller's coalesce; ``used_local``
-    says which path ran, so the caller can broadcast the (bounded)
-    local result and skip the star post-check where correctness holds
-    by construction. Union-by-min keeps every union-find root the
-    component minimum — exactly the star-contraction fixed point — so
-    the two paths are label-identical.
+    ``(roots, used_local, e_base)``: ``roots`` maps every node
+    APPEARING IN AN EDGE to its component minimum as (a, __root) —
+    isolated nodes are absent and label themselves via the caller's
+    coalesce; ``used_local`` says which path ran, so the caller can
+    broadcast the (bounded) local result and skip the star post-check
+    where correctness holds by construction; ``e_base`` is the
+    CHECKPOINTED oriented edge view on the star path (None on the
+    local path) so the caller's post-check reads materialized blocks
+    instead of recomputing the LSH-verify subtree. Union-by-min keeps
+    every union-find root the component minimum — exactly the
+    star-contraction fixed point — so the two paths are
+    label-identical.
+
+    Gate shape (r10): ``limit(bound+1).toPandas()`` — ONE bounded job
+    that both decides the path and, when local, already holds the
+    edges; the r9 shape (count, then collect) evaluated the edge view
+    twice on the local path and paid a full count as pure overhead on
+    the star path. The probe's driver transfer is capped at bound+1
+    rows BY CONSTRUCTION on either path; on the star path it
+    early-exits at the cap and the view is then checkpointed once for
+    the iteration.
 
     ``SPARK_GRAFT_CC_FORCE_STAR`` (env) forces the distributed star
     path regardless of edge count, so oracle-verified runs can keep
@@ -510,19 +555,9 @@ def _component_roots(
 
     if os.environ.get("SPARK_GRAFT_CC_FORCE_STAR"):
         local_cc_max_edges = -1
-    # The oriented/distinct edge view is materialized ONCE before the
-    # gate: the distinct is a shuffle, and without the checkpoint the
-    # local path would run it twice (gate count, then toPandas) while
-    # the star path would pay the gate count as pure extra work before
-    # round 1 recomputed it anyway. Checkpointed, the count is a cheap
-    # scan and whichever path runs reads the materialized blocks.
-    e = _ckpt(e)
-    # Small-graph fast path: the bounded count gates a driver
-    # union-find (see dedup_clusters docstring). limit(bound+1) keeps
-    # the probe itself bounded — the star path never pays a full count.
-    probe = e.limit(max(local_cc_max_edges, 0) + 1).count() if local_cc_max_edges >= 0 else 1
-    if local_cc_max_edges >= 0 and probe <= local_cc_max_edges:
-        pdf = e.toPandas()
+    if local_cc_max_edges >= 0:
+        pdf = e.limit(local_cc_max_edges + 1).toPandas()
+    if local_cc_max_edges >= 0 and len(pdf) <= local_cc_max_edges:
         parent: dict = {}
 
         def find(x):
@@ -543,7 +578,7 @@ def _component_roots(
         id_type = e.schema["a"].dataType.simpleString()
         schema = f"a {id_type}, __root {id_type}"
         if not nodes:
-            return e.sparkSession.createDataFrame([], schema=schema), True
+            return e.sparkSession.createDataFrame([], schema=schema), True, None
         # pandas in, pandas out: createDataFrame from a pandas frame
         # takes the Arrow batch path — a tuple list would round-trip
         # every row through pickle, ~2M driver objects at the default
@@ -554,8 +589,13 @@ def _component_roots(
             pd.DataFrame({"a": nodes, "__root": [find(n) for n in nodes]}),
             schema=schema,
         )
-        return roots, True
+        return roots, True, None
 
+    # Star path: materialize the oriented view once — iteration base,
+    # lineage truncation for the LSH subtree, and the caller's
+    # edge-consistency post-check all read these blocks.
+    e = _ckpt(e)
+    e_base = e
     prev_sig: tuple | None = None
     converged = False
     for _ in range(max_iter):
@@ -614,7 +654,7 @@ def _component_roots(
     # At the fixed point e holds (node, component-min) stars; nodes
     # absent from the edge list are singletons labeled by themselves.
     # min(b) per a guards against a transient non-star duplicate.
-    return e.groupBy("a").agg(F.min("b").alias("__root")), False
+    return e.groupBy("a").agg(F.min("b").alias("__root")), False, e_base
 
 
 def simhash(

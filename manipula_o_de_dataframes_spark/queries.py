@@ -16533,38 +16533,17 @@ QUERIES = {
 # the window on the queries with the weakest driver provenance
 # (never-sampled first, then oldest rows).
 _DRIVER_SAMPLE_PRIORITY = [
-    # r9 rotation (VERDICT r8 #1): post-rewrite provenance. The 24
-    # queries whose plans changed in r8 (6 audit-family rewrites + 18
-    # scan-multiplicity batch queries) were all judge-verified green at
-    # the identical gate post-rewrite (`logs/.judge_sweep_r8.log`) but none
-    # has a driver CORRECTNESS row that postdates its rewrite; they
-    # fill the front of r9's ~50-row window so every registry query's
-    # newest driver row postdates its newest plan change. The 44
-    # r2-stale queries (oldest remaining provenance — every registry
-    # query's newest row now dates to r2+) follow as fill + overflow.
-    # -- the 24 r8-changed (audit-family rewrites + scan batch) --
-    "banding_recall_audit", "ivf_probe_sweep", "near_dup_jaccard_banded",
-    "edit_distance_near_dup", "incremental_dedup",
-    "quantile_treatment_effects", "acf_weekly", "apriori_triples",
-    "association_rules", "brier_decomposition", "ccf_weekly",
-    "cuped_adjustment", "dsir_weights", "fair_token_budget",
-    "growth_accounting", "ks_length_drift", "mad_outliers",
-    "mann_whitney_u", "mrr_waterfall", "ndcg_eval", "ngram_lm_score",
-    "pmi_collocations", "sequence_mining", "source_shapley",
-    # -- the 5 whose plans changed IN r9 (the dedup_clusters small-graph
-    #    CC gate + refactor): fronted so their driver rows postdate the
-    #    change within the same round, not one round later --
-    "dedup_clusters", "dedup_survivors", "dedup_weights",
-    "cluster_safe_split", "corpus_pipeline",
-    # -- r2-stale fill + overflow buffer (oldest remaining provenance;
-    #    minhash_signatures also gets a post-r8-shelf-rewrite row here) --
-    "minhash_signatures", "near_dup_jaccard", "simhash",
-    "simhash_near_dup", "doc_dedup_exact", "corpus_filter",
-    "gopher_quality", "text_stats", "embedding_batch_topk",
-    "embedding_lsh_buckets", "embedding_lsh_topk", "embedding_topk",
-    "customer_multi_agg", "dedup_keep_first", "distinct_combinations",
-    "dynamic_filters", "enrich_left_join", "enrich_unique_left",
-    "event_attribution", "events_pivot", "events_rollup",
+    # r10 rotation (VERDICT r9 #3): close the freshness loop. The 23
+    # queries whose NEWEST driver row still dates to r2 lead the
+    # window — their plans are unchanged since r2 and green in every
+    # full sweep, so this is provenance hygiene; after this window the
+    # minimum driver-row round across the registry rises to r3. The 5
+    # CC-family queries follow because their physical path changed in
+    # r10 itself (_component_roots: checkpointed edge view + bounded
+    # gate probe + Arrow roots build) — same-round verification, per
+    # the r9 landing discipline. The 45 r3-provenance queries fill the
+    # remaining window + overflow, oldest provenance first.
+    # -- the 23 r2-stale (oldest provenance in the registry) --
     "events_summary", "events_unpivot", "first_order_per_customer",
     "format_currency", "group_median_pandas", "join_compatibility",
     "lenient_dates", "neighbor_counts", "null_diagnostics",
@@ -16573,6 +16552,26 @@ _DRIVER_SAMPLE_PRIORITY = [
     "sessionize_events", "sessionize_native", "sorted_distinct_weeks",
     "top_k_customers", "train_split", "tuple_render",
     "union_by_name", "weekly_deltas",
+    # -- the 5 whose physical path changed IN r10 (CC gate rework) --
+    "dedup_clusters", "dedup_survivors", "dedup_weights",
+    "cluster_safe_split", "corpus_pipeline",
+    # -- r3-provenance fill + overflow (the two cross-round regression
+    #    candidates classified this round lead the fill) --
+    "stream_dedup", "sliding_active_users",
+    "balance_sources", "bm25_search", "chunk_documents",
+    "contamination_rate", "conversion_forward", "corpus_mix",
+    "decontaminate", "dedup_rate_by_source",
+    "embedding_near_dup_blocked", "embedding_quantize",
+    "events_sketches", "fingerprint_dedup", "fk_conformance",
+    "hll_mergeable", "json_props", "lsh_recall",
+    "multimodal_chunks", "multimodal_embed", "multimodal_features",
+    "multimodal_near_dup", "multimodal_resize", "normalize_text",
+    "outlier_flags", "pack_sequences", "pii_scrub", "price_bands",
+    "repetition_signals", "retention_cohorts", "revenue_by_nation",
+    "rolling_user_spend", "salted_join", "scd2_dim", "session_funnel",
+    "sql_frontdoor", "stratified_docs", "temperature_mix",
+    "token_profile", "topk_per_group", "truncated_recall", "upsert",
+    "value_percentiles", "zorder_keys",
 ]
 assert set(_DRIVER_SAMPLE_PRIORITY) <= set(QUERIES), (
     sorted(set(_DRIVER_SAMPLE_PRIORITY) - set(QUERIES))

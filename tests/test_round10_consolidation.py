@@ -36,11 +36,11 @@ def test_force_star_env_flips_path_not_labels(spark, monkeypatch):
         [(3, 1), (5, 3), (9, 8)], "a bigint, b bigint"
     )
     monkeypatch.delenv("SPARK_GRAFT_CC_FORCE_STAR", raising=False)
-    local, used_local = _component_roots(e, 50, 10**6)
+    local, used_local, _ = _component_roots(e, 50, 10**6)
     assert used_local
     monkeypatch.setenv("SPARK_GRAFT_CC_FORCE_STAR", "1")
-    star, used_local2 = _component_roots(e, 50, 10**6)
-    assert not used_local2
+    star, used_local2, e_base = _component_roots(e, 50, 10**6)
+    assert not used_local2 and e_base is not None
     lm = {r["a"]: r["__root"] for r in local.collect()}
     sm = {r["a"]: r["__root"] for r in star.collect()}
     assert all(lm[k] == v for k, v in sm.items()), (lm, sm)
@@ -71,12 +71,12 @@ def test_component_roots_empty_and_string_ids(spark):
     frame) and non-numeric id types (string ids ride the same pandas
     path)."""
     empty = spark.createDataFrame([], "a bigint, b bigint")
-    roots, used_local = _component_roots(empty, 50, 10**6)
+    roots, used_local, _ = _component_roots(empty, 50, 10**6)
     assert used_local and roots.count() == 0
     e = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("z", "y")], "a string, b string"
     )
-    roots, used_local = _component_roots(e, 50, 10**6)
+    roots, used_local, _ = _component_roots(e, 50, 10**6)
     assert used_local
     m = {r["a"]: r["__root"] for r in roots.collect()}
     assert m == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}

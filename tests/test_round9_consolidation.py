@@ -232,8 +232,8 @@ def test_component_roots_paths_agree_on_random_graphs(spark):
         e = spark.createDataFrame(
             pairs or [(None, None)], "a bigint, b bigint"
         ).filter(F.col("a").isNotNull())
-        local, used_local = _component_roots(e, 50, 10**6)
-        star, used_star = _component_roots(e, 50, -1)  # -1: 0-edge case too
+        local, used_local, _ = _component_roots(e, 50, 10**6)
+        star, used_star, _ = _component_roots(e, 50, -1)  # -1: 0-edge case too
         assert used_local and not used_star
         lm = {r["a"]: r["__root"] for r in local.collect()}
         sm = {r["a"]: r["__root"] for r in star.collect()}
