@@ -365,9 +365,13 @@ def test_cc_fixpoint_uses_reliable_checkpoint_when_configured(
     """With spark.graft.checkpoint.dir set, the star-contraction rounds
     must route through sparkContext.setCheckpointDir + df.checkpoint()
     — files land under the configured root (survivable storage on a
-    cluster) and the clustering result is unchanged."""
+    cluster) and the clustering result is unchanged. The star path is
+    FORCED (r10): the default local union-find path has no iterative
+    lineage and deliberately writes no checkpoint, so the pin would
+    otherwise never exercise what it pins."""
     from manipula_o_de_dataframes_spark.operators.dedup import dedup_clusters
 
+    monkeypatch.setenv("SPARK_GRAFT_CC_FORCE_STAR", "1")
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again today"),
         (2, "the quick brown fox jumps over the lazy dog again toda"),

@@ -80,3 +80,62 @@ def test_component_roots_empty_and_string_ids(spark):
     assert used_local
     m = {r["a"]: r["__root"] for r in roots.collect()}
     assert m == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
+
+
+def test_bench_report_tail_is_generated_from_artifact(tmp_path):
+    """VERDICT r9 #2: the >5 s tail sentence must come FROM the
+    artifact. Entries over 5 s are listed slowest-first with their
+    pricing tag; an entry without a tag renders UNPRICED (a loud
+    close-gate flag); an artifact with no >5 s entry says so."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import bench_report
+
+    art = {
+        "queries": {
+            "corpus_pipeline": 6.1,
+            "mystery_query": 7.7,
+            "fast_one": 0.2,
+            "near_dup_jaccard": 9.9,  # baseline fixture: excluded
+        },
+        "spool_build_seconds": {"s": 1.0},
+        "sf": 0.1,
+    }
+    p = tmp_path / "b.json"
+    p.write_text(json.dumps(art))
+    out = bench_report.report(str(p))
+    lines = out.splitlines()
+    assert ">5 s tail (2 entries):" in lines[1]
+    assert lines[2].startswith("  mystery_query 7.70 s — UNPRICED")
+    assert lines[3].startswith("  corpus_pipeline 6.10 s — composed 7-stage")
+    assert "near_dup_jaccard" not in out
+
+    art["queries"] = {"fast_one": 0.2}
+    p.write_text(json.dumps(art))
+    assert bench_report.report(str(p)).splitlines()[1] == ">5 s tail: none"
+
+
+def test_capture_compare_reports_1p4x_regressions(tmp_path, capsys):
+    """VERDICT r9 #1: cross-ROUND regressions at 1.4–2x must surface
+    even when they stay inside the 2x noise band."""
+    import json
+    import subprocess
+    import sys
+
+    a = {"queries": {"q1": 1.0, "q2": 1.0, "q3": 0.1, "q4": 1.0}}
+    b = {"queries": {"q1": 1.6, "q2": 2.5, "q3": 0.2, "q4": 0.9}}
+    pa_, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa_.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    r = subprocess.run(
+        [sys.executable, "tools/capture_compare.py", str(pa_), str(pb)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert "regressions_1p4x=2" in r.stdout  # q1 (1.6x) and q2 (2.5x)
+    assert "outside_2x_band=1" in r.stdout  # only q2; q3 is sub-0.5s
+    assert "1.4x q2: 1.0 -> 2.5 (2.50x)" in r.stdout
+    assert "1.4x q1: 1.0 -> 1.6 (1.60x)" in r.stdout
