@@ -465,9 +465,10 @@ def dedup_clusters(
     # oriented/distinct view is the only consumer — orientation drops
     # only self-loops (which satisfy any label check trivially) and
     # distinct only collapses duplicates, so the star post-check below
-    # runs against the oriented view with identical coverage, and the
-    # whole LSH-verify subtree is materialized exactly once (inside
-    # _component_roots) instead of twice.
+    # runs against the oriented view with identical coverage. On the
+    # local path the bounded gate collect inside _component_roots is
+    # the ONLY evaluation of this subtree; the star path pays the
+    # early-exiting probe plus one checkpoint of it.
     e = (
         edges.select(
             F.greatest("id_a", "id_b").alias("a"), F.least("id_a", "id_b").alias("b")
