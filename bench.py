@@ -81,6 +81,7 @@ def main() -> None:
         return round(min(runs), 3)
 
     probe_start = machine_probe()
+    probe_timeline: list[list] = []
 
     build_spool("edges_uv", lambda: _edges_uv(spark, sf_dir))
     build_spool("edges_sym_deg", lambda: _edges_sym_deg(spark, sf_dir))
@@ -130,6 +131,15 @@ def main() -> None:
             # structured line. A compact partial-total every 50 queries
             # means the captured tail always ends in parseable JSON
             # stating exactly how far the sweep got.
+            # The probe reading beside it is the mid-sweep load
+            # timeline: the start/end probes proved blind to bursts
+            # that arrive and decay INSIDE the sweep (r10 close: two
+            # back-to-back captures each carried a different ~60 s
+            # burst window — ivf_* 5–12× in one, order_*/holt_* in the
+            # other — while both end probes read clean). A probe every
+            # 50 queries brackets any burst to a window the
+            # noise protocol can name, for ~0.5 s untimed cost each.
+            probe_timeline.append([i + 1, machine_probe()])
             print(
                 json.dumps(
                     {
@@ -137,6 +147,7 @@ def main() -> None:
                         "done": i + 1,
                         "of": len(names),
                         "value": round(sum(timings.values()), 3),
+                        "probe": probe_timeline[-1][1],
                         "sf": sf,
                     }
                 ),
@@ -225,6 +236,7 @@ def main() -> None:
                     "noisy_entries_runs": noisy_entries,
                     "spool_build_seconds": spool_builds,
                     "machine_probe_seconds": [probe_start, probe_end],
+                    "machine_probe_timeline": probe_timeline,
                     "sf": sf,
                 },
                 fh,
@@ -247,6 +259,7 @@ def main() -> None:
                 "noisy_entries_runs": noisy_entries,
                 "spool_build_seconds": spool_builds,
                 "machine_probe_seconds": [probe_start, probe_end],
+                "machine_probe_timeline": probe_timeline,
                 "sf": sf,
             }
         )

@@ -61,6 +61,16 @@ def report(path: str) -> str:
         if probes
         else "machine probe n/a"
     )
+    # Mid-sweep probe timeline (r10): the end probes are blind to
+    # bursts that arrive and decay inside the sweep, so the capture
+    # carries a reading every 50 queries; a spiked max localizes the
+    # burst to a ~50-query window by position.
+    timeline = art.get("machine_probe_timeline")
+    if timeline:
+        worst = max(timeline, key=lambda p: p[1])
+        probe_txt += (
+            f"; mid-sweep probe max {worst[1]:.2f} s at query {worst[0]}"
+        )
     noisy = art.get("noisy_entries_runs", {})
     noisy_txt = (
         f"{len(noisy)} min-of-3 entries ({', '.join(sorted(noisy))})"
