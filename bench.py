@@ -80,7 +80,29 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 
+    # I/O probe: fixed parquet write+read. The r10 close proved the
+    # CPU probe alone is blind to the contention that actually hurts
+    # this workload — capture 4 ran 25% slow with spool builds at
+    # 3.5× while every CPU reading was 0.11–0.15 s clean; the
+    # co-tenant pressure was on the disk, which spool writes, shuffle
+    # spills, and parquet scans all share. One small write+read per
+    # reading prices exactly that resource.
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    def io_probe() -> float:
+        d = tempfile.mkdtemp(prefix="bench_io_probe_")
+        try:
+            t0 = time.perf_counter()
+            p = os.path.join(d, "p")
+            spark.range(0, 2_000_000, 1, 8).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p).selectExpr("sum(id)").collect()
+            return round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     probe_start = machine_probe()
+    io_probe_start = io_probe()
     probe_timeline: list[list] = []
 
     build_spool("edges_uv", lambda: _edges_uv(spark, sf_dir))
@@ -139,7 +161,7 @@ def main() -> None:
             # other — while both end probes read clean). A probe every
             # 50 queries brackets any burst to a window the
             # noise protocol can name, for ~0.5 s untimed cost each.
-            probe_timeline.append([i + 1, machine_probe()])
+            probe_timeline.append([i + 1, machine_probe(), io_probe()])
             print(
                 json.dumps(
                     {
@@ -148,6 +170,7 @@ def main() -> None:
                         "of": len(names),
                         "value": round(sum(timings.values()), 3),
                         "probe": probe_timeline[-1][1],
+                        "io_probe": probe_timeline[-1][2],
                         "sf": sf,
                     }
                 ),
@@ -184,6 +207,7 @@ def main() -> None:
     # only, so round-over-round perf compares the plans you'd actually
     # run at 100 TB (VERDICT r2 #6).
     probe_end = machine_probe()
+    io_probe_end = io_probe()
     baseline_fixtures = {"near_dup_jaccard", "embedding_near_dup"}
     # Attribution note (ADVICE r8): spool_total is added back in FULL even
     # though one build (`minhash_sig8`, the largest) also serves the
@@ -236,6 +260,7 @@ def main() -> None:
                     "noisy_entries_runs": noisy_entries,
                     "spool_build_seconds": spool_builds,
                     "machine_probe_seconds": [probe_start, probe_end],
+                    "machine_io_probe_seconds": [io_probe_start, io_probe_end],
                     "machine_probe_timeline": probe_timeline,
                     "sf": sf,
                 },
@@ -259,6 +284,7 @@ def main() -> None:
                 "noisy_entries_runs": noisy_entries,
                 "spool_build_seconds": spool_builds,
                 "machine_probe_seconds": [probe_start, probe_end],
+                "machine_io_probe_seconds": [io_probe_start, io_probe_end],
                 "machine_probe_timeline": probe_timeline,
                 "sf": sf,
             }

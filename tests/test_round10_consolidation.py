@@ -139,8 +139,18 @@ def test_bench_report_surfaces_mid_sweep_probe_max(tmp_path):
     p.write_text(json.dumps(art))
     head = bench_report.report(str(p)).splitlines()[0]
     assert "mid-sweep probe max 2.31 s at query 100" in head
+    # 3-element entries carry the I/O probe (post-capture-4 format);
+    # the worst I/O reading surfaces independently of the worst CPU one
+    art["machine_probe_timeline"] = [[50, 0.16, 0.4], [100, 2.31, 0.5], [150, 0.15, 3.7]]
+    art["machine_io_probe_seconds"] = [0.45, 0.41]
+    p.write_text(json.dumps(art))
+    head = bench_report.report(str(p)).splitlines()[0]
+    assert "mid-sweep probe max 2.31 s at query 100" in head
+    assert "io probe max 3.70 s at query 150" in head
+    assert "io probe 0.45/0.41 s" in head
     # absent timeline (pre-r10 artifact): headline renders without it
     del art["machine_probe_timeline"]
+    del art["machine_io_probe_seconds"]
     p.write_text(json.dumps(art))
     assert "mid-sweep" not in bench_report.report(str(p))
 

@@ -64,13 +64,25 @@ def report(path: str) -> str:
     # Mid-sweep probe timeline (r10): the end probes are blind to
     # bursts that arrive and decay inside the sweep, so the capture
     # carries a reading every 50 queries; a spiked max localizes the
-    # burst to a ~50-query window by position.
+    # burst to a ~50-query window by position. Entries are
+    # [position, cpu] or [position, cpu, io] — the I/O probe was
+    # added after capture 4 proved disk contention invisible to the
+    # CPU reading (25% slow sweep, every CPU reading clean).
     timeline = art.get("machine_probe_timeline")
     if timeline:
         worst = max(timeline, key=lambda p: p[1])
         probe_txt += (
             f"; mid-sweep probe max {worst[1]:.2f} s at query {worst[0]}"
         )
+        with_io = [p for p in timeline if len(p) > 2]
+        if with_io:
+            worst_io = max(with_io, key=lambda p: p[2])
+            probe_txt += (
+                f"; io probe max {worst_io[2]:.2f} s at query {worst_io[0]}"
+            )
+    io_ends = art.get("machine_io_probe_seconds")
+    if io_ends:
+        probe_txt += f"; io probe {io_ends[0]:.2f}/{io_ends[1]:.2f} s"
     noisy = art.get("noisy_entries_runs", {})
     noisy_txt = (
         f"{len(noisy)} min-of-3 entries ({', '.join(sorted(noisy))})"
