@@ -82,6 +82,58 @@ def test_component_roots_empty_and_string_ids(spark):
     assert m == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
 
 
+def test_dedup_clusters_one_feature_scan(spark, tmp_path, monkeypatch):
+    """Structural pin of the r10 one-scan edge build (SURVEY 6.20):
+    dedup_clusters materializes exactly ONE spool — the (id, __sh,
+    mh*) feature frame — whose plan scans the source exactly once and
+    carries all the md5 work; every downstream stage (banding, verify,
+    CC, labels) reads the spool, so no plan after the spool boundary
+    re-hashes text. The r9 shape evaluated the shingle+md5 subtree ~4x
+    per edge build; this pin fails if banding or the verify ever
+    reacquires the text column instead of the spooled features."""
+    import manipula_o_de_dataframes_spark.operators.dedup as dd
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(_ROWS, "doc_id bigint, text string").write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    spooled = []
+    real_spool = dd._spool
+
+    def counting_spool(df):
+        spooled.append(df)
+        return real_spool(df)
+
+    monkeypatch.setattr(dd, "_spool", counting_spool)
+    edge_frames = []
+    real_cr = dd._component_roots
+
+    def capturing_cr(e, max_iter, bound):
+        edge_frames.append(e)
+        return real_cr(e, max_iter, bound)
+
+    monkeypatch.setattr(dd, "_component_roots", capturing_cr)
+    labels = dd.dedup_clusters(docs, "text", "doc_id", jaccard_threshold=0.3)
+    assert len(spooled) == 1, "edge build must materialize exactly one spool"
+    # The edge subtree (banding + Jaccard verify + orientation) must
+    # read ONLY the spooled features: no md5 (banding would need it to
+    # recompute signatures) and no concat_ws (the shingle expression's
+    # signature op — a verify that re-shingles text reintroduces it).
+    edge_plan = edge_frames[0]._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in edge_plan, edge_plan
+    assert "concat_ws" not in edge_plan, edge_plan
+    feat_plan = spooled[0]._jdf.queryExecution().executedPlan().toString()
+    assert feat_plan.count("Scan parquet") == 1, feat_plan
+    assert "md5" in feat_plan, "the one spool must carry the hashing work"
+    # downstream of the spool: labels plan re-reads the source only for
+    # the id column (singleton labeling) and never re-hashes text
+    labels_plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in labels_plan, labels_plan
+    # and the result is still right on this fixture (docs 0/1/2 cluster)
+    got = {(r["doc_id"], r["cluster"]) for r in labels.collect()}
+    assert {(0, 0), (1, 0), (2, 0)} <= got, got
+
+
 def test_bench_report_tail_is_generated_from_artifact(tmp_path):
     """VERDICT r9 #2: the >5 s tail sentence must come FROM the
     artifact. Entries over 5 s are listed slowest-first with their
