@@ -229,3 +229,17 @@ def test_capture_compare_reports_1p4x_regressions(tmp_path, capsys):
     assert "outside_2x_band=1" in r.stdout  # only q2; q3 is sub-0.5s
     assert "1.4x q2: 1.0 -> 2.5 (2.50x)" in r.stdout
     assert "1.4x q1: 1.0 -> 1.6 (1.60x)" in r.stdout
+    # spool builds get the same 1.4x band (r10: they are part of the
+    # headline total but were invisible to this diff)
+    a["spool_build_seconds"] = {"s1": 2.0, "s2": 1.0}
+    b["spool_build_seconds"] = {"s1": 1.0, "s2": 1.9}
+    pa_.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    r = subprocess.run(
+        [sys.executable, "tools/capture_compare.py", str(pa_), str(pb)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert "spools common=2 sum_a=3.0 sum_b=2.9 regressions_1p4x=1" in r.stdout
+    assert "1.4x spool s2: 1.0 -> 1.9 (1.90x)" in r.stdout

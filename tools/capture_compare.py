@@ -40,13 +40,14 @@ def _load(spec: str) -> dict:
             check=True,
             text=True,
         ).stdout
-        return json.loads(raw)["queries"]
-    return json.load(open(spec))["queries"]
+        return json.loads(raw)
+    return json.load(open(spec))
 
 
 def main() -> int:
-    a = _load(sys.argv[1])
-    b = _load(sys.argv[2])
+    art_a = _load(sys.argv[1])
+    art_b = _load(sys.argv[2])
+    a, b = art_a["queries"], art_b["queries"]
     common = sorted(set(a) & set(b))
     out = [
         k
@@ -65,6 +66,23 @@ def main() -> int:
         print(f"  2x  {k}: {a[k]} vs {b[k]}")
     for k in sorted(regress, key=lambda k: -b[k] / a[k]):
         print(f"  1.4x {k}: {a[k]} -> {b[k]} ({b[k] / a[k]:.2f}x)")
+    # Spool builds are part of the headline total but were invisible to
+    # this diff (r10: the one-scan edge build halved doc_clusters
+    # 7.9 -> 3.7 s and only bench_report's total showed it; the inverse
+    # — a spool silently doubling — deserves the same 1.4x flag the
+    # queries get).
+    sa = art_a.get("spool_build_seconds", {})
+    sb = art_b.get("spool_build_seconds", {})
+    sc = sorted(set(sa) & set(sb))
+    if sc:
+        sregress = [k for k in sc if sb[k] > 1.4 * sa[k] and sb[k] > 0.5]
+        print(
+            f"spools common={len(sc)} sum_a={sum(sa[k] for k in sc):.1f} "
+            f"sum_b={sum(sb[k] for k in sc):.1f} "
+            f"regressions_1p4x={len(sregress)}"
+        )
+        for k in sorted(sregress, key=lambda k: -sb[k] / sa[k]):
+            print(f"  1.4x spool {k}: {sa[k]} -> {sb[k]} ({sb[k] / sa[k]:.2f}x)")
     return 0
 
 
