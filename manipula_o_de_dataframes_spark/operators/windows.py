@@ -221,6 +221,10 @@ def global_rank_scaled(
 ) -> DataFrame:
     """Bucketed two-pass global ROW_NUMBER/RANK — the scale-out for
     ``row_number().over(Window.orderBy(...))`` (VERDICT r5 #4).
+    One-spec wrapper over ``global_ranks_scaled`` (the N-column form —
+    callers needing several global ranks over the SAME frame share one
+    spool write instead of chaining N calls that each pay their own
+    parquet round-trip; the rfm_segments r10-opt rewrite).
 
     A plain global ordered window funnels the whole frame through ONE
     task (Exchange SinglePartition) — correct, but a straggler the
@@ -255,76 +259,137 @@ def global_rank_scaled(
     every later offset) — observed and rejected the same way, riding
     the same spool write (r6 ADVICE).
     """
+    return global_ranks_scaled(
+        df,
+        ((value_col, out_col, ascending, tiebreaks),),
+        partition_cols=partition_cols,
+        n_buckets=n_buckets,
+        kind=kind,
+        count_col=count_col,
+    )
+
+
+def global_ranks_scaled(
+    df: DataFrame,
+    specs: tuple[tuple[str, str, bool, tuple[str, ...]], ...],
+    *,
+    partition_cols: tuple[str, ...] = (),
+    n_buckets: int = 32,
+    kind: str = "row_number",
+    count_col: str | None = None,
+) -> DataFrame:
+    """N bucketed two-pass global ranks over the SAME frame from ONE
+    spool write. Each spec is ``(value_col, out_col, ascending,
+    tiebreaks)``; per-spec semantics are exactly ``global_rank_scaled``.
+
+    Why a multi-column form exists: rank calls CHAIN (each needs the
+    previous call's output columns), so N chained ``global_rank_scaled``
+    calls spool N times — and every spool is a real parquet write+read
+    round trip whose only purposes are carrying the quantile
+    Observation and pinning the upstream, both of which one write
+    covers for every spec at once (percentile_approx sketches are
+    per-column and don't interact). Each spec's census/offsets/window
+    then consume the shared spool; the within-bucket windows still run
+    one after another, exactly as the chained form's did.
+
+    Exactness is per spec and unchanged from the single form: buckets
+    are pure functions of each spec's value column (ties never split),
+    offsets are exact integer counts, and the within-bucket window
+    carries the spec's own tie-breaks. ``count_col`` (the per-partition
+    total) rides the first spec's census — the total is the same frame
+    count whichever spec computes it.
+    """
     from pyspark.sql import Observation  # noqa: PLC0415
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     obs = Observation("global_rank_quantiles")
-    df = _spool(
-        df.observe(
-            obs,
+    metrics = []
+    for si, (value_col, _out, _asc, _ties) in enumerate(specs):
+        vd = F.col(value_col).cast("double")
+        metrics += [
             F.percentile_approx(
-                F.col(value_col).cast("double"),
-                F.array(*[F.lit(p) for p in probs]),
-                F.lit(10_000),
-            ).alias("__q"),
-            F.count_if(F.col(value_col).isNull()).alias("__nulls"),
-            F.count_if(F.isnan(F.col(value_col).cast("double"))).alias("__nans"),
-        )
-    )
-    if obs.get["__nulls"]:
-        raise ValueError(
-            f"global_rank_scaled requires non-null {value_col!r}: "
-            f"{obs.get['__nulls']} NULL rows found — filter or fill upstream"
-        )
-    if obs.get["__nans"]:
-        raise ValueError(
-            f"global_rank_scaled requires NaN-free {value_col!r}: "
-            f"{obs.get['__nans']} NaN rows found — NaN buckets to 0 under "
-            "strict boundary compares but sorts LAST under orderBy, so "
-            "every later bucket offset would shift — filter upstream"
-        )
-    bounds = sorted(set(obs.get["__q"] or []), reverse=not ascending)
-
-    # bucket 0 holds the FIRST rows of the order; a row equal to a
-    # boundary stays in the bucket above it (strict compare), keeping
-    # value ties together.
-    bucket = F.lit(0)
-    v = F.col(value_col)
-    for b in bounds:
-        bucket = bucket + ((v > F.lit(b)) if ascending else (v < F.lit(b))).cast("int")
-    bucketed = df.withColumn("__gr_bucket", bucket)
+                vd, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+            ).alias(f"__q_{si}"),
+            F.count_if(F.col(value_col).isNull()).alias(f"__nulls_{si}"),
+            F.count_if(F.isnan(vd)).alias(f"__nans_{si}"),
+        ]
+    df = _spool(df.observe(obs, *metrics))
+    got = obs.get
+    for si, (value_col, _out, _asc, _ties) in enumerate(specs):
+        if got[f"__nulls_{si}"]:
+            raise ValueError(
+                f"global_rank_scaled requires non-null {value_col!r}: "
+                f"{got[f'__nulls_{si}']} NULL rows found — filter or fill "
+                "upstream"
+            )
+        if got[f"__nans_{si}"]:
+            raise ValueError(
+                f"global_rank_scaled requires NaN-free {value_col!r}: "
+                f"{got[f'__nans_{si}']} NaN rows found — NaN buckets to 0 "
+                "under strict boundary compares but sorts LAST under "
+                "orderBy, so every later bucket offset would shift — "
+                "filter upstream"
+            )
 
     pc = list(partition_cols)
-    census = bucketed.groupBy(*pc, "__gr_bucket").agg(
-        F.count(F.lit(1)).alias("__gr_c")
-    )
-    w_off = (
-        Window.partitionBy(*pc)
-        .orderBy("__gr_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = (
-        Window.partitionBy(*pc)
-        .orderBy("__gr_bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    off_cols = [
-        F.col(c) for c in pc
-    ] + [
-        F.col("__gr_bucket"),
-        F.coalesce(F.sum("__gr_c").over(w_off), F.lit(0)).cast("long").alias("__gr_off"),
-    ]
-    if count_col:
-        off_cols.append(F.sum("__gr_c").over(w_all).cast("long").alias(count_col))
-    offsets = census.select(*off_cols)
-    bucketed = bucketed.join(F.broadcast(offsets), [*pc, "__gr_bucket"])
+    out = df
+    for si, (value_col, out_col, ascending, tiebreaks) in enumerate(specs):
+        bounds = sorted(set(got[f"__q_{si}"] or []), reverse=not ascending)
 
-    order = [v.asc() if ascending else v.desc()] + [F.col(t) for t in tiebreaks]
-    w_in = Window.partitionBy(*pc, "__gr_bucket").orderBy(*order)
-    fn = F.row_number() if kind == "row_number" else F.rank()
-    return bucketed.withColumn(
-        out_col, (fn.over(w_in) + F.col("__gr_off")).cast("long")
-    ).drop("__gr_bucket", "__gr_off")
+        # bucket 0 holds the FIRST rows of the order; a row equal to a
+        # boundary stays in the bucket above it (strict compare),
+        # keeping value ties together.
+        bucket = F.lit(0)
+        v = F.col(value_col)
+        for b in bounds:
+            bucket = bucket + (
+                (v > F.lit(b)) if ascending else (v < F.lit(b))
+            ).cast("int")
+        bcol = f"__gr_bucket_{si}" if len(specs) > 1 else "__gr_bucket"
+        out = out.withColumn(bcol, bucket)
+
+        # census from the SHARED spool (the bucket is a pure function
+        # of the value column, so it needs none of the earlier specs'
+        # rank columns — each census stays a short scan of the spool)
+        census = (
+            df.withColumn(bcol, bucket)
+            .groupBy(*pc, bcol)
+            .agg(F.count(F.lit(1)).alias("__gr_c"))
+        )
+        w_off = (
+            Window.partitionBy(*pc)
+            .orderBy(bcol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_all = (
+            Window.partitionBy(*pc)
+            .orderBy(bcol)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        off_cols = [
+            F.col(c) for c in pc
+        ] + [
+            F.col(bcol),
+            F.coalesce(F.sum("__gr_c").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__gr_off"),
+        ]
+        if count_col and si == 0:
+            off_cols.append(
+                F.sum("__gr_c").over(w_all).cast("long").alias(count_col)
+            )
+        offsets = census.select(*off_cols)
+        out = out.join(F.broadcast(offsets), [*pc, bcol])
+
+        order = [v.asc() if ascending else v.desc()] + [
+            F.col(t) for t in tiebreaks
+        ]
+        w_in = Window.partitionBy(*pc, bcol).orderBy(*order)
+        fn = F.row_number() if kind == "row_number" else F.rank()
+        out = out.withColumn(
+            out_col, (fn.over(w_in) + F.col("__gr_off")).cast("long")
+        ).drop(bcol, "__gr_off")
+    return out
 
 
 def ntile_from_rank(rn, n, k: int):
