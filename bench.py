@@ -27,6 +27,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _hb_round_regs,
     _minhash_sig8,
     _obs_customer_frame,
+    _pair_support,
     _pq_codes_spooled,
 )
 from manipula_o_de_dataframes_spark.session import get_spark  # noqa: E402
@@ -111,6 +112,7 @@ def main() -> None:
     build_spool("doc_clusters", lambda: _doc_clusters(spark, sf_dir))
     build_spool("minhash_sig8", lambda: _minhash_sig8(spark, sf_dir))
     build_spool("pq_codes", lambda: _pq_codes_spooled(spark, sf_dir))
+    build_spool("pair_support", lambda: _pair_support(spark, sf_dir))
     build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
     spool_total = round(sum(spool_builds.values()), 3)
 
