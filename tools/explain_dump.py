@@ -26,6 +26,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _hb_round_regs,
     _minhash_sig8,
     _obs_customer_frame,
+    _bpe_top_merges,
     _pair_support,
     _pq_codes_spooled,
 )
@@ -49,6 +50,7 @@ def main() -> None:
         _doc_clusters,
         _minhash_sig8,
         _pq_codes_spooled,
+        _bpe_top_merges,
         _pair_support,
         _obs_customer_frame,
     ):
