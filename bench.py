@@ -29,6 +29,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _obs_customer_frame,
     _bpe_top_merges,
     _pair_support,
+    _weekly_nation_census,
     _pq_codes_spooled,
 )
 from manipula_o_de_dataframes_spark.session import get_spark  # noqa: E402
@@ -115,6 +116,7 @@ def main() -> None:
     build_spool("pq_codes", lambda: _pq_codes_spooled(spark, sf_dir))
     build_spool("pair_support", lambda: _pair_support(spark, sf_dir))
     build_spool("bpe_merges_r3", lambda: _bpe_top_merges(spark, sf_dir, 3))
+    build_spool("nation_week_census", lambda: _weekly_nation_census(spark, sf_dir))
     build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
     spool_total = round(sum(spool_builds.values()), 3)
 

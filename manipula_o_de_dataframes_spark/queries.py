@@ -8031,23 +8031,11 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk_b)), never interpolated — element selection can't introduce
     cross-engine arithmetic at all.
     """
-    o = read_table(spark, sf_dir, "orders")
-    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
-    census = (
-        o.join(
-            F.broadcast(
-                read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-            ),
-            o["o_custkey"] == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(
-                read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-            ),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
-        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    # The (nation, wk, cents) frame IS `_weekly_nation_census` (same
+    # week epoch, same exact decimal-sum-×100 cents) — consume the
+    # session-shared spool instead of re-deriving it inline (r10-opt).
+    census = _weekly_nation_census(spark, sf_dir).select(
+        "nation", "wk", "cents"
     )
     a = census.select("nation", F.col("wk").alias("wk_a"), F.col("cents").alias("c_a"))
     b = census.select("nation", F.col("wk").alias("wk_b"), F.col("cents").alias("c_b"))
@@ -12320,17 +12308,37 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weekly_nation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(nation, wk, n_orders, cents) — the shared bounded census the
-    rank-correlation pair (`kendall_tau`, `spearman_corr`) and the
-    forecast tournament run on. One fact shuffle; axis = calendar
-    weeks × 25 nations, flat in order volume."""
+    """(nation, wk, n_orders, cents) — the shared bounded census six
+    queries run on (`kendall_tau`, `spearman_corr`,
+    `forecast_tournament`, `diff_in_diff`, `runs_test`,
+    `theilsen_trend`). One fact shuffle; axis = calendar weeks × 25
+    nations, flat in order volume.
+
+    SPOOLED once per (application, sf_dir) — r10-opt: six consumers ×
+    two bench runs re-ran the identical orders scan + two broadcast
+    joins + census shuffle twelve times per capture for a bounded
+    |nations|·|weeks| artifact; the `_pair_support` posture applies
+    verbatim (bigint cents round-trip parquet exactly). Charged as its
+    own spool_build_seconds line item in bench.py."""
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "nation_week_census",
+    )
+    df = _GRAPH_SPOOL_CACHE.get(key)
+    if df is not None:
+        return df
     o = read_table(spark, sf_dir, "orders")
     wk = F.floor(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7
     ).cast("long")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
+    df = spool(
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
@@ -12341,6 +12349,8 @@ def _weekly_nation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+    _GRAPH_SPOOL_CACHE[key] = df
+    return df
 
 
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _obs_customer_frame,
     _bpe_top_merges,
     _pair_support,
+    _weekly_nation_census,
     _pq_codes_spooled,
 )
 from manipula_o_de_dataframes_spark.session import get_spark  # noqa: E402
@@ -52,6 +53,7 @@ def main() -> None:
         _pq_codes_spooled,
         _bpe_top_merges,
         _pair_support,
+        _weekly_nation_census,
         _obs_customer_frame,
     ):
         build(spark, sf_dir)
