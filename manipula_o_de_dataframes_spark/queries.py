@@ -9196,15 +9196,10 @@ def q_naive_forecast_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     One fact shuffle to the (nation, week) census; lag + ranking run
     on census partitions.
     """
-    o = read_table(spark, sf_dir, "orders")
-    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    census = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
-        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    # (nation, wk, cents) = the session-shared `_weekly_nation_census`
+    # spool (r10-opt) — this census was rebuilt inline per call.
+    census = _weekly_nation_census(spark, sf_dir).select(
+        "nation", "wk", "cents"
     )
     w = Window.partitionBy("nation").orderBy("wk")
     fc = F.lag("cents").over(w)
@@ -9377,15 +9372,10 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     One fact shuffle to the (nation, week) census, one per-nation
     collect; the fold walks calendar-bounded arrays.
     """
-    o = read_table(spark, sf_dir, "orders")
-    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    census = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
-        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    # (nation, wk, cents) = the session-shared `_weekly_nation_census`
+    # spool (r10-opt) — this census was rebuilt inline per call.
+    census = _weekly_nation_census(spark, sf_dir).select(
+        "nation", "wk", "cents"
     )
     arr = census.groupBy("nation").agg(
         F.sort_array(F.collect_list(F.struct("wk", "cents"))).alias("__pairs")
@@ -11973,21 +11963,10 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ppm division. Everything rides the (nation, week) census;
     integer cents end-to-end, no float at all.
     """
-    o = read_table(spark, sf_dir, "orders")
-    wk = F.floor(
-        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7
-    ).cast("long")
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    census = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
-        .agg(
-            (F.sum(F.col("o_totalprice").cast(MONEY)) * 100)
-            .cast("bigint")
-            .alias("cents")
-        )
+    # (nation, wk, cents) = the session-shared `_weekly_nation_census`
+    # spool (r10-opt) — this census was rebuilt inline per call.
+    census = _weekly_nation_census(spark, sf_dir).select(
+        "nation", "wk", "cents"
     )
     w = Window.partitionBy("nation").orderBy("wk")
     resid = (
@@ -15233,15 +15212,10 @@ def q_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
     week) census; the 3-quantile fan-out is a 3-row broadcast cross
     join on the census.
     """
-    o = read_table(spark, sf_dir, "orders")
-    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast("long")
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    census = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
-        .agg((F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("cents"))
+    # (nation, wk, cents) = the session-shared `_weekly_nation_census`
+    # spool (r10-opt) — this census was rebuilt inline per call.
+    census = _weekly_nation_census(spark, sf_dir).select(
+        "nation", "wk", "cents"
     )
     w = Window.partitionBy("nation").orderBy("wk")
     err = census.select(
