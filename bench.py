@@ -26,6 +26,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _edges_uv,
     _hb_round_regs,
     _minhash_sig8,
+    _nation_week_rev,
     _obs_customer_frame,
     _bpe_top_merges,
     _pair_support,
@@ -117,6 +118,7 @@ def main() -> None:
     build_spool("pair_support", lambda: _pair_support(spark, sf_dir))
     build_spool("bpe_merges_r3", lambda: _bpe_top_merges(spark, sf_dir, 3))
     build_spool("nation_week_census", lambda: _weekly_nation_census(spark, sf_dir))
+    build_spool("nation_week_rev", lambda: _nation_week_rev(spark, sf_dir))
     build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
     spool_total = round(sum(spool_builds.values()), 3)
 

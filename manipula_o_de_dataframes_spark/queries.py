@@ -679,6 +679,49 @@ def _edges_sym_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nation_week_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, __wk, __rev) — weekly LINEITEM revenue per nation
+    (exact decimal sum), spooled once per (application, sf_dir): the
+    regression pair ``weekly_trend`` (OLS slope) and
+    ``changepoint_weeks`` (CUSUM peak) both reduce this identical
+    census, and each previously re-ran the lineitem⋈orders join per
+    call. Bounded |nations|·|weeks| artifact; decimals round-trip
+    parquet exactly (the `_weekly_nation_census` posture on the
+    revenue axis)."""
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "nation_week_rev",
+    )
+    df = _GRAPH_SPOOL_CACHE.get(key)
+    if df is not None:
+        return df
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast(
+        "long"
+    )
+    df = spool(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), wk.alias("__wk"))
+        .agg(dsum_dec("l_extendedprice").alias("__rev"))
+    )
+    _GRAPH_SPOOL_CACHE[key] = df
+    return df
+
+
 def _pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-pair census (u, v, __nuv with support ≥ 2) over order
     baskets, spooled once per (application, sf_dir) — the Apriori L2
@@ -6315,24 +6358,10 @@ def q_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a 25-row stats aggregate; the regression itself never sees row
     data.
     """
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
-        "l_orderkey", "l_extendedprice"
-    )
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast(
-        "long"
-    )
-    rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), wk.alias("__wk"))
-        .agg(dsum_dec("l_extendedprice").alias("__rev"))
-    )
+    # (nation, __wk, __rev) = the session-shared `_nation_week_rev`
+    # spool (r10-opt) — this lineitem-revenue census was rebuilt
+    # inline per call.
+    rev = _nation_week_rev(spark, sf_dir)
     stats = rev.groupBy("nation").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__wk").alias("__sx"),
@@ -6373,24 +6402,10 @@ def q_changepoint_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Peak pinned to (|cusum| desc, week asc). One fact shuffle → weekly
     partials → a per-nation window over |weeks| rows.
     """
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
-        "l_orderkey", "l_extendedprice"
-    )
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    wk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7).cast(
-        "long"
-    )
-    rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), wk.alias("__wk"))
-        .agg(dsum_dec("l_extendedprice").alias("__rev"))
-    )
+    # (nation, __wk, __rev) = the session-shared `_nation_week_rev`
+    # spool (r10-opt) — this lineitem-revenue census was rebuilt
+    # inline per call.
+    rev = _nation_week_rev(spark, sf_dir)
     stats = rev.groupBy("nation").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__rev").alias("__sy")
     )

@@ -32,6 +32,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _edges_uv,
     _hb_round_regs,
     _minhash_sig8,
+    _nation_week_rev,
     _obs_customer_frame,
     _bpe_top_merges,
     _pair_support,
@@ -61,6 +62,7 @@ def main() -> None:
         lambda s, d: _hb_round_regs(s, d, 4),
         _doc_clusters,
         _minhash_sig8,
+        _nation_week_rev,
         _pq_codes_spooled,
         _bpe_top_merges,
         _pair_support,
