@@ -28,6 +28,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _minhash_sig8,
     _nation_week_rev,
     _obs_customer_frame,
+    _order_spans,
     _bpe_top_merges,
     _pair_support,
     _weekly_nation_census,
@@ -119,6 +120,7 @@ def main() -> None:
     build_spool("bpe_merges_r3", lambda: _bpe_top_merges(spark, sf_dir, 3))
     build_spool("nation_week_census", lambda: _weekly_nation_census(spark, sf_dir))
     build_spool("nation_week_rev", lambda: _nation_week_rev(spark, sf_dir))
+    build_spool("order_spans", lambda: _order_spans(spark, sf_dir))
     build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
     spool_total = round(sum(spool_builds.values()), 3)
 

@@ -722,6 +722,52 @@ def _nation_week_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_nationkey, __open, __close) — each order's open interval
+    (order date → last line's ship date, clamped so open ≤ close),
+    spooled once per (application, sf_dir): `open_order_concurrency`
+    (interval sweep) and `littles_law_audit` (the conservation audit
+    over the same sweep) both start from this identical frame, and
+    each previously re-ran the lineitem max-shipdate aggregate +
+    orders join per call. Dates round-trip parquet exactly."""
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "order_spans",
+    )
+    df = _GRAPH_SPOOL_CACHE.get(key)
+    if df is not None:
+        return df
+    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
+    close = li.groupBy("l_orderkey").agg(
+        F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("__close")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("__open"),
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    df = spool(
+        o.join(close, o["o_orderkey"] == close["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # the synthetic feed contains ship dates BEFORE the order date;
+        # clamp so every interval is well-formed (open ≤ close) instead
+        # of letting a reversed span decrement the sweep before its +1
+        .select(
+            "c_nationkey",
+            "__open",
+            F.greatest("__close", "__open").alias("__close"),
+        )
+    )
+    _GRAPH_SPOOL_CACHE[key] = df
+    return df
+
+
 def _pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-pair census (u, v, __nuv with support ≥ 2) over order
     baskets, spooled once per (application, sf_dir) — the Apriori L2
@@ -6666,24 +6712,9 @@ def q_open_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in any engine. All-integer output; one rank window
     per nation partition.
     """
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
-    close = li.groupBy("l_orderkey").agg(
-        F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("__close")
-    )
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.date_trunc("day", "o_orderdate").cast("date").alias("__open")
-    )
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    spans = (
-        o.join(close, o["o_orderkey"] == close["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        # the synthetic feed contains ship dates BEFORE the order date;
-        # clamp so every interval is well-formed (open ≤ close) instead
-        # of letting a reversed span decrement the sweep before its +1
-        .select(
-            "c_nationkey", "__open", F.greatest("__close", "__open").alias("__close")
-        )
-    )
+    # spans = the session-shared `_order_spans` spool (r10-opt) — the
+    # lineitem max-shipdate + orders join was rebuilt inline per call.
+    spans = _order_spans(spark, sf_dir)
     deltas = spans.select(
         "c_nationkey", F.col("__open").alias("__d"), F.lit(1).alias("__delta")
     ).unionAll(
@@ -11707,25 +11738,9 @@ def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — no day-level explode anywhere. avg_open_days_milli is the
     single rounding site.
     """
-    li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",))
-    close = li.groupBy("l_orderkey").agg(
-        F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("__close")
-    )
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.date_trunc("day", "o_orderdate").cast("date").alias("__open"),
-    )
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    spans = (
-        o.join(close, o["o_orderkey"] == close["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .select(
-            "c_nationkey",
-            "__open",
-            F.greatest("__close", "__open").alias("__close"),
-        )
-    )
+    # spans = the session-shared `_order_spans` spool (r10-opt) — the
+    # lineitem max-shipdate + orders join was rebuilt inline per call.
+    spans = _order_spans(spark, sf_dir)
     direct = spans.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.datediff("__close", "__open") + 1).alias("order_days_direct"),

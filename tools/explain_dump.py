@@ -27,6 +27,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _minhash_sig8,
     _nation_week_rev,
     _obs_customer_frame,
+    _order_spans,
     _bpe_top_merges,
     _pair_support,
     _weekly_nation_census,
@@ -57,6 +58,7 @@ def main() -> None:
         _pair_support,
         _weekly_nation_census,
         _obs_customer_frame,
+        _order_spans,
     ):
         build(spark, sf_dir)
     out_dir = os.path.join(_REPO_DIR, "plans", "r10")

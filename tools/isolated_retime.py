@@ -34,6 +34,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     _minhash_sig8,
     _nation_week_rev,
     _obs_customer_frame,
+    _order_spans,
     _bpe_top_merges,
     _pair_support,
     _weekly_nation_census,
@@ -68,6 +69,7 @@ def main() -> None:
         _pair_support,
         _weekly_nation_census,
         _obs_customer_frame,
+        _order_spans,
     ):
         build(spark, sf_dir)
 
