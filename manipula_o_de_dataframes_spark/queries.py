@@ -16630,17 +16630,32 @@ QUERIES = {
 # the window on the queries with the weakest driver provenance
 # (never-sampled first, then oldest rows).
 _DRIVER_SAMPLE_PRIORITY = [
-    # r10 rotation (VERDICT r9 #3): close the freshness loop. The 23
-    # queries whose NEWEST driver row still dates to r2 lead the
-    # window — their plans are unchanged since r2 and green in every
-    # full sweep, so this is provenance hygiene; after this window the
-    # minimum driver-row round across the registry rises to r3. The 5
-    # CC-family queries follow because their physical path changed in
-    # r10 itself (_component_roots: checkpointed edge view + bounded
-    # gate probe + Arrow roots build) — same-round verification, per
-    # the r9 landing discipline. The 45 r3-provenance queries fill the
-    # remaining window + overflow, oldest provenance first.
-    # -- the 23 r2-stale (oldest provenance in the registry) --
+    # r10 window = every plan changed since the last driver run leads,
+    # then the freshness rotation (VERDICT r9 #3). Three groups:
+    # (1) the 21 queries whose plans changed in the r10 OPTIMIZATION
+    #     pass (shared-census/artifact spools, the multi-rank rewrite,
+    #     the LPA aggregation rewrite, link_prediction's anti-join) —
+    #     same-round driver verification, per the landing discipline;
+    # (2) the 5 CC-family queries whose physical path changed in the
+    #     r10 consolidation (_component_roots rework), still awaiting
+    #     their post-change driver row;
+    # (3) the 23 queries whose newest driver row dates to r2
+    #     (provenance hygiene; plans unchanged, sweep-green).
+    # That is 49 of the 50-entry window; the r3-provenance fill
+    # supplies the remainder + overflow.
+    # -- (1) r10-opt plan changes --
+    "rfm_segments", "label_propagation", "apriori_triples",
+    "association_rules", "bpe_merges", "bpe_apply", "bpe_fertility",
+    "kendall_tau", "spearman_corr", "forecast_tournament",
+    "diff_in_diff", "runs_test", "theilsen_trend",
+    "naive_forecast_mape", "holt_trend", "conformal_coverage",
+    "forecast_pinball", "weekly_trend", "changepoint_weeks",
+    "link_prediction", "open_order_concurrency", "littles_law_audit",
+    # -- (2) the 5 whose physical path changed in the r10
+    #    consolidation (CC gate rework) --
+    "dedup_clusters", "dedup_survivors", "dedup_weights",
+    "cluster_safe_split", "corpus_pipeline",
+    # -- (3) the 23 r2-stale (oldest provenance in the registry) --
     "events_summary", "events_unpivot", "first_order_per_customer",
     "format_currency", "group_median_pandas", "join_compatibility",
     "lenient_dates", "neighbor_counts", "null_diagnostics",
@@ -16649,9 +16664,6 @@ _DRIVER_SAMPLE_PRIORITY = [
     "sessionize_events", "sessionize_native", "sorted_distinct_weeks",
     "top_k_customers", "train_split", "tuple_render",
     "union_by_name", "weekly_deltas",
-    # -- the 5 whose physical path changed IN r10 (CC gate rework) --
-    "dedup_clusters", "dedup_survivors", "dedup_weights",
-    "cluster_safe_split", "corpus_pipeline",
     # -- r3-provenance fill + overflow (the two cross-round regression
     #    candidates classified this round lead the fill) --
     "stream_dedup", "sliding_active_users",
