@@ -23,6 +23,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     QUERIES,
     _doc_clusters,
     _edges_sym_deg,
+    _event_transition_census,
     _edges_uv,
     _hb_round_regs,
     _minhash_sig8,
@@ -121,6 +122,7 @@ def main() -> None:
     build_spool("nation_week_census", lambda: _weekly_nation_census(spark, sf_dir))
     build_spool("nation_week_rev", lambda: _nation_week_rev(spark, sf_dir))
     build_spool("order_spans", lambda: _order_spans(spark, sf_dir))
+    build_spool("event_transition_census", lambda: _event_transition_census(spark, sf_dir))
     build_spool("obs_customer_frame", lambda: _obs_customer_frame(spark, sf_dir))
     spool_total = round(sum(spool_builds.values()), 3)
 

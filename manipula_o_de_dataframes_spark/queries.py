@@ -722,6 +722,40 @@ def _nation_week_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _event_transition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(de, para, n, rowtot) — the first-order Markov transition census
+    over event types (per-user lag pairing), spooled once per
+    (application, sf_dir): ``event_transitions`` (the matrix) and
+    ``transition_steady_state`` (3 power iterations over it) both
+    reduce this identical ≤|types|² artifact, and each previously
+    re-ran the events lag pass per call."""
+    import os  # noqa: PLC0415
+
+    from .operators.spool import spool  # noqa: PLC0415
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "event_transition_census",
+    )
+    df = _GRAPH_SPOOL_CACHE.get(key)
+    if df is not None:
+        return df
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = spool(
+        e.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("de"), F.col("event_type").alias("para"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rowtot", F.sum("n").over(Window.partitionBy("de")))
+    )
+    _GRAPH_SPOOL_CACHE[key] = df
+    return df
+
+
 def _order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c_nationkey, __open, __close) — each order's open interval
     (order date → last line's ship date, clamped so open ≤ close),
@@ -2262,19 +2296,15 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window over the ≤|types|² result. Integer ppm keeps the
     probabilities hash-stable cross-engine.
     """
-    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        e.withColumn("__prev", F.lag("event_type").over(w))
-        .filter(F.col("__prev").isNotNull())
-        .groupBy(F.col("__prev").alias("de"), F.col("event_type").alias("para"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # the census = the session-shared `_event_transition_census` spool
+    # (r10-opt); rowtot IS sum(n) over (partition by de), so the
+    # normalization reads the spooled column instead of re-windowing.
+    pairs = _event_transition_census(spark, sf_dir)
     return pairs.select(
         "de",
         "para",
         F.col("n").cast("long").alias("n"),
-        F.expr("n * 1000000 div sum(n) over (partition by de)").alias("prob_ppm"),
+        F.expr("n * 1000000 div rowtot").alias("prob_ppm"),
     )
 
 
@@ -9469,19 +9499,10 @@ def q_transition_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled iterations otherwise each re-ran the events lag pass —
     a 5× fact read for a 25-row artifact.
     """
-    from .operators.spool import spool  # noqa: PLC0415
-
-    e = read_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    census = spool(
-        e.withColumn("__prev", F.lag("event_type").over(w))
-        .filter(F.col("__prev").isNotNull())
-        .groupBy(F.col("__prev").alias("de"), F.col("event_type").alias("para"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rowtot", F.sum("n").over(Window.partitionBy("de")))
-    )
+    # the census = the session-shared `_event_transition_census` spool
+    # (r10-opt): the per-call spool build re-ran the events lag pass
+    # every invocation for the same bounded artifact.
+    census = _event_transition_census(spark, sf_dir)
     states = census.select(F.col("de").alias("state")).union(
         census.select(F.col("para"))
     ).distinct()

@@ -29,6 +29,7 @@ from manipula_o_de_dataframes_spark.queries import (  # noqa: E402
     QUERIES,
     _doc_clusters,
     _edges_sym_deg,
+    _event_transition_census,
     _edges_uv,
     _hb_round_regs,
     _minhash_sig8,
@@ -60,6 +61,7 @@ def main() -> None:
     for build in (
         _edges_uv,
         _edges_sym_deg,
+        _event_transition_census,
         lambda s, d: _hb_round_regs(s, d, 4),
         _doc_clusters,
         _minhash_sig8,
