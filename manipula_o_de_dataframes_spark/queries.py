@@ -16653,7 +16653,7 @@ QUERIES = {
 _DRIVER_SAMPLE_PRIORITY = [
     # r10 window = every plan changed since the last driver run leads,
     # then the freshness rotation (VERDICT r9 #3). Three groups:
-    # (1) the 21 queries whose plans changed in the r10 OPTIMIZATION
+    # (1) the 24 queries whose plans changed in the r10 OPTIMIZATION
     #     pass (shared-census/artifact spools, the multi-rank rewrite,
     #     the LPA aggregation rewrite, link_prediction's anti-join) —
     #     same-round driver verification, per the landing discipline;
@@ -16662,9 +16662,12 @@ _DRIVER_SAMPLE_PRIORITY = [
     #     their post-change driver row;
     # (3) the 23 queries whose newest driver row dates to r2
     #     (provenance hygiene; plans unchanged, sweep-green).
-    # That is 49 of the 50-entry window; the r3-provenance fill
-    # supplies the remainder + overflow.
+    # That is 52 entries for the 50-slot window: the last two stale
+    # entries (union_by_name, weekly_deltas — plans unchanged,
+    # sweep-green) overflow to positions 51-52; plan changes outrank
+    # freshness hygiene.
     # -- (1) r10-opt plan changes --
+    "event_transitions", "transition_steady_state",
     "rfm_segments", "label_propagation", "apriori_triples",
     "association_rules", "bpe_merges", "bpe_apply", "bpe_fertility",
     "kendall_tau", "spearman_corr", "forecast_tournament",
