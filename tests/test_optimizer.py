@@ -541,8 +541,15 @@ def test_round4_continuation_queries_plan_shapes(spark):
     p = shape("growth_accounting")
     assert p.count("Exchange SinglePartition") <= 1, p
 
+    # rfm_segments' three two-pass ranks now share ONE spool
+    # (global_ranks_scaled, r10-opt), so the single serve plan holds
+    # all three ≤32-row census offset windows — up to 3 tiny
+    # single-partition exchanges, each over a bucket census, never
+    # over the data (the ORDER-only-window scan below still rejects a
+    # data-wide global window).
     p = shape("rfm_segments")
-    assert p.count("Exchange SinglePartition") <= 1, p
+    assert p.count("Exchange SinglePartition") <= 3, p
+    assert "__gr_bucket" in p, f"two-pass rank path missing\n{p}"
 
     # token_budget_select / repeat_purchase_gap: one key shuffle each
     # (source / customer), windows inside the partition. share_of_

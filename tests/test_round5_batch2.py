@@ -195,11 +195,15 @@ def test_round5_batch2_plan_shapes(spark):
     assert "Generate explode" in p, p
     assert p.count("Exchange hashpartitioning") <= 3, p
 
-    # sweep: orderkey close-agg + join, daily census, per-nation
-    # window — never a day-level explode.
+    # sweep: the spans build (orderkey close-agg + orders join +
+    # customer broadcast) moved into the session `_order_spans` spool
+    # (r10-opt); the serve plan is spool scan → boundary union → daily
+    # census → per-nation windows — never a day-level explode, and the
+    # spool must be the only source (no fact re-scan).
     p = shape("open_order_concurrency")
     assert "Generate" not in p, f"sweep must not explode days\n{p}"
-    assert "BroadcastExchange" in p, f"customer dim not broadcast\n{p}"
+    assert "spark_graft_spool" in p, f"spans not served from the spool\n{p}"
+    assert "lineitem" not in p, f"fact scan leaked past the spans spool\n{p}"
 
     # skyline: two windows over the same brand partition; no self-join.
     p = shape("pareto_frontier")
@@ -677,11 +681,14 @@ def test_round5_batch7_plan_shapes(spark):
         assert "CartesianProduct" not in p, f"{name}:\n{p}"
         return p
 
-    # Theil–Sen: the quadratic self-join runs on the nation-keyed
-    # CENSUS (post-aggregation), dims broadcast, no nested loop.
+    # Theil–Sen: the census build (fact shuffle + broadcast dims)
+    # moved into the session `_weekly_nation_census` spool (r10-opt);
+    # the quadratic self-join runs on the nation-keyed CENSUS read
+    # from the spool — no nested loop, no fact re-scan.
     p = shape("theilsen_trend")
     assert "BroadcastNestedLoop" not in p, p
-    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "spark_graft_spool" in p, f"census not served from the spool\n{p}"
+    assert "orders" not in p, f"fact scan leaked past the census spool\n{p}"
 
     # χ²: one user census shuffle, then single-row arithmetic.
     p = shape("ab_contingency_chi2")
@@ -1213,9 +1220,12 @@ def test_round5_batch15_plan_shapes(spark):
     assert p.count("Scan parquet") == 2, p  # lineitem + part
     assert "BroadcastHashJoin" in p, p
 
-    # MAPE: census windows only.
+    # MAPE: census windows only — the census build (broadcast dims)
+    # moved into the session `_weekly_nation_census` spool (r10-opt);
+    # the serve plan windows over the spool read, no fact re-scan.
     p = shape("naive_forecast_mape")
-    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "spark_graft_spool" in p, f"census not served from the spool\n{p}"
+    assert "orders" not in p, f"fact scan leaked past the census spool\n{p}"
 
 
 def test_tpch_q14_share_is_consistent(spark):
