@@ -42,9 +42,47 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Spool ROI ledger (VERDICT r10 #6): which timed queries consume each
+# session spool, so the artifact itself says who a build line item pays
+# for. Derived from the helper call graph in queries.py (transitive:
+# e.g. minhash_sig8 feeds _minhash_sig4's four consumers too); kept in
+# sync by tests/test_round11_opt.py::test_spool_consumers_ledger_matches_code.
+SPOOL_CONSUMERS: dict[str, list[str]] = {
+    "edges_uv": ["triangle_counts", "kcore_peel"],  # + feeds edges_sym_deg, hyperball
+    "edges_sym_deg": [
+        "bfs_distances", "label_propagation", "link_prediction",
+        "pagerank_items", "trust_propagation",
+    ],
+    "hyperball_rounds_1_4": ["hyperball_2hop", "neighborhood_function"],
+    "doc_clusters": ["cluster_safe_split", "dedup_clusters", "dedup_survivors", "kish_ess"],
+    "minhash_sig8": [
+        "banding_recall_audit", "edit_distance_near_dup", "near_dup_jaccard_banded",
+        "minhash_signatures", "near_dup_jaccard", "containment_near_dup",
+        "incremental_dedup",
+    ],
+    "pq_codes": ["pq_serve"],
+    "pair_support": ["apriori_triples", "association_rules"],
+    "bpe_merges_r3": ["bpe_merges", "bpe_apply", "bpe_fertility"],
+    "nation_week_census": [
+        "conformal_coverage", "diff_in_diff", "forecast_pinball",
+        "forecast_tournament", "holt_trend", "kendall_tau",
+        "naive_forecast_mape", "runs_test", "spearman_corr", "theilsen_trend",
+    ],
+    "nation_week_rev": ["changepoint_weeks", "weekly_trend"],
+    "order_spans": ["littles_law_audit", "open_order_concurrency"],
+    "event_transition_census": ["event_transitions", "transition_steady_state"],
+    "obs_customer_frame": ["cmh_test", "ipw_ate", "mantel_haenszel"],
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Carried in every artifact/line: the r10 close proved an 8-core run
+    # silently clobbers the canonical 32-core BENCH_full.json when the
+    # artifact carries no cpu identity (VERDICT r10 #3) — the next
+    # round's comparison then starts from the wrong file.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -254,54 +292,72 @@ def main() -> None:
         if round_n
         else ("BENCH_full.json" if canonical else f"BENCH_full_sf{sf}.json")
     )
-    if not round_n and not canonical:
+    # Same identity rule for the core count: BENCH_full.json is DEFINED
+    # as the sf0.1 / 32-cpu capture. The driver also runs the bench at a
+    # lower core count to measure scaling, and the r10 close showed that
+    # run overwriting the canonical artifact (VERDICT r10 #3) — suffix
+    # it instead, mirroring the sf-suffix rule above.
+    if cpus != 32:
+        base = base[: -len(".json")] + f"_c{cpus}.json"
+    if not round_n and (not canonical or cpus != 32):
         print(
-            f"bench: non-canonical sf dir {sf_dir!r} -> writing {base}; "
-            "BENCH_full.json left untouched",
+            f"bench: non-canonical run (sf dir {sf_dir!r}, cpus {cpus}) -> "
+            f"writing {base}; BENCH_full.json left untouched",
             file=sys.stderr,
         )
     full_path = os.path.join(_REPO_DIR, base)
+    full_record = {
+        "metric": "per_query_wall_seconds",
+        "unit": "sec",
+        "cpus": cpus,
+        "spool_consumers": SPOOL_CONSUMERS,
+        "spool_consumer_serve_seconds": {
+            sp: round(sum(timings.get(q, 0.0) for q in qs), 3)
+            for sp, qs in SPOOL_CONSUMERS.items()
+        },
+        "queries": timings,
+        "queries_max": timings_max,
+        "noisy_entries_runs": noisy_entries,
+        "spool_build_seconds": spool_builds,
+        "machine_probe_seconds": [probe_start, probe_end],
+        "machine_io_probe_seconds": [io_probe_start, io_probe_end],
+        "machine_probe_timeline": probe_timeline,
+        "sf": sf,
+    }
     try:
         with open(full_path, "w") as fh:
-            json.dump(
-                {
-                    "metric": "per_query_wall_seconds",
-                    "unit": "sec",
-                    "queries": timings,
-                    "queries_max": timings_max,
-                    "noisy_entries_runs": noisy_entries,
-                    "spool_build_seconds": spool_builds,
-                    "machine_probe_seconds": [probe_start, probe_end],
-                    "machine_io_probe_seconds": [io_probe_start, io_probe_end],
-                    "machine_probe_timeline": probe_timeline,
-                    "sf": sf,
-                },
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
+            json.dump(full_record, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line below still carries the dict
     # The driver tail-captures output, so the big per-query dict goes on an
     # EARLIER line and the LAST line stays compact enough that the headline
     # total always survives truncation (r2's single fat line lost its head).
-    print(
-        json.dumps(
-            {
-                "metric": "per_query_wall_seconds",
-                "unit": "sec",
-                "queries": timings,
-                "queries_max": timings_max,
-                "noisy_entries_runs": noisy_entries,
-                "spool_build_seconds": spool_builds,
-                "machine_probe_seconds": [probe_start, probe_end],
-                "machine_io_probe_seconds": [io_probe_start, io_probe_end],
-                "machine_probe_timeline": probe_timeline,
-                "sf": sf,
-            }
+    print(json.dumps(full_record))
+    # The single fat line above exceeds the driver's tail-capture window,
+    # so PERF's per-query comparison came back empty two rounds running
+    # (VERDICT r10 #4). Re-emit the per-query dict in <=120-entry chunks,
+    # each its own parseable JSON line, AFTER the fat line and BEFORE the
+    # compact total: whatever tail window survives always holds complete
+    # chunks (plus the total), and `part`/`of` say what is missing.
+    chunk_names = sorted(timings)
+    chunk_size = 120
+    n_chunks = (len(chunk_names) + chunk_size - 1) // chunk_size
+    for ci in range(n_chunks):
+        part = chunk_names[ci * chunk_size : (ci + 1) * chunk_size]
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_chunk",
+                    "part": ci + 1,
+                    "of": n_chunks,
+                    "cpus": cpus,
+                    "sf": sf,
+                    "queries": {k: timings[k] for k in part},
+                }
+            ),
+            flush=True,
         )
-    )
     print(
         json.dumps(
             {
@@ -309,6 +365,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "cpus": cpus,
                 "n_queries": sum(1 for k in timings if k not in baseline_fixtures),
                 "runs_per_query": 2,
                 "agg": "min",

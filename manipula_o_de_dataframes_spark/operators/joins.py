@@ -1,11 +1,15 @@
 """Joins (SURVEY.md §2.4, J1–J5).
 
-Scale posture: the reference's dimensions are small (10k rows) — every
-enrichment join here takes an explicit ``broadcast()`` hint so the plan
-is a BroadcastHashJoin with zero shuffle of the fact side, which is the
-correct physical strategy at 100 TB of facts too (dim stays ≤ MBs).
-Catalyst would often pick this anyway under the 10 MB auto-broadcast
-threshold, but the hint pins it.
+Scale posture (revised r11, VERDICT r10 #1): an explicit ``broadcast()``
+hint BYPASSES Spark's size check, so it is only safe on genuinely
+bounded sides (nation/region, literal grids, top-k, one-row aggregates).
+The dims these helpers receive in practice are customer/part/orders
+frames — data-proportional at 100 TB — so the helpers no longer force a
+broadcast: below the 10 MB auto-threshold Catalyst still picks
+BroadcastHashJoin on its own (local SFs are unchanged), and above it AQE
+converts sort-merge to broadcast at runtime exactly when the built side
+actually fits. ``inner``/``left`` keep an explicit opt-in flag
+(default False) for callers that KNOW their dim is bounded.
 """
 
 from __future__ import annotations
@@ -14,12 +18,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def inner(facts: DataFrame, dim: DataFrame, on, broadcast_dim: bool = True) -> DataFrame:
+def inner(facts: DataFrame, dim: DataFrame, on, broadcast_dim: bool = False) -> DataFrame:
     """J1: equi inner join (pd.merge(..., how='inner'), APC:180, MAC:35-41)."""
     return facts.join(F.broadcast(dim) if broadcast_dim else dim, on, "inner")
 
 
-def left(facts: DataFrame, dim: DataFrame, on, broadcast_dim: bool = True) -> DataFrame:
+def left(facts: DataFrame, dim: DataFrame, on, broadcast_dim: bool = False) -> DataFrame:
     """J2: equi left outer join (pd.merge(..., how='left'), APC:162-167)."""
     return facts.join(F.broadcast(dim) if broadcast_dim else dim, on, "left")
 
@@ -43,7 +47,7 @@ def left_unique(
         .filter(F.col("__rn") == 1)
         .select(key, *attrs)
     )
-    return facts.join(F.broadcast(one), key, "left")
+    return facts.join(one, key, "left")
 
 
 def enrich(
@@ -59,7 +63,7 @@ def enrich(
     ABC='C'/empty strings MAC:345-348). In Spark it is a broadcast LEFT
     join + coalesce(col, default) — left-join-plus-fill, not inner.
     """
-    joined = facts.join(F.broadcast(dim), key, "left")
+    joined = facts.join(dim, key, "left")
     return joined.withColumns(
         {c: F.coalesce(F.col(c), F.lit(d)) for c, d in defaults.items() if c in joined.columns}
     )
@@ -117,5 +121,5 @@ def unmatched_keys(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     Distinct-then-anti keeps the shuffle on the (small) distinct key set.
     """
     return (
-        facts.select(key).distinct().join(F.broadcast(dim.select(key).distinct()), key, "left_anti")
+        facts.select(key).distinct().join(dim.select(key).distinct(), key, "left_anti")
     )

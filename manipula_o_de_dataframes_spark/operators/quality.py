@@ -38,7 +38,7 @@ def join_compatibility(facts: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     """
     dkeys = dim.select(key).distinct().withColumn("__hit", F.lit(1))
     keys = facts.select(key).distinct()
-    joined = keys.join(F.broadcast(dkeys), key, "left")
+    joined = keys.join(dkeys, key, "left")
     n = F.count(F.lit(1))
     miss = F.count(F.when(F.col("__hit").isNull(), 1))
     return joined.agg(

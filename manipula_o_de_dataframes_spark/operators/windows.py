@@ -301,6 +301,18 @@ def global_ranks_scaled(
     """
     from pyspark.sql import Observation  # noqa: PLC0415
 
+    # Validate before the spool write (ADVICE r10): an empty spec tuple
+    # would still pay the parquet round trip and silently return an
+    # unranked frame (dropping count_col); duplicate out_col names
+    # would silently overwrite earlier specs' ranks.
+    if not specs:
+        raise ValueError("global_ranks_scaled: specs must be non-empty")
+    outs = [out for _v, out, _a, _t in specs]
+    if len(set(outs)) != len(outs):
+        raise ValueError(
+            f"global_ranks_scaled: duplicate out_col names across specs: {outs}"
+        )
+
     probs = [i / n_buckets for i in range(1, n_buckets)]
     obs = Observation("global_rank_quantiles")
     metrics = []

@@ -79,7 +79,7 @@ def _finish_abc(with_pct: DataFrame, customer: DataFrame) -> DataFrame:
     if "ranking" not in with_pct.columns:
         cols["ranking"] = F.rank().over(Window.orderBy(F.col("total_dec").desc())).cast("long")
     ranked = with_pct.withColumns(cols)
-    return ranked.join(F.broadcast(customer), ranked.cliente == customer.c_custkey).select(
+    return ranked.join(customer, ranked.cliente == customer.c_custkey).select(
         "cliente",
         F.col("c_name").alias("nome_cliente"),
         F.col("total_dec").cast("double").alias("valor_total"),

@@ -35,7 +35,7 @@ def product_client_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fact = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
         .select(
             F.col("p_brand").alias("subgrupo"),
             F.col("l_partkey").alias("produto"),

@@ -186,7 +186,7 @@ def q_dynamic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3: sidebar-style spec filters + date range, pushed to the scan."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    joined = o.join(c, o.o_custkey == c.c_custkey)
     filtered = dynamic_filter(
         joined,
         {"o_orderstatus": "F", "c_mktsegment": "BUILDING", "o_orderpriority": "Todos"},
@@ -713,7 +713,7 @@ def _nation_week_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = spool(
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), wk.alias("__wk"))
         .agg(dsum_dec("l_extendedprice").alias("__rev"))
@@ -788,7 +788,7 @@ def _order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     df = spool(
         o.join(close, o["o_orderkey"] == close["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         # the synthetic feed contains ship dates BEFORE the order date;
         # clamp so every interval is well-formed (open ≤ close) instead
         # of letting a reversed span decrement the sweep before its +1
@@ -1151,8 +1151,9 @@ def q_event_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id = c_custkey: feed rows without a matching customer drop,
     mirrored in the oracle.
 
-    Scale: the dim is broadcast (customer is the reference's
-    10k-row-dimension posture); the fact scans once, aggregates
+    Scale: the customer dim is data-proportional, so no broadcast
+    hint (VERDICT r10 #1) — the size-checked planner/AQE broadcasts
+    it where it actually fits; the fact scans once, aggregates
     map-side, and only |nations| (count, decimal sum) partials
     shuffle. DECIMAL keeps the totals partitioning-independent.
     """
@@ -1161,7 +1162,7 @@ def q_event_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events").select("user_id", "value")
     dim = _nation_dim(spark, sf_dir)
     agg = (
-        e.join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        e.join(dim, F.col("user_id") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -1267,24 +1268,27 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pagerank_items``'s centrality (community cohesion: a part whose
     neighbors also co-occur with each other anchors a bundle; one
     whose neighbors never meet is a bridge). The MapReduce classic
-    (Suri & Vassilvitskii, WWW'11): orient edges low→high id, join
-    wedges against the edge set, so every triangle {a<b<c} is found
-    exactly once as the wedge (a–b, a–c) closed by edge (b–c).
+    (Suri & Vassilvitskii, WWW'11): orient edges low→high degree, so
+    every triangle {a,b,c} is found exactly once as the wedge
+    (a–b, a–c) closed by edge (b–c) — here in the COMPACTED adjacency
+    form (r11): wedges stay implicit as per-apex sorted-suffix arrays
+    and close via array_intersect against the middle node's
+    out-neighbor array, instead of materializing ~36M wedge rows into
+    a (b,c)-keyed semi-join (the r9/r10 shape, measured 7.9 s; this
+    form ~3 s — the third exact-count attempt VERDICT r10 #4 asked
+    for, and the first to win).
 
     Integer-exact throughout: triangle counts are BIGINTs; the local
     clustering coefficient 2·T(v)/(deg(v)·(deg(v)−1)) is ONE rational
     double rounded at the edge (IEEE-exact cross-engine). Scale: edges
-    orient LOW-degree → HIGH-degree (ties to the lower id), so wedges
-    form only at low-degree apexes — the O(m^1.5) bound that makes
-    triangle counting tractable on POWER-LAW graphs (real co-purchase
-    and crawl graphs), where the naive Σ deg² explodes at hub nodes.
-    Measured honestly: this fixture's graph is degree-UNIFORM (sf0.1:
-    20k nodes, 1.2M edges, avg deg 120, max 222), so orientation only
-    trims 7.2 → 6.3 s — the ~36M wedge closures are the real work
-    here, and the optimization's value shows on skewed graphs, not
-    this one. The triangle SET is orientation-independent, so the
-    oracle keeps the simpler id-orientation and hashes identical
-    results; shuffles carry (node, node, deg) tuples only. Top-10 by
+    orient LOW-degree → HIGH-degree (ties to the lower id), so suffix
+    arrays grow only at low-degree apexes — the O(m^1.5) bound that
+    makes triangle counting tractable on POWER-LAW graphs (real
+    co-purchase and crawl graphs), where the naive Σ deg² explodes at
+    hub nodes; the per-node out-adjacency array is ≤ O(√m) elements
+    under this orientation, so no row is unbounded. The triangle SET
+    is orientation-independent, so the DuckDB oracle keeps the simpler
+    id-orientation wedge join and hashes identical results. Top-10 by
     (triangles, part).
     """
     edges = _edges_uv(spark, sf_dir)  # u < v by construction, spooled
@@ -1309,20 +1313,48 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("__ddst"),
     )
-    e1 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("__ddst").alias("__db")
+    # Compacted wedge closure (r11-opt, VERDICT r10 #4, guide §2.3):
+    # the r9/r10 shape MATERIALIZED every wedge as a row (the e1⋈e2
+    # self-join — ~36M (a,b,c) rows at sf0.1) and shuffled them all
+    # into a (b,c)-keyed semi-join against the edge set (~900 MB of
+    # exchange). Compaction keeps the wedge set implicit: each apex's
+    # out-neighbors are collected ONCE into an array sorted by the
+    # same (degree, id) total order the wedge filter used; one row per
+    # oriented edge (a→b) then carries the SUFFIX of a's adjacency
+    # after b — exactly the former wedge partners
+    # {c : (__db,b) < (__dc,c)} — and array_intersect(suffix, N⁺(b))
+    # applies the former semi-join predicate (c ∈ N⁺(b)) as an
+    # in-partition set operation. Only actual TRIANGLES (~0.2M rows)
+    # ever materialize; the shuffled bytes drop to the adjacency
+    # build (30 MB) + one |E|-row suffix exchange. Same triangle set
+    # by construction — hash-identical output, pinned by the oracle
+    # and the brute-force clique test.
+    adj = oriented.groupBy("src").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__ddst").alias("d"), F.col("dst").alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("__nbrs")
     )
-    e2 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("__ddst").alias("__dc")
+    sfx = (
+        adj.select(
+            F.col("src").alias("a"),
+            F.col("__nbrs"),
+            F.posexplode("__nbrs").alias("__i", "b"),
+        )
+        .select(
+            "a",
+            "b",
+            F.expr("slice(__nbrs, __i + 2, size(__nbrs))").alias("__cs"),
+        )
+        .filter(F.size("__cs") > 0)
     )
-    wedges = e1.join(e2, "a").filter(
-        (F.col("__db") < F.col("__dc"))
-        | ((F.col("__db") == F.col("__dc")) & (F.col("b") < F.col("c")))
-    )
-    tris = wedges.join(
-        oriented,
-        (wedges["b"] == oriented["src"]) & (wedges["c"] == oriented["dst"]),
-        "left_semi",
+    nb = adj.select(F.col("src").alias("b"), F.col("__nbrs").alias("__nb"))
+    tris = sfx.join(nb, "b").select(
+        "a", "b", F.explode(F.array_intersect("__cs", "__nb")).alias("c")
     )
     per_node = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -2315,7 +2347,8 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     give (percent-of-total is global; share-of-parent re-normalizes at
     every level).
 
-    One fact aggregate (broadcast dims prune first), then two window
+    One fact aggregate (nation/region broadcast; the customer dim is
+    size-checked, not hinted — VERDICT r10 #1), then two window
     sums over the ≤25-row result — the same post-aggregation window
     posture as percent-of-total. Revenue is DECIMAL-exact; each share
     is ONE double division rounded 9 dp, so the ratios hash
@@ -2334,7 +2367,7 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "n_name", "r_name")
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy(F.col("r_name").alias("regiao"), F.col("n_name").alias("nacao"))
         .agg(F.sum(F.col("l_extendedprice").cast(MONEY)).alias("__dec"))
     )
@@ -2918,9 +2951,10 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-table star join: lineitem⋈orders⋈customer⋈nation⋈region.
 
     The multi-dimension join shape (TPC-H Q5's skeleton). The region
-    filter prunes nation rows *before* any fact row is touched; every
-    dimension broadcasts, so the fact table crosses the wire exactly
-    once — for the final per-nation aggregate.
+    filter prunes nation rows *before* any fact row is touched;
+    nation/region broadcast by hint (bounded), while the customer- and
+    orders-proportional sides are size-checked — AQE broadcasts them
+    where they fit, sort-merges where they don't (VERDICT r10 #1).
     """
     li = read_table_parallel(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
         "l_orderkey", "l_extendedprice"
@@ -2933,8 +2967,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
                   c.c_nationkey == n.n_nationkey)
-    fact = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).join(
-        F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        dims, F.col("o_custkey") == F.col("c_custkey")
     )
     return fact.groupBy(F.col("n_name").alias("nacao")).agg(
         F.count(F.lit(1)).alias("n_itens"),
@@ -4008,7 +4042,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("receita"))
     joined = (
-        rev.join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+        rev.join(c.select("c_custkey", "c_name", "c_nationkey"),
                  rev["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               c["c_nationkey"] == n["n_nationkey"])
@@ -4073,9 +4107,11 @@ def q_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-compatibility check generalized from one pair to the schema.
 
     Each relationship is distinct-fact-keys anti-joined against its
-    (broadcast) dimension — at 100 TB the distinct collapses the fact
-    side before anything shuffles, and dims broadcast. Five one-row
-    aggregates union into the report.
+    dimension — at 100 TB the distinct collapses the fact side before
+    anything shuffles; dims broadcast only when the size-checked
+    planner says they fit (orders/customer dims are data-proportional,
+    so no hint — VERDICT r10 #1). Five one-row aggregates union into
+    the report.
     """
     rels = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -4088,7 +4124,7 @@ def q_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, fact, fk, dim, pk in rels:
         keys = read_table(spark, sf_dir, fact).select(F.col(fk).alias("__k")).distinct()
         dimk = read_table(spark, sf_dir, dim).select(F.col(pk).alias("__k"))
-        orphans = keys.join(F.broadcast(dimk), "__k", "left_anti")
+        orphans = keys.join(dimk, "__k", "left_anti")
         parts.append(
             keys.agg(F.count(F.lit(1)).alias("n_chaves")).crossJoin(
                 orphans.agg(F.count(F.lit(1)).alias("n_orfas"))
@@ -5503,8 +5539,12 @@ def _bpe_top_merges(
                 F.lit(" " + pair.replace(" ", "+") + " "),
             ).alias("t")
         )
-    _GRAPH_SPOOL_CACHE[key] = merges
-    return merges
+    # Immutable artifact (ADVICE r10): a consumer mutating the returned
+    # list would silently corrupt the shared session cache for every
+    # later consumer — store and return a tuple.
+    frozen = tuple(merges)
+    _GRAPH_SPOOL_CACHE[key] = frozen
+    return frozen
 
 
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7369,7 +7409,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -7426,9 +7466,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(sn),
+            sn,
             (li["l_suppkey"] == sn["s_suppkey"])
             & (c["c_nationkey"] == sn["s_nationkey"]),
         )
@@ -7584,7 +7624,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "c_custkey",
@@ -7944,7 +7984,7 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
     )
     return (
@@ -8052,7 +8092,7 @@ def q_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rev(df: DataFrame, out: str) -> DataFrame:
         return (
-            df.join(F.broadcast(c), df["o_custkey"] == c["c_custkey"])
+            df.join(c, df["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .groupBy("n_name")
             .agg(
@@ -8495,7 +8535,7 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     lines = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("n_name", "cents", "qty", "l_orderkey", "l_linenumber")
     )
@@ -8737,7 +8777,7 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     pit = o.join(
-        F.broadcast(versioned),
+        versioned,
         (o["o_custkey"] == versioned["c_custkey"])
         & (F.col("o_orderdate") >= F.to_timestamp_ntz("eff_from"))
         & (F.col("o_orderdate") < F.to_timestamp_ntz("eff_to")),
@@ -8954,7 +8994,7 @@ def q_decayed_item_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("l_partkey")
         .agg(F.sum("decayed").alias("decayed_score"))
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
         .select("p_name", F.col("l_partkey").alias("partkey"), "decayed_score")
         .orderBy(F.col("decayed_score").desc(), F.col("partkey"))
         .limit(20)
@@ -9162,7 +9202,7 @@ def q_rounding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_line_rounded = F.round(F.col("__exact"), 2)  # HALF_UP on decimal
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     )
     return (
@@ -9211,7 +9251,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -9243,7 +9283,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__rev"),
     )
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     # the exact sums carry scale 4 (two-factor product); round HALF_UP
     # to 2 dp ONCE before the cent cast — a raw ×100 cast would leave
     # a .xx fraction where Spark truncates and DuckDB rounds (a real
@@ -9382,7 +9422,7 @@ def q_same_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey"), F.col("cents").alias("c2")
     )
     both = h1.join(h2, "o_custkey")
-    enriched = both.join(F.broadcast(c), both["o_custkey"] == c["c_custkey"]).join(
+    enriched = both.join(c, both["o_custkey"] == c["c_custkey"]).join(
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
     )
     return (
@@ -9586,9 +9626,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__rev"),
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -9653,10 +9693,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__vol"),
     )
     j = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         j.groupBy("o_year")
@@ -9727,8 +9767,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__rev"),
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
         .agg(
@@ -9841,7 +9881,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents") == F.col("__max")
     )
     return (
-        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        top.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_cents")
         .orderBy("s_suppkey")
     )
@@ -9892,8 +9932,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice").cast(_PRICE) * 100).cast("bigint").alias("__cents"),
     )
     per_ps = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.min("__cents").alias("min_cents"))
     )
@@ -9902,7 +9942,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_cents") == F.col("__pmin")
     )
     return (
-        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        best.join(s, best["l_suppkey"] == s["s_suppkey"])
         .select("s_acctbal", "s_name", F.col("n_name").alias("nation"), "p_partkey", "min_cents")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
     )
@@ -9928,7 +9968,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     li = read_table_parallel(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -9956,7 +9996,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     li = (
         read_table_parallel(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
             F.col("l_quantity").cast("bigint").alias("__qty"),
@@ -9966,7 +10006,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = li.groupBy(F.col("p_partkey").alias("__pk")).agg(
         F.count(F.lit(1)).alias("__cnt"), F.sum("__qty").alias("__sum_qty")
     )
-    small = li.join(F.broadcast(stats), F.col("p_partkey") == F.col("__pk")).filter(
+    small = li.join(stats, F.col("p_partkey") == F.col("__pk")).filter(
         F.lit(5) * F.col("__qty") * F.col("__cnt") < F.col("__sum_qty")
     )
     return small.agg(
@@ -10004,7 +10044,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = (
         read_table_parallel(spark, sf_dir, "lineitem")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "l_partkey",
             (F.col("l_extendedprice").cast(_PRICE) * 100).cast("bigint").alias("__cents"),
@@ -10064,7 +10104,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(branch)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -10096,7 +10136,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_suppkey", F.col("l_quantity").cast("bigint").alias("__qty"))
     )
     per_supp = li.groupBy("l_suppkey").agg(F.sum("__qty").alias("shipped_qty"))
@@ -10119,7 +10159,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.crossJoin(F.broadcast(totals))
         .filter(F.col("shipped_qty") * F.col("__n") > F.col("__total"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "nation", "shipped_qty")
         .orderBy("s_name")
     )
@@ -10166,7 +10206,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flagged.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
@@ -10363,7 +10403,7 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = li.groupBy("l_partkey").agg(F.sum("__q").alias("total_qty"))
     w = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc())
     return (
-        qty.join(F.broadcast(p), qty["l_partkey"] == p["p_partkey"])
+        qty.join(p, qty["l_partkey"] == p["p_partkey"])
         .withColumn("qty_rank", F.dense_rank().over(w))
         .filter(F.col("qty_rank") <= 3)
         .select(
@@ -11475,7 +11515,7 @@ def q_mix_rate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     per = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -11692,8 +11732,8 @@ def q_credibility_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     per_nation = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "n_regionkey")
         .agg(
@@ -12369,7 +12409,7 @@ def _weekly_nation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     df = spool(
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"), wk.alias("wk"))
         .agg(
@@ -12642,7 +12682,7 @@ def q_half_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
         F.col("c_mktsegment").alias("segment"),
         F.col("o_orderkey").alias("__k"),
         (F.col("o_totalprice").cast(MONEY) * 100).cast("bigint").alias("__cents"),
@@ -13577,8 +13617,8 @@ def q_join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey")
     of = o.filter(F.col("o_orderstatus") == "F")
-    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-    ofc = of.join(F.broadcast(c), of["o_custkey"] == c["c_custkey"])
+    oc = o.join(c, o["o_custkey"] == c["c_custkey"])
+    ofc = of.join(c, of["o_custkey"] == c["c_custkey"])
     cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     ofcn = of.join(
         F.broadcast(cn), of["o_custkey"] == cn["c_custkey"]
@@ -14695,6 +14735,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     census. Jaccard ppm is one truncating division per pair.
     """
 
+    import os  # noqa: PLC0415
+
     from .operators.spool import spool  # noqa: PLC0415
 
     edges_deg = _edges_sym_deg(spark, sf_dir)
@@ -14703,7 +14745,15 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees (seed top-k, both degree attaches) and Spark re-ran the
     # edge-list distinct per reference — 12 spool scans / 3 distinct
     # aggregations in the before plan (plans/r10, no ReusedExchange).
-    deg = spool(edges_deg.select("u", "__deg").distinct())
+    # Session-memoized (ADVICE r10): same (applicationId, sf_dir)
+    # posture as every other spool artifact, so repeat invocations stop
+    # paying a fresh parquet write+read of the identical bounded frame.
+    _app = spark.sparkContext.applicationId
+    _sfk = os.path.abspath(sf_dir)
+    deg = _GRAPH_SPOOL_CACHE.get((_app, _sfk, "symdeg_nodes"))
+    if deg is None:
+        deg = spool(edges_deg.select("u", "__deg").distinct())
+        _GRAPH_SPOOL_CACHE[(_app, _sfk, "symdeg_nodes")] = deg
     # seeds CARRY their degree, so the __da attach needs no third deg
     # subtree.
     seeds = deg.orderBy(F.col("__deg").desc(), "u").limit(20).select(
@@ -14720,9 +14770,12 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Adjacency check against SEED-INCIDENT edges only (r10-opt):
     # every candidate pair's left end is a seed, so the anti-join
-    # right side needs only edges whose u is a seed — a ~|seeds|·d̄
-    # broadcast build instead of hashing the full symmetric edge list
-    # (2.4M rows at sf0.1) per call. Same matches by construction.
+    # right side needs only edges whose u is a seed — ~|seeds|·d̄ rows
+    # instead of the full symmetric edge list (2.4M rows at sf0.1) per
+    # call. Same matches by construction. No broadcast hint: |seeds| is
+    # a constant 20 but per-seed degree is data-proportional, so the
+    # size-checked planner decides (ADVICE r10 — the r10 after-plan is
+    # SortMergeJoin LeftAnti over the shrunken side, as captured).
     seed_edges = edges.join(
         seeds.select("__a"), edges["u"] == F.col("__a")
     ).select(F.col("u").alias("__su"), F.col("v").alias("__sv"))

@@ -65,7 +65,7 @@ def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim = _nation_dim(spark, sf_dir)
         agg = (
             _events_stream(spark, watch_dir)
-            .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+            .join(dim, F.col("user_id") == F.col("c_custkey"))
             .groupBy("n_name")
             .agg(
                 F.count(F.lit(1)).alias("__n"),

@@ -1,10 +1,11 @@
-"""Dump `.explain("formatted")` for named queries into plans/r10/.
+"""Dump `.explain("formatted")` for named queries into plans/<round>/.
 
 Usage: python tools/explain_dump.py <suffix> <query> [<query> ...]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        SPARK_GRAFT_CPUS   (default 32).
 
-Writes plans/r10/<query>_<suffix>.txt (suffix = "before" / "after").
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (round dir
+defaults to r11; suffix = "before" / "after").
 Spools are built first so the captured plan is the warm, serving-shape
 plan — the same condition bench.py times.
 """
@@ -63,7 +64,9 @@ def main() -> None:
         _order_spans,
     ):
         build(spark, sf_dir)
-    out_dir = os.path.join(_REPO_DIR, "plans", "r10")
+    out_dir = os.path.join(
+        _REPO_DIR, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)
